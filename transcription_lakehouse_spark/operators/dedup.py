@@ -1,0 +1,215 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Replaces the reference's O(n²)-guarded near-dup check
+(`/root/reference/src/lakehouse/quality/metrics/integrity.py:459-616`) with
+strategies that scale instead of skipping:
+
+- exact dedup: hash-groupBy on normalized text (A16) — one shuffle.
+- n-gram Jaccard: shingle → explode → equi-self-join on shingle (inverted
+  index) → count intersections. Never materializes the n² pair matrix; the
+  join key is the shingle so only docs sharing at least one shingle meet.
+- MinHash + LSH banding: portable string-min minhash (md5-keyed, identical
+  in any engine) → band keys → bucket join → exact Jaccard on candidates.
+  This is the 100 TB path: cost is O(n · shingles · hashes) + a groupBy on
+  band keys; no pairwise work outside shared buckets.
+- SimHash: 64-bit signature via md5 bit-vote (Hamming-distance near-dup).
+
+All hashing is md5-based so the DuckDB oracle can reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.text import normalize_text, tokens
+
+__all__ = [
+    "fingerprint",
+    "exact_dup_stats",
+    "word_shingles",
+    "shingle_pair_jaccard",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "simhash32",
+]
+
+N_MINHASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 hashes
+
+
+def fingerprint(col: Column | str) -> Column:
+    """md5 content fingerprint of normalized text (exact-dup key)."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dup_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
+    """A16: per group, distinct-fingerprint vs row counts (dup rows = n - distinct)."""
+    with_fp = df.withColumn("_fp", fingerprint(text_col))
+    return with_fp.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("_fp")).alias("n_dup_rows"),
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(t) - F.lit(n))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str]
+) -> DataFrame:
+    return df.select(
+        id_col, *extra_cols, F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def shingle_pair_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard via inverted-index self-join.
+
+    Returns (id_1, id_2, n_common, n_1, n_2, jaccard) for every pair sharing
+    >= 1 shingle (and matching ``block_cols`` if given). Scale: the join is
+    an equi-join on the shingle string — hot shingles are the skew risk, so
+    callers should pre-filter stopword-only shingles or rely on AQE skew
+    splitting.
+    """
+    block_cols = block_cols or []
+    sh = _exploded_shingles(df, id_col, text_col, n, block_cols)
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(text_col, n)).alias("n_sh")
+    )
+    left = sh.select(
+        *[F.col(c).alias(f"{c}_1") for c in (id_col, *block_cols)], "shingle"
+    )
+    right = sh.select(
+        *[F.col(c).alias(f"{c}_2") for c in (id_col, *block_cols)], "shingle"
+    )
+    cond = [left["shingle"] == right["shingle"]] + [
+        left[f"{c}_1"] == right[f"{c}_2"] for c in block_cols
+    ]
+    pairs = (
+        left.join(right, cond)
+        .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
+        .groupBy(f"{id_col}_1", f"{id_col}_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias(f"{id_col}_1"), F.col("n_sh").alias("n_1"))
+    s2 = sizes.select(F.col(id_col).alias(f"{id_col}_2"), F.col("n_sh").alias("n_2"))
+    return (
+        pairs.join(s1, f"{id_col}_1")
+        .join(s2, f"{id_col}_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = N_MINHASHES
+) -> DataFrame:
+    """Portable MinHash: signature_i = min over shingles of md5(i || '|' || s).
+
+    Using the lexicographic min of a keyed md5 as the hash family is
+    engine-portable (identical in DuckDB) and uniform enough for LSH.
+    Returns (id, minhashes array<string> of length k).
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n, [])
+    hashed = sh.select(
+        id_col,
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("h_i"),
+        "shingle",
+    ).select(
+        id_col,
+        "h_i",
+        F.md5(F.concat_ws("|", F.col("h_i").cast("string"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    per_hash = hashed.groupBy(id_col, "h_i").agg(F.min("h").alias("mh"))
+    return per_hash.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("h_i", "mh"))
+        ).alias("_s")
+    ).select(
+        id_col, F.transform("_s", lambda s: s["mh"]).alias("minhashes")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any full band are
+    candidates. Returns distinct (id_1, id_2) with id_1 < id_2."""
+    k = N_MINHASHES
+    n_bands = k // band_size
+    bands = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("minhashes", b * band_size + j + 1)
+                                for j in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(F.col(id_col).alias(f"{id_col}_1"), "band", "key")
+    right = bands.select(F.col(id_col).alias(f"{id_col}_2"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
+        .select(f"{id_col}_1", f"{id_col}_2")
+        .distinct()
+    )
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash of the distinct token set (exact long arithmetic, so
+    the DuckDB oracle reproduces it bit-for-bit).
+
+    Per distinct token, h = first 8 hex chars of md5(token) as a 32-bit int;
+    bit j of the signature is 1 iff sum over tokens of (bit j of h ? +1 : -1)
+    is > 0.
+    """
+    toks = F.array_distinct(tokens(col))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    def _vote(j: int):
+        # closure factory: pyspark HOF lambdas must have exact arity (a
+        # default arg would be mistaken for the optional index parameter)
+        mask = F.lit(1 << j)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for j in range(32):
+        vote = F.aggregate(hashes, F.lit(0), _vote(j))
+        sig = sig + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return sig

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (J7/J9/M2 replacements).
+
+The reference serves ANN from a FAISS HNSW index
+(`/root/reference/src/lakehouse/indexing/faiss_builder.py:30-147`) and exact
+brute-force for quality metrics (`quality/metrics/embedding.py:408-472`).
+Spark-native strategy (SURVEY §4):
+
+- exact brute-force top-k: broadcast the (small) query set against the
+  corpus, cosine via higher-order functions, per-query top-k via window
+  rank. At 100 TB the corpus side stays partitioned; cost is one scan.
+- LSH-bucketed approximate top-k: deterministic random-hyperplane signs
+  derived from md5 (engine-portable, no stored model), bucket-join then
+  exact rescoring inside buckets — the scale path when the query set is
+  also huge.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.vector import as_double_array, cosine
+
+__all__ = ["brute_force_topk", "hyperplane_bucket", "lsh_topk"]
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
+
+    Ranks on the ROUNDED similarity with id tiebreak so ordering is
+    deterministic and engine-portable. Self-pairs are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def hyperplane_bucket(vec: F.Column, n_planes: int = 8) -> F.Column:
+    """Deterministic random-hyperplane LSH bucket id (0 .. 2^n_planes - 1).
+
+    Plane p's component for dimension d is +1 if bit (d % 32) of
+    md5('p|d')'s first 8 hex chars is set, else -1 — reproducible in any
+    engine with md5, no fitted model to ship. Bucket bit p = sign of the
+    projection of the vector on plane p.
+    """
+    def _sign(p: int):
+        # closure factory (exact-arity lambda; see operators/dedup.simhash32)
+        plane = F.lit(str(p))
+        return lambda d: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", plane, d.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .bitwiseAND(F.lit(1))
+            != 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    dims = F.size(vec)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), dims - 1), _sign(p)),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only score candidates sharing the query's LSH
+    bucket. Recall trades off with n_planes; the join is an equi-join on
+    bucket id (shuffle, no cross product) — the 100 TB-side strategy."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

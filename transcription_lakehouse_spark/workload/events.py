@@ -1,0 +1,383 @@
+"""Event-stream workload: the reference's sequential/window operators (W1-W6)
+mapped onto the `events` table, plus catalog aggregations (A1/A3) and the
+batch twin of streaming tumbling-window rollups (§2.11).
+
+Timestamps are exact epoch-microsecond longs (`ts_us`, see sources/tables.py)
+so window arithmetic is integer and hash-identical to DuckDB's epoch_us().
+
+Scale notes: every window partitions by `user_id` — at 100 TB this is a
+single shuffle on a high-cardinality key; sessions/islands then collapse via
+map-side-combinable groupBys. Synthetic intervals derive end = start +
+floor(value*1e6) µs so the interval operators have real overlap structure.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.intervals import (
+    merged_intervals,
+    monotonicity_violations,
+    sweep_concurrency,
+    union_islands,
+)
+from ..operators.sessionization import with_session_id
+from ..sources.tables import load_table
+
+SESSION_GAP_US = 600 * 1_000_000  # 10 min
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[start_us, end_us) intervals: end = ts + value seconds (floored µs)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("start_us"),
+        (
+            F.col("ts_us")
+            + F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+        ).alias("end_us"),
+    )
+
+
+_INTERVALS_SQL = """
+  SELECT user_id, event_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS end_us
+  FROM events
+"""
+
+
+def evt_user_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 'episode catalog' analog: per-user activity profile with
+    sorted-distinct set aggregation (SO3/SO4)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+        F.round((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0), 6).alias(
+            "active_span_sec"
+        ),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+EVT_USER_CATALOG_SQL = """
+SELECT user_id,
+       count(*)                                   AS n_events,
+       count(DISTINCT event_type)                 AS n_event_types,
+       min(epoch_us(ts))                          AS first_us,
+       max(epoch_us(ts))                          AS last_us,
+       round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 6) AS active_span_sec,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',')    AS event_types,
+       round(sum(value), 2)                       AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def evt_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 'speaker catalog' analog + A7 distribution stats (exact median)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.stddev("value"), 4).alias("std_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+    )
+
+
+EVT_TYPE_STATS_SQL = """
+SELECT event_type,
+       count(*)                      AS n_events,
+       count(DISTINCT user_id)       AS n_users,
+       round(sum(value), 2)          AS sum_value,
+       round(avg(value), 4)          AS avg_value,
+       round(min(value), 2)          AS min_value,
+       round(max(value), 2)          AS max_value,
+       round(stddev_samp(value), 4)  AS std_value,
+       round(quantile_cont(value, 0.5), 4) AS median_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 sessionization: per-user sessions split on >10 min idle gaps."""
+    ev = _events(spark, sf_dir)
+    tagged = with_session_id(
+        ev,
+        ["user_id"],
+        "ts_us",
+        SESSION_GAP_US,
+        tiebreak_cols=["event_id"],
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+EVT_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)             AS n_events,
+       min(ts_us)           AS session_start_us,
+       max(ts_us)           AS session_end_us,
+       round(sum(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def evt_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 interval union: per-user merged-coverage stats (overlap-aware, so
+    covered time never double-counts — `coverage.py:19-80` semantics)."""
+    merged = merged_intervals(
+        _intervals(spark, sf_dir), ["user_id"], "start_us", "end_us"
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("end_us") - F.col("start_us")).alias("covered_us"),
+        F.max(F.col("end_us") - F.col("start_us")).alias("longest_island_us"),
+        F.sum("n_merged").alias("n_intervals"),
+    )
+
+
+EVT_INTERVAL_UNION_SQL = f"""
+WITH iv AS ({_INTERVALS_SQL}),
+tagged AS (
+  SELECT *, CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR start_us > max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                                  ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM tagged
+), merged AS (
+  SELECT user_id, island_id, min(start_us) AS s, max(end_us) AS e, count(*) AS n_merged
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       count(*)       AS n_islands,
+       sum(e - s)     AS covered_us,
+       max(e - s)     AS longest_island_us,
+       CAST(sum(n_merged) AS BIGINT) AS n_intervals
+FROM merged
+GROUP BY user_id
+"""
+
+
+def evt_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 gap detection: holes between a user's merged activity islands."""
+    merged = merged_intervals(
+        _intervals(spark, sf_dir), ["user_id"], "start_us", "end_us"
+    )
+    w = Window.partitionBy("user_id").orderBy("start_us")
+    gap = F.lead("start_us").over(w) - F.col("end_us")
+    per_gap = merged.withColumn("gap_us", gap).filter(F.col("gap_us") > 0)
+    return per_gap.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+EVT_GAP_STATS_SQL = f"""
+WITH iv AS ({_INTERVALS_SQL}),
+tagged AS (
+  SELECT *, CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR start_us > max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                                  ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM tagged
+), merged AS (
+  SELECT user_id, island_id, min(start_us) AS start_us, max(end_us) AS end_us
+  FROM islands GROUP BY user_id, island_id
+), gapped AS (
+  SELECT user_id,
+         lead(start_us) OVER (PARTITION BY user_id ORDER BY start_us) - end_us AS gap_us
+  FROM merged
+)
+SELECT user_id, count(*) AS n_gaps, sum(gap_us) AS total_gap_us, max(gap_us) AS max_gap_us
+FROM gapped WHERE gap_us > 0
+GROUP BY user_id
+"""
+
+
+def evt_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 sweep line: per-user peak number of simultaneously-open intervals
+    and how many boundary events sit inside an overlap (active >= 2)."""
+    swept = sweep_concurrency(
+        _intervals(spark, sf_dir), ["user_id"], "start_us", "end_us"
+    )
+    return swept.groupBy("user_id").agg(
+        F.max("active").alias("max_active"),
+        F.sum((F.col("active") >= 2).cast("long")).alias("n_overlap_points"),
+    )
+
+
+EVT_MAX_CONCURRENCY_SQL = f"""
+WITH iv AS ({_INTERVALS_SQL}),
+ev AS (
+  SELECT user_id, start_us AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT user_id, end_us AS t, -1 AS delta FROM iv
+), running AS (
+  SELECT user_id, sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                                   ROWS UNBOUNDED PRECEDING) AS active
+  FROM ev
+)
+SELECT user_id,
+       CAST(max(active) AS BIGINT) AS max_active,
+       CAST(sum(CASE WHEN active >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_points
+FROM running
+GROUP BY user_id
+"""
+
+
+def evt_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 regression check: intervals whose end overruns the next start."""
+    return monotonicity_violations(
+        _intervals(spark, sf_dir), ["user_id"], "start_us", "end_us"
+    )
+
+
+EVT_MONOTONICITY_SQL = f"""
+WITH iv AS ({_INTERVALS_SQL}),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN lead(start_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us) IS NOT NULL
+               AND end_us > lead(start_us) OVER (PARTITION BY user_id ORDER BY start_us, end_us)
+              THEN 1 ELSE 0 END AS viol
+  FROM iv
+)
+SELECT user_id, CAST(sum(viol) AS BIGINT) AS n_regressions, count(*) AS n_rows
+FROM flagged GROUP BY user_id
+"""
+
+
+def evt_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the Structured Streaming path,
+    §2.11): events per (hour, type)."""
+    ev = _events(spark, sf_dir)
+    hour = F.expr("ts_us div 3600000000").alias("hour_id")
+    return ev.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+EVT_HOURLY_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def evt_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 fixed-bin histogram of event values per type (bin width 50)."""
+    ev = _events(spark, sf_dir)
+    bin_id = F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin_id")
+    return ev.groupBy("event_type", bin_id).agg(
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVT_HISTOGRAM_SQL = """
+SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin_id, count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (scalar-function family §2.7): parse props.k and
+    profile it per event type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVT_JSON_PROPS_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "evt_user_catalog": evt_user_catalog,
+    "evt_type_stats": evt_type_stats,
+    "evt_sessions": evt_sessions,
+    "evt_interval_union": evt_interval_union,
+    "evt_gap_stats": evt_gap_stats,
+    "evt_max_concurrency": evt_max_concurrency,
+    "evt_monotonicity": evt_monotonicity,
+    "evt_hourly_rollup": evt_hourly_rollup,
+    "evt_value_histogram": evt_value_histogram,
+    "evt_json_props": evt_json_props,
+}
+
+ORACLES = {
+    "evt_user_catalog": EVT_USER_CATALOG_SQL,
+    "evt_type_stats": EVT_TYPE_STATS_SQL,
+    "evt_sessions": EVT_SESSIONS_SQL,
+    "evt_interval_union": EVT_INTERVAL_UNION_SQL,
+    "evt_gap_stats": EVT_GAP_STATS_SQL,
+    "evt_max_concurrency": EVT_MAX_CONCURRENCY_SQL,
+    "evt_monotonicity": EVT_MONOTONICITY_SQL,
+    "evt_hourly_rollup": EVT_HOURLY_SQL,
+    "evt_value_histogram": EVT_HISTOGRAM_SQL,
+    "evt_json_props": EVT_JSON_PROPS_SQL,
+}

@@ -1,0 +1,299 @@
+"""Text-analysis + dedup workload over the `documents` table.
+
+Covers the reference's text-quality metrics (A12-A16) and the
+training-data-pipeline operators: exact dedup, n-gram Jaccard near-dup,
+MinHash+LSH, SimHash, token counting, lexical density, fingerprinting.
+
+Tokenization is shared with the DuckDB oracle via functions/text.py so
+results hash-match exactly (md5-based hashing is engine-portable).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import (
+    STOPWORDS,
+    content_tokens,
+    duckdb_stopword_list,
+    duckdb_tokens_sql,
+    normalize_text,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_dup_stats,
+    fingerprint,
+    shingle_pair_jaccard,
+    simhash32,
+    word_shingles,
+)
+from ..sources.tables import load_table
+
+_TOK = duckdb_tokens_sql("text")
+_STOP = duckdb_stopword_list()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 token/char metrics per language."""
+    d = _docs(spark, sf_dir).withColumn("n_tokens", token_count("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT lang, len({_TOK}) AS n_tokens, length(text) AS n_chars FROM documents)
+SELECT lang,
+       count(*)                       AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)  AS sum_tokens,
+       round(avg(n_tokens), 4)        AS avg_tokens,
+       CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+       round(avg(n_chars), 4)         AS avg_chars,
+       CAST(min(n_tokens) AS BIGINT)  AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT)  AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+def doc_lexical_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: content-token ratio per source (stopword-filtered)."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.size(content_tokens("text")).alias("n_content"),
+    )
+    return d.groupBy("source").agg(
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_content").alias("sum_content"),
+        F.round(F.sum("n_content") / F.sum("n_tokens"), 6).alias("lexical_density"),
+    )
+
+
+DOC_LEXICAL_DENSITY_SQL = f"""
+WITH t AS (
+  SELECT source,
+         len({_TOK}) AS n_tokens,
+         len(list_filter({_TOK}, x -> NOT list_contains({_STOP}, x))) AS n_content
+  FROM documents
+)
+SELECT source,
+       CAST(sum(n_tokens) AS BIGINT)  AS sum_tokens,
+       CAST(sum(n_content) AS BIGINT) AS sum_content,
+       round(sum(n_content) / CAST(sum(n_tokens) AS DOUBLE), 6) AS lexical_density
+FROM t GROUP BY source
+"""
+
+
+def doc_top_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: global top-20 tokens (count desc, token asc tiebreak)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+DOC_TOP_UNIGRAMS_SQL = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({_TOK}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 bigrams: top-20 adjacent token pairs."""
+    d = _docs(spark, sf_dir)
+    t = tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    return (
+        d.select(F.explode(F.when(F.size(t) >= 2, bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+DOC_TOP_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 exact dedup per source via normalized-text md5 fingerprints."""
+    return exact_dup_stats(_docs(spark, sf_dir), "text", ["source"])
+
+
+DOC_EXACT_DUPS_SQL = """
+WITH fp AS (
+  SELECT source, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT f) AS n_distinct,
+       count(*) - count(DISTINCT f) AS n_dup_rows
+FROM fp GROUP BY source
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content fingerprint + simhash signature (F-style scalar ops)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        simhash32("text").alias("simhash"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         list_distinct({_TOK}) AS dt
+  FROM documents
+), hashes AS (
+  SELECT doc_id, fp,
+         list_transform(dt, tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)) AS hs
+  FROM toks
+)
+SELECT doc_id, fp,
+       CAST(list_sum(list_transform(generate_series(0, 31), j ->
+         CASE WHEN list_sum(list_transform(hs, h ->
+                     CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS simhash
+FROM hashes
+"""
+
+
+def doc_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by word-trigram Jaccard (inverted-index self-join, blocked by
+    lang): the 20 most-similar same-language pairs."""
+    d = _docs(spark, sf_dir).filter(token_count("text") >= 3)
+    pairs = shingle_pair_jaccard(d, "doc_id", "text", n=3, block_cols=["lang"])
+    return (
+        pairs.select(
+            "doc_id_1",
+            "doc_id_2",
+            F.col("n_common").alias("n_common"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_id_1"), F.asc("doc_id_2"))
+        .limit(20)
+    )
+
+
+DOC_NGRAM_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOK} AS t FROM documents WHERE len({_TOK}) >= 3
+), sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, lang, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id_1, doc_id_2, n_common,
+       round(CAST(n_common AS DOUBLE) /
+             (s1.n + s2.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) s1 ON s1.doc_id = doc_id_1
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) s2 ON s2.doc_id = doc_id_2
+ORDER BY jaccard DESC, doc_id_1 ASC, doc_id_2 ASC
+LIMIT 20
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring battery (A8-style compliance): per lang, share of docs
+    inside a token-length band plus mean lexical density."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        token_count("text").alias("n_tokens"),
+        (F.size(content_tokens("text")) / token_count("text")).alias("density"),
+    )
+    in_band = (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 80)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(in_band.cast("long")).alias("n_in_band"),
+        F.round(F.sum(in_band.cast("long")) / F.count(F.lit(1)), 6).alias(
+            "pct_in_band"
+        ),
+        F.round(F.avg("density"), 6).alias("avg_density"),
+    )
+
+
+DOC_QUALITY_SCORES_SQL = f"""
+WITH t AS (
+  SELECT lang, len({_TOK}) AS n_tokens,
+         len(list_filter({_TOK}, x -> NOT list_contains({_STOP}, x)))
+           / CAST(len({_TOK}) AS DOUBLE) AS density
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band,
+       round(sum(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS pct_in_band,
+       round(avg(density), 6) AS avg_density
+FROM t GROUP BY lang
+"""
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_lexical_density": doc_lexical_density,
+    "doc_top_unigrams": doc_top_unigrams,
+    "doc_top_bigrams": doc_top_bigrams,
+    "doc_exact_dups": doc_exact_dups,
+    "doc_fingerprints": doc_fingerprints,
+    "doc_ngram_jaccard_topk": doc_ngram_jaccard_topk,
+    "doc_quality_scores": doc_quality_scores,
+}
+
+ORACLES = {
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_lexical_density": DOC_LEXICAL_DENSITY_SQL,
+    "doc_top_unigrams": DOC_TOP_UNIGRAMS_SQL,
+    "doc_top_bigrams": DOC_TOP_BIGRAMS_SQL,
+    "doc_exact_dups": DOC_EXACT_DUPS_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "doc_ngram_jaccard_topk": DOC_NGRAM_JACCARD_SQL,
+    "doc_quality_scores": DOC_QUALITY_SCORES_SQL,
+}
