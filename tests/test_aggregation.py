@@ -1,0 +1,148 @@
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from tests.fixtures import EP1, EP2, EP3, raw_utterances
+from transcription_lakehouse_spark.aggregation import (
+    generate_beats_embedding,
+    generate_beats_heuristic,
+    generate_sections,
+    generate_spans,
+)
+from transcription_lakehouse_spark.ids import ID_PATTERN
+from transcription_lakehouse_spark.ingestion import normalize
+from transcription_lakehouse_spark.speaker_roles import (
+    SpeakerRoleConfig,
+    beat_speaker_metadata,
+    enrich_spans,
+)
+
+
+def _spans(spark):
+    return generate_spans(normalize(raw_utterances(spark)))
+
+
+def test_spans_break_on_speaker_and_gap(spark):
+    spans = _spans(spark)
+    # EP1: Alice run, Bob run, Alice run (after 5s gap) => 3 spans
+    assert spans.filter(F.col("episode_id") == EP1).count() == 3
+    # EP2: Carol run, 3s-gap => 2 spans
+    assert spans.filter(F.col("episode_id") == EP2).count() == 2
+    # EP3: single clean run => 1 span
+    assert spans.filter(F.col("episode_id") == EP3).count() == 1
+
+
+def test_spans_text_and_children_ordered(spark):
+    spans = _spans(spark)
+    row = (
+        spans.filter((F.col("episode_id") == EP3))
+        .collect()[0]
+    )
+    assert row["text"].startswith("Alice says thing 0")
+    assert row["text"].endswith("thing 4 in LOS")
+    assert len(row["utterance_ids"]) == 5
+    assert re.match(ID_PATTERN, row["span_id"])
+
+
+def test_span_enrichment_roles(spark):
+    cfg = SpeakerRoleConfig(experts=["Alice"], roles={"Bob": "host"})
+    spans = enrich_spans(_spans(spark), cfg, spark)
+    roles = {
+        (r["speaker"], r["speaker_role"], r["is_expert"])
+        for r in spans.select("speaker", "speaker_role", "is_expert").collect()
+    }
+    assert ("Alice", "expert", True) in roles
+    assert ("Bob", "host", False) in roles
+    assert ("Carol", "other", False) in roles
+
+
+def test_heuristic_beats_group_spans(spark):
+    cfg = SpeakerRoleConfig()
+    spans = enrich_spans(_spans(spark), cfg, spark)
+    beats = generate_beats_heuristic(spans)
+    assert beats.count() >= 3
+    for r in beats.collect():
+        assert re.match(ID_PATTERN, r["beat_id"])
+        assert r["duration"] <= 360.0
+        assert len(r["span_ids"]) >= 1
+
+
+def test_heuristic_beats_duration_reset():
+    # pure-kernel check: 180s cap forces a split even with same speaker
+    import pandas as pd
+
+    from transcription_lakehouse_spark.aggregation import BEAT_MAX_SEC
+
+    assert BEAT_MAX_SEC == 180.0
+
+
+def test_embedding_beats_boundary(spark):
+    cfg = SpeakerRoleConfig()
+    spans = enrich_spans(_spans(spark), cfg, spark).filter(
+        F.col("episode_id") == EP1
+    )
+    ids = [r["span_id"] for r in spans.orderBy("start_time").collect()]
+    # embeddings: first two similar, third orthogonal => boundary before 3rd
+    emb = spark.createDataFrame(
+        [
+            (ids[0], [1.0, 0.0]),
+            (ids[1], [0.99, 0.14]),
+            (ids[2], [0.0, 1.0]),
+        ],
+        "artifact_id string, embedding array<float>",
+    )
+    beats = generate_beats_embedding(spans, emb, threshold=0.7)
+    assert beats.count() == 2
+    first = beats.orderBy("start_time").collect()[0]
+    assert first["span_ids"] == ids[:2]
+
+
+def test_beat_speaker_metadata(spark):
+    cfg = SpeakerRoleConfig(experts=["Alice"])
+    spans = enrich_spans(_spans(spark), cfg, spark)
+    beats = generate_beats_heuristic(spans)
+    enriched = beat_speaker_metadata(beats, spans)
+    ep1 = enriched.filter(F.col("episode_id") == EP1).collect()
+    all_speakers = set()
+    for r in ep1:
+        all_speakers.update(r["speakers_set"])
+        if r["speakers_set"] == ["Alice"]:
+            assert r["expert_coverage_pct"] == 100.0
+            assert len(r["expert_span_ids"]) >= 1
+    assert "Alice" in all_speakers
+
+
+def test_sections_pack_and_title(spark):
+    cfg = SpeakerRoleConfig()
+    spans = enrich_spans(_spans(spark), cfg, spark)
+    beats = generate_beats_heuristic(spans)
+    sections = generate_sections(beats)
+    assert sections.count() >= 1
+    for r in sections.collect():
+        assert re.match(ID_PATTERN, r["section_id"])
+        assert r["title"].startswith("Section ")
+        assert len(r["beat_ids"]) >= 1
+
+
+def test_sections_split_on_long_episode(spark):
+    # 30 min, speakers alternating every minute (spans stay under the 240s
+    # guardrail) => must split into >= 2 sections (max 12 min)
+    rows = []
+    t = 0.0
+    for i in range(360):
+        speaker = "A" if (i // 12) % 2 == 0 else "B"
+        rows.append(("EP - #9 - 2024-05-01 - Long", t, t + 5.0, speaker, f"utt {i}"))
+        t += 5.0
+    utts = spark.createDataFrame(
+        rows, "episode_id string, start double, end double, speaker string, text string"
+    )
+    spans = enrich_spans(
+        generate_spans(normalize(utts)), SpeakerRoleConfig(), spark
+    )
+    beats = generate_beats_heuristic(spans)
+    sections = generate_sections(beats)
+    secs = sections.orderBy("start_time").collect()
+    assert len(secs) >= 2
+    assert all(s["duration_minutes"] <= 12.5 for s in secs)

@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from tests.fixtures import EP1, dirty_utterances, raw_utterances
+from transcription_lakehouse_spark.ids import ID_PATTERN
+from transcription_lakehouse_spark.ingestion import (
+    incremental_filter,
+    normalize,
+    read_versioned,
+    split_valid,
+    write_versioned,
+)
+from transcription_lakehouse_spark.schemas import UTTERANCE_SCHEMA, validate_schema
+
+
+def test_split_valid_keeps_clean_rows(spark):
+    valid, invalid = split_valid(raw_utterances(spark))
+    assert invalid.count() == 0
+    assert valid.count() == raw_utterances(spark).count()
+
+
+def test_split_valid_flags_each_dirty_row(spark):
+    valid, invalid = split_valid(dirty_utterances(spark))
+    assert valid.count() == 0
+    errs = {r["text"]: r["error"] for r in invalid.collect()}
+    assert "missing episode_id" in errs["missing episode"]
+    assert "negative start" in errs["negative start"]
+    assert "end <= start" in errs["zero duration"]
+    assert "end <= start" in errs["end before start"]
+    assert "missing/empty speaker" in errs["empty speaker"]
+    assert any("missing start" in e for e in errs.values())
+
+
+def test_normalize_ids_positions_duration(spark):
+    out = normalize(raw_utterances(spark))
+    rows = out.filter(F.col("episode_id") == EP1).orderBy("start").collect()
+    # position encoded in id is sequential from 0 within episode
+    for i, r in enumerate(rows):
+        assert re.match(ID_PATTERN, r["utterance_id"]), r["utterance_id"]
+        assert int(r["utterance_id"].split("_")[2]) == i
+        assert abs(r["duration"] - (r["end"] - r["start"])) < 1e-9
+
+
+def test_normalize_is_deterministic(spark):
+    a = sorted(r["utterance_id"] for r in normalize(raw_utterances(spark)).collect())
+    b = sorted(r["utterance_id"] for r in normalize(raw_utterances(spark)).collect())
+    assert a == b
+
+
+def test_write_read_roundtrip_with_schema_enforcement(spark, tmp_path):
+    norm = normalize(raw_utterances(spark))
+    path = write_versioned(norm, str(tmp_path), "normalized", schema=UTTERANCE_SCHEMA)
+    back = read_versioned(spark, str(tmp_path), "normalized")
+    assert back.count() == norm.count()
+    assert validate_schema(back, UTTERANCE_SCHEMA) == []
+    assert path.endswith("normalized/v1")
+
+
+def test_write_versioned_rejects_bad_schema(spark, tmp_path):
+    bad = raw_utterances(spark)  # lacks utterance_id etc.
+    try:
+        write_versioned(bad, str(tmp_path), "normalized", schema=UTTERANCE_SCHEMA)
+        raise AssertionError("expected schema enforcement failure")
+    except ValueError as e:
+        assert "schema enforcement failed" in str(e)
+
+
+def test_incremental_filter_drops_seen_episodes(spark):
+    raw = raw_utterances(spark)
+    existing = raw.filter(F.col("episode_id") == EP1)
+    out = incremental_filter(raw, existing)
+    assert out.filter(F.col("episode_id") == EP1).count() == 0
+    assert out.count() == raw.count() - existing.count()

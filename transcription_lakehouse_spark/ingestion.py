@@ -1,0 +1,150 @@
+"""Validation + normalization (F1-F3, W1) and the versioned parquet sink
+(S6-S10) — the Spark reshape of `/root/reference/src/lakehouse/ingestion/`.
+
+One job replaces the reference's per-file Python loop (SURVEY §3.1): read →
+validate/split → normalize (time-sort, positional deterministic IDs,
+duration) → write. The only shuffle is the per-episode position window.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .ids import utterance_id
+from .schemas import UTTERANCE_SCHEMA, validate_schema
+
+__all__ = [
+    "validation_errors",
+    "split_valid",
+    "normalize",
+    "write_versioned",
+    "read_versioned",
+    "incremental_filter",
+]
+
+
+def validation_errors(df: DataFrame) -> F.Column:
+    """Array of per-row validation failures (empty = valid).
+
+    Mirrors the required-field + type/range predicates of
+    `ingestion/validator.py:119-261`: required fields present, start >= 0,
+    end > start, non-empty speaker/text.
+    """
+    checks = [
+        (F.col("episode_id").isNull() | (F.trim("episode_id") == ""), "missing episode_id"),
+        (F.col("start").isNull(), "missing start"),
+        (F.col("end").isNull(), "missing end"),
+        (F.col("speaker").isNull() | (F.trim("speaker") == ""), "missing/empty speaker"),
+        (F.col("text").isNull() | (F.trim("text") == ""), "missing/empty text"),
+        (F.col("start") < 0, "negative start"),
+        (F.col("end") <= F.col("start"), "end <= start"),
+        (F.isnan("start") | F.isnan("end"), "NaN timestamp"),
+    ]
+    return F.filter(
+        F.array(
+            *[F.when(cond, F.lit(msg)).otherwise(F.lit(None)) for cond, msg in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """F3: (valid_rows, error_rows_with_reasons) —
+    `ingestion/validator.py:305-342`."""
+    tagged = df.withColumn("_errors", validation_errors(df))
+    valid = tagged.filter(F.size("_errors") == 0).drop("_errors")
+    invalid = tagged.filter(F.size("_errors") > 0).withColumn(
+        "error", F.concat_ws("; ", "_errors")
+    ).drop("_errors")
+    return valid, invalid
+
+
+def normalize(df: DataFrame) -> DataFrame:
+    """W1 + deterministic IDs: sort within episode, assign 0-based position,
+    compute duration, derive utterance_id (`ingestion/normalizer.py:141-162,
+    46-57`). Tie-break on (start, end, speaker, text) for determinism under
+    parallelism (SURVEY §7.4)."""
+    w = Window.partitionBy("episode_id").orderBy("start", "end", "speaker", "text")
+    pos = F.row_number().over(w) - 1
+    out = (
+        df.withColumn("_position", pos)
+        .withColumn("duration", F.round(F.col("end") - F.col("start"), 6))
+        .withColumn(
+            "utterance_id",
+            utterance_id("episode_id", F.col("_position"), "text", "speaker", "start", "end"),
+        )
+    )
+    return out.select(
+        "utterance_id", "episode_id", "start", "end", "duration", "speaker", "text"
+    )
+
+
+def write_versioned(
+    df: DataFrame,
+    base_dir: str,
+    artifact: str,
+    version: str = "v1",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    schema=None,
+) -> str:
+    """S6-S8: write `<base>/<artifact>/<version>/` parquet (snappy,
+    dictionary + stats are parquet-writer defaults, `writer.py:104-111`).
+    Raises on schema mismatch like the reference's enforced write
+    (`writer.py:92-99`)."""
+    if schema is not None:
+        problems = validate_schema(df, schema)
+        if problems:
+            raise ValueError(f"schema enforcement failed for {artifact}: {problems}")
+        df = df.select(*[f.name for f in schema.fields])
+    path = os.path.join(base_dir, artifact, version)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def read_versioned(
+    spark: SparkSession,
+    base_dir: str,
+    artifact: str,
+    version: str = "v1",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """S9: read back with optional column pruning (Catalyst prunes the
+    parquet scan automatically)."""
+    df = spark.read.parquet(os.path.join(base_dir, artifact, version))
+    return df.select(*columns) if columns else df
+
+
+def incremental_filter(new: DataFrame, existing: DataFrame) -> DataFrame:
+    """F6: keep only episodes not already in the lake (left-anti join on
+    distinct episode_id — `cli/commands/ingest.py:278-307`)."""
+    seen = existing.select("episode_id").distinct()
+    return new.join(F.broadcast(seen), "episode_id", "left_anti")
+
+
+def ingest(
+    spark: SparkSession,
+    raw: DataFrame,
+    base_dir: str,
+    version: str = "v1",
+    existing: DataFrame | None = None,
+) -> dict[str, int]:
+    """End-to-end ingest (SURVEY §3.1 Spark shape). Returns counters like the
+    reference's ValidationResult (`validator.py:73-116`)."""
+    if existing is not None:
+        raw = incremental_filter(raw, existing)
+    valid, invalid = split_valid(raw)
+    normalized = normalize(valid)
+    write_versioned(
+        normalized, base_dir, "normalized", version, mode="overwrite",
+        schema=UTTERANCE_SCHEMA,
+    )
+    n_valid = normalized.count()
+    n_invalid = invalid.count()
+    return {"valid": n_valid, "invalid": n_invalid, "total": n_valid + n_invalid}

@@ -1,0 +1,112 @@
+"""End-to-end lakehouse pipeline + CLI.
+
+Spark reshape of the reference's CLI surface
+(`/root/reference/src/lakehouse/cli/`): ingest → materialize (spans, beats,
+sections, embeddings) → catalogs, with parquet tables under
+``<lake>/<artifact>/<version>/`` as the stage boundaries (SURVEY §3.2).
+
+Usage:
+    python -m transcription_lakehouse_spark.pipeline ingest <input_glob> <lake_dir>
+    python -m transcription_lakehouse_spark.pipeline materialize <lake_dir>
+    python -m transcription_lakehouse_spark.pipeline catalog <lake_dir>
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from .aggregation import (
+    generate_beats_embedding,
+    generate_beats_heuristic,
+    generate_sections,
+    generate_spans,
+)
+from .catalogs.episodes import episode_catalog
+from .catalogs.speakers import speaker_catalog
+from .embeddings import generate_embeddings
+from .ingestion import ingest as _ingest
+from .ingestion import read_versioned, write_versioned
+from .schemas import BEAT_SCHEMA, SECTION_SCHEMA, SPAN_SCHEMA
+from .session import get_spark
+from .sources.transcripts import read_jsonl, with_default_episode_id
+from .speaker_roles import SpeakerRoleConfig, beat_speaker_metadata, enrich_spans
+
+
+def ingest(spark: SparkSession, input_glob: str, lake_dir: str) -> dict[str, int]:
+    raw = with_default_episode_id(read_jsonl(spark, input_glob))
+    return _ingest(spark, raw, lake_dir)
+
+
+def materialize(
+    spark: SparkSession,
+    lake_dir: str,
+    config: SpeakerRoleConfig | None = None,
+    use_embeddings: bool = True,
+) -> dict[str, int]:
+    config = config or SpeakerRoleConfig()
+    utterances = read_versioned(spark, lake_dir, "normalized")
+
+    spans = enrich_spans(generate_spans(utterances), config, spark)
+    write_versioned(spans, lake_dir, "spans", schema=SPAN_SCHEMA)
+    spans = read_versioned(spark, lake_dir, "spans")
+
+    if use_embeddings:
+        span_emb = generate_embeddings(spans, "span_id", "text", "span")
+        write_versioned(span_emb, lake_dir, "embeddings_span")
+        span_emb = read_versioned(spark, lake_dir, "embeddings_span")
+        beats = generate_beats_embedding(spans, span_emb)
+    else:
+        beats = generate_beats_heuristic(spans)
+    beats = beat_speaker_metadata(beats, spans).withColumn(
+        "topic_label", F.lit(None).cast("string")
+    )
+    write_versioned(beats, lake_dir, "beats", schema=BEAT_SCHEMA)
+    beats = read_versioned(spark, lake_dir, "beats")
+
+    beat_emb = None
+    if use_embeddings:
+        beat_emb = generate_embeddings(beats, "beat_id", "text", "beat")
+        write_versioned(beat_emb, lake_dir, "embeddings_beat")
+        beat_emb = read_versioned(spark, lake_dir, "embeddings_beat")
+    sections = generate_sections(beats, beat_emb)
+    write_versioned(sections, lake_dir, "sections", schema=SECTION_SCHEMA)
+
+    return {
+        "spans": spans.count(),
+        "beats": beats.count(),
+        "sections": read_versioned(spark, lake_dir, "sections").count(),
+    }
+
+
+def catalog(spark: SparkSession, lake_dir: str) -> dict[str, int]:
+    utterances = read_versioned(spark, lake_dir, "normalized")
+    episodes = episode_catalog(utterances)
+    speakers = speaker_catalog(utterances)
+    write_versioned(episodes, lake_dir, "catalogs/episodes")
+    write_versioned(speakers, lake_dir, "catalogs/speakers")
+    return {"episodes": episodes.count(), "speakers": speakers.count()}
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    cmd = argv[0]
+    spark = get_spark(app_name=f"lakehouse-{cmd}")
+    if cmd == "ingest":
+        print(ingest(spark, argv[1], argv[2]))
+    elif cmd == "materialize":
+        print(materialize(spark, argv[1]))
+    elif cmd == "catalog":
+        print(catalog(spark, argv[1]))
+    else:
+        print(__doc__)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,94 @@
+"""Transcript readers (S1-S5) — Spark-native replacements for the
+reference's ``TranscriptReader`` (`/root/reference/src/lakehouse/ingestion/
+reader.py`).
+
+Three accepted shapes (`reader.py:89-158`):
+1. JSONL — one utterance object per line (malformed lines skipped);
+2. JSON array of utterances, or ``{"utterances": [...]}`` wrapper;
+3. single JSON object.
+
+Spark mapping: ``spark.read.json`` is natively JSONL; PERMISSIVE mode +
+``_corrupt_record`` gives the skip-malformed behavior. The array/wrapper
+shapes use multiLine mode and an explode over a coalesced union of shapes.
+``input_file_name()`` supplies the per-file episode-id default
+(`reader.py:273-300`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import RAW_UTTERANCE_SCHEMA
+
+__all__ = ["read_jsonl", "read_json_any", "with_default_episode_id"]
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S4: line-delimited JSON; malformed lines are dropped (the
+    reference logs-and-skips, `reader.py:143-152`)."""
+    schema = RAW_UTTERANCE_SCHEMA.add(_CORRUPT, "string", True)
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+        .withColumn("source_file", F.input_file_name())
+    )
+    return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+
+
+def read_json_any(spark: SparkSession, path: str) -> DataFrame:
+    """S2: multi-line JSON in any of the 3 shapes, normalized to one row per
+    utterance."""
+    raw = (
+        spark.read.option("multiLine", "true")
+        .json(path)
+        .withColumn("source_file", F.input_file_name())
+    )
+    cols = set(raw.columns)
+    if "utterances" in cols:  # wrapper shape
+        ep = F.col("episode_id") if "episode_id" in cols else F.lit(None).cast(
+            "string"
+        )
+        exploded = raw.select(
+            ep.alias("_wrapper_episode_id"),
+            "source_file",
+            F.explode("utterances").alias("u"),
+        )
+        out = exploded.select(
+            F.coalesce(F.col("u.episode_id"), F.col("_wrapper_episode_id")).alias(
+                "episode_id"
+            ),
+            F.col("u.start").cast("double").alias("start"),
+            F.col("u.end").cast("double").alias("end"),
+            F.col("u.speaker").alias("speaker"),
+            F.col("u.text").alias("text"),
+            "source_file",
+        )
+        return out
+    # array shape parses as one row per element already; single object = 1 row
+    for name in ("episode_id", "start", "end", "speaker", "text"):
+        if name not in cols:
+            raw = raw.withColumn(name, F.lit(None))
+    return raw.select(
+        F.col("episode_id").cast("string"),
+        F.col("start").cast("double"),
+        F.col("end").cast("double"),
+        F.col("speaker").cast("string"),
+        F.col("text").cast("string"),
+        "source_file",
+    )
+
+
+def with_default_episode_id(df: DataFrame) -> DataFrame:
+    """Missing episode_id defaults to the source filename stem
+    (`reader.py:273-300`)."""
+    stem = F.regexp_replace(
+        F.element_at(F.split(F.col("source_file"), "/"), -1), r"\.[a-zA-Z0-9]+$", ""
+    )
+    return df.withColumn(
+        "episode_id", F.coalesce(F.col("episode_id"), stem)
+    )
