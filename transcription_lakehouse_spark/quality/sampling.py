@@ -1,0 +1,64 @@
+"""Sampling operators (SA1-SA4) — seeded, reproducible (reference fixes
+seed 42 everywhere, `/root/reference/src/lakehouse/quality/thresholds.py:82`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["stratified_sample", "random_pairs", "seeded_sample"]
+
+DEFAULT_SEED = 42
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_total: int,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """SA1: proportional allocation per stratum with a >= 1-per-stratum
+    guarantee (`quality/metrics/embedding.py:186-307`).
+
+    Implementation: shuffle within stratum by rand(seed), rank, and keep
+    rank <= allocation where allocation = max(1, round(n_total * stratum_n /
+    total)). One window pass — no driver loop, scales to any stratum count.
+    """
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_stratum_n"))
+    total = df.count() or 1
+    with_alloc = counts.withColumn(
+        "_alloc",
+        F.greatest(
+            F.lit(1),
+            F.round(F.col("_stratum_n") * F.lit(n_total) / F.lit(total)).cast("long"),
+        ),
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(F.rand(seed))
+    ranked = df.join(F.broadcast(with_alloc), strata_cols).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    return ranked.filter(F.col("_rk") <= F.col("_alloc")).drop(
+        "_stratum_n", "_alloc", "_rk"
+    )
+
+
+def seeded_sample(df: DataFrame, n: int, seed: int = DEFAULT_SEED) -> DataFrame:
+    """SA3: deterministic n-row sample (orderBy rand(seed) limit n)."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def random_pairs(
+    df: DataFrame, id_col: str, n_pairs: int, seed: int = DEFAULT_SEED
+) -> DataFrame:
+    """SA2: n random distinct (id_1, id_2) pairs."""
+    a = seeded_sample(df.select(F.col(id_col).alias("id_1")), n_pairs, seed)
+    b = seeded_sample(df.select(F.col(id_col).alias("id_2")), n_pairs, seed + 1)
+    wa = Window.orderBy("id_1")
+    wb = Window.orderBy("id_2")
+    return (
+        a.withColumn("_i", F.row_number().over(wa))
+        .join(b.withColumn("_i", F.row_number().over(wb)), "_i")
+        .filter(F.col("id_1") != F.col("id_2"))
+        .drop("_i")
+    )

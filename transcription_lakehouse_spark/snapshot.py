@@ -1,0 +1,85 @@
+"""Immutable versioned snapshots with sha256 manifests (S15).
+
+Reference: `/root/reference/src/lakehouse/snapshot/` — copies artifact
+parquet into `snapshots/vX.Y.Z/`, writes `lake_manifest.json` with per-file
+sha256 + row counts, and refuses to overwrite an existing version
+(immutability contract, `creator.py:99-130`, `manifest.py:39-92`).
+
+Spark note: file checksums are driver-side I/O by design (manifests are
+O(files), not O(rows)); row counts come from parquet footers via Spark. On
+Delta-capable clusters, `CLONE` + time travel replaces the copy (SURVEY §1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+__all__ = ["create_snapshot", "verify_snapshot"]
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def create_snapshot(
+    spark: SparkSession,
+    lake_dir: str,
+    version: str,
+    artifacts: list[str] = ("normalized", "spans", "beats", "sections"),
+    qa_status: str = "UNKNOWN",
+) -> str:
+    """Copy artifacts into `<lake>/snapshots/<version>/` + manifest. Raises
+    if the version already exists (immutability)."""
+    snap_dir = os.path.join(lake_dir, "snapshots", version)
+    if os.path.exists(snap_dir):
+        raise FileExistsError(f"snapshot {version} already exists (immutable)")
+    os.makedirs(snap_dir)
+    manifest: dict = {
+        "version": version,
+        "created_at": datetime.now(timezone.utc).isoformat(),
+        "qa_status": qa_status,
+        "artifacts": {},
+    }
+    for art in artifacts:
+        src = os.path.join(lake_dir, art, "v1")
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(snap_dir, art)
+        shutil.copytree(src, dst)
+        files = {}
+        for root, _, names in os.walk(dst):
+            for n in sorted(names):
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, snap_dir)
+                files[rel] = {"sha256": _sha256(p), "bytes": os.path.getsize(p)}
+        n_rows = spark.read.parquet(dst).count()
+        manifest["artifacts"][art] = {"files": files, "rows": n_rows}
+    with open(os.path.join(snap_dir, "lake_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return snap_dir
+
+
+def verify_snapshot(snap_dir: str) -> list[str]:
+    """Re-hash every file against the manifest; returns mismatches
+    (`snapshot/validator.py` semantics)."""
+    with open(os.path.join(snap_dir, "lake_manifest.json")) as f:
+        manifest = json.load(f)
+    problems = []
+    for art, info in manifest["artifacts"].items():
+        for rel, meta in info["files"].items():
+            p = os.path.join(snap_dir, rel)
+            if not os.path.exists(p):
+                problems.append(f"missing file: {rel}")
+            elif _sha256(p) != meta["sha256"]:
+                problems.append(f"checksum mismatch: {rel}")
+    return problems

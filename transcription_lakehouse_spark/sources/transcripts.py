@@ -29,7 +29,13 @@ _CORRUPT = "_corrupt_record"
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """S1/S4: line-delimited JSON; malformed lines are dropped (the
     reference logs-and-skips, `reader.py:143-152`)."""
-    schema = RAW_UTTERANCE_SCHEMA.add(_CORRUPT, "string", True)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # fresh StructType — StructType.add would mutate the shared module-level
+    # schema in place
+    schema = StructType(
+        list(RAW_UTTERANCE_SCHEMA.fields) + [StructField(_CORRUPT, StringType(), True)]
+    )
     df = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

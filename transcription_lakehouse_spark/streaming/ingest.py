@@ -1,0 +1,86 @@
+"""Structured Streaming ingestion (SURVEY §2.11).
+
+The reference has no streaming (roadmap item, README.md:955); its
+incremental-batch semantics (exactly-once per episode, deterministic IDs,
+F6 anti-join) define what the streaming twin must preserve. Spark plan:
+
+    readStream (file source, JSONL) → same validation/normalization
+    transformations as batch → foreachBatch idempotent parquet upsert keyed
+    on deterministic utterance_id.
+
+Because IDs are content hashes, replaying a micro-batch is a no-op — the
+anti-join inside ``foreachBatch`` makes the sink idempotent without Delta
+MERGE (which this container lacks). ``session_window`` gives the streaming
+twin of span sessionization (W2) for live dashboards.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..ingestion import normalize, split_valid
+from ..schemas import RAW_UTTERANCE_SCHEMA
+
+__all__ = ["stream_ingest", "streaming_session_stats"]
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    lake_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """File-source stream → validated/normalized utterances → idempotent
+    parquet append under `<lake>/normalized/v1`."""
+    raw = (
+        spark.readStream.schema(RAW_UTTERANCE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+    out_path = f"{lake_dir}/normalized/v1"
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        valid, _ = split_valid(batch)
+        normalized = normalize(valid)
+        try:
+            existing = batch.sparkSession.read.parquet(out_path).select(
+                "utterance_id"
+            )
+            fresh = normalized.join(
+                F.broadcast(existing), "utterance_id", "left_anti"
+            )
+        except Exception:  # first batch: sink does not exist yet
+            fresh = normalized
+        fresh.write.mode("append").parquet(out_path)
+
+    writer = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_session_stats(
+    spark: SparkSession, input_dir: str, gap: str = "0.5 seconds"
+) -> DataFrame:
+    """W2's streaming twin: session_window over event-time. Returns an
+    unstarted streaming DataFrame (caller picks sink/trigger). Watermark
+    bounds state for late data."""
+    raw = (
+        spark.readStream.schema(RAW_UTTERANCE_SCHEMA)
+        .json(input_dir)
+        .withColumn("event_time", F.timestamp_seconds("start"))
+        .withWatermark("event_time", "10 minutes")
+    )
+    return raw.groupBy(
+        F.session_window("event_time", gap), "episode_id", "speaker"
+    ).agg(
+        F.count(F.lit(1)).alias("n_utterances"),
+        F.min("start").alias("session_start"),
+        F.max("end").alias("session_end"),
+    )
