@@ -28,9 +28,12 @@ __all__ = [
     "fingerprint",
     "exact_dup_stats",
     "word_shingles",
+    "shingles_from_tokens",
     "shingle_pair_jaccard",
     "minhash_signature",
     "lsh_candidate_pairs",
+    "token_hashes",
+    "simhash32_from_hashes",
     "simhash32",
 ]
 
@@ -53,9 +56,14 @@ def exact_dup_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> Data
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array column.
+
+    Callers must pass a real column (``withColumn('_toks', tokens(text))``),
+    not the tokens() expression inline: Catalyst re-evaluates a lambda-nested
+    subexpression per element, turning the shingle build into O(len²) regex
+    work per row.
+    """
     idx = F.sequence(F.lit(0), F.size(t) - F.lit(n))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
@@ -65,11 +73,21 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Convenience wrapper over :func:`shingles_from_tokens` (fine for tests
+    and small inputs; hot paths should materialize the token array first)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str]
 ) -> DataFrame:
-    return df.select(
-        id_col, *extra_cols, F.explode(word_shingles(text_col, n)).alias("shingle")
+    # materialize tokens before shingling (see shingles_from_tokens)
+    toked = df.select(id_col, *extra_cols, tokens(text_col).alias("_toks"))
+    return toked.select(
+        id_col,
+        *extra_cols,
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
 
 
@@ -90,17 +108,21 @@ def shingle_pair_jaccard(
     """
     block_cols = block_cols or []
     sh = _exploded_shingles(df, id_col, text_col, n, block_cols)
-    sizes = df.select(
-        F.col(id_col), F.size(word_shingles(text_col, n)).alias("n_sh")
+    sizes = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col), F.size(shingles_from_tokens(F.col("_toks"), n)).alias("n_sh")
     )
+    # alias BOTH sides' join keys distinctly — identical lineage columns in a
+    # self-join condition otherwise resolve trivially-true
     left = sh.select(
-        *[F.col(c).alias(f"{c}_1") for c in (id_col, *block_cols)], "shingle"
+        *[F.col(c).alias(f"{c}_1") for c in (id_col, *block_cols)],
+        F.col("shingle").alias("_sh_l"),
     )
     right = sh.select(
-        *[F.col(c).alias(f"{c}_2") for c in (id_col, *block_cols)], "shingle"
+        *[F.col(c).alias(f"{c}_2") for c in (id_col, *block_cols)],
+        F.col("shingle").alias("_sh_r"),
     )
-    cond = [left["shingle"] == right["shingle"]] + [
-        left[f"{c}_1"] == right[f"{c}_2"] for c in block_cols
+    cond = [F.col("_sh_l") == F.col("_sh_r")] + [
+        F.col(f"{c}_1") == F.col(f"{c}_2") for c in block_cols
     ]
     pairs = (
         left.join(right, cond)
@@ -188,18 +210,23 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash32(col: Column | str) -> Column:
-    """32-bit SimHash of the distinct token set (exact long arithmetic, so
-    the DuckDB oracle reproduces it bit-for-bit).
-
-    Per distinct token, h = first 8 hex chars of md5(token) as a 32-bit int;
-    bit j of the signature is 1 iff sum over tokens of (bit j of h ? +1 : -1)
-    is > 0.
-    """
+def token_hashes(col: Column | str) -> Column:
+    """array<long>: 32-bit md5-prefix hash per distinct token. Materialize
+    this as a column before calling simhash32_from_hashes — the signature
+    loop reads it 32 times."""
     toks = F.array_distinct(tokens(col))
-    hashes = F.transform(
+    return F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
+
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a materialized token-hash array (exact long
+    arithmetic, so the DuckDB oracle reproduces it bit-for-bit).
+
+    bit j of the signature is 1 iff sum over tokens of
+    (bit j of hash ? +1 : -1) is > 0.
+    """
     def _vote(j: int):
         # closure factory: pyspark HOF lambdas must have exact arity (a
         # default arg would be mistaken for the optional index parameter)
@@ -213,3 +240,9 @@ def simhash32(col: Column | str) -> Column:
         vote = F.aggregate(hashes, F.lit(0), _vote(j))
         sig = sig + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return sig
+
+
+def simhash32(col: Column | str) -> Column:
+    """Convenience wrapper: simhash straight from a text column (small
+    inputs; hot paths should materialize token_hashes first)."""
+    return simhash32_from_hashes(token_hashes(col))

@@ -26,8 +26,8 @@ from ..operators.dedup import (
     exact_dup_stats,
     fingerprint,
     shingle_pair_jaccard,
-    simhash32,
-    word_shingles,
+    simhash32_from_hashes,
+    token_hashes,
 )
 from ..sources.tables import load_table
 
@@ -167,12 +167,18 @@ FROM fp GROUP BY source
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc content fingerprint + simhash signature (F-style scalar ops)."""
+    """Per-doc content fingerprint + simhash signature (F-style scalar ops).
+
+    token_hashes is materialized first so the 32-bit vote loop reads the
+    hash array instead of re-tokenizing 32 times."""
     d = _docs(spark, sf_dir)
-    return d.select(
+    hashed = d.select(
         "doc_id",
         fingerprint("text").alias("fp"),
-        simhash32("text").alias("simhash"),
+        token_hashes("text").alias("_th"),
+    )
+    return hashed.select(
+        "doc_id", "fp", simhash32_from_hashes(F.col("_th")).alias("simhash")
     )
 
 
@@ -276,7 +282,105 @@ FROM t GROUP BY lang
 """
 
 
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column: confusion counts."""
+    from ..operators.langid import predict_lang
+
+    d = _docs(spark, sf_dir).withColumn("predicted_lang", predict_lang("text"))
+    return d.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _langid_score_sql() -> str:
+    from ..operators.langid import LANG_MARKERS
+
+    structs = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        structs.append(
+            "{'negc': -CAST(len(list_filter(t, x -> list_contains("
+            + lst
+            + ", x))) AS BIGINT), 'code': '"
+            + code
+            + "'}"
+        )
+    return "[" + ", ".join(structs) + "]"
+
+
+DOC_LANGID_SQL = f"""
+WITH toks AS (SELECT lang, {_TOK} AS t FROM documents),
+scored AS (
+  SELECT lang, list_sort({_langid_score_sql()})[1] AS best FROM toks
+)
+SELECT lang,
+       CASE WHEN best.negc < 0 THEN best.code ELSE 'und' END AS predicted_lang,
+       count(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with exact-Jaccard rescoring — the
+    100 TB dedup path (band bucket join, no pairwise scan)."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    d = _docs(spark, sf_dir).filter(token_count("text") >= 3)
+    sigs = minhash_signature(d, "doc_id", "text", n=3)
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    jac = shingle_pair_jaccard(d, "doc_id", "text", n=3).select(
+        "doc_id_1", "doc_id_2", F.round("jaccard", 6).alias("jaccard")
+    )
+    return cands.join(jac, ["doc_id_1", "doc_id_2"], "inner").orderBy(
+        F.desc("jaccard"), "doc_id_1", "doc_id_2"
+    )
+
+
+DOC_MINHASH_LSH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE len({_TOK}) >= 3
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sigs AS (
+  SELECT doc_id,
+         min(md5('0|' || shingle)) AS m0, min(md5('1|' || shingle)) AS m1,
+         min(md5('2|' || shingle)) AS m2, min(md5('3|' || shingle)) AS m3,
+         min(md5('4|' || shingle)) AS m4, min(md5('5|' || shingle)) AS m5,
+         min(md5('6|' || shingle)) AS m6, min(md5('7|' || shingle)) AS m7
+  FROM ex GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sigs UNION ALL
+  SELECT doc_id, 1, m2 || '|' || m3 FROM sigs UNION ALL
+  SELECT doc_id, 2, m4 || '|' || m5 FROM sigs UNION ALL
+  SELECT doc_id, 3, m6 || '|' || m7 FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_id_1 AS doc_id_1, c.doc_id_2 AS doc_id_2,
+       round(CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_id_1 = c.doc_id_1 AND i.doc_id_2 = c.doc_id_2
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) s1 ON s1.doc_id = c.doc_id_1
+JOIN (SELECT doc_id, len(shingles) AS n FROM sh) s2 ON s2.doc_id = c.doc_id_2
+ORDER BY jaccard DESC, doc_id_1, doc_id_2
+"""
+
+
 QUERIES = {
+    "doc_langid": doc_langid,
+    "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_token_stats": doc_token_stats,
     "doc_lexical_density": doc_lexical_density,
     "doc_top_unigrams": doc_top_unigrams,
@@ -288,6 +392,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_langid": DOC_LANGID_SQL,
+    "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_lexical_density": DOC_LEXICAL_DENSITY_SQL,
     "doc_top_unigrams": DOC_TOP_UNIGRAMS_SQL,

@@ -142,7 +142,30 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, e, "vec_id", "embedding", k=5, n_planes=6)
 
 
+def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (elementwise mean over the embedding
+    column) — posexplode → groupBy(label, pos); at scale this is the partial-
+    aggregated reduction a k-means/IVF coarse quantizer is built from."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode(as_double_array("embedding")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("avg_val"))
+    )
+
+
+VEC_LABEL_CENTROIDS_SQL = """
+-- testdata embeddings are fixed 64-dim (DuckDB's generate_series cannot be
+-- lateral over len(embedding))
+SELECT label, i - 1 AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val
+FROM embeddings, generate_series(1, 64) AS t(i)
+GROUP BY label, pos
+"""
+
+
 QUERIES = {
+    "vec_label_centroids": vec_label_centroids,
     "vec_norm_stats": vec_norm_stats,
     "vec_knn_bruteforce": vec_knn_bruteforce,
     "vec_near_dup_pairs": vec_near_dup_pairs,
@@ -150,6 +173,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vec_label_centroids": VEC_LABEL_CENTROIDS_SQL,
     "vec_norm_stats": VEC_NORM_STATS_SQL,
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
