@@ -1,0 +1,56 @@
+"""Plan-shape pins for the headline queries: pushdown reaches parquet,
+dimension joins broadcast, shuffle counts stay bounded. A failure here means
+a 100 TB-relevant regression even if results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from transcription_lakehouse_spark.plans.inspect import (
+    broadcast_join_count,
+    count_exchanges,
+    pushed_filters,
+    scan_read_schemas,
+    shuffle_join_count,
+    wholestage_codegen_spans,
+)
+from transcription_lakehouse_spark.workload import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    schemas = scan_read_schemas(df)
+    # projection pruning: the 16-column table reads only what q1 needs
+    assert all("l_orderkey" not in s for s in schemas), schemas
+    assert count_exchanges(df) <= 2  # one partial->final agg shuffle (+AQE read)
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_q6_pushes_all_predicates(spark):
+    df = QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_q5_broadcasts_every_dimension(spark):
+    df = QUERIES["q5_region_revenue"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 4  # supplier, customer, nation, region
+    # only the orders⋈lineitem join may shuffle
+    assert shuffle_join_count(df) <= 1
+
+
+def test_sessionization_single_shuffle(spark):
+    df = QUERIES["evt_sessions"](spark, SF_DIR)
+    # one hashpartitioning exchange for the per-user window; the groupBy
+    # reuses the same partitioning (no second shuffle on (user, session))
+    assert count_exchanges(df) <= 2
+
+
+def test_knn_broadcasts_queries(spark):
+    df = QUERIES["vec_knn_bruteforce"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1  # query side broadcast, corpus streams

@@ -356,7 +356,43 @@ GROUP BY event_type
 """
 
 
+def evt_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20/A21 correlation battery: Pearson corr(value, props.k) per event
+    type plus global Spearman via rank() windows."""
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("double")
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "k",
+        F.rank().over(Window.orderBy("value", "event_id")).alias("rv"),
+        F.rank().over(Window.orderBy("k", "event_id")).alias("rk"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("value", "k"), 6).alias("pearson_value_k"),
+        F.round(F.corr("rv", "rk"), 6).alias("spearman_value_k"),
+    )
+
+
+EVT_CORR_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+         rank() OVER (ORDER BY value, event_id) AS rv,
+         rank() OVER (ORDER BY CAST(json_extract_string(props, '$.k') AS DOUBLE), event_id) AS rk
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       round(corr(value, k), 6)  AS pearson_value_k,
+       round(corr(rv, rk), 6)    AS spearman_value_k
+FROM ranked GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "evt_corr_stats": evt_corr_stats,
     "evt_user_catalog": evt_user_catalog,
     "evt_type_stats": evt_type_stats,
     "evt_sessions": evt_sessions,
@@ -370,6 +406,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_corr_stats": EVT_CORR_SQL,
     "evt_user_catalog": EVT_USER_CATALOG_SQL,
     "evt_type_stats": EVT_TYPE_STATS_SQL,
     "evt_sessions": EVT_SESSIONS_SQL,
