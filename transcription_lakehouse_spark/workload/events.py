@@ -391,8 +391,60 @@ FROM ranked GROUP BY event_type
 """
 
 
+def evt_first_last_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregation (min_by/max_by): each user's first and last
+    event type plus the value carried at those moments."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts_us").alias("first_type"),
+        F.max_by("event_type", "ts_us").alias("last_type"),
+        F.round(F.min_by("value", "ts_us"), 2).alias("first_value"),
+        F.round(F.max_by("value", "ts_us"), 2).alias("last_value"),
+    )
+
+
+EVT_FIRST_LAST_SQL = """
+SELECT user_id,
+       arg_min(event_type, epoch_us(ts)) AS first_type,
+       arg_max(event_type, epoch_us(ts)) AS last_type,
+       round(arg_min(value, epoch_us(ts)), 2) AS first_value,
+       round(arg_max(value, epoch_us(ts)), 2) AS last_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def evt_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregation: per-user running value total over time
+    (the batch shape of a stateful streaming accumulator)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts_us", "event_id"))
+        .alias("seq"),
+    )
+
+
+EVT_RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            AS INTEGER) AS seq
+FROM events
+"""
+
+
 QUERIES = {
     "evt_corr_stats": evt_corr_stats,
+    "evt_first_last_actions": evt_first_last_actions,
+    "evt_running_total": evt_running_total,
     "evt_user_catalog": evt_user_catalog,
     "evt_type_stats": evt_type_stats,
     "evt_sessions": evt_sessions,
@@ -407,6 +459,8 @@ QUERIES = {
 
 ORACLES = {
     "evt_corr_stats": EVT_CORR_SQL,
+    "evt_first_last_actions": EVT_FIRST_LAST_SQL,
+    "evt_running_total": EVT_RUNNING_TOTAL_SQL,
     "evt_user_catalog": EVT_USER_CATALOG_SQL,
     "evt_type_stats": EVT_TYPE_STATS_SQL,
     "evt_sessions": EVT_SESSIONS_SQL,
