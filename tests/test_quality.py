@@ -153,6 +153,10 @@ def test_stratified_sample_guarantees_and_determinism(spark):
     assert strata == all_strata
 
 
-def test_random_pairs_distinct(spark):
+def test_random_pairs_distinct_and_nonempty(spark):
     pairs = random_pairs(spans_df(spark), "span_id", 5).collect()
+    assert len(pairs) > 0
     assert all(p["id_1"] != p["id_2"] for p in pairs)
+    # deterministic under the fixed seed
+    again = random_pairs(spans_df(spark), "span_id", 5).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))

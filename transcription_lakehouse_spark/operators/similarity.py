@@ -61,40 +61,40 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: F.Column, n_planes: int = 8) -> F.Column:
+def _plane_signs(p: int, max_dims: int) -> list[float]:
+    """Deterministic ±1 sign for plane p, dimension d: low bit of
+    md5(f'{p}|{d}')'s first 8 hex chars. Computed once driver-side (the
+    matrix is constant) and shipped as a literal array — NOT per-row md5."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16) & 1 else -1.0
+        for d in range(max_dims)
+    ]
+
+
+def hyperplane_bucket(
+    vec: F.Column, n_planes: int = 8, max_dims: int = 256
+) -> F.Column:
     """Deterministic random-hyperplane LSH bucket id (0 .. 2^n_planes - 1).
 
-    Plane p's component for dimension d is +1 if bit (d % 32) of
-    md5('p|d')'s first 8 hex chars is set, else -1 — reproducible in any
-    engine with md5, no fitted model to ship. Bucket bit p = sign of the
-    projection of the vector on plane p.
+    Bucket bit p = sign of the projection of the vector on pseudo-random
+    plane p; the sign matrix is md5-derived so it is reproducible anywhere
+    without shipping a fitted model. The matrix is embedded as literal
+    arrays (constant-folded by Catalyst), so per-row cost is pure
+    arithmetic — no per-row hashing. The sign array is sliced to the
+    vector's length (zip_with null-pads the shorter side, it does not
+    truncate); max_dims only needs to be >= the embedding dimensionality.
     """
-    def _sign(p: int):
-        # closure factory (exact-arity lambda; see operators/dedup.simhash32)
-        plane = F.lit(str(p))
-        return lambda d: F.when(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", plane, d.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .bitwiseAND(F.lit(1))
-            != 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-
-    dims = F.size(vec)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
+        signs = F.slice(
+            F.array(*[F.lit(s) for s in _plane_signs(p, max_dims)]),
+            1,
+            F.size(vec),
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), dims - 1), _sign(p)),
-                lambda x, s: x * s,
-            ),
+            F.zip_with(vec, signs, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

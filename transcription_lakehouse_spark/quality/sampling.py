@@ -51,14 +51,24 @@ def seeded_sample(df: DataFrame, n: int, seed: int = DEFAULT_SEED) -> DataFrame:
 def random_pairs(
     df: DataFrame, id_col: str, n_pairs: int, seed: int = DEFAULT_SEED
 ) -> DataFrame:
-    """SA2: n random distinct (id_1, id_2) pairs."""
-    a = seeded_sample(df.select(F.col(id_col).alias("id_1")), n_pairs, seed)
-    b = seeded_sample(df.select(F.col(id_col).alias("id_2")), n_pairs, seed + 1)
-    wa = Window.orderBy("id_1")
-    wb = Window.orderBy("id_2")
+    """SA2: n random distinct (id_1, id_2) pairs.
+
+    Each side is shuffled by a seeded content hash (sha2 of id+seed) —
+    fully deterministic, and the two orderings are independent so zipping
+    by position yields genuinely random pairings (ordering both sides by
+    id would pair every row with itself)."""
+
+    def _shuffled(alias: str, s: int) -> DataFrame:
+        order = F.sha2(F.concat_ws("|", F.col(alias), F.lit(str(s))), 256)
+        return (
+            df.select(F.col(id_col).alias(alias))
+            .withColumn("_i", F.row_number().over(Window.orderBy(order)))
+            .filter(F.col("_i") <= n_pairs)
+        )
+
     return (
-        a.withColumn("_i", F.row_number().over(wa))
-        .join(b.withColumn("_i", F.row_number().over(wb)), "_i")
+        _shuffled("id_1", seed)
+        .join(_shuffled("id_2", seed + 1), "_i")
         .filter(F.col("id_1") != F.col("id_2"))
         .drop("_i")
     )
