@@ -441,8 +441,37 @@ FROM events
 """
 
 
+def evt_error_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (SO2): users who errored but never purchased, with
+    their error counts (EXCEPT → re-join for the aggregate)."""
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    only = err.exceptAll(buy)
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .join(only, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+
+
+EVT_ERROR_ONLY_SQL = """
+WITH err_only AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, count(*) AS n_errors
+FROM events
+WHERE event_type = 'error' AND user_id IN (SELECT user_id FROM err_only)
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "evt_corr_stats": evt_corr_stats,
+    "evt_error_only_users": evt_error_only_users,
     "evt_first_last_actions": evt_first_last_actions,
     "evt_running_total": evt_running_total,
     "evt_user_catalog": evt_user_catalog,
@@ -459,6 +488,7 @@ QUERIES = {
 
 ORACLES = {
     "evt_corr_stats": EVT_CORR_SQL,
+    "evt_error_only_users": EVT_ERROR_ONLY_SQL,
     "evt_first_last_actions": EVT_FIRST_LAST_SQL,
     "evt_running_total": EVT_RUNNING_TOTAL_SQL,
     "evt_user_catalog": EVT_USER_CATALOG_SQL,
