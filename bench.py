@@ -44,6 +44,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="bench")
+    # warmup: JVM/codegen spin-up + parquet footer reads are session costs,
+    # not query costs — touch each table once before timing
+    from transcription_lakehouse_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -160,3 +160,15 @@ def test_random_pairs_distinct_and_nonempty(spark):
     # deterministic under the fixed seed
     again = random_pairs(spans_df(spark), "span_id", 5).collect()
     assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+
+
+def test_numeric_anomalies(spark):
+    from transcription_lakehouse_spark.quality.metrics import numeric_anomalies
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (float("nan"), 3.0), (None, float("inf")), (4.0, -float("inf"))],
+        "a double, b double",
+    )
+    out = numeric_anomalies(df)
+    assert out["a"] == {"nan": 1, "null": 1, "inf": 0}
+    assert out["b"] == {"nan": 0, "null": 0, "inf": 2}

@@ -35,9 +35,21 @@ from .sources.transcripts import read_jsonl, with_default_episode_id
 from .speaker_roles import SpeakerRoleConfig, beat_speaker_metadata, enrich_spans
 
 
-def ingest(spark: SparkSession, input_glob: str, lake_dir: str) -> dict[str, int]:
+def ingest(
+    spark: SparkSession, input_glob: str, lake_dir: str, keep_raw: bool = True
+) -> dict[str, int]:
     raw = with_default_episode_id(read_jsonl(spark, input_glob))
-    return _ingest(spark, raw, lake_dir)
+    stats = _ingest(spark, raw, lake_dir)
+    if keep_raw:  # S11 bronze retention (`pipeline.py:284-299`)
+        import glob as _glob
+        import os
+        import shutil
+
+        raw_dir = os.path.join(lake_dir, "raw", "v1")
+        os.makedirs(raw_dir, exist_ok=True)
+        for src in sorted(_glob.glob(input_glob)):
+            shutil.copy2(src, os.path.join(raw_dir, os.path.basename(src)))
+    return stats
 
 
 def materialize(

@@ -24,6 +24,7 @@ __all__ = [
     "text_metrics",
     "integrity_counts",
     "duplicate_groups",
+    "numeric_anomalies",
     "timestamp_regressions",
 ]
 
@@ -212,6 +213,37 @@ def duplicate_groups(segments: DataFrame) -> DataFrame:
         .filter(F.col("n") > 1)
         .withColumn("n_duplicates", F.col("n") - 1)
     )
+
+
+def numeric_anomalies(df: DataFrame, columns: list[str] | None = None) -> dict[str, dict[str, int]]:
+    """F9: NaN / null / ±Inf counts per numeric column
+    (`validation/checks.py:554-607`) in one aggregation pass."""
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("double", "float")
+        and (columns is None or f.name in columns)
+    ]
+    if not numeric:
+        return {}
+    aggs = []
+    for c in numeric:
+        aggs += [
+            F.sum(F.isnan(c).cast("long")).alias(f"{c}__nan"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.sum(
+                (F.abs(F.col(c)) == F.lit(float("inf"))).cast("long")
+            ).alias(f"{c}__inf"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: {
+            "nan": int(row[f"{c}__nan"] or 0),
+            "null": int(row[f"{c}__null"] or 0),
+            "inf": int(row[f"{c}__inf"] or 0),
+        }
+        for c in numeric
+    }
 
 
 def timestamp_regressions(segments: DataFrame) -> DataFrame:

@@ -469,9 +469,53 @@ GROUP BY user_id
 """
 
 
+def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (the streaming-capable twin of
+    evt_sessions): events merge while each is < gap after the previous.
+
+    Note the boundary differs from the lag-based variant by one edge case:
+    session_window treats [t, t+gap) as half-open, so a follower exactly
+    gap later starts a NEW session (>= vs >) — the oracle mirrors that.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_US // 1_000_000} seconds"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+        )
+        .select("user_id", "n_events", "session_start_us", "session_end_us")
+    )
+
+
+EVT_SESSION_WINDOW_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, count(*) AS n_events,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "evt_corr_stats": evt_corr_stats,
     "evt_error_only_users": evt_error_only_users,
+    "evt_session_window": evt_session_window,
     "evt_first_last_actions": evt_first_last_actions,
     "evt_running_total": evt_running_total,
     "evt_user_catalog": evt_user_catalog,
@@ -489,6 +533,7 @@ QUERIES = {
 ORACLES = {
     "evt_corr_stats": EVT_CORR_SQL,
     "evt_error_only_users": EVT_ERROR_ONLY_SQL,
+    "evt_session_window": EVT_SESSION_WINDOW_SQL,
     "evt_first_last_actions": EVT_FIRST_LAST_SQL,
     "evt_running_total": EVT_RUNNING_TOTAL_SQL,
     "evt_user_catalog": EVT_USER_CATALOG_SQL,
