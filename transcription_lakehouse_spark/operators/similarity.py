@@ -37,12 +37,20 @@ def brute_force_topk(
     Ranks on the ROUNDED similarity with id tiebreak so ordering is
     deterministic and engine-portable. Self-pairs are excluded.
     """
+    # norms are precomputed per ROW (n + m norms) instead of per PAIR (n·m);
+    # sim = dot/(qn·cn) is arithmetic-identical to inline cosine, so oracle
+    # hashes are unaffected
+    from ..functions.vector import dot, l2_norm
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    den = F.col("qn") * F.col("cn")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -50,7 +58,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("sim"),
+            F.round(
+                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                round_digits,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -115,21 +128,37 @@ def lsh_topk(
     """Approximate top-k: only score candidates sharing the query's LSH
     bucket. Recall trades off with n_planes; the join is an equi-join on
     bucket id (shuffle, no cross product) — the 100 TB-side strategy."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("qv"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("cv"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes))
+    from ..functions.vector import dot, l2_norm
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        )
+        .withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes))
+        .withColumn("qn", l2_norm(F.col("qv")))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cv"),
+        )
+        .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes))
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+    den = F.col("qn") * F.col("cn")
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

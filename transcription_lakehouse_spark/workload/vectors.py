@@ -91,17 +91,20 @@ def vec_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path: swap the within-label blocking for the LSH buckets of
     operators/similarity.py (same rescoring)."""
+    from ..functions.vector import dot, l2_norm
+
     e = _emb(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("id_1"),
         F.col("label").alias("label"),
         as_double_array("embedding").alias("va"),
-    )
+    ).withColumn("na", l2_norm(F.col("va")))
     b = e.select(
         F.col("vec_id").alias("id_2"),
         F.col("label").alias("label"),
         as_double_array("embedding").alias("vb"),
-    )
+    ).withColumn("nb", l2_norm(F.col("vb")))
+    den = F.col("na") * F.col("nb")
     return (
         a.join(b, "label")
         .filter(F.col("id_1") < F.col("id_2"))
@@ -109,7 +112,12 @@ def vec_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "id_1",
             "id_2",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(
+                F.when(den > 0, dot(F.col("va"), F.col("vb")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.95)
         .orderBy(F.desc("sim"), F.asc("id_1"), F.asc("id_2"))
