@@ -9,6 +9,8 @@ Usage:
     python -m transcription_lakehouse_spark.pipeline ingest <input_glob> <lake_dir>
     python -m transcription_lakehouse_spark.pipeline materialize <lake_dir>
     python -m transcription_lakehouse_spark.pipeline catalog <lake_dir>
+    python -m transcription_lakehouse_spark.pipeline quality <lake_dir>
+    python -m transcription_lakehouse_spark.pipeline snapshot <lake_dir> [version]
 """
 
 from __future__ import annotations
@@ -102,6 +104,39 @@ def catalog(spark: SparkSession, lake_dir: str) -> dict[str, int]:
     return {"episodes": episodes.count(), "speakers": speakers.count()}
 
 
+def quality(spark: SparkSession, lake_dir: str) -> dict:
+    """Run the 7-category assessment over the materialized lake and render
+    the report tree (reference `lakehouse quality` command)."""
+    from .catalogs.episodes import episode_catalog
+    from .quality.assessor import assess
+    from .quality.reporter import write_report
+
+    spans = read_versioned(spark, lake_dir, "spans")
+    utterances = read_versioned(spark, lake_dir, "normalized")
+    episodes = episode_catalog(utterances)
+    try:
+        beats = read_versioned(spark, lake_dir, "beats")
+    except Exception:
+        beats = None
+    a = assess(spans, episodes, beats=beats)
+    rep_dir = write_report(a, f"{lake_dir}/quality_reports")
+    return {
+        "status": a.status,
+        "n_violations": len(a.violations),
+        "report": rep_dir,
+    }
+
+
+def snapshot(spark: SparkSession, lake_dir: str, version: str) -> dict:
+    """Create an immutable checksum-manifested snapshot (reference
+    `lakehouse snapshot create`)."""
+    from .snapshot import create_snapshot, verify_snapshot
+
+    snap_dir = create_snapshot(spark, lake_dir, version)
+    problems = verify_snapshot(snap_dir)
+    return {"snapshot": snap_dir, "verified": not problems, "problems": problems}
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 2:
         print(__doc__)
@@ -114,6 +149,10 @@ def main(argv: list[str]) -> int:
         print(materialize(spark, argv[1]))
     elif cmd == "catalog":
         print(catalog(spark, argv[1]))
+    elif cmd == "quality":
+        print(quality(spark, argv[1]))
+    elif cmd == "snapshot":
+        print(snapshot(spark, argv[1], argv[2] if len(argv) > 2 else "v1.0.0"))
     else:
         print(__doc__)
         return 2
