@@ -107,17 +107,18 @@ def catalog(spark: SparkSession, lake_dir: str) -> dict[str, int]:
 def quality(spark: SparkSession, lake_dir: str) -> dict:
     """Run the 7-category assessment over the materialized lake and render
     the report tree (reference `lakehouse quality` command)."""
-    from .catalogs.episodes import episode_catalog
+    import os
+
     from .quality.assessor import assess
     from .quality.reporter import write_report
 
     spans = read_versioned(spark, lake_dir, "spans")
     utterances = read_versioned(spark, lake_dir, "normalized")
     episodes = episode_catalog(utterances)
-    try:
-        beats = read_versioned(spark, lake_dir, "beats")
-    except Exception:
-        beats = None
+    # beats are optional (materialize may not have run); only a genuinely
+    # absent table degrades to None — a corrupt one should surface loudly
+    beats_path = os.path.join(lake_dir, "beats", "v1")
+    beats = read_versioned(spark, lake_dir, "beats") if os.path.isdir(beats_path) else None
     a = assess(spans, episodes, beats=beats)
     rep_dir = write_report(a, f"{lake_dir}/quality_reports")
     return {
@@ -127,18 +128,36 @@ def quality(spark: SparkSession, lake_dir: str) -> dict:
     }
 
 
-def snapshot(spark: SparkSession, lake_dir: str, version: str) -> dict:
+def snapshot(
+    spark: SparkSession, lake_dir: str, version: str, qa_status: str | None = None
+) -> dict:
     """Create an immutable checksum-manifested snapshot (reference
-    `lakehouse snapshot create`)."""
+    `lakehouse snapshot create`). Records the latest quality verdict in the
+    manifest when one exists."""
+    import glob as _glob
+    import json as _json
+
     from .snapshot import create_snapshot, verify_snapshot
 
-    snap_dir = create_snapshot(spark, lake_dir, version)
+    if qa_status is None:
+        qa_status = "UNKNOWN"
+        reports = sorted(_glob.glob(f"{lake_dir}/quality_reports/*/global.json"))
+        if reports:
+            with open(reports[-1]) as f:
+                qa_status = _json.load(f).get("status", "UNKNOWN")
+    snap_dir = create_snapshot(spark, lake_dir, version, qa_status=qa_status)
     problems = verify_snapshot(snap_dir)
-    return {"snapshot": snap_dir, "verified": not problems, "problems": problems}
+    return {
+        "snapshot": snap_dir,
+        "qa_status": qa_status,
+        "verified": not problems,
+        "problems": problems,
+    }
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) < 2:
+    n_args = {"ingest": 3, "materialize": 2, "catalog": 2, "quality": 2, "snapshot": 2}
+    if not argv or argv[0] not in n_args or len(argv) < n_args[argv[0]]:
         print(__doc__)
         return 2
     cmd = argv[0]
@@ -150,12 +169,14 @@ def main(argv: list[str]) -> int:
     elif cmd == "catalog":
         print(catalog(spark, argv[1]))
     elif cmd == "quality":
-        print(quality(spark, argv[1]))
+        out = quality(spark, argv[1])
+        print(out)
+        # RED gates CI (reference exits non-zero on failed assessment)
+        return 1 if out["status"] == "RED" else 0
     elif cmd == "snapshot":
-        print(snapshot(spark, argv[1], argv[2] if len(argv) > 2 else "v1.0.0"))
-    else:
-        print(__doc__)
-        return 2
+        out = snapshot(spark, argv[1], argv[2] if len(argv) > 2 else "v1.0.0")
+        print(out)
+        return 0 if out["verified"] else 1
     return 0
 
 
