@@ -38,6 +38,58 @@ HEADLINE = [
 ]
 
 
+def _scaled_docs(spark, sf_dir: str, factor: int = 20):
+    """documents replicated with distinct ids — stresses the dedup scale
+    paths with real duplicates present (every replica group is a dup set)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    return docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+
+
+def bench_minhash_dedup_scaled(spark, sf_dir: str):
+    """MinHash+LSH candidate generation + band bucketing over 20x documents
+    (10k docs, each with 19 true near-dup partners)."""
+    from transcription_lakehouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = _scaled_docs(spark, sf_dir)
+    sigs = minhash_signature(docs, "doc_id", "text", n=3)
+    return lsh_candidate_pairs(sigs, "doc_id").groupBy().count()
+
+
+def bench_knn_lsh_scaled(spark, sf_dir: str):
+    """Hyperplane-LSH ANN over 20x embeddings (10k vectors, 400 queries)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.similarity import lsh_topk
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(20).withColumnRenamed("id", "rep")
+    big = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"), "embedding"
+    )
+    queries = big.filter(F.col("vec_id") % 25 == 0)
+    return lsh_topk(queries, big, "vec_id", "embedding", k=5, n_planes=8)
+
+
+SCALED = {
+    "dedup_minhash_20x": bench_minhash_dedup_scaled,
+    "knn_lsh_20x": bench_knn_lsh_scaled,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -54,6 +106,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+    for name, fn in SCALED.items():
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

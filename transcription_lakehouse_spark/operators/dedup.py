@@ -145,31 +145,29 @@ def shingle_pair_jaccard(
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = N_MINHASHES
 ) -> DataFrame:
-    """Portable MinHash: signature_i = min over shingles of md5(i || '|' || s).
-
-    Using the lexicographic min of a keyed md5 as the hash family is
-    engine-portable (identical in DuckDB) and uniform enough for LSH.
-    Returns (id, minhashes array<string> of length k).
+    """Portable MinHash: signature_i = min over shingles of h_i(s), with the
+    Carter-Wegman family h_i(s) = (a(s) + i*b(s)) mod 2^32 where a/b are the
+    first/second 8-hex-char words of md5(s) — engine-portable (identical in
+    DuckDB) and uniform enough for LSH.
+    Returns (id, minhashes array<long> of length k).
     """
+    # Carter-Wegman family from ONE md5 per shingle: a = first 8 hex chars,
+    # b = next 8, h_i = (a + i*b) mod 2^32. The k mins ride a single
+    # map-side-combined groupBy (shuffle ~#docs rows) — hashing k md5s per
+    # shingle, or exploding k rows per shingle, costs k× for nothing.
     sh = _exploded_shingles(df, id_col, text_col, n, [])
+    md5 = F.md5("shingle")
+    a = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
     hashed = sh.select(
         id_col,
-        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("h_i"),
-        "shingle",
-    ).select(
-        id_col,
-        "h_i",
-        F.md5(F.concat_ws("|", F.col("h_i").cast("string"), F.col("shingle"))).alias(
-            "h"
-        ),
+        *[((a + F.lit(i) * b) % F.lit(1 << 32)).alias(f"_m{i}") for i in range(k)],
     )
-    per_hash = hashed.groupBy(id_col, "h_i").agg(F.min("h").alias("mh"))
-    return per_hash.groupBy(id_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct("h_i", "mh"))
-        ).alias("_s")
-    ).select(
-        id_col, F.transform("_s", lambda s: s["mh"]).alias("minhashes")
+    per_doc = hashed.groupBy(id_col).agg(
+        *[F.min(f"_m{i}").alias(f"_m{i}") for i in range(k)]
+    )
+    return per_doc.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhashes")
     )
 
 

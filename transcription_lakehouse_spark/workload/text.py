@@ -347,18 +347,23 @@ WITH toks AS (
   FROM toks
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), hw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS a,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS b
+  FROM ex
 ), sigs AS (
   SELECT doc_id,
-         min(md5('0|' || shingle)) AS m0, min(md5('1|' || shingle)) AS m1,
-         min(md5('2|' || shingle)) AS m2, min(md5('3|' || shingle)) AS m3,
-         min(md5('4|' || shingle)) AS m4, min(md5('5|' || shingle)) AS m5,
-         min(md5('6|' || shingle)) AS m6, min(md5('7|' || shingle)) AS m7
-  FROM ex GROUP BY doc_id
+         min((a + 0 * b) % 4294967296) AS m0, min((a + 1 * b) % 4294967296) AS m1,
+         min((a + 2 * b) % 4294967296) AS m2, min((a + 3 * b) % 4294967296) AS m3,
+         min((a + 4 * b) % 4294967296) AS m4, min((a + 5 * b) % 4294967296) AS m5,
+         min((a + 6 * b) % 4294967296) AS m6, min((a + 7 * b) % 4294967296) AS m7
+  FROM hw GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM sigs UNION ALL
-  SELECT doc_id, 1, m2 || '|' || m3 FROM sigs UNION ALL
-  SELECT doc_id, 2, m4 || '|' || m5 FROM sigs UNION ALL
-  SELECT doc_id, 3, m6 || '|' || m7 FROM sigs
+  SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR) AS key FROM sigs UNION ALL
+  SELECT doc_id, 1, CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR) FROM sigs UNION ALL
+  SELECT doc_id, 2, CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR) FROM sigs UNION ALL
+  SELECT doc_id, 3, CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR) FROM sigs
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
