@@ -129,3 +129,66 @@ def test_multimodal_plumbing(spark):
     }
     frames = sample_frames(df, every_sec=1.0).collect()
     assert len(frames) == 4  # video 3.5s -> offsets 0,1,2,3
+
+
+def test_parquet_info_and_partitioned_embeddings(spark, tmp_path):
+    from transcription_lakehouse_spark.embeddings import store_embeddings
+    from transcription_lakehouse_spark.ingestion import parquet_info
+
+    df = spark.createDataFrame([("a", "x"), ("b", "y")], "id string, text string")
+    span_e = generate_embeddings(df, "id", "text", "span")
+    beat_e = generate_embeddings(df, "id", "text", "beat")
+    store = str(tmp_path / "emb")
+    store_embeddings(span_e.unionByName(beat_e), store)
+    back = spark.read.parquet(store)
+    assert back.count() == 4
+    # partition pruning path: artifact_type is a partition column
+    assert back.filter("artifact_type = 'span'").count() == 2
+
+    _write_jsonl(tmp_path, "p.jsonl", n=10)
+    lake = str(tmp_path / "lk")
+    pipeline.ingest(spark, str(tmp_path / "p.jsonl"), lake)
+    info = parquet_info(spark, f"{lake}/normalized/v1")
+    assert info["rows"] == 10 and info["n_files"] >= 1 and "utterance_id" in info["schema"]
+
+
+def test_read_transcripts_autodetect(spark, tmp_path):
+    import json as _json
+
+    from transcription_lakehouse_spark.sources.transcripts import read_transcripts
+
+    jl = tmp_path / "x.jsonl"
+    jl.write_text('{"episode_id":"e","start":0.0,"end":1.0,"speaker":"s","text":"t"}\n')
+    js = tmp_path / "y.json"
+    js.write_text(_json.dumps({"utterances": [
+        {"episode_id": "e2", "start": 0.0, "end": 1.0, "speaker": "s", "text": "t"}]}))
+    assert read_transcripts(spark, str(jl)).count() == 1
+    out = read_transcripts(spark, str(js)).collect()
+    assert len(out) == 1 and out[0]["episode_id"] == "e2"
+
+
+def test_streaming_session_stats(spark, tmp_path):
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import streaming_session_stats
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    rows = [
+        {"episode_id": "E", "start": t, "end": t + 1.0, "speaker": "A", "text": "x"}
+        for t in (0.0, 1.2, 10.0)  # 1.2 gap>0.5 breaks? no: start-to-start; sessions by gap
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    sdf = streaming_session_stats(spark, str(d), gap="2 seconds")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess").collect()
+    # events at 0.0 and 1.2 merge (gap < 2s); 10.0 is its own session
+    assert len(got) == 2
+    assert sorted(r["n_utterances"] for r in got) == [1, 2]

@@ -79,3 +79,10 @@ def generate_embeddings(
         F.lit(MODEL_NAME).alias("model_name"),
         F.lit("1").alias("model_version"),
     )
+
+
+def store_embeddings(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S12 embeddings sink: one store partitioned by artifact_type
+    (`/root/reference/src/lakehouse/embeddings/storage.py:23-135` writes
+    per-type files; partition columns give the same pruning declaratively)."""
+    df.write.mode(mode).partitionBy("artifact_type").parquet(path)

@@ -121,6 +121,23 @@ def read_versioned(
     return df.select(*columns) if columns else df
 
 
+def parquet_info(spark: SparkSession, path: str) -> dict:
+    """S10 footer inspection: rows / files / schema without a full scan
+    (`writer.py:313-349`). Row count comes from footer statistics (Spark
+    answers count() from parquet metadata when no filter is present)."""
+    import glob as _glob
+    import os as _os
+
+    df = spark.read.parquet(path)
+    files = _glob.glob(_os.path.join(path, "*.parquet"))
+    return {
+        "rows": df.count(),
+        "n_files": len(files),
+        "bytes": sum(_os.path.getsize(f) for f in files),
+        "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+    }
+
+
 def incremental_filter(new: DataFrame, existing: DataFrame) -> DataFrame:
     """F6: keep only episodes not already in the lake (left-anti join on
     distinct episode_id — `cli/commands/ingest.py:278-307`)."""

@@ -208,6 +208,37 @@ def lsh_candidate_pairs(
     )
 
 
+def edit_ratio_rescore(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_ratio: float = 0.0,
+) -> DataFrame:
+    """J8 fuzzy near-dup rescoring: normalized edit-similarity
+    ratio = 1 - levenshtein(a, b) / max(len(a), len(b)) over candidate
+    pairs (reference rescored with rapidfuzz.fuzz.ratio >= 0.95 but only
+    below 10k rows, `integrity.py:551-616`; LSH candidates make the exact
+    rescore affordable at any scale).
+
+    candidates: (id_1, id_2) — e.g. from lsh_candidate_pairs.
+    """
+    norm = normalize_text(text_col)
+    t1 = docs.select(F.col(id_col).alias(f"{id_col}_1"), norm.alias("_t1"))
+    t2 = docs.select(F.col(id_col).alias(f"{id_col}_2"), norm.alias("_t2"))
+    joined = candidates.join(t1, f"{id_col}_1").join(t2, f"{id_col}_2")
+    ratio = F.round(
+        1
+        - F.levenshtein("_t1", "_t2")
+        / F.greatest(F.length("_t1"), F.length("_t2")),
+        6,
+    )
+    return (
+        joined.select(f"{id_col}_1", f"{id_col}_2", ratio.alias("edit_ratio"))
+        .filter(F.col("edit_ratio") >= min_ratio)
+    )
+
+
 def token_hashes(col: Column | str) -> Column:
     """array<long>: 32-bit md5-prefix hash per distinct token. Materialize
     this as a column before calling simhash32_from_hashes — the signature

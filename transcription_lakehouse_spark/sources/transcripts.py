@@ -28,22 +28,25 @@ _CORRUPT = "_corrupt_record"
 
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """S1/S4: line-delimited JSON; malformed lines are dropped (the
-    reference logs-and-skips, `reader.py:143-152`)."""
-    from pyspark.sql.types import StringType, StructField, StructType
+    reference logs-and-skips, `reader.py:143-152`).
 
-    # fresh StructType — StructType.add would mutate the shared module-level
-    # schema in place
-    schema = StructType(
-        list(RAW_UTTERANCE_SCHEMA.fields) + [StructField(_CORRUPT, StringType(), True)]
-    )
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
+    Implemented as text-scan + from_json rather than spark.read.json with a
+    _corrupt_record filter: Spark disallows queries whose pruned schema is
+    only the corrupt column (e.g. a bare count()), and from_json's
+    null-on-malformed gives the same skip semantics without that trap.
+    """
+    lines = (
+        spark.read.text(path)
         .withColumn("source_file", F.input_file_name())
+        .filter(F.length(F.trim("value")) > 0)
     )
-    return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    parsed = lines.select(
+        F.from_json("value", RAW_UTTERANCE_SCHEMA).alias("u"), "source_file"
+    )
+    return (
+        parsed.filter(F.col("u").isNotNull())
+        .select("u.*", "source_file")
+    )
 
 
 def read_json_any(spark: SparkSession, path: str) -> DataFrame:
@@ -87,6 +90,22 @@ def read_json_any(spark: SparkSession, path: str) -> DataFrame:
         F.col("text").cast("string"),
         "source_file",
     )
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """S3 format autodetect: .jsonl → line-delimited reader; .json → any of
+    the 3 multi-line shapes; globs dispatch on the extension
+    (`reader.py:39-65`)."""
+    lower = path.lower()
+    if lower.endswith(".jsonl") or ".jsonl" in lower.rsplit("/", 1)[-1]:
+        return read_jsonl(spark, path)
+    if lower.endswith(".json"):
+        return read_json_any(spark, path)
+    # unknown extension: try JSONL first (the dominant shape), fall back
+    df = read_jsonl(spark, path)
+    if df.limit(1).count() > 0:
+        return df
+    return read_json_any(spark, path)
 
 
 def with_default_episode_id(df: DataFrame) -> DataFrame:

@@ -383,7 +383,77 @@ ORDER BY jaccard DESC, doc_id_1, doc_id_2
 """
 
 
+def doc_edit_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 fuzzy dedup: LSH candidates rescored by exact edit-distance ratio,
+    top-20 most-similar pairs."""
+    from ..operators.dedup import (
+        edit_ratio_rescore,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = _docs(spark, sf_dir).filter(token_count("text") >= 3)
+    cands = lsh_candidate_pairs(minhash_signature(d, "doc_id", "text"), "doc_id")
+    scored = edit_ratio_rescore(cands, _docs(spark, sf_dir), "doc_id", "text")
+    return scored.orderBy(F.desc("edit_ratio"), "doc_id_1", "doc_id_2").limit(20)
+
+
+_MINHASH_CANDS_SQL = """
+toks AS (
+  SELECT doc_id, {tok} AS t FROM documents WHERE len({tok}) >= 3
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), hw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS a,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS b
+  FROM ex
+), sigs AS (
+  SELECT doc_id,
+         min((a + 0 * b) % 4294967296) AS m0, min((a + 1 * b) % 4294967296) AS m1,
+         min((a + 2 * b) % 4294967296) AS m2, min((a + 3 * b) % 4294967296) AS m3,
+         min((a + 4 * b) % 4294967296) AS m4, min((a + 5 * b) % 4294967296) AS m5,
+         min((a + 6 * b) % 4294967296) AS m6, min((a + 7 * b) % 4294967296) AS m7
+  FROM hw GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR) AS key FROM sigs UNION ALL
+  SELECT doc_id, 1, CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR) FROM sigs UNION ALL
+  SELECT doc_id, 2, CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR) FROM sigs UNION ALL
+  SELECT doc_id, 3, CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR) FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+)
+"""
+
+
+DOC_EDIT_RATIO_SQL = (
+    "WITH "
+    + _MINHASH_CANDS_SQL.format(tok=_TOK)
+    + """
+SELECT c.doc_id_1 AS doc_id_1, c.doc_id_2 AS doc_id_2,
+       round(1 - levenshtein(n1.t, n2.t)
+                 / CAST(greatest(length(n1.t), length(n2.t)) AS DOUBLE), 6)
+         AS edit_ratio
+FROM cand c
+JOIN (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+      FROM documents) n1 ON n1.doc_id = c.doc_id_1
+JOIN (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+      FROM documents) n2 ON n2.doc_id = c.doc_id_2
+ORDER BY edit_ratio DESC, doc_id_1, doc_id_2
+LIMIT 20
+"""
+)
+
+
 QUERIES = {
+    "doc_edit_ratio_pairs": doc_edit_ratio_pairs,
     "doc_langid": doc_langid,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_token_stats": doc_token_stats,
@@ -397,6 +467,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_edit_ratio_pairs": DOC_EDIT_RATIO_SQL,
     "doc_langid": DOC_LANGID_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
