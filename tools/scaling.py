@@ -1,0 +1,74 @@
+"""Scaling experiment: replicate the sf0.1 tables N× (with shifted keys so
+cardinality scales too) and time the core operators at each factor.
+
+Usage: python tools/scaling.py [factors...]   (default 1 10 50)
+Prints one JSON line per factor; near-linear wall-time growth demonstrates
+the operators keep their single-shuffle shape as data grows.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from transcription_lakehouse_spark.operators.intervals import merged_intervals  # noqa: E402
+from transcription_lakehouse_spark.operators.sessionization import with_session_id  # noqa: E402
+from transcription_lakehouse_spark.session import get_spark  # noqa: E402
+from transcription_lakehouse_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def scaled_events(spark, factor: int):
+    ev = load_table(spark, SF_DIR, "events")
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    # shift user ids per replica so user cardinality scales with the data
+    return ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("user_id") + F.col("rep") * 1000).alias("user_id"),
+        (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+        "ts_us",
+        "event_type",
+        "value",
+    )
+
+
+def run(factor: int) -> dict:
+    spark = get_spark(app_name=f"scaling-{factor}x")
+    ev = scaled_events(spark, factor).cache()
+    n = ev.count()
+    out = {"factor": factor, "rows": n}
+
+    t0 = time.time()
+    with_session_id(ev, ["user_id"], "ts_us", 600_000_000, tiebreak_cols=["event_id"]).groupBy(
+        "user_id", "session_id"
+    ).count().groupBy().count().collect()
+    out["sessionize_sec"] = round(time.time() - t0, 2)
+
+    iv = ev.select(
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.floor(F.col("value") * 1e6).cast("long")).alias("end_us"),
+    )
+    t0 = time.time()
+    merged_intervals(iv, ["user_id"], "start_us", "end_us").groupBy().count().collect()
+    out["interval_union_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    ev.groupBy("user_id").agg(
+        F.count(F.lit(1)), F.sum("value"), F.countDistinct("event_type")
+    ).groupBy().count().collect()
+    out["rollup_sec"] = round(time.time() - t0, 2)
+
+    ev.unpersist()
+    return out
+
+
+if __name__ == "__main__":
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
+    for f in factors:
+        print(json.dumps(run(f)), flush=True)

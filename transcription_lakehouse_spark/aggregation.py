@@ -19,8 +19,6 @@ beat_ids) and a deterministic content-hash ID (ids.py).
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
@@ -168,8 +166,6 @@ def generate_beats_heuristic(spans: DataFrame) -> DataFrame:
     """W8: boundary on speaker change, gap > 5s, or cumulative beat duration
     > 180s. The cumulative reset is carried state (not a closed-form window)
     → exact applyInPandas kernel per episode (SURVEY §7.3)."""
-    cols = spans.columns
-
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["start_time", "span_id"]).reset_index(drop=True)
         grp, cur_grp = [], 0
@@ -199,7 +195,6 @@ def generate_beats_heuristic(spans: DataFrame) -> DataFrame:
         list(spans.schema.fields) + [StructField("_grp", LongType())]
     )
     tagged = spans.groupBy("episode_id").applyInPandas(kernel, schema=out_schema)
-    _ = cols
     return _finish_beats(tagged)
 
 

@@ -20,7 +20,6 @@ from ..operators.intervals import (
     merged_intervals,
     monotonicity_violations,
     sweep_concurrency,
-    union_islands,
 )
 from ..operators.sessionization import with_session_id
 from ..sources.tables import load_table
@@ -94,7 +93,9 @@ def evt_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias(
+            "avg_value"
+        ),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
         F.round(F.stddev("value"), 4).alias("std_value"),
@@ -107,7 +108,7 @@ SELECT event_type,
        count(*)                      AS n_events,
        count(DISTINCT user_id)       AS n_users,
        round(sum(value), 2)          AS sum_value,
-       round(avg(value), 4)          AS avg_value,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value,
        round(min(value), 2)          AS min_value,
        round(max(value), 2)          AS max_value,
        round(stddev_samp(value), 4)  AS std_value,
@@ -391,6 +392,52 @@ FROM ranked GROUP BY event_type
 """
 
 
+def evt_user_catalog_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant twin of the per-user rollup: salted two-phase
+    aggregation whose result must hash-match the PLAIN single-phase oracle —
+    the correctness proof that salting changes the plan, not the answer."""
+    from ..operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": ("count", "event_id"),
+            "first_us": ("min", "ts_us"),
+            "last_us": ("max", "ts_us"),
+            "sum_value_raw": ("sum", "value"),
+            "avg_value_raw": ("avg", "value"),
+        },
+        n_salts=8,
+    )
+    # avg derives from the ROUNDED sum: 2-decimal inputs make sum/count land
+    # exactly on rounding half-boundaries, where engine-order ulp drift flips
+    # the 4th digit — dividing the identical rounded double is exact
+    return out.select(
+        "user_id",
+        "n_events",
+        "first_us",
+        "last_us",
+        F.round("sum_value_raw", 2).alias("sum_value"),
+        F.round(F.round("sum_value_raw", 2) / F.col("n_events"), 4).alias(
+            "avg_value"
+        ),
+    )
+
+
+EVT_USER_CATALOG_SALTED_SQL = """
+SELECT user_id,
+       count(*)             AS n_events,
+       min(epoch_us(ts))    AS first_us,
+       max(epoch_us(ts))    AS last_us,
+       round(sum(value), 2) AS sum_value,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def evt_first_last_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmin/argmax aggregation (min_by/max_by): each user's first and last
     event type plus the value carried at those moments."""
@@ -519,6 +566,7 @@ QUERIES = {
     "evt_first_last_actions": evt_first_last_actions,
     "evt_running_total": evt_running_total,
     "evt_user_catalog": evt_user_catalog,
+    "evt_user_catalog_salted": evt_user_catalog_salted,
     "evt_type_stats": evt_type_stats,
     "evt_sessions": evt_sessions,
     "evt_interval_union": evt_interval_union,
@@ -537,6 +585,7 @@ ORACLES = {
     "evt_first_last_actions": EVT_FIRST_LAST_SQL,
     "evt_running_total": EVT_RUNNING_TOTAL_SQL,
     "evt_user_catalog": EVT_USER_CATALOG_SQL,
+    "evt_user_catalog_salted": EVT_USER_CATALOG_SALTED_SQL,
     "evt_type_stats": EVT_TYPE_STATS_SQL,
     "evt_sessions": EVT_SESSIONS_SQL,
     "evt_interval_union": EVT_INTERVAL_UNION_SQL,

@@ -36,9 +36,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avgs derive from ROUNDED sums: 2-decimal inputs make sum/count
+            # land exactly on rounding half-boundaries where engine summation
+            # order flips the last digit; dividing the identical rounded
+            # double is deterministic on both engines
+            F.round(
+                F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -50,9 +60,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                             AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4)                                  AS avg_qty,
-       round(avg(l_extendedprice), 4)                             AS avg_price,
-       round(avg(l_discount), 4)                                  AS avg_disc,
+       round(round(sum(l_quantity), 2) / count(*), 4)             AS avg_qty,
+       round(round(sum(l_extendedprice), 2) / count(*), 4)        AS avg_price,
+       round(round(sum(l_discount), 2) / count(*), 4)             AS avg_disc,
        count(*)                                                   AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -149,7 +159,9 @@ def q_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+        F.round(
+            F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 4
+        ).alias("avg_total"),
     )
 
 
@@ -158,7 +170,7 @@ SELECT o_orderstatus, o_orderpriority,
        count(*)                        AS n_orders,
        count(DISTINCT o_custkey)       AS n_customers,
        round(sum(o_totalprice), 2)     AS sum_total,
-       round(avg(o_totalprice), 4)     AS avg_total
+       round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_total
 FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 """

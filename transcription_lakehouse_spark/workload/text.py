@@ -14,11 +14,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.text import (
-    STOPWORDS,
     content_tokens,
     duckdb_stopword_list,
     duckdb_tokens_sql,
-    normalize_text,
     token_count,
     tokens,
 )
