@@ -161,3 +161,42 @@ def test_lsh_topk_is_subset_of_exact(spark):
     for r in approx_rows:
         assert r["sim"] <= 1.0
     _ = exact_pairs
+
+
+def test_langid_token_and_substring_scripts(spark):
+    from transcription_lakehouse_spark.operators.langid import predict_lang
+
+    df = spark.createDataFrame(
+        [
+            ("the cat is on a mat and it is fine",),
+            ("der hund ist und das haus ist gut",),
+            ("这是一个在了和的测试",),  # unsegmented zh: substring markers
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r["p"] for r in df.select(predict_lang("text").alias("p")).collect()]
+    assert got == ["en", "de", "zh", "und"]
+
+
+def test_salted_agg_equals_plain(spark):
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k1", i * 1.0) for i in range(100)] + [("k2", 5.0)] * 3,
+        "k string, v double",
+    )
+    salted = salted_agg(
+        df, ["k"],
+        {"n": ("count", "v"), "s": ("sum", "v"), "mn": ("min", "v"),
+         "mx": ("max", "v"), "a": ("avg", "v")},
+        n_salts=7,
+    )
+    plain = df.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.avg("v").alias("a"),
+    )
+    srt = lambda d: sorted(map(tuple, d.select("k", "n", "s", "mn", "mx", "a").collect()))
+    assert srt(salted) == srt(plain)

@@ -23,6 +23,9 @@ TABLES = (
 ).split()
 
 
+STRICT = True  # exact float compare — queries are responsible for rounding
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -31,7 +34,7 @@ def _norm_cell(v) -> str:
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(round(v, 9))
+        return repr(v) if STRICT else repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

@@ -32,6 +32,7 @@ __all__ = [
     "shingle_pair_jaccard",
     "minhash_signature",
     "lsh_candidate_pairs",
+    "edit_ratio_rescore",
     "token_hashes",
     "simhash32_from_hashes",
     "simhash32",
@@ -172,11 +173,18 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, band_size: int = BAND_SIZE
+    signatures: DataFrame,
+    id_col: str,
+    band_size: int = BAND_SIZE,
+    k: int | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any full band are
-    candidates. Returns distinct (id_1, id_2) with id_1 < id_2."""
-    k = N_MINHASHES
+    candidates. Returns distinct (id_1, id_2) with id_1 < id_2.
+
+    ``k`` must match the signature length produced by minhash_signature
+    (defaults to N_MINHASHES; banding past the array's end would throw
+    under ANSI or silently collapse buckets with ANSI off)."""
+    k = N_MINHASHES if k is None else k
     n_bands = k // band_size
     bands = signatures.select(
         id_col,
@@ -227,10 +235,12 @@ def edit_ratio_rescore(
     t1 = docs.select(F.col(id_col).alias(f"{id_col}_1"), norm.alias("_t1"))
     t2 = docs.select(F.col(id_col).alias(f"{id_col}_2"), norm.alias("_t2"))
     joined = candidates.join(t1, f"{id_col}_1").join(t2, f"{id_col}_2")
+    maxlen = F.greatest(F.length("_t1"), F.length("_t2"))
+    # guard /0 (two empty texts are identical → ratio 1); ANSI would throw
     ratio = F.round(
-        1
-        - F.levenshtein("_t1", "_t2")
-        / F.greatest(F.length("_t1"), F.length("_t2")),
+        F.when(maxlen > 0, 1 - F.levenshtein("_t1", "_t2") / maxlen).otherwise(
+            F.lit(1.0)
+        ),
         6,
     )
     return (

@@ -27,13 +27,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "zh": ("的", "是", "在", "了", "和"),
 }
 
+# scripts written without spaces can't be matched token-wise — their markers
+# score by substring presence instead (count of distinct markers appearing)
+SUBSTRING_LANGS = ("zh",)
+
 
 def predict_lang(col: Column | str) -> Column:
     """Predicted language code for a text column ('und' when no markers hit).
 
     argmax = first element of the (hit_count desc, code asc) sort, realized
-    portably as array_sort over (-count, code) structs.
+    portably as array_sort over (-count, code) structs. Token languages
+    score marker-token occurrences; unsegmented scripts (SUBSTRING_LANGS)
+    score distinct-marker substring presence.
     """
+    c = F.col(col) if isinstance(col, str) else col
     t = tokens(col)
 
     def _hit(markers: tuple[str, ...]):
@@ -42,10 +49,19 @@ def predict_lang(col: Column | str) -> Column:
         arr = F.array(*[F.lit(m) for m in markers])
         return lambda x: F.array_contains(arr, x)
 
+    def _score(code: str, markers: tuple[str, ...]) -> Column:
+        if code in SUBSTRING_LANGS:
+            score = None
+            for m in markers:
+                term = F.when(F.contains(c, F.lit(m)), F.lit(1)).otherwise(F.lit(0))
+                score = term if score is None else score + term
+            return score
+        return F.size(F.filter(t, _hit(markers)))
+
     scored = F.array(
         *[
             F.struct(
-                (-F.size(F.filter(t, _hit(markers)))).cast("long").alias("negc"),
+                (-_score(code, markers)).cast("long").alias("negc"),
                 F.lit(code).alias("code"),
             )
             for code, markers in sorted(LANG_MARKERS.items())

@@ -19,9 +19,33 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.vector import as_double_array, cosine
+from ..functions.vector import as_double_array, dot, l2_norm
 
 __all__ = ["brute_force_topk", "hyperplane_bucket", "lsh_topk"]
+
+
+def _score_topk(
+    pairs: DataFrame, k: int, round_digits: int = 6
+) -> DataFrame:
+    """Shared scoring tail for exact and LSH top-k: guarded cosine from
+    precomputed norms, rank on the ROUNDED similarity with id tiebreak."""
+    den = F.col("qn") * F.col("cn")
+    scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
+                F.lit(0.0)
+            ),
+            round_digits,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
 
 
 def brute_force_topk(
@@ -34,14 +58,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, sim).
 
-    Ranks on the ROUNDED similarity with id tiebreak so ordering is
-    deterministic and engine-portable. Self-pairs are excluded.
+    Norms are precomputed per ROW (n + m norms) instead of per PAIR (n*m);
+    sim = dot/(qn*cn) is arithmetic-identical to inline cosine, so oracle
+    hashes are unaffected. Self-pairs are excluded.
     """
-    # norms are precomputed per ROW (n + m norms) instead of per PAIR (n·m);
-    # sim = dot/(qn·cn) is arithmetic-identical to inline cosine, so oracle
-    # hashes are unaffected
-    from ..functions.vector import dot, l2_norm
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
@@ -50,28 +70,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
     ).withColumn("cn", l2_norm(F.col("cv")))
-    den = F.col("qn") * F.col("cn")
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
-                    F.lit(0.0)
-                ),
-                round_digits,
-            ).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _score_topk(F.broadcast(q).crossJoin(c), k, round_digits)
 
 
 def _plane_signs(p: int, max_dims: int) -> list[float]:
@@ -97,9 +96,21 @@ def hyperplane_bucket(
     arrays (constant-folded by Catalyst), so per-row cost is pure
     arithmetic — no per-row hashing. The sign array is sliced to the
     vector's length (zip_with null-pads the shorter side, it does not
-    truncate); max_dims only needs to be >= the embedding dimensionality.
+    truncate); max_dims must be >= the embedding dimensionality — enforced
+    per row (a longer vector would silently null-poison every projection
+    and send all rows to bucket 0, degenerating the join to a cross
+    product).
     """
-    bucket = F.lit(0).cast("long")
+    guard = F.when(
+        F.size(vec) > max_dims,
+        F.raise_error(
+            F.lit(
+                f"hyperplane_bucket: vector dims exceed max_dims={max_dims}; "
+                "raise max_dims"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    bucket = guard
     for p in range(n_planes):
         signs = F.slice(
             F.array(*[F.lit(s) for s in _plane_signs(p, max_dims)]),
@@ -128,8 +139,6 @@ def lsh_topk(
     """Approximate top-k: only score candidates sharing the query's LSH
     bucket. Recall trades off with n_planes; the join is an equi-join on
     bucket id (shuffle, no cross product) — the 100 TB-side strategy."""
-    from ..functions.vector import dot, l2_norm
-
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -146,24 +155,4 @@ def lsh_topk(
         .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes))
         .withColumn("cn", l2_norm(F.col("cv")))
     )
-    den = F.col("qn") * F.col("cn")
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
-            ).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _score_topk(q.join(c, "bucket"), k)

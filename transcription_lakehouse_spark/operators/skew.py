@@ -38,10 +38,12 @@ def salted_agg(
     ``salt_source`` defaults to a deterministic per-row hash (so results are
     reproducible); pass e.g. a monotonically increasing id for finer spread.
     """
+    # pmod, not abs(hash)%n: abs(Int.MinValue) overflows (ANSI error at
+    # 100 TB row counts) and % keeps negative remainders
     salt = (
         salt_source
         if salt_source is not None
-        else F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts
+        else F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial_exprs = []
     final_exprs = []

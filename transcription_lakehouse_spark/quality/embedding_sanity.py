@@ -85,9 +85,14 @@ def neighbor_metrics(
         "end_time",
     )
     emb = embeddings.select("artifact_id", "embedding").join(seg, "artifact_id")
-    queries = stratified_sample(
-        emb, ["episode_id", "speaker"], n_queries, seed=seed
-    ).limit(n_queries)
+    # cap the >=1-per-stratum overshoot deterministically: order by a seeded
+    # content hash before limiting (an unordered limit would keep an
+    # arbitrary partition-dependent subset)
+    queries = (
+        stratified_sample(emb, ["episode_id", "speaker"], n_queries, seed=seed)
+        .orderBy(F.sha2(F.concat_ws("|", "artifact_id", F.lit(str(seed))), 256))
+        .limit(n_queries)
+    )
     topk = brute_force_topk(queries, emb, "artifact_id", "embedding", k=k)
     q = seg.select(
         F.col("artifact_id").alias("query_id"),

@@ -54,12 +54,20 @@ def coverage_metrics(segments: DataFrame, episodes: DataFrame) -> DataFrame:
         .join(overlaps, "episode_id", "left")
         .fillna(0, ["covered_seconds", "n_islands", "n_overlap_points"])
     )
+    # guard the division: null/zero episode duration must read as 0 coverage
+    # (a violation), not 100% — F.least skips nulls, and /0 raises under
+    # Spark 4's default ANSI mode
     return out.withColumn(
         "coverage_pct",
-        F.least(
-            F.lit(100.0),
-            F.round(F.col("covered_seconds") * 100.0 / F.col("duration_seconds"), 2),
-        ),
+        F.when(
+            F.col("duration_seconds") > 0,
+            F.least(
+                F.lit(100.0),
+                F.round(
+                    F.col("covered_seconds") * 100.0 / F.col("duration_seconds"), 2
+                ),
+            ),
+        ).otherwise(F.lit(0.0)),
     )
 
 

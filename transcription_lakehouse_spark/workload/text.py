@@ -291,23 +291,25 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_score_sql() -> str:
-    from ..operators.langid import LANG_MARKERS
+    from ..operators.langid import LANG_MARKERS, SUBSTRING_LANGS
 
     structs = []
     for code, markers in sorted(LANG_MARKERS.items()):
-        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        if code in SUBSTRING_LANGS:
+            score = " + ".join(
+                f"CASE WHEN contains(txt, '{m}') THEN 1 ELSE 0 END" for m in markers
+            )
+        else:
+            lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+            score = f"len(list_filter(t, x -> list_contains({lst}, x)))"
         structs.append(
-            "{'negc': -CAST(len(list_filter(t, x -> list_contains("
-            + lst
-            + ", x))) AS BIGINT), 'code': '"
-            + code
-            + "'}"
+            "{'negc': -CAST(" + score + " AS BIGINT), 'code': '" + code + "'}"
         )
     return "[" + ", ".join(structs) + "]"
 
 
 DOC_LANGID_SQL = f"""
-WITH toks AS (SELECT lang, {_TOK} AS t FROM documents),
+WITH toks AS (SELECT lang, text AS txt, {_TOK} AS t FROM documents),
 scored AS (
   SELECT lang, list_sort({_langid_score_sql()})[1] AS best FROM toks
 )
