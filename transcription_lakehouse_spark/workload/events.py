@@ -559,10 +559,78 @@ GROUP BY user_id, session_id
 """
 
 
+def evt_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-total window: each event type's share of its user's events
+    (groupBy + windowed total on the grouped result — no second scan)."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = F.sum("n_events").over(Window.partitionBy("user_id"))
+    return per.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round(F.col("n_events") / total, 6).alias("share"),
+    )
+
+
+EVT_TYPE_SHARE_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n_events
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_events,
+       round(n_events / CAST(sum(n_events) OVER (PARTITION BY user_id) AS DOUBLE), 6) AS share
+FROM per
+"""
+
+
+def evt_session_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: percentile battery OVER the derived sessions (the W2
+    output feeds A7) — per user, median/p90 session length and event count."""
+    sessions = evt_sessions(spark, sf_dir).withColumn(
+        "len_sec", (F.col("session_end_us") - F.col("session_start_us")) / 1e6
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.percentile("len_sec", F.lit(0.5)), 4).alias("median_len_sec"),
+        F.round(F.percentile("len_sec", F.lit(0.9)), 4).alias("p90_len_sec"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+EVT_SESSION_LENGTH_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         (max(ts_us) - min(ts_us)) / 1000000.0 AS len_sec
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       round(quantile_cont(len_sec, 0.5), 4) AS median_len_sec,
+       round(quantile_cont(len_sec, 0.9), 4) AS p90_len_sec,
+       max(n_events) AS max_session_events
+FROM sessions GROUP BY user_id
+"""
+
+
 QUERIES = {
     "evt_corr_stats": evt_corr_stats,
     "evt_error_only_users": evt_error_only_users,
+    "evt_session_length_stats": evt_session_length_stats,
     "evt_session_window": evt_session_window,
+    "evt_type_share": evt_type_share,
     "evt_first_last_actions": evt_first_last_actions,
     "evt_running_total": evt_running_total,
     "evt_user_catalog": evt_user_catalog,
@@ -581,7 +649,9 @@ QUERIES = {
 ORACLES = {
     "evt_corr_stats": EVT_CORR_SQL,
     "evt_error_only_users": EVT_ERROR_ONLY_SQL,
+    "evt_session_length_stats": EVT_SESSION_LENGTH_SQL,
     "evt_session_window": EVT_SESSION_WINDOW_SQL,
+    "evt_type_share": EVT_TYPE_SHARE_SQL,
     "evt_first_last_actions": EVT_FIRST_LAST_SQL,
     "evt_running_total": EVT_RUNNING_TOTAL_SQL,
     "evt_user_catalog": EVT_USER_CATALOG_SQL,

@@ -292,9 +292,36 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_parts_below_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (decorrelated as an agg-join): parts priced
+    below their type's average, counted per type."""
+    part = load_table(spark, sf_dir, "part")
+    type_avg = part.groupBy("p_type").agg(
+        F.avg("p_retailprice").alias("_avg_price")
+    )
+    return (
+        part.join(F.broadcast(type_avg), "p_type")
+        .filter(F.col("p_retailprice") < F.col("_avg_price"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_below_avg"),
+            F.round(F.min("p_retailprice"), 2).alias("cheapest"),
+        )
+    )
+
+
+Q_PARTS_BELOW_AVG_SQL = """
+SELECT p_type, count(*) AS n_below_avg, round(min(p_retailprice), 2) AS cheapest
+FROM part p
+WHERE p_retailprice < (SELECT avg(p_retailprice) FROM part WHERE p_type = p.p_type)
+GROUP BY p_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q_parts_below_type_avg": q_parts_below_type_avg,
     "q_rollup_order_profile": q_rollup_order_profile,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -306,6 +333,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q_parts_below_type_avg": Q_PARTS_BELOW_AVG_SQL,
     "q_rollup_order_profile": Q_ROLLUP_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,

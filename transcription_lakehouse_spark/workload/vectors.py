@@ -172,8 +172,60 @@ GROUP BY label, pos
 """
 
 
+def vec_label_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality matrix: mean pairwise cosine within and across
+    labels (a sane encoder has a hot diagonal). Exact pairwise over the
+    corpus — at scale, sample per label first (quality/sampling.py)."""
+    from ..functions.vector import dot, l2_norm
+
+    e = _emb(spark, sf_dir)
+    a = e.select(
+        F.col("label").alias("label_1"),
+        F.col("vec_id").alias("id_1"),
+        as_double_array("embedding").alias("va"),
+    ).withColumn("na", l2_norm(F.col("va")))
+    b = e.select(
+        F.col("label").alias("label_2"),
+        F.col("vec_id").alias("id_2"),
+        as_double_array("embedding").alias("vb"),
+    ).withColumn("nb", l2_norm(F.col("vb")))
+    den = F.col("na") * F.col("nb")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "label_1",
+            "label_2",
+            F.when(den > 0, dot(F.col("va"), F.col("vb")) / den)
+            .otherwise(F.lit(0.0))
+            .alias("sim"),
+        )
+    )
+    return pairs.groupBy("label_1", "label_2").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("sim"), 6).alias("avg_sim"),
+    )
+
+
+_PAIR_COS = (
+    "list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))"
+    " * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))))"
+)
+
+VEC_LABEL_SIM_MATRIX_SQL = f"""
+SELECT a.label AS label_1, b.label AS label_2,
+       count(*) AS n_pairs,
+       round(avg({_PAIR_COS}), 6) AS avg_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "vec_label_centroids": vec_label_centroids,
+    "vec_label_similarity_matrix": vec_label_similarity_matrix,
     "vec_norm_stats": vec_norm_stats,
     "vec_knn_bruteforce": vec_knn_bruteforce,
     "vec_near_dup_pairs": vec_near_dup_pairs,
@@ -182,6 +234,7 @@ QUERIES = {
 
 ORACLES = {
     "vec_label_centroids": VEC_LABEL_CENTROIDS_SQL,
+    "vec_label_similarity_matrix": VEC_LABEL_SIM_MATRIX_SQL,
     "vec_norm_stats": VEC_NORM_STATS_SQL,
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
