@@ -77,16 +77,42 @@ def bench_knn_lsh_scaled(spark, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     reps = spark.range(20).withColumnRenamed("id", "rep")
-    big = emb.crossJoin(F.broadcast(reps)).select(
-        (F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"), "embedding"
+    # the crossJoin-replicated fixture lands in ONE input partition; spread
+    # it the way a real stored table would be, so corpus-side scoring
+    # parallelizes (queries are broadcast — corpus partitioning IS the
+    # parallelism)
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .select((F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     queries = big.filter(F.col("vec_id") % 25 == 0)
     return lsh_topk(queries, big, "vec_id", "embedding", k=5, n_planes=8)
 
 
+def bench_knn_ivf_scaled(spark, sf_dir: str):
+    """IVF ANN over 20x embeddings (10k vectors, 400 queries): k-means cell
+    assignment + nprobe=4/32 probing — queries touch ~1/8 of the corpus."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.similarity import ivf_topk
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(20).withColumnRenamed("id", "rep")
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .select((F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    queries = big.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(queries, big, "vec_id", "embedding", k=5, n_cells=32, nprobe=4)
+
+
 SCALED = {
     "dedup_minhash_20x": bench_minhash_dedup_scaled,
     "knn_lsh_20x": bench_knn_lsh_scaled,
+    "knn_ivf_20x": bench_knn_ivf_scaled,
 }
 
 

@@ -22,7 +22,9 @@ from transcription_lakehouse_spark.operators.intervals import (
 from transcription_lakehouse_spark.operators.sessionization import with_session_id
 from transcription_lakehouse_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
+    train_centroids,
 )
 
 
@@ -161,6 +163,56 @@ def test_lsh_topk_is_subset_of_exact(spark):
     for r in approx_rows:
         assert r["sim"] <= 1.0
     _ = exact_pairs
+
+
+def _clustered_vectors(n_per_cluster=20, dim=16, n_clusters=4):
+    import random
+
+    random.seed(11)
+    rows = []
+    for c in range(n_clusters):
+        center = [10.0 * (1 if (c >> b) & 1 else -1) for b in range(dim)]
+        for i in range(n_per_cluster):
+            rows.append(
+                (
+                    c * n_per_cluster + i,
+                    [x + random.gauss(0, 0.5) for x in center],
+                )
+            )
+    return rows
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id % 20 = 0")
+    ivf = ivf_topk(q, df, "vec_id", "embedding", k=3, n_cells=4, nprobe=4)
+    exact = brute_force_topk(q, df, "vec_id", "embedding", k=3)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    # probing every cell degenerates IVF to exact search
+    assert got == want
+
+
+def test_ivf_partial_probe_recall_on_clustered_data(spark):
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id % 20 = 0")
+    ivf = ivf_topk(q, df, "vec_id", "embedding", k=5, n_cells=4, nprobe=1)
+    exact = brute_force_topk(q, df, "vec_id", "embedding", k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # well-separated clusters: the query's own cell holds its true neighbors
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_train_centroids_deterministic(spark):
+    rows = _clustered_vectors(n_per_cluster=10)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = train_centroids(df, "vec_id", "embedding", n_cells=4, iters=5)
+    c2 = train_centroids(df, "vec_id", "embedding", n_cells=4, iters=5)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == 16
 
 
 def test_langid_token_and_substring_scripts(spark):

@@ -167,6 +167,42 @@ def test_read_transcripts_autodetect(spark, tmp_path):
     assert len(out) == 1 and out[0]["episode_id"] == "e2"
 
 
+def test_stateful_sessionize_emits_closed_spans(spark, tmp_path):
+    import json as _json
+
+    from transcription_lakehouse_spark.schemas import RAW_UTTERANCE_SCHEMA
+    from transcription_lakehouse_spark.streaming.stateful import stateful_sessionize
+
+    d = tmp_path / "stateful_in"
+    d.mkdir()
+    rows = [
+        # speaker A: two utterances 0.3s apart (one span), then a 100s gap
+        # (closes it), then a trailing open span
+        {"episode_id": "E", "start": 0.0, "end": 1.0, "speaker": "A", "text": "x"},
+        {"episode_id": "E", "start": 1.3, "end": 2.0, "speaker": "A", "text": "x"},
+        {"episode_id": "E", "start": 102.0, "end": 103.0, "speaker": "A", "text": "x"},
+        # speaker B: single utterance — stays open, never emitted
+        {"episode_id": "E", "start": 0.0, "end": 5.0, "speaker": "B", "text": "x"},
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(RAW_UTTERANCE_SCHEMA).json(str(d))
+    q = (
+        stateful_sessionize(stream, gap_sec=0.5, idle_timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("stateful_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stateful_sess").collect()
+    # only A's first span closed (the 100s gap); open spans stay in state
+    assert len(got) == 1
+    r = got[0]
+    assert (r["speaker"], r["n_utterances"]) == ("A", 2)
+    assert (r["session_start"], r["session_end"]) == (0.0, 2.0)
+
+
 def test_streaming_session_stats(spark, tmp_path):
     import json as _json
 

@@ -54,3 +54,12 @@ def test_sessionization_single_shuffle(spark):
 def test_knn_broadcasts_queries(spark):
     df = QUERIES["vec_knn_bruteforce"](spark, SF_DIR)
     assert broadcast_join_count(df) >= 1  # query side broadcast, corpus streams
+
+
+def test_ivf_probe_join_is_equi_not_cartesian(spark):
+    df = QUERIES["vec_knn_ivf"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the cell-probe join must hash on the small int cell key — a cartesian/
+    # nested-loop product here would be the O(n*m) trap at 100 TB
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.vector import as_double_array, cosine, l2_norm
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 
 # DuckDB twins for dot/norm over the float[] column (cast to double first;
@@ -150,6 +150,18 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, e, "vec_id", "embedding", k=5, n_planes=6)
 
 
+def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 approximate ANN via IVF (k-means cells + nprobe probing) — the
+    second scale path next to LSH, mirroring FAISS IVF semantics.
+
+    No SQL oracle (approximate operator; driver records rows-only) — the
+    coarse quantizer is trained deterministically so results are stable
+    run-to-run."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(queries, e, "vec_id", "embedding", k=5, n_cells=16, nprobe=4)
+
+
 def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (elementwise mean over the embedding
     column) — posexplode → groupBy(label, pos); at scale this is the partial-
@@ -228,6 +240,7 @@ QUERIES = {
     "vec_label_similarity_matrix": vec_label_similarity_matrix,
     "vec_norm_stats": vec_norm_stats,
     "vec_knn_bruteforce": vec_knn_bruteforce,
+    "vec_knn_ivf": vec_knn_ivf,
     "vec_near_dup_pairs": vec_near_dup_pairs,
     "vec_knn_lsh": vec_knn_lsh,
 }
