@@ -47,11 +47,17 @@ def _scaled_docs(spark, sf_dir: str, factor: int = 20):
 
     docs = load_table(spark, sf_dir, "documents")
     reps = spark.range(factor).withColumnRenamed("id", "rep")
-    return docs.crossJoin(F.broadcast(reps)).select(
-        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
-        "text",
-        "lang",
-        "source",
+    # spread the replicated fixture like a real stored table — otherwise the
+    # shingle/minhash map stage runs in the crossJoin's single partition
+    return (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
