@@ -130,6 +130,19 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(df, every_sec=1.0).collect()
     assert len(frames) == 4  # video 3.5s -> offsets 0,1,2,3
 
+    from transcription_lakehouse_spark.multimodal import resize_media
+
+    resized = resize_media(
+        df, 8, 8, resize_fn=lambda p, w, h: p[: w * h]
+    ).collect()
+    assert len(resized) == 1  # only the image row
+    assert (resized[0]["width"], resized[0]["height"]) == (8, 8)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|resize_media"):
+        resize_media(df).collect()  # stubbed decode surfaces clearly
+
 
 def test_parquet_info_and_partitioned_embeddings(spark, tmp_path):
     from transcription_lakehouse_spark.embeddings import store_embeddings

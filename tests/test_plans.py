@@ -56,6 +56,57 @@ def test_knn_broadcasts_queries(spark):
     assert broadcast_join_count(df) >= 1  # query side broadcast, corpus streams
 
 
+def test_bucketed_join_elides_both_shuffles(spark):
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    # managed tables land in the default warehouse dir; DROP TABLE below
+    # removes the files (warehouse.dir is a static conf, not settable here)
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    # force the shuffle-join path so the bucket layout (not a broadcast)
+    # is what saves the Exchange — at 100 TB neither fact side broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            read_table(spark, "b_orders")
+            .join(read_table(spark, "b_lineitem"), "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert count_exchanges(joined) == 0, formatted_plan(joined)
+        # and the result matches the plain-table join
+        plain = (
+            orders.join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "o_orderkey",
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_ivf_probe_join_is_equi_not_cartesian(spark):
     df = QUERIES["vec_knn_ivf"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -70,6 +70,30 @@ def content_tokens(col: Column | str) -> Column:
     return F.filter(tokens(col), lambda x: ~F.array_contains(stop, x))
 
 
+# GPT-2-style pretokenizer shape (contractions / letter runs / digit runs /
+# punctuation runs, each with optional leading space) restricted to syntax
+# that Java regex (Spark) and RE2 (DuckDB) tokenize identically — no
+# lookaheads, no unicode property classes. Counts from this are the cheap
+# in-engine proxy for "how many BPE tokens will the trainer see".
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ \tA-Za-z0-9]+"
+
+
+def subword_tokens(col: Column | str) -> Column:
+    """array<string> of BPE-ish pretokens (engine parity with DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def subword_count(col: Column | str) -> Column:
+    return F.size(subword_tokens(col))
+
+
+def duckdb_subword_count_sql(col: str) -> str:
+    """DuckDB twin of :func:`subword_count`."""
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
 def duckdb_tokens_sql(col: str) -> str:
     """DuckDB twin of :func:`tokens` for oracle SQL composition."""
     return (

@@ -35,6 +35,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_table",
     "extract_features",
+    "resize_media",
     "sample_frames",
     "fake_decode",
 ]
@@ -98,6 +99,48 @@ def extract_features(
 
     return media.select("media_id", "media_type", "payload").mapInPandas(
         kernel, schema="media_id string, media_type string, features array<float>"
+    )
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize plumbing: (media_id, payload, width,
+    height) with payload resized to (target_w, target_h).
+
+    The pixel transform is STUBBED (no codec libs in-container):
+    ``resize_fn=None`` raises NotImplementedError per batch — the schema,
+    batching and metadata rewrite are the real, tested part; a PIL-backed
+    ``resize_fn`` drops in unchanged."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resize_fn is None:
+                raise NotImplementedError(
+                    "resize_media: no image codec in this container; pass "
+                    "resize_fn=(payload, w, h) -> payload"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        resize_fn(p, target_w, target_h) for p in pdf["payload"]
+                    ],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(
+            kernel,
+            schema="media_id string, payload binary, width long, height long",
+        )
     )
 
 

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.text import (
     content_tokens,
     duckdb_stopword_list,
+    duckdb_subword_count_sql,
     duckdb_tokens_sql,
+    subword_count,
     token_count,
     tokens,
 )
@@ -61,6 +63,42 @@ SELECT lang,
        round(avg(n_chars), 4)         AS avg_chars,
        CAST(min(n_tokens) AS BIGINT)  AS min_tokens,
        CAST(max(n_tokens) AS BIGINT)  AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+def doc_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretoken counts per language — the trainer-facing token
+    budget a whitespace count underestimates (punctuation, contractions and
+    digit runs tokenize separately). fertility = subwords per whitespace
+    word."""
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        token_count("text").alias("n_words"),
+        subword_count("text").alias("n_subwords"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_subwords").alias("sum_subwords"),
+        F.round(F.avg("n_subwords"), 4).alias("avg_subwords"),
+        F.round(
+            F.sum("n_subwords") / F.sum("n_words"), 6
+        ).alias("fertility"),
+    )
+
+
+DOC_SUBWORD_STATS_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         len({_TOK}) AS n_words,
+         {duckdb_subword_count_sql("text")} AS n_subwords
+  FROM documents
+)
+SELECT lang,
+       count(*)                        AS n_docs,
+       CAST(sum(n_subwords) AS BIGINT) AS sum_subwords,
+       round(avg(n_subwords), 4)       AS avg_subwords,
+       round(CAST(sum(n_subwords) AS DOUBLE) / sum(n_words), 6) AS fertility
 FROM t GROUP BY lang
 """
 
@@ -457,6 +495,7 @@ QUERIES = {
     "doc_langid": doc_langid,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_token_stats": doc_token_stats,
+    "doc_subword_stats": doc_subword_stats,
     "doc_lexical_density": doc_lexical_density,
     "doc_top_unigrams": doc_top_unigrams,
     "doc_top_bigrams": doc_top_bigrams,
@@ -471,6 +510,7 @@ ORACLES = {
     "doc_langid": DOC_LANGID_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_subword_stats": DOC_SUBWORD_STATS_SQL,
     "doc_lexical_density": DOC_LEXICAL_DENSITY_SQL,
     "doc_top_unigrams": DOC_TOP_UNIGRAMS_SQL,
     "doc_top_bigrams": DOC_TOP_BIGRAMS_SQL,
