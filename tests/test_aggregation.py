@@ -146,3 +146,29 @@ def test_sections_split_on_long_episode(spark):
     secs = sections.orderBy("start_time").collect()
     assert len(secs) >= 2
     assert all(s["duration_minutes"] <= 12.5 for s in secs)
+
+
+def test_approx_sketches_track_exact_aggregates(spark):
+    """The 100 TB substitutes for exact countDistinct/percentile: HLL++
+    (approx_count_distinct) and KLL-style percentile_approx shuffle O(sketch)
+    bytes instead of O(distinct keys). Pin their error against the exact
+    answers on real testdata so a Spark upgrade changing sketch defaults
+    fails loudly."""
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("du"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    ).collect()[0]
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("du"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("p95"),
+    ).collect()[0]
+    assert abs(approx["du"] - exact["du"]) / exact["du"] <= 0.05
+    # percentile_approx guarantees rank error <= 1/accuracy; on 10k events
+    # the value gap at that rank tolerance stays small
+    assert abs(approx["p50"] - exact["p50"]) <= max(0.5, 0.02 * exact["p50"])
+    assert abs(approx["p95"] - exact["p95"]) <= max(0.5, 0.02 * exact["p95"])

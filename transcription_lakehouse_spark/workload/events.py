@@ -313,6 +313,52 @@ GROUP BY 1, 2
 """
 
 
+def evt_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (hypertable continuous-aggregate
+    shape): DAILY stats composed from HOURLY partials — sum-of-sums,
+    min-of-mins, count-of-counts; avg derived from composed sums, never
+    averaged-of-averages (the reference's speakers.py:101 inexactness).
+
+    At 100 TB the hourly level is a materialized table and each coarser
+    resolution reads the previous one, so the raw scan is paid once; the
+    oracle checks the algebraic identity by computing daily directly from
+    raw events."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr("ts_us div 3600000000").alias("hour_id"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.withColumn("day_id", F.expr("hour_id div 24"))
+        .groupBy("day_id", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            # no avg column: round(rounded_sum/count, 4) lands exactly on
+            # half-boundaries for power-of-two counts, where Spark
+            # (string-BigDecimal HALF_UP) and DuckDB (binary) disagree;
+            # consumers derive avg from sum_value/n_events
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+            F.round(F.min("mn"), 2).alias("min_value"),
+            F.round(F.max("mx"), 2).alias("max_value"),
+        )
+    )
+
+
+EVT_ROLLUP_CASCADE_SQL = """
+SELECT (epoch_us(ts) // 3600000000) // 24 AS day_id, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def evt_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 fixed-bin histogram of event values per type (bin width 50)."""
     ev = _events(spark, sf_dir)
@@ -642,6 +688,7 @@ QUERIES = {
     "evt_max_concurrency": evt_max_concurrency,
     "evt_monotonicity": evt_monotonicity,
     "evt_hourly_rollup": evt_hourly_rollup,
+    "evt_rollup_cascade": evt_rollup_cascade,
     "evt_value_histogram": evt_value_histogram,
     "evt_json_props": evt_json_props,
 }
@@ -663,6 +710,7 @@ ORACLES = {
     "evt_max_concurrency": EVT_MAX_CONCURRENCY_SQL,
     "evt_monotonicity": EVT_MONOTONICITY_SQL,
     "evt_hourly_rollup": EVT_HOURLY_SQL,
+    "evt_rollup_cascade": EVT_ROLLUP_CASCADE_SQL,
     "evt_value_histogram": EVT_HISTOGRAM_SQL,
     "evt_json_props": EVT_JSON_PROPS_SQL,
 }
