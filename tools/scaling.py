@@ -37,6 +37,31 @@ def scaled_events(spark, factor: int):
     )
 
 
+def scaled_docs(spark, factor: int):
+    docs = load_table(spark, SF_DIR, "documents")
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    return (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"), "text"
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def scaled_embeddings(spark, factor: int):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    return (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def run(factor: int) -> dict:
     spark = get_spark(app_name=f"scaling-{factor}x")
     ev = scaled_events(spark, factor).cache()
@@ -65,6 +90,30 @@ def run(factor: int) -> dict:
     out["rollup_sec"] = round(time.time() - t0, 2)
 
     ev.unpersist()
+
+    from transcription_lakehouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from transcription_lakehouse_spark.operators.similarity import ivf_topk
+
+    docs = scaled_docs(spark, factor).cache()
+    docs.count()
+    t0 = time.time()
+    sigs = minhash_signature(docs, "doc_id", "text", n=3)
+    lsh_candidate_pairs(sigs, "doc_id").groupBy().count().collect()
+    out["dedup_minhash_sec"] = round(time.time() - t0, 2)
+    docs.unpersist()
+
+    emb = scaled_embeddings(spark, factor).cache()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") % (25 * factor) == 0)  # fixed ~200
+    t0 = time.time()
+    ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, n_cells=32, nprobe=4
+    ).groupBy().count().collect()
+    out["ann_ivf_sec"] = round(time.time() - t0, 2)
+    emb.unpersist()
     return out
 
 
