@@ -216,6 +216,98 @@ def test_stateful_sessionize_emits_closed_spans(spark, tmp_path):
     assert (r["session_start"], r["session_end"]) == (0.0, 2.0)
 
 
+def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
+    """Cross-batch state is the operator's point: a session split across
+    micro-batches must merge, and the closed output must equal what the
+    batch sessionizer (W2) computes on the same rows."""
+    import json as _json
+
+    from transcription_lakehouse_spark.operators.sessionization import (
+        with_session_id,
+    )
+    from transcription_lakehouse_spark.schemas import RAW_UTTERANCE_SCHEMA
+    from transcription_lakehouse_spark.streaming.stateful import stateful_sessionize
+
+    d = tmp_path / "stateful_multi"
+    d.mkdir()
+    batches = [
+        [(0.0, 1.0), (1.5, 2.0)],          # opens session 1
+        [(2.3, 3.0), (100.0, 101.0)],      # continues s1, then closes it
+        [(200.0, 201.0)],                  # closes session 2, opens s3
+    ]
+    import os as _os
+
+    for i, rows in enumerate(batches):
+        p = d / f"{chr(97 + i)}.jsonl"
+        p.write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "episode_id": "E",
+                        "start": s,
+                        "end": e,
+                        "speaker": "A",
+                        "text": "x",
+                    }
+                )
+                for s, e in rows
+            )
+        )
+        # the file source orders batches by modification time — make the
+        # intended order unambiguous
+        _os.utime(p, (1_000_000 + i * 60, 1_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(RAW_UTTERANCE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stateful_sessionize(stream, gap_sec=5.0, idle_timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("stateful_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_utterances"])
+        for r in spark.sql("SELECT * FROM stateful_multi").collect()
+    )
+
+    # batch twin over the union of all rows (session 3 stays open in the
+    # stream, so compare against all-but-last batch sessions)
+    all_rows = [
+        ("E", s, e, "A", "x") for rows in batches for (s, e) in rows
+    ]
+    batch_df = spark.createDataFrame(
+        all_rows,
+        "episode_id string, start double, end double, speaker string, text string",
+    )
+    import pyspark.sql.functions as F
+
+    sessions = (
+        with_session_id(
+            batch_df.withColumn("start_us", (F.col("start") * 1e6).cast("long"))
+            .withColumn("end_us", (F.col("end") * 1e6).cast("long")),
+            ["episode_id", "speaker"],
+            "start_us",
+            int(5.0 * 1e6),
+            prev_end_col="end_us",
+        )
+        .groupBy("session_id")
+        .agg(
+            F.min("start").alias("s"),
+            F.max("end").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("s")
+        .collect()
+    )
+    want = sorted((r["s"], r["e"], r["n"]) for r in sessions)[:-1]
+    assert got == want, (got, want)
+
+
 def test_streaming_session_stats(spark, tmp_path):
     import json as _json
 

@@ -56,6 +56,19 @@ def test_knn_broadcasts_queries(spark):
     assert broadcast_join_count(df) >= 1  # query side broadcast, corpus streams
 
 
+def test_rollup_and_window_queries_stay_low_shuffle(spark):
+    # two-level cascade = exactly its two agg shuffles; ratio-to-total
+    # reuses the groupBy partitioning for its window (no third exchange)
+    for name, max_ex in [
+        ("evt_rollup_cascade", 2),
+        ("evt_type_share", 2),
+        ("evt_session_length_stats", 2),
+        ("doc_subword_stats", 1),
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        assert count_exchanges(df) <= max_ex, name
+
+
 def test_bucketed_join_elides_both_shuffles(spark):
     import pyspark.sql.functions as F
 

@@ -13,6 +13,12 @@ Scale properties: state is O(open spans) = O(active keys), not O(rows);
 keys shard across executors by groupBy hash; ``ProcessingTimeTimeout``
 flushes idle keys so state cannot grow without bound on a 1000-executor
 cluster ingesting indefinitely.
+
+Late-data semantics: rows are sorted within each micro-batch, and a row
+older than the OPEN span merges into it (start/end expand, no corruption);
+a row arriving after its span already CLOSED starts a new span instead —
+the batch pipeline (operators/sessionization.py) over the same rows is the
+exact-answer backfill for that case.
 """
 
 from __future__ import annotations
