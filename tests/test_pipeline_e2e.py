@@ -333,3 +333,54 @@ def test_streaming_session_stats(spark, tmp_path):
     # events at 0.0 and 1.2 merge (gap < 2s); 10.0 is its own session
     assert len(got) == 2
     assert sorted(r["n_utterances"] for r in got) == [1, 2]
+
+
+def test_stateful_sessionize_late_row_expands_open_span_start():
+    """A cross-batch late row older than the open span must expand
+    session_start (stateful.py's documented late-data contract), not just
+    session_end. Drives the kernel directly with a fake GroupState."""
+    import pandas as pd
+
+    from transcription_lakehouse_spark.streaming.stateful import _make_session_fn
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self):
+            self._tuple = None
+
+        @property
+        def exists(self):
+            return self._tuple is not None
+
+        @property
+        def get(self):
+            return self._tuple
+
+        def update(self, t):
+            self._tuple = t
+
+        def remove(self):
+            self._tuple = None
+
+    fn = _make_session_fn(gap_sec=5.0, idle_timeout_ms=None)
+    state = FakeState()
+    key = ("E", "A")
+
+    # batch 1 opens span (10.0, 12.0)
+    b1 = pd.DataFrame({"start": [10.0], "end": [12.0]})
+    assert list(fn(key, iter([b1]), state)) == []  # nothing closed yet
+    assert state.get == (10.0, 12.0, 1)
+
+    # batch 2 delivers a LATE row (8.0, 9.0): within gap of the open span,
+    # so it merges — and the span's start must move back to 8.0
+    b2 = pd.DataFrame({"start": [8.0], "end": [9.0]})
+    assert list(fn(key, iter([b2]), state)) == []
+    assert state.get == (8.0, 12.0, 2)
+
+    # a far-future row closes the span; the emitted start is the late one
+    b3 = pd.DataFrame({"start": [100.0], "end": [101.0]})
+    out = pd.concat(list(fn(key, iter([b3]), state)), ignore_index=True)
+    assert out["session_start"].tolist() == [8.0]
+    assert out["session_end"].tolist() == [12.0]
+    assert out["n_utterances"].tolist() == [2]

@@ -129,7 +129,10 @@ def parquet_info(spark: SparkSession, path: str) -> dict:
     import os as _os
 
     df = spark.read.parquet(path)
-    files = _glob.glob(_os.path.join(path, "*.parquet"))
+    # recursive: partitionBy sinks nest files under key=value/ subdirs
+    files = _glob.glob(
+        _os.path.join(path, "**", "*.parquet"), recursive=True
+    )
     return {
         "rows": df.count(),
         "n_files": len(files),

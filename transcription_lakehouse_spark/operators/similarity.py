@@ -167,6 +167,8 @@ def train_centroids(
         .collect()
     )
     pts = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(pts) == 0:
+        raise ValueError("train_centroids: corpus is empty")
     k = min(n_cells, len(pts))
     chosen = [0]
     min_d2 = ((pts - pts[0]) ** 2).sum(axis=1)

@@ -31,21 +31,37 @@ def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     reference logs-and-skips, `reader.py:143-152`).
 
     Implemented as text-scan + from_json rather than spark.read.json with a
-    _corrupt_record filter: Spark disallows queries whose pruned schema is
-    only the corrupt column (e.g. a bare count()), and from_json's
-    null-on-malformed gives the same skip semantics without that trap.
+    top-level _corrupt_record filter: Spark disallows queries whose pruned
+    schema is only the corrupt column (e.g. a bare count()), and a corrupt
+    column INSIDE the from_json struct gives the same skip semantics without
+    that trap. Type-mismatched lines (valid JSON, e.g. a string where a
+    number belongs) populate the corrupt column and are dropped, same as the
+    reference; lines merely MISSING fields parse clean and flow to the
+    validation layer (F1-F3), which reports them with reasons.
     """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # fresh StructType: .add() mutates the shared schema object
+    schema = StructType(
+        list(RAW_UTTERANCE_SCHEMA.fields) + [StructField(_CORRUPT, StringType())]
+    )
     lines = (
         spark.read.text(path)
         .withColumn("source_file", F.input_file_name())
         .filter(F.length(F.trim("value")) > 0)
     )
     parsed = lines.select(
-        F.from_json("value", RAW_UTTERANCE_SCHEMA).alias("u"), "source_file"
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("u"),
+        "source_file",
     )
     return (
-        parsed.filter(F.col("u").isNotNull())
+        parsed.filter(F.col("u").isNotNull() & F.col(f"u.{_CORRUPT}").isNull())
         .select("u.*", "source_file")
+        .drop(_CORRUPT)
     )
 
 
@@ -101,9 +117,19 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
         return read_jsonl(spark, path)
     if lower.endswith(".json"):
         return read_json_any(spark, path)
-    # unknown extension: try JSONL first (the dominant shape), fall back
+    # unknown extension: try JSONL first (the dominant shape), fall back.
+    # Success needs a row with at least one REAL parsed field — a wrapped
+    # JSON file parses into all-null structs (schema mismatch, not corrupt)
+    # and must not count as JSONL.
     df = read_jsonl(spark, path)
-    if df.limit(1).count() > 0:
+    any_field = F.coalesce(
+        F.col("episode_id"),
+        F.col("start").cast("string"),
+        F.col("end").cast("string"),
+        F.col("speaker"),
+        F.col("text"),
+    )
+    if df.filter(any_field.isNotNull()).limit(1).count() > 0:
         return df
     return read_json_any(spark, path)
 

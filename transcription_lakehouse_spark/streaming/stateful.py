@@ -99,6 +99,9 @@ def _make_session_fn(gap_sec: float, idle_timeout_ms: int | None):
                 closed_n.append(cur_n)
                 cur_start, cur_end, cur_n = s, e, 1
             else:
+                # a cross-batch late row can start BEFORE the open span
+                # (batches sort locally, not globally) — expand both ends
+                cur_start = min(cur_start, s)
                 cur_end = max(cur_end, e)
                 cur_n += 1
 

@@ -92,10 +92,10 @@ def evt_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
+        # no derived avg: 2-decimal money avgs land on rounding
+        # half-boundaries where engine ulp drift flips the digit — emit
+        # rounded sum + count and let consumers divide (parity rule)
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias(
-            "avg_value"
-        ),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
         F.round(F.stddev("value"), 4).alias("std_value"),
@@ -108,7 +108,6 @@ SELECT event_type,
        count(*)                      AS n_events,
        count(DISTINCT user_id)       AS n_users,
        round(sum(value), 2)          AS sum_value,
-       round(round(sum(value), 2) / count(*), 4) AS avg_value,
        round(min(value), 2)          AS min_value,
        round(max(value), 2)          AS max_value,
        round(stddev_samp(value), 4)  AS std_value,
@@ -453,22 +452,18 @@ def evt_user_catalog_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_us": ("min", "ts_us"),
             "last_us": ("max", "ts_us"),
             "sum_value_raw": ("sum", "value"),
-            "avg_value_raw": ("avg", "value"),
         },
         n_salts=8,
     )
-    # avg derives from the ROUNDED sum: 2-decimal inputs make sum/count land
-    # exactly on rounding half-boundaries, where engine-order ulp drift flips
-    # the 4th digit — dividing the identical rounded double is exact
+    # no derived avg: round(rounded_sum/count, 4) sits exactly on .xxxx5
+    # when count is a power of two (seen failing live at sf0.1) — emit
+    # rounded sum + count instead (parity rule)
     return out.select(
         "user_id",
         "n_events",
         "first_us",
         "last_us",
         F.round("sum_value_raw", 2).alias("sum_value"),
-        F.round(F.round("sum_value_raw", 2) / F.col("n_events"), 4).alias(
-            "avg_value"
-        ),
     )
 
 
@@ -477,8 +472,7 @@ SELECT user_id,
        count(*)             AS n_events,
        min(epoch_us(ts))    AS first_us,
        max(epoch_us(ts))    AS last_us,
-       round(sum(value), 2) AS sum_value,
-       round(round(sum(value), 2) / count(*), 4) AS avg_value
+       round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY user_id
 """

@@ -36,19 +36,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            # avgs derive from ROUNDED sums: 2-decimal inputs make sum/count
-            # land exactly on rounding half-boundaries where engine summation
-            # order flips the last digit; dividing the identical rounded
-            # double is deterministic on both engines
-            F.round(
-                F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4
-            ).alias("avg_qty"),
-            F.round(
-                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4
-            ).alias("avg_price"),
-            F.round(
-                F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4
-            ).alias("avg_disc"),
+            # no derived avgs: round(rounded_sum/count, 4) sits exactly on
+            # .xxxx5 for power-of-two counts and the two engines round it
+            # differently — emit rounded sums + count, consumers divide
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -60,9 +51,7 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                             AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(round(sum(l_quantity), 2) / count(*), 4)             AS avg_qty,
-       round(round(sum(l_extendedprice), 2) / count(*), 4)        AS avg_price,
-       round(round(sum(l_discount), 2) / count(*), 4)             AS avg_disc,
+       round(sum(l_discount), 2)                                  AS sum_disc,
        count(*)                                                   AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -158,10 +147,8 @@ def q_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
+        # no derived avg (parity rule: half-boundary ties on 2-decimal money)
         F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
-        F.round(
-            F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 4
-        ).alias("avg_total"),
     )
 
 
@@ -169,8 +156,7 @@ Q_ORDER_PROFILE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        count(*)                        AS n_orders,
        count(DISTINCT o_custkey)       AS n_customers,
-       round(sum(o_totalprice), 2)     AS sum_total,
-       round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_total
+       round(sum(o_totalprice), 2)     AS sum_total
 FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 """
@@ -296,8 +282,13 @@ def q_parts_below_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (decorrelated as an agg-join): parts priced
     below their type's average, counted per type."""
     part = load_table(spark, sf_dir, "part")
+    # threshold rounded to 4dp on both sides: engine summation-order ulp
+    # drift in the raw avg could flip `<` for a price within 1 ulp of the
+    # mean. After rounding, the engines agree except on half-boundaries
+    # (1e-4 apart) — and no 2-decimal price can fall inside that window,
+    # so membership is deterministic.
     type_avg = part.groupBy("p_type").agg(
-        F.avg("p_retailprice").alias("_avg_price")
+        F.round(F.avg("p_retailprice"), 4).alias("_avg_price")
     )
     return (
         part.join(F.broadcast(type_avg), "p_type")
@@ -313,7 +304,7 @@ def q_parts_below_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_PARTS_BELOW_AVG_SQL = """
 SELECT p_type, count(*) AS n_below_avg, round(min(p_retailprice), 2) AS cheapest
 FROM part p
-WHERE p_retailprice < (SELECT avg(p_retailprice) FROM part WHERE p_type = p.p_type)
+WHERE p_retailprice < (SELECT round(avg(p_retailprice), 4) FROM part WHERE p_type = p.p_type)
 GROUP BY p_type
 """
 
