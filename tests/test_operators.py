@@ -252,3 +252,33 @@ def test_salted_agg_equals_plain(spark):
     )
     srt = lambda d: sorted(map(tuple, d.select("k", "n", "s", "mn", "mx", "a").collect()))
     assert srt(salted) == srt(plain)
+
+
+def test_global_row_number_matches_window_and_nests(spark):
+    """Distributed global rank == single-partition window rank, including
+    heavy ties broken by a unique column, and stays exact when two ranks
+    are composed in one plan (the nondeterministic-pid trap)."""
+    from pyspark.sql import Window
+
+    from transcription_lakehouse_spark.operators.ranking import global_row_number
+
+    rows = [(i, (i * 7919) % 13, f"id{i:04d}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["i", "tied", "uid"])
+    nested = global_row_number(
+        global_row_number(df, ["tied", "uid"], "r1", num_partitions=8),
+        ["i"],
+        "r2",
+        num_partitions=8,
+    )
+    expect = df.select(
+        "uid",
+        F.row_number().over(Window.orderBy("tied", "uid")).alias("w1"),
+        F.row_number().over(Window.orderBy("i")).alias("w2"),
+    )
+    j = nested.join(expect, "uid")
+    assert j.filter((F.col("r1") != F.col("w1")) | (F.col("r2") != F.col("w2"))).count() == 0
+    # deterministic across invocations
+    again = global_row_number(df, ["tied", "uid"], "r1", num_partitions=8)
+    a = sorted(map(tuple, nested.select("uid", "r1").collect()))
+    b = sorted(map(tuple, again.select("uid", "r1").collect()))
+    assert a == b

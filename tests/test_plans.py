@@ -120,6 +120,32 @@ def test_bucketed_join_elides_both_shuffles(spark):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_corr_stats_has_no_single_partition_exchange(spark):
+    # Spearman ranks must use the distributed global rank (range fences +
+    # per-partition row_number + broadcast offsets) — a SinglePartition
+    # exchange here would funnel the whole table through one task
+    df = QUERIES["evt_corr_stats"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_random_pairs_uses_take_ordered_not_global_sort(spark):
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.quality.sampling import random_pairs
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id")
+    pairs = random_pairs(ev, "event_id", 50)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # determinism + shape
+    a = sorted(map(tuple, pairs.collect()))
+    b = sorted(map(tuple, random_pairs(ev, "event_id", 50).collect()))
+    assert a == b
+    assert all(x != y for x, y in a)
+
+
 def test_ivf_probe_join_is_equi_not_cartesian(spark):
     df = QUERIES["vec_knn_ivf"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -60,11 +60,15 @@ def random_pairs(
 
     def _shuffled(alias: str, s: int) -> DataFrame:
         order = F.sha2(F.concat_ws("|", F.col(alias), F.lit(str(s))), 256)
-        return (
-            df.select(F.col(id_col).alias(alias))
-            .withColumn("_i", F.row_number().over(Window.orderBy(order)))
-            .filter(F.col("_i") <= n_pairs)
-        )
+        # orderBy().limit() plans as TakeOrderedAndProject: per-partition
+        # top-k merged on the driver — the full table never collapses into
+        # one partition. Only the <= n_pairs survivors see a global window.
+        top = df.select(F.col(id_col).alias(alias), order.alias("_ord")).orderBy(
+            "_ord"
+        ).limit(n_pairs)
+        return top.withColumn(
+            "_i", F.row_number().over(Window.orderBy("_ord"))
+        ).drop("_ord")
 
     return (
         _shuffled("id_1", seed)

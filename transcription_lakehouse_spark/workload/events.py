@@ -144,8 +144,10 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ), numbered AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  -- CAST: DuckDB window sum() yields HUGEINT, which .df() coerces to
+  -- float64 and breaks the driver's value hash vs Spark's long
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -191,7 +193,7 @@ tagged AS (
 )
 SELECT user_id,
        count(*)       AS n_islands,
-       sum(e - s)     AS covered_us,
+       CAST(sum(e - s) AS BIGINT) AS covered_us,
        max(e - s)     AS longest_island_us,
        CAST(sum(n_merged) AS BIGINT) AS n_intervals
 FROM merged
@@ -235,7 +237,7 @@ tagged AS (
          lead(start_us) OVER (PARTITION BY user_id ORDER BY start_us) - end_us AS gap_us
   FROM merged
 )
-SELECT user_id, count(*) AS n_gaps, sum(gap_us) AS total_gap_us, max(gap_us) AS max_gap_us
+SELECT user_id, count(*) AS n_gaps, CAST(sum(gap_us) AS BIGINT) AS total_gap_us, max(gap_us) AS max_gap_us
 FROM gapped WHERE gap_us > 0
 GROUP BY user_id
 """
@@ -404,16 +406,26 @@ GROUP BY event_type
 
 def evt_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20/A21 correlation battery: Pearson corr(value, props.k) per event
-    type plus global Spearman via rank() windows."""
-    ev = _events(spark, sf_dir).withColumn(
-        "k", F.get_json_object("props", "$.k").cast("double")
+    type plus global Spearman.
+
+    Scale: the Spearman ranks use the DISTRIBUTED global row_number
+    (range shuffle + per-partition numbering + broadcast offsets,
+    operators/ranking.py) — no single-partition window anywhere. event_id
+    is a unique tiebreak, so row_number == rank(). NULL k/value rows are
+    filtered explicitly (Spark and DuckDB disagree on NULL sort placement).
+    """
+    from ..operators.ranking import global_row_number
+
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+        .filter(F.col("k").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "event_id", "value", "k")
     )
-    ranked = ev.select(
-        "event_type",
-        "value",
-        "k",
-        F.rank().over(Window.orderBy("value", "event_id")).alias("rv"),
-        F.rank().over(Window.orderBy("k", "event_id")).alias("rk"),
+    ranked = global_row_number(
+        global_row_number(ev, ["value", "event_id"], "rv"),
+        ["k", "event_id"],
+        "rk",
     )
     return ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -423,12 +435,17 @@ def evt_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVT_CORR_SQL = """
-WITH ranked AS (
-  SELECT event_type, value,
-         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
-         rank() OVER (ORDER BY value, event_id) AS rv,
-         rank() OVER (ORDER BY CAST(json_extract_string(props, '$.k') AS DOUBLE), event_id) AS rk
+WITH src AS (
+  SELECT event_type, event_id, value,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
   FROM events
+  WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+    AND value IS NOT NULL
+), ranked AS (
+  SELECT event_type, value, k,
+         rank() OVER (ORDER BY value, event_id) AS rv,
+         rank() OVER (ORDER BY k, event_id) AS rk
+  FROM src
 )
 SELECT event_type, count(*) AS n,
        round(corr(value, k), 6)  AS pearson_value_k,
