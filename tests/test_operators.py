@@ -282,3 +282,27 @@ def test_global_row_number_matches_window_and_nests(spark):
     a = sorted(map(tuple, nested.select("uid", "r1").collect()))
     b = sorted(map(tuple, again.select("uid", "r1").collect()))
     assert a == b
+
+
+def test_lsh_near_dup_pairs_finds_planted_dups(spark):
+    """Banded LSH near-dup must recover planted >= 0.99-cosine duplicates
+    (band OR-construction makes miss probability ~1e-4 per pair at this
+    similarity) and must never emit a pair below the threshold."""
+    import random
+
+    from transcription_lakehouse_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+
+    random.seed(11)
+    base = [[random.gauss(0, 1) for _ in range(32)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # plant 5 near-dups: tiny perturbations of existing vectors
+    for j in range(5):
+        src = base[j]
+        rows.append((100 + j, [x + random.gauss(0, 0.01) for x in src]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_near_dup_pairs(df, "vec_id", "embedding", threshold=0.95)
+    got = {(r["id_1"], r["id_2"]) for r in out.collect()}
+    assert {(j, 100 + j) for j in range(5)} <= got
+    assert all(r["sim"] >= 0.95 for r in out.collect())

@@ -146,6 +146,29 @@ def test_random_pairs_uses_take_ordered_not_global_sort(spark):
     assert all(x != y for x, y in a)
 
 
+def test_near_dup_pairs_is_banded_equi_join_not_all_pairs(spark):
+    # the near-dup blocking must be equi-joins on (band, bucket) then on
+    # ids — a CartesianProduct / nested-loop here is the O(n²) trap that
+    # the round-1 within-label all-pairs version hit
+    df = QUERIES["vec_near_dup_pairs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_similarity_matrix_pairs_only_sampled_rows(spark):
+    # the pairwise stage must run over the bounded per-label sample (a
+    # broadcast nested-loop over <= labels*cap rows is fine; an unsampled
+    # CartesianProduct over the corpus is not)
+    df = QUERIES["vec_label_similarity_matrix"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # both nested-loop inputs sit below the rank<=cap filter: the sample
+    # windows feed the join, not the raw scans
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("row_number") >= 2, optimized
+
+
 def test_ivf_probe_join_is_equi_not_cartesian(spark):
     df = QUERIES["vec_knn_ivf"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()

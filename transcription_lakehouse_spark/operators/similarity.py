@@ -26,6 +26,7 @@ __all__ = [
     "brute_force_topk",
     "hyperplane_bucket",
     "lsh_topk",
+    "lsh_near_dup_pairs",
     "train_centroids",
     "ivf_topk",
 ]
@@ -93,7 +94,7 @@ def _plane_signs(p: int, max_dims: int) -> list[float]:
 
 
 def hyperplane_bucket(
-    vec: F.Column, n_planes: int = 8, max_dims: int = 256
+    vec: F.Column, n_planes: int = 8, max_dims: int = 256, plane_offset: int = 0
 ) -> F.Column:
     """Deterministic random-hyperplane LSH bucket id (0 .. 2^n_planes - 1).
 
@@ -107,6 +108,10 @@ def hyperplane_bucket(
     per row (a longer vector would silently null-poison every projection
     and send all rows to bucket 0, degenerating the join to a cross
     product).
+
+    ``plane_offset`` selects a disjoint slice of the global plane family so
+    multi-band LSH (band b uses planes [b*r, (b+1)*r)) draws independent
+    hash functions per band.
     """
     guard = F.when(
         F.size(vec) > max_dims,
@@ -120,7 +125,7 @@ def hyperplane_bucket(
     bucket = guard
     for p in range(n_planes):
         signs = F.slice(
-            F.array(*[F.lit(s) for s in _plane_signs(p, max_dims)]),
+            F.array(*[F.lit(s) for s in _plane_signs(plane_offset + p, max_dims)]),
             1,
             F.size(vec),
         )
@@ -261,6 +266,84 @@ def ivf_topk(
         .withColumn("qn", l2_norm(F.col("qv")))
     )
     return _score_topk(q.join(c, "cell"), k)
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH —
+    the scale path for training-data dedup (replaces within-label all-pairs
+    blocking; reference analog is brute-force numpy cosine,
+    `/root/reference/src/lakehouse/quality/metrics/embedding.py:408-472`).
+
+    Band b hashes each vector with planes [b*r, (b+1)*r); two vectors are
+    candidates iff they collide in >= 1 band (classic AND-of-r / OR-of-b:
+    P(candidate) = 1-(1-(1-θ/π)^r)^b, steep around high cosine). Candidates
+    are DISTINCT id pairs; only those are exactly rescored. Everything is
+    equi-joins on (band, bucket) then on ids — no cross product, never an
+    O(n²) materialization. Deterministic: the plane family is md5-derived.
+    """
+    v = df.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
+    )
+    ids = v.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_bucket(
+                            F.col("v"),
+                            planes_per_band,
+                            plane_offset=b * planes_per_band,
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = ids.select(
+        F.col("vid").alias("id_1"), "band", "bucket"
+    )
+    right = ids.select(
+        F.col("vid").alias("id_2"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    x = v.select(F.col("vid").alias("id_1"), F.col("v").alias("va")).withColumn(
+        "na", l2_norm(F.col("va"))
+    )
+    y = v.select(F.col("vid").alias("id_2"), F.col("v").alias("vb")).withColumn(
+        "nb", l2_norm(F.col("vb"))
+    )
+    den = F.col("na") * F.col("nb")
+    return (
+        cand.join(x, "id_1")
+        .join(y, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.round(
+                F.when(den > 0, dot(F.col("va"), F.col("vb")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .orderBy(F.desc("sim"), F.asc("id_1"), F.asc("id_2"))
+    )
 
 
 def lsh_topk(

@@ -13,7 +13,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.vector import as_double_array, cosine, l2_norm
-from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_near_dup_pairs,
+    lsh_topk,
+)
 from ..sources.tables import load_table
 
 # DuckDB twins for dot/norm over the float[] column (cast to double first;
@@ -85,59 +90,90 @@ WHERE rank <= 5
 """
 
 
+# The testdata embeddings are near-orthogonal (max within-label cosine at
+# sf0.01 is 0.47), so a true 0.95 dedup threshold returns zero rows and the
+# oracle would be trivially green. The declared query therefore runs the SAME
+# banded-LSH machinery at threshold 0.35 so the candidate-generation + exact
+# rescore path is exercised with real rows (136 at sf0.01); production dedup
+# keeps the 0.95 default on `lsh_near_dup_pairs`.
+_NEAR_DUP_THRESHOLD = 0.35
+_NEAR_DUP_BANDS = 4
+_NEAR_DUP_PPB = 4
+
+
 def vec_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (training-data dedup): all pairs
-    with cosine >= 0.95, found by exact pairwise scoring within labels.
-
-    Scale path: swap the within-label blocking for the LSH buckets of
-    operators/similarity.py (same rescoring)."""
-    from ..functions.vector import dot, l2_norm
-
+    """Embedding-cosine near-duplicate pairs (training-data dedup) via
+    banded hyperplane LSH: candidates collide in >= 1 of 4 bands (4 planes
+    each), then exact cosine rescore + threshold. All equi-joins — no label
+    all-pairs, no cross product (pinned by tests/test_plans)."""
     e = _emb(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("id_1"),
-        F.col("label").alias("label"),
-        as_double_array("embedding").alias("va"),
-    ).withColumn("na", l2_norm(F.col("va")))
-    b = e.select(
-        F.col("vec_id").alias("id_2"),
-        F.col("label").alias("label"),
-        as_double_array("embedding").alias("vb"),
-    ).withColumn("nb", l2_norm(F.col("vb")))
-    den = F.col("na") * F.col("nb")
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select(
-            "label",
-            "id_1",
-            "id_2",
-            F.round(
-                F.when(den > 0, dot(F.col("va"), F.col("vb")) / den).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.95)
-        .orderBy(F.desc("sim"), F.asc("id_1"), F.asc("id_2"))
+    return lsh_near_dup_pairs(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=_NEAR_DUP_THRESHOLD,
+        n_bands=_NEAR_DUP_BANDS,
+        planes_per_band=_NEAR_DUP_PPB,
     )
 
 
-VEC_NEAR_DUP_SQL = f"""
-SELECT a.label AS label, a.vec_id AS id_1, b.vec_id AS id_2,
+def _sql_band_bucket(col: str, band: int, planes_per_band: int, dims: int) -> str:
+    """DuckDB twin of operators.similarity.hyperplane_bucket for one band:
+    the same md5-derived ±1 sign literals, the same left-to-right double
+    accumulation (list_sum over list_zip mirrors zip_with + aggregate)."""
+    from ..operators.similarity import _plane_signs
+
+    terms = []
+    for i in range(planes_per_band):
+        p = band * planes_per_band + i
+        arr = "[" + ",".join(repr(s) for s in _plane_signs(p, dims)) + "]"
+        proj = (
+            f"list_sum(list_transform(list_zip({col}, CAST({arr} AS DOUBLE[])),"
+            " z -> z[1] * z[2]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _near_dup_oracle_sql(
+    threshold: float, n_bands: int, planes_per_band: int, dims: int = 64
+) -> str:
+    bucket_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {_sql_band_bucket('e', b, planes_per_band, dims)} AS bucket FROM v"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS ({bucket_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2
+  FROM bk a JOIN bk b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_1, id_2,
        round(
-         CASE WHEN {_DNORM_A} * {_DNORM_B} > 0
-              THEN {_DDOT} / ({_DNORM_A} * {_DNORM_B})
+         CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))
+                   * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0
+              THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))
+                   / (sqrt(list_sum(list_transform(x.e, t -> t * t)))
+                      * sqrt(list_sum(list_transform(y.e, t -> t * t))))
               ELSE 0.0 END, 6) AS sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM cand c JOIN v x ON c.id_1 = x.vec_id JOIN v y ON c.id_2 = y.vec_id
 WHERE round(
-        CASE WHEN {_DNORM_A} * {_DNORM_B} > 0
-             THEN {_DDOT} / ({_DNORM_A} * {_DNORM_B})
-             ELSE 0.0 END, 6) >= 0.95
+        CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))
+                  * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0
+             THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))
+                  / (sqrt(list_sum(list_transform(x.e, t -> t * t)))
+                     * sqrt(list_sum(list_transform(y.e, t -> t * t))))
+             ELSE 0.0 END, 6) >= {threshold}
 ORDER BY sim DESC, id_1 ASC, id_2 ASC
 """
+
+
+VEC_NEAR_DUP_SQL = _near_dup_oracle_sql(
+    _NEAR_DUP_THRESHOLD, _NEAR_DUP_BANDS, _NEAR_DUP_PPB
+)
 
 
 def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,26 +220,45 @@ GROUP BY label, pos
 """
 
 
+# Cap on sampled vectors per label for the similarity matrix: bounds the
+# pairwise stage at (n_labels * cap)² rows no matter the corpus size.
+_SIM_MATRIX_CAP = 20
+
+
 def vec_label_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality matrix: mean pairwise cosine within and across
-    labels (a sane encoder has a hot diagonal). Exact pairwise over the
-    corpus — at scale, sample per label first (quality/sampling.py)."""
+    labels (a sane encoder has a hot diagonal), computed over a
+    DETERMINISTIC per-label sample (first `_SIM_MATRIX_CAP` rows per label
+    ordered by md5(vec_id) — a seeded shuffle both engines reproduce
+    bit-identically). The pairwise stage is then a bounded broadcast
+    nested-loop over <= labels*cap rows — never an O(n²) cross join over
+    the corpus; the per-label window shuffles once on the label key."""
     from ..functions.vector import dot, l2_norm
+    from pyspark.sql import Window
 
     e = _emb(spark, sf_dir)
-    a = e.select(
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    s = (
+        e.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _SIM_MATRIX_CAP)
+        .drop("_rk")
+    )
+    a = s.select(
         F.col("label").alias("label_1"),
         F.col("vec_id").alias("id_1"),
         as_double_array("embedding").alias("va"),
     ).withColumn("na", l2_norm(F.col("va")))
-    b = e.select(
+    b = s.select(
         F.col("label").alias("label_2"),
         F.col("vec_id").alias("id_2"),
         as_double_array("embedding").alias("vb"),
     ).withColumn("nb", l2_norm(F.col("vb")))
     den = F.col("na") * F.col("nb")
     pairs = (
-        a.crossJoin(b)
+        F.broadcast(a)
+        .crossJoin(b)
         .filter(F.col("id_1") < F.col("id_2"))
         .select(
             "label_1",
@@ -227,10 +282,18 @@ _PAIR_COS = (
 )
 
 VEC_LABEL_SIM_MATRIX_SQL = f"""
+WITH s AS (
+  SELECT vec_id, label, embedding FROM (
+    SELECT vec_id, label, embedding,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+    FROM embeddings)
+  WHERE rk <= {_SIM_MATRIX_CAP}
+)
 SELECT a.label AS label_1, b.label AS label_2,
        count(*) AS n_pairs,
        round(avg({_PAIR_COS}), 6) AS avg_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM s a JOIN s b ON a.vec_id < b.vec_id
 GROUP BY 1, 2
 """
 
