@@ -43,16 +43,28 @@ BEAT_MAX_SEC = 180.0
 BEAT_GUARDRAIL_SEC = 360.0
 SECTION_MIN_MIN = 5.0  # `sections.py:121-272`
 SECTION_MAX_MIN = 12.0
+SECTION_TARGET_MIN = 8.0  # `sections.py:50`
 SECTION_BOUNDARY_SIM = 0.5
-SECTION_STRONG_FACTOR = 0.6
+SECTION_STRONG_FACTOR = 0.6  # `sections.py:55,346`
+SECTION_SEMANTIC_CHECK_MULT = 1.5  # `sections.py:56,246`
 SECTION_GAP_SEC = 30.0
+SECTION_MIN_COVERAGE_PCT = 80.0  # `sections.py:455-462`
 
 
 def _assemble(
     grouped: DataFrame, prefix: str, child_col: str
 ) -> DataFrame:
-    """W10 boundary assembly: position-ranked deterministic IDs."""
-    w = Window.partitionBy("episode_id").orderBy("start_time")
+    """W10 boundary assembly: position-ranked deterministic IDs.
+
+    The position window tie-breaks on (end_time, first child id): two groups
+    in one episode CAN share start_time (simultaneous utterances by
+    different speakers force a session break at the same min(start)), and
+    an untied order would make row_number — and therefore every
+    content-hash ID — nondeterministic across partitionings, breaking the
+    idempotent-replay contract."""
+    w = Window.partitionBy("episode_id").orderBy(
+        "start_time", "end_time", F.col(child_col).getItem(0)
+    )
     pos = F.row_number().over(w) - 1
     return grouped.withColumn("_position", pos).withColumn(
         f"{prefix_name(prefix)}_id",
@@ -198,16 +210,39 @@ def generate_beats_heuristic(spans: DataFrame) -> DataFrame:
     return _finish_beats(tagged)
 
 
-def generate_sections(beats: DataFrame, beat_embeddings: DataFrame | None = None) -> DataFrame:
-    """W9 greedy section packing: accumulate beats into 5-12 min blocks,
-    preferring breaks at semantic boundaries (cosine < 0.5, 'strong' < 0.3)
-    and forcing breaks on >30s gaps; titles 'Section N'
-    (`sections.py:121-272,542-573`). Inherently sequential per episode →
-    applyInPandas grouped-map kernel."""
+def generate_sections(
+    beats: DataFrame,
+    beat_embeddings: DataFrame | None = None,
+    require_embeddings: bool = True,
+    allow_semantic_overflow: bool = True,
+) -> DataFrame:
+    """W9 greedy section packing (`sections.py:121-272,542-573`), faithful to
+    the reference's `_should_break_section` decision tree:
+
+    - duration accounting is the SUM of beat durations (`sections.py:146-174`),
+      not the wall-clock span;
+    - nothing breaks below min duration (5 min), including the >30s gap rule;
+    - above max (12 min): break only at a semantic boundary (sim < 0.5) when
+      `allow_semantic_overflow` (default, `sections.py:227-241`), else hard;
+    - strong boundaries (sim < 0.5*0.6) may break from 1.5*min = 7.5 min
+      (`sections.py:244-253`); plain semantic ones only from 0.8*target =
+      6.4 min (`sections.py:256-263`) — the two-tier preference;
+    - without embeddings (`beat_embeddings=None`) packing is time-based:
+      break once summed duration reaches the 8-min target
+      (`prefer_time_boundaries`, `sections.py:220-224`).
+
+    Guardrail (`sections.py:455-462`): when embeddings ARE provided and
+    `require_embeddings` (reference default), materialization fails if <80%
+    of beats have an embedding — a mostly-missing embeddings table must not
+    silently degrade section quality.
+
+    Inherently sequential per episode → applyInPandas grouped-map kernel
+    (per-episode beat counts are bounded by the duration guardrails)."""
     import numpy as np
 
     src = beats.select("beat_id", "episode_id", "start_time", "end_time", "text")
-    if beat_embeddings is not None:
+    semantic_mode = beat_embeddings is not None
+    if semantic_mode:
         src = src.join(
             beat_embeddings.select(
                 F.col("artifact_id").alias("beat_id"), F.col("embedding").alias("_emb")
@@ -215,6 +250,19 @@ def generate_sections(beats: DataFrame, beat_embeddings: DataFrame | None = None
             "beat_id",
             "left",
         )
+        if require_embeddings:
+            cov = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("_emb").alias("n_emb"),
+            ).first()
+            pct = 100.0 * cov["n_emb"] / cov["n"] if cov["n"] else 100.0
+            if pct < SECTION_MIN_COVERAGE_PCT:
+                raise ValueError(
+                    f"Insufficient embedding coverage for semantic sections: "
+                    f"{pct:.1f}% < {SECTION_MIN_COVERAGE_PCT}% "
+                    f"({cov['n_emb']}/{cov['n']} beats). Generate embeddings "
+                    "for all beats or pass require_embeddings=False."
+                )
     else:
         src = src.withColumn("_emb", F.lit(None).cast("array<float>"))
 
@@ -223,21 +271,26 @@ def generate_sections(beats: DataFrame, beat_embeddings: DataFrame | None = None
         "beat_ids array<string>, _position long"
     )
 
-    def cos(a, b) -> float:
+    def cos(a, b) -> float | None:
+        """None when either embedding is missing (no semantic signal —
+        reference `_has_semantic_boundary` returns False, `sections.py:290`)."""
         if a is None or b is None:
-            return 1.0
+            return None
         a = np.asarray(a, dtype="float64")
         b = np.asarray(b, dtype="float64")
         na, nb = np.linalg.norm(a), np.linalg.norm(b)
         if na == 0 or nb == 0:
             return 0.0
-        return float(np.clip(np.dot(a, b) / (na * nb), 0.0, 1.0))
+        return float(np.dot(a, b) / (na * nb))
 
-    min_s, max_s = SECTION_MIN_MIN * 60, SECTION_MAX_MIN * 60
+    min_s = SECTION_MIN_MIN * 60
+    max_s = SECTION_MAX_MIN * 60
+    target_s = SECTION_TARGET_MIN * 60
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["start_time", "beat_id"]).reset_index(drop=True)
         sections, cur = [], []
+        cur_dur = 0.0
 
         def flush():
             if not cur:
@@ -254,23 +307,34 @@ def generate_sections(beats: DataFrame, beat_embeddings: DataFrame | None = None
             )
             cur.clear()
 
-        prev = None
         for _, row in pdf.iterrows():
             r = row.to_dict()
-            if cur:
-                elapsed = cur[-1]["end_time"] - cur[0]["start_time"]
-                gap = r["start_time"] - cur[-1]["end_time"]
-                sim = cos(prev["_emb"] if prev is not None else None, r["_emb"])
-                strong = sim < SECTION_BOUNDARY_SIM * SECTION_STRONG_FACTOR
-                semantic = sim < SECTION_BOUNDARY_SIM
-                if (
-                    gap > SECTION_GAP_SEC
-                    or elapsed >= max_s
-                    or (elapsed >= min_s and (strong or semantic))
-                ):
-                    flush()
+            dur = r["end_time"] - r["start_time"]
+            brk = False
+            if cur and cur_dur >= min_s:
+                potential = cur_dur + dur
+                if not semantic_mode:
+                    brk = potential >= target_s
+                else:
+                    sim = cos(cur[-1]["_emb"], r["_emb"])
+                    semantic = sim is not None and sim < SECTION_BOUNDARY_SIM
+                    strong = sim is not None and sim < (
+                        SECTION_BOUNDARY_SIM * SECTION_STRONG_FACTOR
+                    )
+                    gap = r["start_time"] - cur[-1]["end_time"]
+                    if potential > max_s:
+                        brk = semantic or not allow_semantic_overflow
+                    elif cur_dur >= min_s * SECTION_SEMANTIC_CHECK_MULT and strong:
+                        brk = True
+                    elif cur_dur >= target_s * 0.8 and semantic:
+                        brk = True
+                    elif gap > SECTION_GAP_SEC:
+                        brk = True
+            if brk:
+                flush()
+                cur_dur = 0.0
             cur.append(r)
-            prev = r
+            cur_dur += dur
         flush()
         return pd.DataFrame(
             sections,
