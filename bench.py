@@ -93,7 +93,10 @@ def bench_knn_lsh_scaled(spark, sf_dir: str):
         .repartition(spark.sparkContext.defaultParallelism)
     )
     queries = big.filter(F.col("vec_id") % 25 == 0)
-    return lsh_topk(queries, big, "vec_id", "embedding", k=5, n_planes=8)
+    # planes_per_band scales with the corpus (10 planes -> 1024 buckets/band
+    # over 100k vectors keeps per-bucket candidate sets ~100): finer buckets
+    # bound the rescore volume, more bands buy recall back
+    return lsh_topk(queries, big, "vec_id", "embedding", k=5, n_bands=8, planes_per_band=10)
 
 
 def bench_knn_ivf_scaled(spark, sf_dir: str):

@@ -154,7 +154,7 @@ def test_lsh_topk_is_subset_of_exact(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     q = df.filter("vec_id < 3")
-    approx = lsh_topk(q, df, "vec_id", "embedding", k=3, n_planes=2)
+    approx = lsh_topk(q, df, "vec_id", "embedding", k=3, n_bands=2, planes_per_band=2)
     exact = brute_force_topk(q, df, "vec_id", "embedding", k=10)
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     approx_rows = approx.collect()
@@ -204,6 +204,39 @@ def test_ivf_partial_probe_recall_on_clustered_data(spark):
     want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     # well-separated clusters: the query's own cell holds its true neighbors
     assert len(got & want) / len(want) >= 0.9
+
+
+def test_ann_recall_gate_on_driver_testdata(spark):
+    """VERDICT #9: the approximate ANN paths have no oracle (by nature), so
+    recall@5 vs brute force on the REAL sf0.01 embeddings is the quality
+    pin. Floors sit just under measured values (banded LSH 0.66, IVF
+    nprobe=4 0.58 / nprobe=8 0.86 on near-random vectors — the hardest
+    case); a regression in bucketing/banding/probing fails here."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+
+    lsh = lsh_topk(q, e, "vec_id", "embedding", k=5)  # default 8 bands x 4 planes
+    got = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    assert len(got & want) / len(want) >= 0.6
+
+    ivf4 = ivf_topk(q, e, "vec_id", "embedding", k=5, n_cells=16, nprobe=4)
+    got4 = {(r["query_id"], r["neighbor_id"]) for r in ivf4.collect()}
+    assert len(got4 & want) / len(want) >= 0.5
+
+    ivf8 = ivf_topk(q, e, "vec_id", "embedding", k=5, n_cells=16, nprobe=8)
+    got8 = {(r["query_id"], r["neighbor_id"]) for r in ivf8.collect()}
+    assert len(got8 & want) / len(want) >= 0.8
 
 
 def test_train_centroids_deterministic(spark):

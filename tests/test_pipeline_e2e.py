@@ -69,6 +69,111 @@ def test_embeddings_deterministic_and_unit_norm(spark):
     assert rows["a"] == list(hash_embed("hello").astype(float).astype("float32"))
 
 
+def test_embedding_shared_batcher_truncates_batches_and_normalizes(spark):
+    """VERDICT #8: the provider-agnostic path owns truncation (8192 chars),
+    model-batch slicing (32), and unit-norm — pinned by driving the shared
+    path with a recording provider, then confirming the Spark job uses it."""
+    import numpy as np
+
+    from transcription_lakehouse_spark.embeddings import (
+        MAX_CHARS,
+        MODEL_BATCH,
+        encode_texts,
+        generate_embeddings,
+    )
+
+    seen: list[list[int]] = []
+
+    def factory(dim):
+        def embed(texts):
+            seen.append([len(t) for t in texts])
+            # deliberately un-normalized output: the shared path must fix it
+            return np.full((len(texts), dim), 3.0, dtype="float32") + np.arange(
+                len(texts), dtype="float32"
+            ).reshape(-1, 1)
+
+        return embed
+
+    texts = ["x" * (MAX_CHARS + 500)] + [f"t{i}" for i in range(MODEL_BATCH + 4)]
+    mat = encode_texts(texts, factory(8), dim=8)
+    # batch slicing: 37 texts -> batches of 32 and 5
+    assert [len(b) for b in seen] == [MODEL_BATCH, len(texts) - MODEL_BATCH]
+    # truncation happened BEFORE the provider saw the text
+    assert seen[0][0] == MAX_CHARS
+    # unit-norm applied on the way out
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+
+    # the distributed path accepts an injected factory (providers are config)
+    df = spark.createDataFrame([("a", "hello"), ("b", "world")], "id string, text string")
+    rows = generate_embeddings(df, "id", "text", "span", dim=8, provider=factory).collect()
+    assert all(abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-5 for r in rows)
+
+    # unknown real-model provider fails fast with the documented seam
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="sentence-transformers"):
+        generate_embeddings(df, "id", "text", "span", provider="sentence-transformers")
+
+
+def test_snapshot_refuses_red_qa_unless_forced(spark, tmp_path):
+    """VERDICT #6 (`creator.py:99-130`): a RED verdict blocks snapshot
+    creation; forcing writes the flag into the manifest and verify_snapshot
+    keeps surfacing it."""
+    import pytest as _pytest
+
+    lake = str(tmp_path / "lake")
+    _write_jsonl(tmp_path, "ep.jsonl", n=10)
+    pipeline.ingest(spark, str(tmp_path / "*.jsonl"), lake)
+
+    with _pytest.raises(ValueError, match="RED"):
+        create_snapshot(spark, lake, "v9.0.0", artifacts=["normalized"], qa_status="RED")
+
+    snap = create_snapshot(
+        spark, lake, "v9.0.0", artifacts=["normalized"], qa_status="RED", allow_red=True
+    )
+    problems = verify_snapshot(snap)
+    assert any("RED" in p for p in problems)
+
+    green = create_snapshot(
+        spark, lake, "v9.0.1", artifacts=["normalized"], qa_status="GREEN"
+    )
+    assert verify_snapshot(green) == []
+    manifest = json.load(open(f"{green}/lake_manifest.json"))
+    assert manifest["qa_status"] == "GREEN"
+
+
+def test_incremental_update_keeps_built_hash_family(spark, tmp_path):
+    """ADVICE: an index built with non-default n_planes must bucket appended
+    rows under the SAME hash family (metadata sidecar), or bucket-pruned
+    searches silently miss neighbors."""
+    from transcription_lakehouse_spark.indexing import build_index, read_index_meta
+    from transcription_lakehouse_spark.functions.vector import as_double_array
+    from transcription_lakehouse_spark.operators.similarity import hyperplane_bucket
+
+    dim = 6
+    base = spark.createDataFrame(
+        [(f"v{i}", [float(i % 3), 1.0, 0.5, -1.0, float(i % 2), 2.0]) for i in range(20)],
+        "artifact_id string, embedding array<float>",
+    )
+    idx = str(tmp_path / "idx6")
+    build_index(base, idx, n_planes=4)
+    assert read_index_meta(idx)["n_planes"] == 4
+
+    extra = spark.createDataFrame(
+        [(f"w{i}", [1.0, float(i), 0.0, 0.5, -2.0, float(i % 5)]) for i in range(4)],
+        "artifact_id string, embedding array<float>",
+    )
+    out = incremental_update(spark, base.union(extra), idx)
+    assert out == "appended 4"
+    stored = spark.read.parquet(idx).filter(F.col("artifact_id").startswith("w"))
+    expected = extra.withColumn(
+        "bucket", hyperplane_bucket(as_double_array("embedding"), 4)
+    )
+    got = {(r["artifact_id"], r["bucket"]) for r in stored.collect()}
+    want = {(r["artifact_id"], r["bucket"]) for r in expected.collect()}
+    assert got == want  # same family as built, NOT the default 8
+
+
 def test_index_lifecycle(spark, tmp_path):
     df = spark.createDataFrame(
         [(f"v{i}", [float(i % 5), 1.0, 0.5]) for i in range(20)],

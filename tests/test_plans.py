@@ -169,6 +169,16 @@ def test_similarity_matrix_pairs_only_sampled_rows(spark):
     assert optimized.count("row_number") >= 2, optimized
 
 
+def test_lsh_topk_is_banded_equi_join_not_cartesian(spark):
+    # banded OR-construction: candidate generation must join on
+    # (band, bucket) and rescore only DISTINCT id pairs — never a cross
+    # product of queries x corpus
+    df = QUERIES["vec_knn_lsh"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_ivf_probe_join_is_equi_not_cartesian(spark):
     df = QUERIES["vec_knn_ivf"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -2,11 +2,14 @@
 the reference's batch loop (`/root/reference/src/lakehouse/embeddings/
 generator.py:128-223`, batch 32, 8192-char truncation, unit-normalize).
 
-Model loading is pluggable per executor. The default provider is a
-deterministic hash embedding (seeded from sha256 of the text) — the test
-double the reference also recommends for reproducible tests (FIXTURES.md §6);
-a sentence-transformers provider slots in behind the same interface but is
-gated on import (the library is not in this container).
+Provider protocol: a provider FACTORY is resolved once per executor python
+worker and returns `embed_batch(texts: list[str]) -> np.ndarray (n, dim)`.
+Everything the reference's generator does around the model — 8192-char
+truncation, slicing Arrow batches into model batches of 32, and
+unit-normalization — lives in the SHARED `_encode` path, so the
+sentence-transformers provider is pure config: it supplies only the raw
+model forward, and inherits identical batching semantics to the hash
+double the tests pin.
 
 Scale: inference is embarrassingly parallel; Arrow batch size is bounded via
 spark.sql.execution.arrow.maxRecordsPerBatch (session.py) so model batches
@@ -16,29 +19,104 @@ stay memory-resident per executor core.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["hash_embed", "generate_embeddings", "DIM", "MAX_CHARS"]
+__all__ = [
+    "hash_embed",
+    "generate_embeddings",
+    "encode_texts",
+    "DIM",
+    "MAX_CHARS",
+    "MODEL_BATCH",
+]
 
 DIM = 64
 MAX_CHARS = 8192  # `generator.py:166-171`
+MODEL_BATCH = 32  # `generator.py:139` (reference model batch size)
 MODEL_NAME = "hash-embed-v1"
+
+# factory(dim) -> embed_batch(texts) -> (n, dim) float array (raw, un-normalized)
+ProviderFactory = Callable[[int], Callable[[list[str]], np.ndarray]]
 
 
 def hash_embed(text: str, dim: int = DIM) -> np.ndarray:
-    """Deterministic unit-norm vector from sha256-seeded Gaussian."""
-    seed = int.from_bytes(
-        hashlib.sha256(text[:MAX_CHARS].encode("utf-8")).digest()[:8], "big"
-    )
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim).astype("float32")
-    n = float(np.linalg.norm(v))
-    return v / n if n > 0 else v
+    """Deterministic unit-norm vector from sha256-seeded Gaussian (the
+    reproducible test double). Routed through the SAME `encode_texts` path
+    as the distributed job, so a direct call is bitwise-identical to the
+    pipeline output."""
+    return encode_texts([text], _hash_provider(dim), dim)[0]
+
+
+def _hash_batch_raw(texts: list[str], dim: int) -> np.ndarray:
+    out = np.empty((len(texts), dim), dtype="float32")
+    for i, t in enumerate(texts):
+        seed = int.from_bytes(
+            hashlib.sha256(t.encode("utf-8")).digest()[:8], "big"
+        )
+        out[i] = np.random.default_rng(seed).standard_normal(dim)
+    return out
+
+
+def _hash_provider(dim: int) -> Callable[[list[str]], np.ndarray]:
+    return lambda texts: _hash_batch_raw(texts, dim)
+
+
+def _sentence_transformers_provider(
+    dim: int,
+) -> Callable[[list[str]], np.ndarray]:  # pragma: no cover - lib not in container
+    """Real-model provider seam (`models.py:87-391`): loads once per
+    executor worker; the shared path still owns truncation/batching/norm."""
+    try:
+        from sentence_transformers import SentenceTransformer
+    except ImportError as e:
+        raise NotImplementedError(
+            "sentence-transformers is not installed in this environment; "
+            "use provider='hash' (deterministic test double)"
+        ) from e
+    model = SentenceTransformer("all-MiniLM-L6-v2")
+
+    def embed(texts: list[str]) -> np.ndarray:
+        return np.asarray(
+            model.encode(texts, batch_size=len(texts), normalize_embeddings=False)
+        )
+
+    return embed
+
+
+PROVIDERS: dict[str, ProviderFactory] = {
+    "hash": _hash_provider,
+    "sentence-transformers": _sentence_transformers_provider,
+}
+
+
+def encode_texts(
+    texts: list[str],
+    embed_batch: Callable[[list[str]], np.ndarray],
+    dim: int,
+    max_chars: int = MAX_CHARS,
+    model_batch: int = MODEL_BATCH,
+) -> np.ndarray:
+    """The shared M1 path every provider flows through: truncate to
+    `max_chars`, slice into model batches of `model_batch`, run the
+    provider, unit-normalize. Returns (n, dim) float32."""
+    if not texts:
+        return np.empty((0, dim), dtype="float32")
+    clipped = [(t or "")[:max_chars] for t in texts]
+    chunks = []
+    for lo in range(0, len(clipped), model_batch):
+        raw = np.asarray(
+            embed_batch(clipped[lo : lo + model_batch]), dtype="float32"
+        )
+        chunks.append(raw)
+    mat = np.concatenate(chunks, axis=0)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms > 0)
+    return mat
 
 
 def generate_embeddings(
@@ -47,26 +125,24 @@ def generate_embeddings(
     text_col: str,
     artifact_type: str,
     dim: int = DIM,
-    provider: str = "hash",
+    provider: str | ProviderFactory = "hash",
 ) -> DataFrame:
     """Returns the EMBEDDING_SCHEMA shape: (artifact_id, artifact_type,
-    embedding, model_name, model_version)."""
-    if provider == "sentence-transformers":  # pragma: no cover - not in container
-        try:
-            import sentence_transformers  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "sentence-transformers is not installed in this environment; "
-                "use provider='hash' (deterministic test double)"
-            ) from e
+    embedding, model_name, model_version). `provider` is a registry key or
+    a factory callable (dim -> embed_batch) for injection in tests."""
+    factory = PROVIDERS[provider] if isinstance(provider, str) else provider
+    if isinstance(provider, str) and provider == "sentence-transformers":
+        # fail fast on the driver rather than inside every executor task
+        factory(dim)
 
     src = df.select(F.col(id_col).alias("artifact_id"), F.col(text_col).alias("_text"))
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        embed_batch = factory(dim)  # one model load per python worker
         for pdf in batches:
-            vecs = [hash_embed(t or "", dim).tolist() for t in pdf["_text"]]
+            mat = encode_texts(list(pdf["_text"]), embed_batch, dim)
             yield pd.DataFrame(
-                {"artifact_id": pdf["artifact_id"], "embedding": vecs}
+                {"artifact_id": pdf["artifact_id"], "embedding": list(map(list, mat))}
             )
 
     out = src.mapInPandas(

@@ -11,53 +11,90 @@ at query time (the bucket equality predicate prunes parquet row groups).
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators.similarity import brute_force_topk, hyperplane_bucket, lsh_topk
 
-__all__ = ["build_index", "incremental_update", "search"]
+__all__ = ["build_index", "incremental_update", "search", "read_index_meta"]
 
 EXACT_THRESHOLD = 100_000  # below: exact crossJoin top-k; above: LSH
+
+_META_NAME = "_index_meta.json"
+
+
+def _write_index_meta(out_path: str, n_planes: int, n_rows: int) -> None:
+    with open(os.path.join(out_path, _META_NAME), "w") as f:
+        json.dump({"n_planes": n_planes, "rows": n_rows}, f)
+
+
+def read_index_meta(index_path: str) -> dict:
+    """Index metadata sidecar: the hash-family parameter (n_planes) and a
+    row-count hint. Appending rows bucketed under a DIFFERENT plane count
+    silently corrupts bucket-pruned searches, so the family is persisted at
+    build time and reused on every append/rebuild."""
+    with open(os.path.join(index_path, _META_NAME)) as f:
+        return json.load(f)
 
 
 def build_index(
     embeddings: DataFrame, out_path: str, n_planes: int = 8
 ) -> None:
     """M2: persist vectors + LSH bucket column, partitioned by bucket so a
-    bucket-equality search prunes partitions."""
+    bucket-equality search prunes partitions. n_planes is recorded in a
+    metadata sidecar so incremental updates keep the same hash family."""
     from .functions.vector import as_double_array
 
     tagged = embeddings.withColumn(
         "bucket", hyperplane_bucket(as_double_array("embedding"), n_planes)
     )
     tagged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    # row count from the written footers (metadata-only), not a recompute
+    n_rows = embeddings.sparkSession.read.parquet(out_path).count()
+    _write_index_meta(out_path, n_planes, n_rows)
 
 
 def incremental_update(
     spark: SparkSession, embeddings: DataFrame, index_path: str,
     id_col: str = "artifact_id", rebuild_threshold: float = 0.3,
+    n_planes: int = 8,
 ) -> str:
     """M3: append only new artifact ids (anti-join, J6); full rebuild when
-    new rows exceed 30% of the index (`incremental.py:200-276`)."""
+    new rows exceed 30% of the index (`incremental.py:200-276`).
+
+    The append path buckets new rows with the n_planes persisted at build
+    time (metadata sidecar) — NOT the caller's default — so an index built
+    with a non-default plane count never gets rows from a different hash
+    family. `n_planes` here only applies when building from scratch."""
     try:
         existing = spark.read.parquet(index_path)
     except Exception:
-        build_index(embeddings, index_path)
+        build_index(embeddings, index_path, n_planes=n_planes)
         return "built"
+    try:
+        built_planes = int(read_index_meta(index_path)["n_planes"])
+    except (OSError, KeyError, ValueError):
+        # pre-sidecar index: infer the family from the persisted buckets
+        # (bucket ids span [0, 2^planes)) rather than guessing the default
+        max_bucket = existing.agg(F.max("bucket")).first()[0] or 0
+        built_planes = max(int(max_bucket).bit_length(), 1)
     new = embeddings.join(
         existing.select(id_col), id_col, "left_anti"
     )
     n_new, n_old = new.count(), existing.count()
     if n_old == 0 or n_new / max(n_old, 1) > rebuild_threshold:
-        build_index(embeddings, index_path)
+        build_index(embeddings, index_path, n_planes=built_planes)
         return "rebuilt"
     from .functions.vector import as_double_array
 
     tagged = new.withColumn(
-        "bucket", hyperplane_bucket(as_double_array("embedding"), 8)
+        "bucket", hyperplane_bucket(as_double_array("embedding"), built_planes)
     )
     tagged.write.mode("append").partitionBy("bucket").parquet(index_path)
+    _write_index_meta(index_path, built_planes, n_old + n_new)
     return f"appended {n_new}"
 
 
@@ -68,10 +105,17 @@ def search(
     vec_col: str = "embedding",
     k: int = 10,
     exact: bool | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """J9: top-k neighbors; strategy switch mirrors the reference's
-    exact-vs-ANN split (exact for metrics, approximate at scale)."""
+    exact-vs-ANN split (exact for metrics, approximate at scale).
+
+    Pass `corpus_rows` (e.g. from the index metadata sidecar) to skip the
+    full-scan count in the strategy switch — at scale a count() before
+    every search is itself a scan of the whole corpus."""
     if exact is None:
-        exact = corpus.count() <= EXACT_THRESHOLD
+        if corpus_rows is None:
+            corpus_rows = corpus.count()
+        exact = corpus_rows <= EXACT_THRESHOLD
     fn = brute_force_topk if exact else lsh_topk
     return fn(queries, corpus, id_col, vec_col, k=k)

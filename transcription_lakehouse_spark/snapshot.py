@@ -37,9 +37,20 @@ def create_snapshot(
     version: str,
     artifacts: list[str] = ("normalized", "spans", "beats", "sections"),
     qa_status: str = "UNKNOWN",
+    allow_red: bool = False,
 ) -> str:
     """Copy artifacts into `<lake>/snapshots/<version>/` + manifest. Raises
-    if the version already exists (immutability)."""
+    if the version already exists (immutability).
+
+    QA gating (`creator.py:99-130`): a RED quality verdict refuses the
+    snapshot unless `allow_red=True`, in which case the manifest still
+    carries the RED status so `verify_snapshot` surfaces it downstream.
+    Pass the verdict from `quality.assessor.assess()`."""
+    if qa_status.upper() == "RED" and not allow_red:
+        raise ValueError(
+            f"refusing snapshot {version}: quality status is RED "
+            "(pass allow_red=True to force; the manifest will be flagged)"
+        )
     snap_dir = os.path.join(lake_dir, "snapshots", version)
     if os.path.exists(snap_dir):
         raise FileExistsError(f"snapshot {version} already exists (immutable)")
@@ -71,10 +82,13 @@ def create_snapshot(
 
 def verify_snapshot(snap_dir: str) -> list[str]:
     """Re-hash every file against the manifest; returns mismatches
-    (`snapshot/validator.py` semantics)."""
+    (`snapshot/validator.py` semantics). A RED qa_status in the manifest is
+    surfaced as a problem — a forced RED snapshot stays visibly flagged."""
     with open(os.path.join(snap_dir, "lake_manifest.json")) as f:
         manifest = json.load(f)
     problems = []
+    if str(manifest.get("qa_status", "UNKNOWN")).upper() == "RED":
+        problems.append("qa_status is RED (snapshot was force-created)")
     for art, info in manifest["artifacts"].items():
         for rel, meta in info["files"].items():
             p = os.path.join(snap_dir, rel)

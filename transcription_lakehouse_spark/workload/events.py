@@ -497,24 +497,36 @@ GROUP BY user_id
 
 def evt_first_last_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmin/argmax aggregation (min_by/max_by): each user's first and last
-    event type plus the value carried at those moments."""
+    event type plus the value carried at those moments.
+
+    The ordering key is the composite (ts_us, event_id): two events CAN share
+    a timestamp, and a bare ts_us key would let Spark and DuckDB resolve the
+    tie differently — nondeterministic run-to-run."""
     ev = _events(spark, sf_dir)
+    key = F.struct("ts_us", "event_id")
     return ev.groupBy("user_id").agg(
-        F.min_by("event_type", "ts_us").alias("first_type"),
-        F.max_by("event_type", "ts_us").alias("last_type"),
-        F.round(F.min_by("value", "ts_us"), 2).alias("first_value"),
-        F.round(F.max_by("value", "ts_us"), 2).alias("last_value"),
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.round(F.min_by("value", key), 2).alias("first_value"),
+        F.round(F.max_by("value", key), 2).alias("last_value"),
     )
 
 
 EVT_FIRST_LAST_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+  FROM events
+)
 SELECT user_id,
-       arg_min(event_type, epoch_us(ts)) AS first_type,
-       arg_max(event_type, epoch_us(ts)) AS last_type,
-       round(arg_min(value, epoch_us(ts)), 2) AS first_value,
-       round(arg_max(value, epoch_us(ts)), 2) AS last_value
-FROM events
-GROUP BY user_id
+       max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS first_value,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS last_value
+FROM ordered GROUP BY user_id
 """
 
 

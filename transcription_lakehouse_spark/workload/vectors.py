@@ -177,13 +177,15 @@ VEC_NEAR_DUP_SQL = _near_dup_oracle_sql(
 
 
 def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 approximate ANN via deterministic hyperplane-LSH buckets.
+    """J9 approximate ANN via deterministic banded hyperplane-LSH buckets
+    (OR-of-8-bands × AND-of-4-planes; recall@5 vs brute force gated in
+    tests/test_operators.py).
 
     No SQL oracle (approximate operator; driver records rows-only) — but the
     bucketing is deterministic so results are stable run-to-run."""
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 25 == 0)
-    return lsh_topk(queries, e, "vec_id", "embedding", k=5, n_planes=6)
+    return lsh_topk(queries, e, "vec_id", "embedding", k=5)
 
 
 def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
