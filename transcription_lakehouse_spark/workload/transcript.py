@@ -1,0 +1,330 @@
+"""Hierarchical-pipeline workload: the spans → beats → sections operators
+(W2/W8/W9/W10, `aggregation.py`) run end-to-end on driver testdata with full
+DuckDB oracle twins — including the sha256 content-hash artifact IDs.
+
+The driver ships no transcript table, so utterances are DERIVED from
+`events` deterministically: user → episode, event_type → speaker, and the
+timeline compressed 1e5× (µs / 1e11 → seconds) so that real inter-event
+gaps (median ~7 h) land around the 0.5 s span gap threshold and the
+sessionization actually merges runs. Durations are synthesized from `value`
+(2–11.8 s) so the guardrail filters and the beat/section duration
+accounting see real variation. Every float is produced by the SAME
+arithmetic expression on both engines (single divisions/additions in a
+fixed order), so comparisons at the gap/duration thresholds agree bitwise.
+
+The oracle side reproduces:
+- the lag → break-flag → cumsum sessionization (`with_session_id`) as
+  window SQL,
+- the carried-state beat grouping (speaker change / >5 s gap / cumulative
+  >180 s reset, `generate_beats_heuristic`'s applyInPandas kernel) as a
+  RECURSIVE CTE walking each episode's spans in order — per-row state
+  (group id, accumulated duration) is exactly the kernel's,
+- time-based section packing (`generate_sections` with no embeddings:
+  break once summed duration ≥ the 8-min target, never below the 5-min
+  min) with the same recursive-walk idiom over beats,
+- `_assemble`'s position ranking ((start_time, end_time, first child id))
+  and `ids.child_agg_id`'s `{prefix}_{sha256(ep)[:12]}_{pos:06d}_{sha256(
+  sorted_child_ids|sha256(text)[:16])[:8]}` — DuckDB's sha256/list_sort/
+  lpad reproduce the Spark expressions, proving the deterministic-ID
+  contract is engine-portable (reference `ids.py:56-207`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..aggregation import (
+    generate_beats_heuristic,
+    generate_sections,
+    generate_spans,
+)
+from ..sources.tables import load_table
+
+# --- shared utterance derivation ------------------------------------------
+
+_TIME_SCALE = 1e11  # µs → compressed seconds (1e5× time compression)
+
+
+def _utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rel = F.col("ts_us") - F.min("ts_us").over(Window.partitionBy("user_id"))
+    start = rel / F.lit(_TIME_SCALE)
+    return ev.select(
+        F.col("user_id").cast("string").alias("episode_id"),
+        F.col("event_id").cast("string").alias("utterance_id"),
+        F.col("event_type").alias("speaker"),
+        start.alias("start"),
+        (start + F.lit(2.0) + F.col("value") / F.lit(50.0)).alias("end"),
+        F.concat(F.col("event_type"), F.lit(" "), F.col("event_id")).alias("text"),
+    )
+
+
+_UTTERANCES_SQL = """
+  SELECT CAST(user_id AS VARCHAR) AS episode_id,
+         CAST(event_id AS VARCHAR) AS utterance_id,
+         event_type AS speaker,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 100000000000.0 AS start,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 100000000000.0
+           + 2.0 + value / 50.0 AS end_t,
+         concat(event_type, ' ', event_id) AS text
+  FROM events
+"""
+
+# DuckDB twin of ids.child_agg_id over aggregated (ids list, text):
+#   {prefix}_{sha256(episode_id)[:12]}_{position:06d}
+#          _{sha256(concat(sorted_ids_csv, '|', sha256(text)[:16]))[:8]}
+def _agg_id_sql(prefix: str, ids_col: str, pos_col: str) -> str:
+    return (
+        f"concat('{prefix}_', substr(sha256(episode_id), 1, 12), '_', "
+        f"lpad(CAST({pos_col} AS VARCHAR), 6, '0'), '_', "
+        f"substr(sha256(concat(array_to_string(list_sort({ids_col}), ','), '|', "
+        f"substr(sha256(text), 1, 16))), 1, 8))"
+    )
+
+
+# spans as produced by generate_spans, before output projection — shared by
+# the span query and as the base of the beat/section recursions
+_SPANS_SQL = f"""
+utt AS ({_UTTERANCES_SQL}),
+flagged AS (
+  SELECT *, CASE WHEN lag(end_t) OVER w IS NULL
+                   OR start - lag(end_t) OVER w > 0.5
+                   OR speaker <> lag(speaker) OVER w
+                 THEN 1 ELSE 0 END AS is_new
+  FROM utt
+  WINDOW w AS (PARTITION BY episode_id ORDER BY start, end_t, utterance_id)
+),
+numbered AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY episode_id
+                                   ORDER BY start, end_t, utterance_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+sgrouped AS (
+  SELECT episode_id, session_id,
+         min(speaker) AS speaker,
+         min(start) AS start_time,
+         max(end_t) AS end_time,
+         string_agg(text, ' ' ORDER BY start, utterance_id) AS text,
+         list(utterance_id ORDER BY start, utterance_id) AS utterance_ids
+  FROM numbered GROUP BY episode_id, session_id
+),
+sfiltered AS (
+  SELECT *, round(end_time - start_time, 6) AS duration
+  FROM sgrouped
+  WHERE round(end_time - start_time, 6) >= 1.0
+    AND round(end_time - start_time, 6) <= 240.0
+),
+spans AS (
+  SELECT *, row_number() OVER (PARTITION BY episode_id
+                               ORDER BY start_time, end_time, utterance_ids[1]) - 1 AS pos
+  FROM sfiltered
+)
+"""
+
+
+def trn_span_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+W10 oracle: full `generate_spans` output — sessionized spans with
+    guardrail filters and engine-portable content-hash span IDs."""
+    spans = generate_spans(_utterances(spark, sf_dir))
+    return spans.select(
+        "episode_id",
+        "span_id",
+        "speaker",
+        F.round("start_time", 6).alias("start_sec"),
+        F.round("end_time", 6).alias("end_sec"),
+        "duration",
+        F.size("utterance_ids").alias("n_utterances"),
+        F.concat_ws(",", "utterance_ids").alias("utterance_csv"),
+        "text",
+    )
+
+
+TRN_SPAN_CATALOG_SQL = f"""
+WITH {_SPANS_SQL}
+SELECT episode_id,
+       {_agg_id_sql("spn", "utterance_ids", "pos")} AS span_id,
+       speaker,
+       round(start_time, 6) AS start_sec,
+       round(end_time, 6)   AS end_sec,
+       duration,
+       CAST(len(utterance_ids) AS INTEGER) AS n_utterances,
+       array_to_string(utterance_ids, ',') AS utterance_csv,
+       text
+FROM spans
+"""
+
+
+# beats: recursive walk over each episode's spans carrying (group id,
+# accumulated duration) — exactly generate_beats_heuristic's kernel state
+_BEATS_SQL = f"""
+{_SPANS_SQL},
+ordered AS (
+  SELECT episode_id, speaker, start_time, end_time, text,
+         {_agg_id_sql("spn", "utterance_ids", "pos")} AS span_id
+  FROM spans
+),
+seq AS (
+  SELECT *, row_number() OVER (PARTITION BY episode_id
+                               ORDER BY start_time, span_id) AS rn
+  FROM ordered
+),
+walk AS (
+  SELECT episode_id, rn, speaker, start_time, end_time, text, span_id,
+         CAST(0 AS BIGINT) AS grp,
+         end_time - start_time AS acc
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.episode_id, s.rn, s.speaker, s.start_time, s.end_time, s.text, s.span_id,
+         CASE WHEN s.speaker <> w.speaker
+                OR s.start_time - w.end_time > 5.0
+                OR w.acc + (s.end_time - s.start_time) > 180.0
+              THEN w.grp + 1 ELSE w.grp END,
+         CASE WHEN s.speaker <> w.speaker
+                OR s.start_time - w.end_time > 5.0
+                OR w.acc + (s.end_time - s.start_time) > 180.0
+              THEN s.end_time - s.start_time
+              ELSE w.acc + (s.end_time - s.start_time) END
+  FROM seq s JOIN walk w
+    ON s.episode_id = w.episode_id AND s.rn = w.rn + 1
+),
+bgrouped AS (
+  SELECT episode_id, grp,
+         min(start_time) AS start_time,
+         max(end_time) AS end_time,
+         string_agg(text, ' ' ORDER BY start_time, span_id) AS text,
+         list(span_id ORDER BY start_time, span_id) AS span_ids
+  FROM walk GROUP BY episode_id, grp
+),
+bfiltered AS (
+  SELECT *, round(end_time - start_time, 6) AS duration
+  FROM bgrouped
+  WHERE round(end_time - start_time, 6) <= 360.0
+),
+beats AS (
+  SELECT *, row_number() OVER (PARTITION BY episode_id
+                               ORDER BY start_time, end_time, span_ids[1]) - 1 AS pos
+  FROM bfiltered
+)
+"""
+
+
+def trn_beat_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8+W10 oracle: heuristic beats (speaker change / >5 s gap /
+    cumulative-duration reset — carried state, applyInPandas) recomputed by
+    the oracle as a recursive CTE. The ONE carried-state operator in the
+    repo with a full SQL twin."""
+    beats = generate_beats_heuristic(generate_spans(_utterances(spark, sf_dir)))
+    return beats.select(
+        "episode_id",
+        "beat_id",
+        F.round("start_time", 6).alias("start_sec"),
+        F.round("end_time", 6).alias("end_sec"),
+        "duration",
+        F.size("span_ids").alias("n_spans"),
+        F.concat_ws(",", "span_ids").alias("span_csv"),
+        "text",
+    )
+
+
+TRN_BEAT_CATALOG_SQL = f"""
+WITH RECURSIVE {_BEATS_SQL}
+SELECT episode_id,
+       {_agg_id_sql("bet", "span_ids", "pos")} AS beat_id,
+       round(start_time, 6) AS start_sec,
+       round(end_time, 6)   AS end_sec,
+       duration,
+       CAST(len(span_ids) AS INTEGER) AS n_spans,
+       array_to_string(span_ids, ',') AS span_csv,
+       text
+FROM beats
+"""
+
+
+def trn_section_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9+W10 oracle: time-based section packing (no embeddings → break
+    when summed beat duration reaches the 8-min target, never under the
+    5-min min) — `generate_sections`' carried state recomputed by the
+    oracle with the same recursive-walk idiom over beats."""
+    beats = generate_beats_heuristic(generate_spans(_utterances(spark, sf_dir)))
+    sections = generate_sections(beats, beat_embeddings=None)
+    return sections.select(
+        "episode_id",
+        "section_id",
+        "title",
+        F.round("start_time", 6).alias("start_sec"),
+        F.round("end_time", 6).alias("end_sec"),
+        "duration_minutes",
+        F.size("beat_ids").alias("n_beats"),
+        F.concat_ws(",", "beat_ids").alias("beat_csv"),
+        "text",
+    )
+
+
+TRN_SECTION_CATALOG_SQL = f"""
+WITH RECURSIVE {_BEATS_SQL},
+bseq AS (
+  SELECT episode_id, start_time, end_time, text,
+         {_agg_id_sql("bet", "span_ids", "pos")} AS beat_id
+  FROM beats
+),
+bnum AS (
+  SELECT *, row_number() OVER (PARTITION BY episode_id
+                               ORDER BY start_time, beat_id) AS rn
+  FROM bseq
+),
+swalk AS (
+  -- state: (grp, acc) = (section index, summed duration of current section);
+  -- the kernel breaks BEFORE appending when acc >= 300 and acc + dur >= 480
+  SELECT episode_id, rn, start_time, end_time, text, beat_id,
+         CAST(0 AS BIGINT) AS grp,
+         end_time - start_time AS acc
+  FROM bnum WHERE rn = 1
+  UNION ALL
+  SELECT b.episode_id, b.rn, b.start_time, b.end_time, b.text, b.beat_id,
+         CASE WHEN w.acc >= 300.0
+                AND w.acc + (b.end_time - b.start_time) >= 480.0
+              THEN w.grp + 1 ELSE w.grp END,
+         CASE WHEN w.acc >= 300.0
+                AND w.acc + (b.end_time - b.start_time) >= 480.0
+              THEN b.end_time - b.start_time
+              ELSE w.acc + (b.end_time - b.start_time) END
+  FROM bnum b JOIN swalk w
+    ON b.episode_id = w.episode_id AND b.rn = w.rn + 1
+),
+packed AS (
+  -- the kernel's section span is first-row start to LAST-row end in
+  -- iteration order (cur[0]/cur[-1]) — overlapping beats make that differ
+  -- from max(end_time), hence arg_max on the walk sequence
+  SELECT episode_id, grp AS pos,
+         min(start_time) AS start_time,
+         arg_max(end_time, rn) AS end_time,
+         string_agg(text, ' ' ORDER BY rn) AS text,
+         list(beat_id ORDER BY rn) AS beat_ids
+  FROM swalk GROUP BY episode_id, grp
+)
+SELECT episode_id,
+       {_agg_id_sql("sec", "beat_ids", "pos")} AS section_id,
+       concat('Section ', pos + 1) AS title,
+       round(start_time, 6) AS start_sec,
+       round(end_time, 6)   AS end_sec,
+       round((end_time - start_time) / 60.0, 6) AS duration_minutes,
+       CAST(len(beat_ids) AS INTEGER) AS n_beats,
+       array_to_string(beat_ids, ',') AS beat_csv,
+       text
+FROM packed
+"""
+
+
+QUERIES = {
+    "trn_span_catalog": trn_span_catalog,
+    "trn_beat_catalog": trn_beat_catalog,
+    "trn_section_catalog": trn_section_catalog,
+}
+
+ORACLES = {
+    "trn_span_catalog": TRN_SPAN_CATALOG_SQL,
+    "trn_beat_catalog": TRN_BEAT_CATALOG_SQL,
+    "trn_section_catalog": TRN_SECTION_CATALOG_SQL,
+}
