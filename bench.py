@@ -35,6 +35,9 @@ HEADLINE = [
     "doc_fingerprints",
     "vec_knn_bruteforce",
     "vec_knn_lsh",
+    "trn_span_catalog",
+    "trn_beat_catalog",
+    "trn_section_catalog",
 ]
 
 

@@ -46,6 +46,28 @@ def test_spans_text_and_children_ordered(spark):
     assert re.match(ID_PATTERN, row["span_id"])
 
 
+def test_episode_catalog_carries_ordered_full_text(spark):
+    """Reference `episodes.py:106-121`: the catalog carries the episode's
+    FULL transcript (STRING_AGG ordered by start time), plus parsed
+    series/date/title from the id pattern."""
+    from transcription_lakehouse_spark.catalogs.episodes import episode_catalog
+
+    cat = episode_catalog(normalize(raw_utterances(spark)))
+    rows = {r["episode_id"]: r for r in cat.collect()}
+    ep3 = rows[EP3]
+    # 5 utterances, time order preserved end-to-end
+    assert ep3["full_text"].startswith("Alice says thing 0")
+    assert ep3["full_text"].endswith("thing 4 in LOS")
+    assert ep3["full_text"].count("Alice says thing") == 5
+    assert (ep3["series"], ep3["date"], ep3["title"]) == (
+        "LOS", "2024-03-01", "Finale",
+    )
+    ep1 = rows[EP1]
+    assert ep1["utterance_count"] == 7 and ep1["speaker_count"] == 2
+    # full text covers every utterance exactly once
+    assert ep1["full_text"].count("says thing") == 7
+
+
 def test_span_enrichment_roles(spark):
     cfg = SpeakerRoleConfig(experts=["Alice"], roles={"Bob": "host"})
     spans = enrich_spans(_spans(spark), cfg, spark)

@@ -27,6 +27,21 @@ def episode_catalog(utterances: DataFrame) -> DataFrame:
         F.round(F.avg(F.col("end") - F.col("start")), 6).alias(
             "avg_utterance_duration"
         ),
+        # full transcript per episode (`episodes.py:106-121` STRING_AGG ...
+        # ORDER BY start_time): order-stable via the sorted-struct idiom.
+        # Memory note: the concat materializes one episode's text per group —
+        # bounded by episode length (same profile as the reference); the
+        # collect_list partials still merge map-side, so the shuffle carries
+        # each utterance's text once.
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("start", "utterance_id", "text"))
+                ),
+                lambda s: s["text"],
+            ),
+        ).alias("full_text"),
     )
     # try_element_at: ids that don't follow the '{series} - #{num} - {date} -
     # {title}' pattern (e.g. filename-stem defaults) yield NULLs, matching the
