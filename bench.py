@@ -38,6 +38,7 @@ HEADLINE = [
     "trn_span_catalog",
     "trn_beat_catalog",
     "trn_section_catalog",
+    "doc_curation_funnel",
 ]
 
 

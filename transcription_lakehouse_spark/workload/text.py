@@ -490,7 +490,182 @@ LIMIT 20
 )
 
 
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the composed pass a 100 TB corpus
+    job actually runs, with a per-language funnel as the auditable output:
+
+      input → language-gated (langid predicts the target language 'en' —
+              the C4-style keep-target-language rule; docs whose text the
+              n-gram model can't place ('und') are dropped)
+            → quality-gated (20-80 tokens AND lexical density >= 0.25)
+            → exact-dedup keep-first (md5 fingerprint, lowest doc_id wins)
+            → near-dup removal (MinHash+LSH candidates, exact-Jaccard >= 0.6,
+              the higher doc_id of each pair dropped)
+
+    Every stage is declarative (filters, one fingerprint window, the banded
+    LSH equi-joins) so Catalyst pipelines them into a handful of shuffles;
+    nothing materializes pairwise work outside shared LSH buckets. The
+    DuckDB twin recomputes the whole funnel including the md5 minhash
+    family, so the composition — not just each stage — is hash-gated."""
+    from pyspark.sql import Window
+
+    from ..operators.langid import predict_lang
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    n_tok = token_count("text")
+    density = F.size(content_tokens("text")) / n_tok
+    s1 = d.filter(predict_lang("text") == F.lit("en"))
+    s2 = s1.filter((n_tok >= 20) & (n_tok <= 80) & (density >= 0.25))
+    s3 = (
+        s2.withColumn("_fp", fingerprint("text"))
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    cands = lsh_candidate_pairs(minhash_signature(s3, "doc_id", "text"), "doc_id")
+    jac = shingle_pair_jaccard(s3, "doc_id", "text", n=3).select(
+        "doc_id_1", "doc_id_2", "jaccard"
+    )
+    near = cands.join(jac, ["doc_id_1", "doc_id_2"]).filter(F.col("jaccard") >= 0.6)
+    drop = near.select(F.col("doc_id_2").alias("doc_id")).distinct()
+    s4 = s3.join(drop, "doc_id", "left_anti")
+
+    def per_lang(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    zero = F.lit(0).cast("long")
+    out = (
+        per_lang(d, "n_input")
+        .join(per_lang(s1, "n_lang_verified"), "lang", "left")
+        .join(per_lang(s2, "n_quality_ok"), "lang", "left")
+        .join(per_lang(s3, "n_exact_unique"), "lang", "left")
+        .join(
+            s4.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_curated"),
+                F.sum(token_count("text")).alias("sum_curated_tokens"),
+            ),
+            "lang",
+            "left",
+        )
+    )
+    return out.select(
+        "lang",
+        "n_input",
+        F.coalesce("n_lang_verified", zero).alias("n_lang_verified"),
+        F.coalesce("n_quality_ok", zero).alias("n_quality_ok"),
+        F.coalesce("n_exact_unique", zero).alias("n_exact_unique"),
+        F.coalesce("n_curated", zero).alias("n_curated"),
+        F.coalesce("sum_curated_tokens", zero).alias("sum_curated_tokens"),
+    )
+
+
+def _curation_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, lang, text FROM documents),
+scored AS (
+  SELECT d.*, list_sort({_langid_score_sql()})[1] AS best
+  FROM (SELECT doc_id, lang, text, text AS txt, {_TOK} AS t FROM d) d
+),
+s1 AS (
+  SELECT doc_id, lang, text FROM scored
+  WHERE (CASE WHEN best.negc < 0 THEN best.code ELSE 'und' END) = 'en'
+),
+s2 AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, len({_TOK}) AS n_tokens,
+           len(list_filter({_TOK}, x -> NOT list_contains({_STOP}, x)))
+             / CAST(len({_TOK}) AS DOUBLE) AS density
+    FROM s1
+  ) WHERE n_tokens BETWEEN 20 AND 80 AND density >= 0.25
+),
+s3 AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM s2
+  ) WHERE rn = 1
+),
+toks AS (SELECT doc_id, {_TOK} AS t FROM s3),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hw AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS a,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS b
+  FROM ex
+),
+sigs AS (
+  SELECT doc_id,
+         min((a + 0 * b) % 4294967296) AS m0, min((a + 1 * b) % 4294967296) AS m1,
+         min((a + 2 * b) % 4294967296) AS m2, min((a + 3 * b) % 4294967296) AS m3,
+         min((a + 4 * b) % 4294967296) AS m4, min((a + 5 * b) % 4294967296) AS m5,
+         min((a + 6 * b) % 4294967296) AS m6, min((a + 7 * b) % 4294967296) AS m7
+  FROM hw GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR) AS key FROM sigs UNION ALL
+  SELECT doc_id, 1, CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR) FROM sigs UNION ALL
+  SELECT doc_id, 2, CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR) FROM sigs UNION ALL
+  SELECT doc_id, 3, CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT c.doc_id_1, c.doc_id_2
+  FROM cand c
+  JOIN inter i ON i.doc_id_1 = c.doc_id_1 AND i.doc_id_2 = c.doc_id_2
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) z1 ON z1.doc_id = c.doc_id_1
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) z2 ON z2.doc_id = c.doc_id_2
+  WHERE CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) >= 0.6
+),
+s4 AS (
+  SELECT * FROM s3
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id_2 FROM near)
+),
+f0 AS (SELECT lang, count(*) AS n_input FROM d GROUP BY lang),
+f1 AS (SELECT lang, count(*) AS n_lang_verified FROM s1 GROUP BY lang),
+f2 AS (SELECT lang, count(*) AS n_quality_ok FROM s2 GROUP BY lang),
+f3 AS (SELECT lang, count(*) AS n_exact_unique FROM s3 GROUP BY lang),
+f4 AS (SELECT lang, count(*) AS n_curated,
+              CAST(sum(len({_TOK})) AS BIGINT) AS sum_curated_tokens
+       FROM s4 GROUP BY lang)
+SELECT f0.lang, n_input,
+       COALESCE(n_lang_verified, 0) AS n_lang_verified,
+       COALESCE(n_quality_ok, 0)    AS n_quality_ok,
+       COALESCE(n_exact_unique, 0)  AS n_exact_unique,
+       COALESCE(n_curated, 0)       AS n_curated,
+       COALESCE(sum_curated_tokens, 0) AS sum_curated_tokens
+FROM f0
+LEFT JOIN f1 USING (lang)
+LEFT JOIN f2 USING (lang)
+LEFT JOIN f3 USING (lang)
+LEFT JOIN f4 USING (lang)
+"""
+
+
+DOC_CURATION_SQL = _curation_sql()
+
+
 QUERIES = {
+    "doc_curation_funnel": doc_curation_funnel,
     "doc_edit_ratio_pairs": doc_edit_ratio_pairs,
     "doc_langid": doc_langid,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
@@ -506,6 +681,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_curation_funnel": DOC_CURATION_SQL,
     "doc_edit_ratio_pairs": DOC_EDIT_RATIO_SQL,
     "doc_langid": DOC_LANGID_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
