@@ -103,6 +103,31 @@ def test_shingles_and_jaccard(spark):
     assert p["n_common"] == 1 and abs(p["jaccard"] - 1 / 3) < 1e-9
 
 
+def test_jaccard_max_df_drops_hot_shingle_pairs(spark):
+    """Skew guard: a shingle shared by EVERY doc makes the inverted-index
+    self-join quadratic; max_df removes it from the intersection side while
+    denominators still count all shingles (jaccard becomes a lower bound)."""
+    hot = "common boiler plate"
+    rows = [
+        ("a", f"{hot} alpha beta gamma delta"),
+        ("b", f"{hot} alpha beta gamma zeta"),
+        ("c", f"{hot} unrelated words entirely"),
+        ("d", f"{hot} other different content"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    # without the guard the hot shingle pairs every doc with every other: 6 pairs
+    assert shingle_pair_jaccard(df, "id", "text").count() == 6
+    capped = shingle_pair_jaccard(df, "id", "text", max_df=3).collect()
+    got = {(r["id_1"], r["id_2"]): r for r in capped}
+    # only a-b share NON-hot shingles ("alpha beta gamma", ...)
+    assert set(got) == {("a", "b")}
+    p = got[("a", "b")]
+    # denominators unchanged (5 shingles each), intersection counts only
+    # the surviving shared shingles -> a strict lower bound on true jaccard
+    assert p["n_1"] == 5 and p["n_2"] == 5
+    assert p["n_common"] < 5
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [("a", base), ("b", base + " ok"), ("c", "completely different words entirely here now for sure")]

@@ -413,6 +413,39 @@ def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
     assert got == want, (got, want)
 
 
+def test_streaming_dedup_drops_repeated_fingerprints(spark, tmp_path):
+    """Streaming exact dedup: normalized-text fingerprints repeated within
+    the watermark are dropped; distinct texts survive. State is bounded by
+    the event-time watermark (dropDuplicatesWithinWatermark)."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import streaming_dedup
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    rows = [
+        {"episode_id": "E", "start": 0.0, "end": 1.0, "speaker": "A", "text": "Same  Text"},
+        {"episode_id": "E", "start": 1.0, "end": 2.0, "speaker": "B", "text": "same text "},
+        {"episode_id": "E", "start": 2.0, "end": 3.0, "speaker": "A", "text": "different"},
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    q = (
+        streaming_dedup(spark, str(d))
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text FROM stream_dedup").collect()
+    # whitespace-collapse + lowercase makes the first two rows one fingerprint
+    assert len(got) == 2
+    assert {r["text"] for r in got} == {"Same  Text", "different"} or {
+        r["text"] for r in got
+    } == {"same text ", "different"}
+
+
 def test_streaming_session_stats(spark, tmp_path):
     import json as _json
 

@@ -98,17 +98,34 @@ def shingle_pair_jaccard(
     text_col: str,
     n: int = 3,
     block_cols: list[str] | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard via inverted-index self-join.
 
     Returns (id_1, id_2, n_common, n_1, n_2, jaccard) for every pair sharing
     >= 1 shingle (and matching ``block_cols`` if given). Scale: the join is
-    an equi-join on the shingle string — hot shingles are the skew risk, so
-    callers should pre-filter stopword-only shingles or rely on AQE skew
-    splitting.
+    an equi-join on the shingle string — hot shingles are the skew risk.
+
+    ``max_df`` is the skew guard: shingles occurring in more than ``max_df``
+    documents are dropped from the INTERSECTION side before the self-join
+    (each hot shingle alone generates O(df²) pairs — one stopword trigram in
+    1M docs is 10¹² joined rows). This makes ``n_common`` (and therefore
+    jaccard) a lower bound for pairs whose overlap is mostly hot shingles —
+    the standard inverted-index trade (df-capped postings); exact-rescore
+    callers are unaffected because candidates this misses share only
+    ubiquitous text. Denominator sizes still count ALL shingles. Default
+    ``None`` keeps the exact semantics (the oracle-gated queries use that).
     """
     block_cols = block_cols or []
     sh = _exploded_shingles(df, id_col, text_col, n, block_cols)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct(id_col).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
         F.col(id_col), F.size(shingles_from_tokens(F.col("_toks"), n)).alias("n_sh")
     )

@@ -23,7 +23,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..ingestion import normalize, split_valid
 from ..schemas import RAW_UTTERANCE_SCHEMA
 
-__all__ = ["stream_ingest", "streaming_session_stats"]
+__all__ = ["stream_ingest", "streaming_session_stats", "streaming_dedup"]
 
 
 def stream_ingest(
@@ -63,6 +63,32 @@ def stream_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the live twin of the batch fingerprint
+    dedup (`operators/dedup.py:fingerprint`): drop any utterance whose
+    normalized-text fingerprint was already seen within the watermark.
+
+    `dropDuplicatesWithinWatermark` bounds the dedup state by event time
+    (state entries expire once the watermark passes them), which is the
+    only way streaming dedup survives an unbounded corpus — a plain
+    dropDuplicates would accumulate one state row per distinct document
+    forever. Returns an unstarted streaming DataFrame."""
+    from ..operators.dedup import fingerprint
+
+    raw = (
+        spark.readStream.schema(RAW_UTTERANCE_SCHEMA)
+        .json(input_dir)
+        .withColumn("event_time", F.timestamp_seconds("start"))
+        .withWatermark("event_time", watermark)
+        .withColumn("_fp", fingerprint("text"))
+    )
+    return raw.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
 
 
 def streaming_session_stats(
