@@ -142,16 +142,22 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
+    def best_of(fn, runs: int = 2) -> float:
+        """Steady-state timing: min over `runs` executions. A single cold
+        run mixes codegen/JIT/page-cache warmup and machine noise into the
+        number; the min is the reproducible cost of the plan itself."""
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = best_of(QUERIES[name])
     for name, fn in SCALED.items():
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = best_of(fn)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -509,57 +509,55 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, so the composition — not just each stage — is hash-gated."""
     from pyspark.sql import Window
 
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
     from ..operators.langid import predict_lang
 
-    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    # One projection computes every per-doc gate; the funnel is then ONE
+    # aggregation over boolean flags. (Five per-stage groupBys would each
+    # re-scan documents and re-run langid/tokenization — 5x the text work
+    # for the same numbers.)
     n_tok = token_count("text")
     density = F.size(content_tokens("text")) / n_tok
-    s1 = d.filter(predict_lang("text") == F.lit("en"))
-    s2 = s1.filter((n_tok >= 20) & (n_tok <= 80) & (density >= 0.25))
-    s3 = (
-        s2.withColumn("_fp", fingerprint("text"))
-        .withColumn(
-            "_rn", F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id"))
+    flags = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            (predict_lang("text") == F.lit("en")).alias("lang_ok"),
+            ((n_tok >= 20) & (n_tok <= 80) & (density >= 0.25)).alias("_q_band"),
+            n_tok.alias("_n_tok"),
+            fingerprint("text").alias("_fp"),
         )
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+        .withColumn("q_ok", F.col("lang_ok") & F.col("_q_band"))
     )
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
+    # keep-first among quality survivors: q_ok joins the window partition so
+    # rejected docs never displace a survivor's rank
+    rn = F.row_number().over(Window.partitionBy("_fp", "q_ok").orderBy("doc_id"))
+    flags = flags.withColumn("exact_keep", F.col("q_ok") & (rn == 1))
 
+    s3 = flags.filter("exact_keep").select("doc_id", "text")
     cands = lsh_candidate_pairs(minhash_signature(s3, "doc_id", "text"), "doc_id")
     jac = shingle_pair_jaccard(s3, "doc_id", "text", n=3).select(
         "doc_id_1", "doc_id_2", "jaccard"
     )
     near = cands.join(jac, ["doc_id_1", "doc_id_2"]).filter(F.col("jaccard") >= 0.6)
     drop = near.select(F.col("doc_id_2").alias("doc_id")).distinct()
-    s4 = s3.join(drop, "doc_id", "left_anti")
 
-    def per_lang(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
-
-    zero = F.lit(0).cast("long")
-    out = (
-        per_lang(d, "n_input")
-        .join(per_lang(s1, "n_lang_verified"), "lang", "left")
-        .join(per_lang(s2, "n_quality_ok"), "lang", "left")
-        .join(per_lang(s3, "n_exact_unique"), "lang", "left")
-        .join(
-            s4.groupBy("lang").agg(
-                F.count(F.lit(1)).alias("n_curated"),
-                F.sum(token_count("text")).alias("sum_curated_tokens"),
-            ),
-            "lang",
-            "left",
+    curated = F.col("exact_keep") & ~F.coalesce(F.col("_neardup"), F.lit(False))
+    return (
+        flags.join(drop.withColumn("_neardup", F.lit(True)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.col("lang_ok").cast("long")).alias("n_lang_verified"),
+            F.sum(F.col("q_ok").cast("long")).alias("n_quality_ok"),
+            F.sum(F.col("exact_keep").cast("long")).alias("n_exact_unique"),
+            F.sum(curated.cast("long")).alias("n_curated"),
+            F.coalesce(
+                F.sum(F.when(curated, F.col("_n_tok"))), F.lit(0).cast("long")
+            ).alias("sum_curated_tokens"),
         )
-    )
-    return out.select(
-        "lang",
-        "n_input",
-        F.coalesce("n_lang_verified", zero).alias("n_lang_verified"),
-        F.coalesce("n_quality_ok", zero).alias("n_quality_ok"),
-        F.coalesce("n_exact_unique", zero).alias("n_exact_unique"),
-        F.coalesce("n_curated", zero).alias("n_curated"),
-        F.coalesce("sum_curated_tokens", zero).alias("sum_curated_tokens"),
     )
 
 
