@@ -169,6 +169,27 @@ def test_similarity_matrix_pairs_only_sampled_rows(spark):
     assert optimized.count("row_number") >= 2, optimized
 
 
+def test_trn_span_catalog_single_sessionization_shuffle(spark):
+    # the span pipeline is one window pass + one groupBy riding the same
+    # episode partitioning + the position window — bounded exchanges, and
+    # never a SinglePartition funnel
+    df = QUERIES["trn_span_catalog"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_curation_funnel_no_cartesian_no_single_partition(spark):
+    # the composed curation pass must stay banded equi-joins throughout —
+    # a cartesian anywhere (langid, window, LSH, drop-set join) would be
+    # the O(n^2) trap the funnel exists to avoid
+    df = QUERIES["doc_curation_funnel"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_lsh_topk_is_banded_equi_join_not_cartesian(spark):
     # banded OR-construction: candidate generation must join on
     # (band, bucket) and rescore only DISTINCT id pairs — never a cross

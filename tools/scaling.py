@@ -15,6 +15,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
 
 from transcription_lakehouse_spark.operators.intervals import merged_intervals  # noqa: E402
 from transcription_lakehouse_spark.operators.sessionization import with_session_id  # noqa: E402
@@ -114,6 +115,32 @@ def run(factor: int) -> dict:
     ).groupBy().count().collect()
     out["ann_ivf_sec"] = round(time.time() - t0, 2)
     emb.unpersist()
+
+    # hierarchical pipeline: utterances derived from scaled events (episode
+    # cardinality grows with the factor), spans -> heuristic beats
+    from transcription_lakehouse_spark.aggregation import (
+        generate_beats_heuristic,
+        generate_spans,
+    )
+
+    rel = F.col("ts_us") - F.min("ts_us").over(Window.partitionBy("user_id"))
+    utt = scaled_events(spark, factor).select(
+        F.col("user_id").cast("string").alias("episode_id"),
+        F.col("event_id").cast("string").alias("utterance_id"),
+        F.col("event_type").alias("speaker"),
+        (rel / 1e11).alias("start"),
+        (rel / 1e11 + 2.0 + F.col("value") / 50.0).alias("end"),
+        F.concat_ws(" ", "event_type", "event_id").alias("text"),
+    ).cache()
+    utt.count()
+    t0 = time.time()
+    spans = generate_spans(utt)
+    spans.groupBy().count().collect()
+    out["spans_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    generate_beats_heuristic(generate_spans(utt)).groupBy().count().collect()
+    out["beats_sec"] = round(time.time() - t0, 2)
+    utt.unpersist()
     return out
 
 
