@@ -192,6 +192,38 @@ def test_index_lifecycle(spark, tmp_path):
     assert res.count() > 0
 
 
+def test_ivf_index_store_and_pruned_search(spark, tmp_path):
+    """The stored-IVF path: centroids persisted in the sidecar, corpus
+    partitioned by cell, search reads only probed cell partitions and
+    matches the in-memory ivf_topk exactly."""
+    from tests.test_operators import _clustered_vectors
+    from transcription_lakehouse_spark.indexing import (
+        build_ivf_index,
+        read_index_meta,
+        search_ivf,
+    )
+    from transcription_lakehouse_spark.operators.similarity import ivf_topk
+
+    rows = [(f"v{i}", v) for i, v in _clustered_vectors(n_per_cluster=15)]
+    df = spark.createDataFrame(rows, "artifact_id string, embedding array<float>")
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(df, idx, n_cells=4)
+    meta = read_index_meta(idx)
+    assert meta["kind"] == "ivf" and meta["rows"] == 60
+    assert len(meta["centroids"]) == 4
+
+    q = df.limit(3)
+    got = search_ivf(spark, q, idx, k=3, nprobe=2)
+    want = ivf_topk(
+        q, df, "artifact_id", "embedding", k=3, n_cells=4, nprobe=2,
+        centroids=meta["centroids"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the corpus scan prunes to the probed cell partitions
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "cell#" in plan, plan
+
+
 def test_snapshot_immutable_and_verifiable(spark, tmp_path):
     lake = str(tmp_path / "lake")
     _write_jsonl(tmp_path, "ep.jsonl")

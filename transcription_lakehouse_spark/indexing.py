@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators.similarity import brute_force_topk, hyperplane_bucket, lsh_topk
 
-__all__ = ["build_index", "incremental_update", "search", "read_index_meta"]
+__all__ = [
+    "build_index",
+    "incremental_update",
+    "search",
+    "read_index_meta",
+    "build_ivf_index",
+    "search_ivf",
+]
 
 EXACT_THRESHOLD = 100_000  # below: exact crossJoin top-k; above: LSH
 
@@ -96,6 +103,72 @@ def incremental_update(
     tagged.write.mode("append").partitionBy("bucket").parquet(index_path)
     _write_index_meta(index_path, built_planes, n_old + n_new)
     return f"appended {n_new}"
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    out_path: str,
+    n_cells: int = 16,
+    id_col: str = "artifact_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF index materialization — the 100 TB search path: train the coarse
+    quantizer ONCE (bounded driver-side k-means), assign every vector its
+    nearest cell, and store the corpus parquet PARTITIONED BY cell with the
+    centroids in the metadata sidecar. A search then reads only the
+    ~nprobe/n_cells partitions its probes touch (partition pruning on the
+    cell directory), with zero per-search assignment work."""
+    from .operators.similarity import _nearest_cells_udf, train_centroids
+    from .functions.vector import as_double_array
+
+    centroids = train_centroids(embeddings, id_col, vec_col, n_cells)
+    assign1 = _nearest_cells_udf(centroids, 1)
+    tagged = embeddings.withColumn(
+        "cell", F.element_at(assign1(as_double_array(vec_col)), 1)
+    )
+    tagged.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    n_rows = embeddings.sparkSession.read.parquet(out_path).count()
+    with open(os.path.join(out_path, _META_NAME), "w") as f:
+        json.dump({"kind": "ivf", "centroids": centroids, "rows": n_rows}, f)
+
+
+def search_ivf(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "artifact_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k against a stored IVF index. The distinct probed cells are
+    collected first (bounded by n_cells — a tiny driver set even for huge
+    query batches) so the corpus scan filters to those cell partitions and
+    parquet partition pruning skips the rest of the store."""
+    from .operators.similarity import _nearest_cells_udf, ivf_topk
+    from .functions.vector import as_double_array
+
+    centroids = read_index_meta(index_path)["centroids"]
+    probe = _nearest_cells_udf(centroids, nprobe)
+    probed = [
+        r["cell"]
+        for r in queries.select(
+            F.explode(probe(as_double_array(vec_col))).alias("cell")
+        )
+        .distinct()
+        .collect()
+    ]
+    corpus = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
+    return ivf_topk(
+        queries,
+        corpus,
+        id_col,
+        vec_col,
+        k=k,
+        nprobe=nprobe,
+        centroids=centroids,
+        precomputed_cell="cell",
+    )
 
 
 def search(

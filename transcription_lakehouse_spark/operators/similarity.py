@@ -229,6 +229,7 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     centroids: list[list[float]] | None = None,
+    precomputed_cell: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are bucketed to their nearest
     k-means cell; each query probes its `nprobe` nearest cells and is
@@ -248,11 +249,21 @@ def ivf_topk(
     if centroids is None:
         centroids = train_centroids(corpus, id_col, vec_col, n_cells)
 
-    assign1 = _nearest_cells_udf(centroids, 1)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("cv"),
-    ).withColumn("cell", F.element_at(assign1(F.col("cv")), 1))
+    if precomputed_cell is not None:
+        # stored-index path: the cell assignment was materialized at build
+        # time (indexing.build_ivf_index) — no per-search assignment pass,
+        # and a cell-partitioned store prunes unprobed partitions
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cv"),
+            F.col(precomputed_cell).cast("int").alias("cell"),
+        )
+    else:
+        assign1 = _nearest_cells_udf(centroids, 1)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cv"),
+        ).withColumn("cell", F.element_at(assign1(F.col("cv")), 1))
 
     probe = _nearest_cells_udf(centroids, nprobe)
     q = queries.select(
