@@ -317,14 +317,98 @@ FROM packed
 """
 
 
+def trn_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 oracle over the REAL quality battery: `quality.metrics.
+    duration_stats` (exact percentiles) grouped by speaker on the derived
+    spans — the quality module itself is what the oracle gates here, not a
+    workload reimplementation."""
+    from ..quality.metrics import duration_stats
+
+    spans = generate_spans(_utterances(spark, sf_dir))
+    return duration_stats(spans, "speaker")
+
+
+TRN_DURATION_STATS_SQL = f"""
+WITH {_SPANS_SQL}
+SELECT speaker,
+       count(*) AS n,
+       round(min(duration), 6) AS min_duration,
+       round(max(duration), 6) AS max_duration,
+       round(avg(duration), 6) AS mean_duration,
+       round(quantile_cont(duration, 0.05), 6) AS p5_duration,
+       round(quantile_cont(duration, 0.5), 6)  AS median_duration,
+       round(quantile_cont(duration, 0.95), 6) AS p95_duration,
+       round(stddev_samp(duration), 6) AS std_duration
+FROM spans
+GROUP BY speaker
+"""
+
+
+def trn_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 oracle over `quality.metrics.duration_histogram` (fixed custom
+    bin edges, counts + percents) on the derived spans."""
+    from ..quality.metrics import duration_histogram
+
+    spans = generate_spans(_utterances(spark, sf_dir))
+    return duration_histogram(spans, [3.0, 6.0, 12.0, 24.0])
+
+
+TRN_DURATION_HISTOGRAM_SQL = f"""
+WITH {_SPANS_SQL},
+binned AS (
+  SELECT CASE WHEN duration < 3.0 THEN 0
+              WHEN duration < 6.0 THEN 1
+              WHEN duration < 12.0 THEN 2
+              WHEN duration < 24.0 THEN 3
+              ELSE 4 END AS bin
+  FROM spans
+)
+SELECT bin, count(*) AS n,
+       round(count(*) * 100.0 / (SELECT count(*) FROM spans), 2) AS pct
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def trn_speaker_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 oracle over `quality.metrics.speaker_balance`: per-speaker share
+    with deterministic ranking and top-N flag. The global rank window is
+    over the per-speaker AGGREGATE (cardinality = #speakers, bounded), not
+    the row table — safe at any corpus size."""
+    from ..quality.metrics import speaker_balance
+
+    spans = generate_spans(_utterances(spark, sf_dir))
+    return speaker_balance(spans, top_n=3)
+
+
+TRN_SPEAKER_BALANCE_SQL = f"""
+WITH {_SPANS_SQL},
+per AS (
+  SELECT speaker, count(*) AS n_segments,
+         round(sum(duration), 6) AS total_duration
+  FROM spans GROUP BY speaker
+)
+SELECT speaker, n_segments, total_duration,
+       CAST(row_number() OVER (ORDER BY total_duration DESC, speaker ASC) AS INTEGER) AS rank,
+       round(total_duration * 100.0 / sum(total_duration) OVER (), 2) AS pct_duration,
+       (row_number() OVER (ORDER BY total_duration DESC, speaker ASC)) <= 3 AS in_top_n
+FROM per
+"""
+
+
 QUERIES = {
     "trn_span_catalog": trn_span_catalog,
     "trn_beat_catalog": trn_beat_catalog,
     "trn_section_catalog": trn_section_catalog,
+    "trn_duration_stats": trn_duration_stats,
+    "trn_duration_histogram": trn_duration_histogram,
+    "trn_speaker_balance": trn_speaker_balance,
 }
 
 ORACLES = {
     "trn_span_catalog": TRN_SPAN_CATALOG_SQL,
     "trn_beat_catalog": TRN_BEAT_CATALOG_SQL,
     "trn_section_catalog": TRN_SECTION_CATALOG_SQL,
+    "trn_duration_stats": TRN_DURATION_STATS_SQL,
+    "trn_duration_histogram": TRN_DURATION_HISTOGRAM_SQL,
+    "trn_speaker_balance": TRN_SPEAKER_BALANCE_SQL,
 }
