@@ -186,9 +186,10 @@ def text_metrics(segments: DataFrame, group_col: str | None = None) -> DataFrame
 # --- Category C: integrity (`quality/metrics/integrity.py`) -----------------
 
 
-def integrity_counts(segments: DataFrame) -> dict[str, int]:
-    """A17: violation-count battery as one conditional aggregation pass."""
-    row = segments.agg(
+def integrity_battery(segments: DataFrame) -> DataFrame:
+    """A17: violation-count battery as ONE conditional aggregation pass
+    (single scan regardless of how many checks ride it)."""
+    return segments.agg(
         F.sum((F.col("duration") < 0).cast("long")).alias("negative_duration"),
         F.sum((F.col("duration") == 0).cast("long")).alias("zero_duration"),
         F.sum(
@@ -201,7 +202,12 @@ def integrity_counts(segments: DataFrame) -> dict[str, int]:
             "missing_text"
         ),
         F.sum((F.col("start_time") < 0).cast("long")).alias("negative_start"),
-    ).collect()[0]
+    )
+
+
+def integrity_counts(segments: DataFrame) -> dict[str, int]:
+    """Dict view of :func:`integrity_battery` for the assessor."""
+    row = integrity_battery(segments).collect()[0]
     return {k: int(row[k] or 0) for k in row.asDict()}
 
 

@@ -395,6 +395,56 @@ FROM per
 """
 
 
+def trn_integrity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 oracle over `quality.metrics.integrity_battery`: the events rows
+    are deterministically DIRTIED (blank text on event_id % 97, zero
+    duration on % 101, null speaker on % 103, negated start on % 107) so
+    every violation counter is nonzero and the whole battery — one
+    conditional-aggregation scan — is hash-gated against DuckDB."""
+    from ..quality.metrics import integrity_battery
+
+    utt = _utterances(spark, sf_dir)
+    eid = F.col("utterance_id").cast("long")
+    dirty = utt.select(
+        F.when(eid % 107 == 0, -F.col("start") - 1.0).otherwise(F.col("start")).alias(
+            "start_time"
+        ),
+        F.when(eid % 101 == 0, F.lit(0.0))
+        .otherwise(F.col("end") - F.col("start"))
+        .alias("duration"),
+        "episode_id",
+        F.when(eid % 103 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("speaker"))
+        .alias("speaker"),
+        F.when(eid % 97 == 0, F.lit("   ")).otherwise(F.col("text")).alias("text"),
+    )
+    return integrity_battery(dirty)
+
+
+TRN_INTEGRITY_SQL = f"""
+WITH utt AS ({_UTTERANCES_SQL}),
+dirty AS (
+  SELECT CASE WHEN CAST(utterance_id AS BIGINT) % 107 = 0
+              THEN -start - 1.0 ELSE start END AS start_time,
+         CASE WHEN CAST(utterance_id AS BIGINT) % 101 = 0
+              THEN 0.0 ELSE end_t - start END AS duration,
+         episode_id,
+         CASE WHEN CAST(utterance_id AS BIGINT) % 103 = 0
+              THEN NULL ELSE speaker END AS speaker,
+         CASE WHEN CAST(utterance_id AS BIGINT) % 97 = 0
+              THEN '   ' ELSE text END AS text
+  FROM utt
+)
+SELECT CAST(sum(CASE WHEN duration < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_duration,
+       CAST(sum(CASE WHEN duration = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_duration,
+       CAST(sum(CASE WHEN episode_id IS NULL OR trim(episode_id) = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_episode_id,
+       CAST(sum(CASE WHEN speaker IS NULL OR trim(speaker) = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_speaker,
+       CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_text,
+       CAST(sum(CASE WHEN start_time < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_start
+FROM dirty
+"""
+
+
 QUERIES = {
     "trn_span_catalog": trn_span_catalog,
     "trn_beat_catalog": trn_beat_catalog,
@@ -402,9 +452,11 @@ QUERIES = {
     "trn_duration_stats": trn_duration_stats,
     "trn_duration_histogram": trn_duration_histogram,
     "trn_speaker_balance": trn_speaker_balance,
+    "trn_integrity_battery": trn_integrity_battery,
 }
 
 ORACLES = {
+    "trn_integrity_battery": TRN_INTEGRITY_SQL,
     "trn_span_catalog": TRN_SPAN_CATALOG_SQL,
     "trn_beat_catalog": TRN_BEAT_CATALOG_SQL,
     "trn_section_catalog": TRN_SECTION_CATALOG_SQL,
