@@ -445,6 +445,82 @@ FROM dirty
 """
 
 
+def trn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 oracle over `quality.metrics.coverage_metrics`: per-episode
+    union-coverage % (capped at 100 — the reference's non-standard
+    semantic), island counts, and sweep-line overlap stats — W3+W5 composed
+    through the REAL quality module and hash-gated end-to-end."""
+    from ..quality.metrics import coverage_metrics
+
+    utt = _utterances(spark, sf_dir)
+    spans = generate_spans(utt)
+    episodes = utt.groupBy("episode_id").agg(
+        (F.max("end") - F.min("start")).alias("duration_seconds")
+    )
+    return coverage_metrics(spans, episodes)
+
+
+TRN_COVERAGE_SQL = f"""
+WITH {_SPANS_SQL},
+utt2 AS ({_UTTERANCES_SQL}),
+eps AS (
+  SELECT episode_id, max(end_t) - min(start) AS duration_seconds
+  FROM utt2 GROUP BY episode_id
+),
+tagged AS (
+  SELECT episode_id, start_time, end_time,
+         CASE WHEN max(end_time) OVER (PARTITION BY episode_id ORDER BY start_time, end_time
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR start_time > max(end_time) OVER (PARTITION BY episode_id ORDER BY start_time, end_time
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+),
+islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY episode_id ORDER BY start_time, end_time
+                                  ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM tagged
+),
+merged AS (
+  SELECT episode_id, island_id, min(start_time) AS s, max(end_time) AS e
+  FROM islands GROUP BY episode_id, island_id
+),
+per_ep AS (
+  SELECT episode_id, sum(e - s) AS covered_seconds, count(*) AS n_islands
+  FROM merged GROUP BY episode_id
+),
+sweep AS (
+  SELECT episode_id, start_time AS t, 1 AS delta FROM spans
+  UNION ALL
+  SELECT episode_id, end_time AS t, -1 AS delta FROM spans
+),
+running AS (
+  SELECT episode_id, sum(delta) OVER (PARTITION BY episode_id ORDER BY t, delta
+                                      ROWS UNBOUNDED PRECEDING) AS active
+  FROM sweep
+),
+ovl AS (
+  SELECT episode_id,
+         CAST(max(active) AS BIGINT) AS max_concurrency,
+         CAST(sum(CASE WHEN active >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_points
+  FROM running GROUP BY episode_id
+)
+SELECT e.episode_id,
+       e.duration_seconds,
+       COALESCE(p.covered_seconds, 0.0) AS covered_seconds,
+       CAST(COALESCE(p.n_islands, 0) AS BIGINT) AS n_islands,
+       o.max_concurrency,
+       CAST(COALESCE(o.n_overlap_points, 0) AS BIGINT) AS n_overlap_points,
+       CASE WHEN e.duration_seconds > 0
+            THEN least(100.0, round(COALESCE(p.covered_seconds, 0.0) * 100.0
+                                    / e.duration_seconds, 2))
+            ELSE 0.0 END AS coverage_pct
+FROM eps e
+LEFT JOIN per_ep p USING (episode_id)
+LEFT JOIN ovl o USING (episode_id)
+"""
+
+
 QUERIES = {
     "trn_span_catalog": trn_span_catalog,
     "trn_beat_catalog": trn_beat_catalog,
@@ -453,10 +529,12 @@ QUERIES = {
     "trn_duration_histogram": trn_duration_histogram,
     "trn_speaker_balance": trn_speaker_balance,
     "trn_integrity_battery": trn_integrity_battery,
+    "trn_coverage": trn_coverage,
 }
 
 ORACLES = {
     "trn_integrity_battery": TRN_INTEGRITY_SQL,
+    "trn_coverage": TRN_COVERAGE_SQL,
     "trn_span_catalog": TRN_SPAN_CATALOG_SQL,
     "trn_beat_catalog": TRN_BEAT_CATALOG_SQL,
     "trn_section_catalog": TRN_SECTION_CATALOG_SQL,
