@@ -307,8 +307,9 @@ def generate_sections(
             )
             cur.clear()
 
-        for _, row in pdf.iterrows():
-            r = row.to_dict()
+        # to_dict('records') not iterrows: row-Series construction is ~10x
+        # the cost of the plain dicts this loop needs
+        for r in pdf.to_dict("records"):
             dur = r["end_time"] - r["start_time"]
             brk = False
             if cur and cur_dur >= min_s:

@@ -30,6 +30,7 @@ __all__ = [
     "word_shingles",
     "shingles_from_tokens",
     "shingle_pair_jaccard",
+    "jaccard_rescore",
     "minhash_signature",
     "lsh_candidate_pairs",
     "edit_ratio_rescore",
@@ -153,6 +154,41 @@ def shingle_pair_jaccard(
     return (
         pairs.join(s1, f"{id_col}_1")
         .join(s2, f"{id_col}_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_1") + F.col("n_2") - F.col("n_common")),
+        )
+    )
+
+
+def jaccard_rescore(
+    cands: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a CANDIDATE pair set: join each side's
+    shingle array to the pairs and intersect per pair. Arithmetic-identical
+    to the inverted-index join (`shingle_pair_jaccard`) on the same pairs,
+    but cost is O(candidates · shingles-per-doc) instead of the full
+    all-shared-shingle pair expansion — the right rescore shape when an LSH
+    band join has already bounded the candidates."""
+    sh = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col), shingles_from_tokens(F.col("_toks"), n).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias(f"{id_col}_1"), F.col("_sh").alias("_sh1"))
+    b = sh.select(F.col(id_col).alias(f"{id_col}_2"), F.col("_sh").alias("_sh2"))
+    return (
+        cands.join(a, f"{id_col}_1")
+        .join(b, f"{id_col}_2")
+        .select(
+            f"{id_col}_1",
+            f"{id_col}_2",
+            F.size(F.array_intersect("_sh1", "_sh2")).alias("n_common"),
+            F.size("_sh1").alias("n_1"),
+            F.size("_sh2").alias("n_2"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_1") + F.col("n_2") - F.col("n_common")),

@@ -364,15 +364,17 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB dedup path (band bucket join, no pairwise scan)."""
     from ..operators.dedup import lsh_candidate_pairs, minhash_signature
 
+    from ..operators.dedup import jaccard_rescore
+
     d = _docs(spark, sf_dir).filter(token_count("text") >= 3)
     sigs = minhash_signature(d, "doc_id", "text", n=3)
     cands = lsh_candidate_pairs(sigs, "doc_id")
-    jac = shingle_pair_jaccard(d, "doc_id", "text", n=3).select(
+    # exact rescore bounded to the band candidates (array_intersect per
+    # pair), NOT the full inverted-index pair expansion — same values
+    jac = jaccard_rescore(cands, d, "doc_id", "text", n=3)
+    return jac.select(
         "doc_id_1", "doc_id_2", F.round("jaccard", 6).alias("jaccard")
-    )
-    return cands.join(jac, ["doc_id_1", "doc_id_2"], "inner").orderBy(
-        F.desc("jaccard"), "doc_id_1", "doc_id_2"
-    )
+    ).orderBy(F.desc("jaccard"), "doc_id_1", "doc_id_2")
 
 
 DOC_MINHASH_LSH_SQL = f"""
@@ -538,10 +540,11 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s3 = flags.filter("exact_keep").select("doc_id", "text")
     cands = lsh_candidate_pairs(minhash_signature(s3, "doc_id", "text"), "doc_id")
-    jac = shingle_pair_jaccard(s3, "doc_id", "text", n=3).select(
-        "doc_id_1", "doc_id_2", "jaccard"
+    from ..operators.dedup import jaccard_rescore
+
+    near = jaccard_rescore(cands, s3, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.6
     )
-    near = cands.join(jac, ["doc_id_1", "doc_id_2"]).filter(F.col("jaccard") >= 0.6)
     drop = near.select(F.col("doc_id_2").alias("doc_id")).distinct()
 
     curated = F.col("exact_keep") & ~F.coalesce(F.col("_neardup"), F.lit(False))
