@@ -521,6 +521,48 @@ LEFT JOIN ovl o USING (episode_id)
 """
 
 
+def trn_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12-A14 oracle over `quality.metrics.text_metrics`: token/char
+    counts, lexical density (stopword-filtered token share), punctuation
+    ratio — per speaker on the derived spans."""
+    from ..quality.metrics import text_metrics
+
+    spans = generate_spans(_utterances(spark, sf_dir))
+    return text_metrics(spans, "speaker")
+
+
+def _text_metrics_sql() -> str:
+    from ..functions.text import duckdb_stopword_list, duckdb_tokens_sql
+
+    tok = duckdb_tokens_sql("text")
+    stop = duckdb_stopword_list()
+    return f"""
+WITH {_SPANS_SQL},
+base AS (
+  SELECT speaker,
+         len({tok}) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter({tok}, x -> NOT list_contains({stop}, x))) AS n_content,
+         CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+              ELSE 0.0 END AS punct
+  FROM spans
+)
+SELECT speaker,
+       count(*) AS n_segments,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(sum(n_content) / CAST(sum(n_tokens) AS DOUBLE), 6) AS lexical_density,
+       round(avg(punct), 6) AS avg_punct_ratio
+FROM base GROUP BY speaker
+"""
+
+
+TRN_TEXT_METRICS_SQL = _text_metrics_sql()
+
+
 QUERIES = {
     "trn_span_catalog": trn_span_catalog,
     "trn_beat_catalog": trn_beat_catalog,
@@ -530,9 +572,11 @@ QUERIES = {
     "trn_speaker_balance": trn_speaker_balance,
     "trn_integrity_battery": trn_integrity_battery,
     "trn_coverage": trn_coverage,
+    "trn_text_metrics": trn_text_metrics,
 }
 
 ORACLES = {
+    "trn_text_metrics": TRN_TEXT_METRICS_SQL,
     "trn_integrity_battery": TRN_INTEGRITY_SQL,
     "trn_coverage": TRN_COVERAGE_SQL,
     "trn_span_catalog": TRN_SPAN_CATALOG_SQL,
