@@ -57,10 +57,24 @@ def length_bias(segments: DataFrame, embeddings: DataFrame) -> float:
 
 
 def spearman(df: DataFrame, a: str, b: str) -> float:
-    """A21: Spearman = Pearson over rank() windows (rank-based, tie=min)."""
-    ranked = df.select(
-        F.rank().over(Window.orderBy(a)).alias("ra"),
-        F.rank().over(Window.orderBy(b)).alias("rb"),
+    """A21: Spearman = Pearson over min-ranks, computed DISTRIBUTED.
+
+    A bare ``rank().over(Window.orderBy(...))`` funnels the whole table
+    through one partition (the evt_corr_stats scale-killer, fixed round 2).
+    Here: `global_row_number` (range fences + per-value pid, no
+    SinglePartition exchange) gives a total-order row number; min over each
+    value's partition recovers exact rank()-with-ties=min semantics — the
+    min is tiebreak-independent because equal keys always share a pid."""
+    from ..operators.ranking import global_row_number
+
+    d = df.select(F.col(a).alias("_a"), F.col(b).alias("_b")).filter(
+        F.col(a).isNotNull() & F.col(b).isNotNull()
+    )
+    d = global_row_number(d, ["_a"], "_rna")
+    d = global_row_number(d, ["_b"], "_rnb")
+    ranked = d.select(
+        F.min("_rna").over(Window.partitionBy("_a")).alias("ra"),
+        F.min("_rnb").over(Window.partitionBy("_b")).alias("rb"),
     )
     row = ranked.agg(F.corr("ra", "rb").alias("c")).collect()[0]
     return round(row["c"], 6) if row["c"] is not None else 0.0

@@ -138,6 +138,8 @@ def speaker_balance(segments: DataFrame, top_n: int = 10) -> DataFrame:
         F.count(F.lit(1)).alias("n_segments"),
         F.round(F.sum("duration"), 6).alias("total_duration"),
     )
+    # global windows here run over the per-SPEAKER aggregate (cardinality =
+    # #speakers, bounded), never the row table — safe at any corpus size
     w = Window.orderBy(F.desc("total_duration"), F.asc("speaker"))
     ranked = per.withColumn("rank", F.row_number().over(w))
     total = F.sum("total_duration").over(Window.partitionBy())
