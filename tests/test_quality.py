@@ -153,6 +153,20 @@ def test_stratified_sample_guarantees_and_determinism(spark):
     assert strata == all_strata
 
 
+def test_stratified_sample_id_col_invariant_under_repartition(spark):
+    """With id_col the sample key is sha2(id|seed) — a pure function of the
+    data — so ANY input partitioning yields the identical sample (the
+    rand(seed) fallback is only rerun-stable, not partitioning-stable)."""
+    df = spans_df(spark)
+    s1 = stratified_sample(df, ["episode_id"], 4, id_col="span_id")
+    s2 = stratified_sample(
+        df.repartition(7, "speaker"), ["episode_id"], 4, id_col="span_id"
+    )
+    assert sorted(r["span_id"] for r in s1.collect()) == sorted(
+        r["span_id"] for r in s2.collect()
+    )
+
+
 def test_random_pairs_distinct_and_nonempty(spark):
     pairs = random_pairs(spans_df(spark), "span_id", 5).collect()
     assert len(pairs) > 0

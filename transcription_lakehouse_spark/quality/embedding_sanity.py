@@ -103,7 +103,10 @@ def neighbor_metrics(
     # content hash before limiting (an unordered limit would keep an
     # arbitrary partition-dependent subset)
     queries = (
-        stratified_sample(emb, ["episode_id", "speaker"], n_queries, seed=seed)
+        stratified_sample(
+            emb, ["episode_id", "speaker"], n_queries, seed=seed,
+            id_col="artifact_id",
+        )
         .orderBy(F.sha2(F.concat_ws("|", "artifact_id", F.lit(str(seed))), 256))
         .limit(n_queries)
     )

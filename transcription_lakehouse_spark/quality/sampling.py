@@ -17,13 +17,21 @@ def stratified_sample(
     strata_cols: list[str],
     n_total: int,
     seed: int = DEFAULT_SEED,
+    id_col: str | None = None,
 ) -> DataFrame:
     """SA1: proportional allocation per stratum with a >= 1-per-stratum
     guarantee (`quality/metrics/embedding.py:186-307`).
 
-    Implementation: shuffle within stratum by rand(seed), rank, and keep
+    Implementation: shuffle within stratum by a seeded key, rank, and keep
     rank <= allocation where allocation = max(1, round(n_total * stratum_n /
     total)). One window pass — no driver loop, scales to any stratum count.
+
+    Pass ``id_col`` (any unique column) to order by sha2(id|seed) — a pure
+    function of the DATA, so the sample is identical under any partitioning
+    or cluster size. Without it the order falls back to ``rand(seed)``,
+    which is seeded per PARTITION: same-session reruns agree, but a
+    different input partitioning silently yields a different sample — fine
+    for ad-hoc use, not for the idempotent-replay contract.
     """
     counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_stratum_n"))
     total = df.count() or 1
@@ -34,7 +42,12 @@ def stratified_sample(
             F.round(F.col("_stratum_n") * F.lit(n_total) / F.lit(total)).cast("long"),
         ),
     )
-    w = Window.partitionBy(*strata_cols).orderBy(F.rand(seed))
+    order = (
+        F.sha2(F.concat_ws("|", F.col(id_col), F.lit(str(seed))), 256)
+        if id_col is not None
+        else F.rand(seed)
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(order)
     ranked = df.join(F.broadcast(with_alloc), strata_cols).withColumn(
         "_rk", F.row_number().over(w)
     )

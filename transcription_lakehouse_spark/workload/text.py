@@ -665,8 +665,39 @@ LEFT JOIN f4 USING (lang)
 DOC_CURATION_SQL = _curation_sql()
 
 
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA1 oracle: `quality.sampling.stratified_sample` with the
+    content-hash ordering (sha2(id|seed)) — a pure function of the data, so
+    the sample is identical under ANY partitioning, and DuckDB reproduces
+    it row-for-row. Proportional allocation per language, >=1 per stratum."""
+    from ..quality.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, ["lang"], 50, seed=42, id_col="doc_id")
+
+
+DOC_STRATIFIED_SAMPLE_SQL = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT count(*) AS t FROM documents),
+alloc AS (
+  SELECT lang, greatest(1, CAST(round(n * 50.0 / t) AS BIGINT)) AS a
+  FROM counts, tot
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, a,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY sha256(concat(CAST(d.doc_id AS VARCHAR), '|', '42'))
+         ) AS rk
+  FROM documents d JOIN alloc USING (lang)
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= a
+"""
+
+
 QUERIES = {
     "doc_curation_funnel": doc_curation_funnel,
+    "doc_stratified_sample": doc_stratified_sample,
     "doc_edit_ratio_pairs": doc_edit_ratio_pairs,
     "doc_langid": doc_langid,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
@@ -683,6 +714,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_curation_funnel": DOC_CURATION_SQL,
+    "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     "doc_edit_ratio_pairs": DOC_EDIT_RATIO_SQL,
     "doc_langid": DOC_LANGID_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
