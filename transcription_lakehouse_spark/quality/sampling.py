@@ -56,9 +56,19 @@ def stratified_sample(
     )
 
 
-def seeded_sample(df: DataFrame, n: int, seed: int = DEFAULT_SEED) -> DataFrame:
-    """SA3: deterministic n-row sample (orderBy rand(seed) limit n)."""
-    return df.orderBy(F.rand(seed)).limit(n)
+def seeded_sample(
+    df: DataFrame, n: int, seed: int = DEFAULT_SEED, id_col: str | None = None
+) -> DataFrame:
+    """SA3: deterministic n-row sample. With ``id_col`` the order key is
+    sha2(id|seed) — partitioning-invariant (rand(seed) is only
+    rerun-stable). Plans as TakeOrdered either way: per-partition top-n,
+    no global sort."""
+    order = (
+        F.sha2(F.concat_ws("|", F.col(id_col), F.lit(str(seed))), 256)
+        if id_col is not None
+        else F.rand(seed)
+    )
+    return df.orderBy(order).limit(n)
 
 
 def random_pairs(

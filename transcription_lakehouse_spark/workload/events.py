@@ -694,7 +694,37 @@ FROM sessions GROUP BY user_id
 """
 
 
+def evt_random_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA2 oracle over `quality.sampling.random_pairs`: two independent
+    sha2-seeded shufflings zipped by position — content-deterministic, so
+    DuckDB reproduces the exact pair set. Each side plans as TakeOrdered
+    (per-partition top-k), never a global sort."""
+    from ..quality.sampling import random_pairs
+
+    ev = _events(spark, sf_dir).select("event_id")
+    return random_pairs(ev, "event_id", 100)
+
+
+EVT_RANDOM_PAIRS_SQL = """
+WITH s1 AS (
+  SELECT event_id AS id_1,
+         sha256(concat(CAST(event_id AS VARCHAR), '|', '42')) AS o
+  FROM events ORDER BY o LIMIT 100
+), r1 AS (
+  SELECT id_1, row_number() OVER (ORDER BY o) AS i FROM s1
+), s2 AS (
+  SELECT event_id AS id_2,
+         sha256(concat(CAST(event_id AS VARCHAR), '|', '43')) AS o
+  FROM events ORDER BY o LIMIT 100
+), r2 AS (
+  SELECT id_2, row_number() OVER (ORDER BY o) AS i FROM s2
+)
+SELECT id_1, id_2 FROM r1 JOIN r2 USING (i) WHERE id_1 <> id_2
+"""
+
+
 QUERIES = {
+    "evt_random_pairs": evt_random_pairs,
     "evt_corr_stats": evt_corr_stats,
     "evt_error_only_users": evt_error_only_users,
     "evt_session_length_stats": evt_session_length_stats,
@@ -717,6 +747,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_random_pairs": EVT_RANDOM_PAIRS_SQL,
     "evt_corr_stats": EVT_CORR_SQL,
     "evt_error_only_users": EVT_ERROR_ONLY_SQL,
     "evt_session_length_stats": EVT_SESSION_LENGTH_SQL,
