@@ -563,6 +563,89 @@ FROM base GROUP BY speaker
 TRN_TEXT_METRICS_SQL = _text_metrics_sql()
 
 
+def trn_speaker_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+J1+SO3+A18 oracle: role-config broadcast enrichment
+    (`enrich_spans`) and beat speaker metadata (`beat_speaker_metadata` —
+    first-appearance-ordered speakers_set, sorted expert span ids,
+    token-weighted expert coverage %) with a literal config, hash-gated
+    end-to-end against DuckDB."""
+    from ..speaker_roles import SpeakerRoleConfig, beat_speaker_metadata, enrich_spans
+
+    cfg = SpeakerRoleConfig(
+        experts=["click", "error"],
+        roles={"view": "host"},
+        canonical={"purchase": "buy"},
+    )
+    spans = generate_spans(_utterances(spark, sf_dir))
+    beats = generate_beats_heuristic(spans)
+    meta = beat_speaker_metadata(beats, enrich_spans(spans, cfg, spark))
+    return meta.select(
+        "beat_id",
+        F.concat_ws(",", "speakers_set").alias("speakers_csv"),
+        F.concat_ws(",", "expert_span_ids").alias("expert_csv"),
+        "expert_coverage_pct",
+    )
+
+
+TRN_SPEAKER_ENRICHMENT_SQL = f"""
+WITH RECURSIVE {_BEATS_SQL},
+beats_id AS (
+  SELECT {_agg_id_sql("bet", "span_ids", "pos")} AS beat_id, span_ids, episode_id
+  FROM beats
+),
+spansx AS (
+  SELECT {_agg_id_sql("spn", "utterance_ids", "pos")} AS span_id, speaker, text
+  FROM spans
+),
+cfg(speaker, canon, is_expert) AS (
+  VALUES ('click', 'click', true), ('error', 'error', true),
+         ('purchase', 'buy', false), ('view', 'view', false)
+),
+enr AS (
+  SELECT s.span_id,
+         COALESCE(c.canon, s.speaker) AS speaker_canonical,
+         COALESCE(c.is_expert, false) AS is_expert,
+         len(string_split_regex(s.text, '\\s+')) AS toks
+  FROM spansx s LEFT JOIN cfg c ON s.speaker = c.speaker
+),
+expl AS (
+  SELECT beat_id,
+         unnest(list_zip(span_ids,
+                         list_transform(generate_series(1, len(span_ids)), x -> x))) AS z
+  FROM beats_id
+),
+flat AS (
+  SELECT beat_id, z[1] AS span_id, z[2] AS pos FROM expl
+),
+joined AS (
+  SELECT f.beat_id, f.pos, f.span_id, e.speaker_canonical, e.is_expert, e.toks
+  FROM flat f LEFT JOIN enr e USING (span_id)
+),
+spk_first AS (
+  SELECT beat_id, speaker_canonical, min(pos) AS first_pos
+  FROM joined GROUP BY beat_id, speaker_canonical
+),
+spk_set AS (
+  SELECT beat_id,
+         array_to_string(list(speaker_canonical ORDER BY first_pos), ',') AS speakers_csv
+  FROM spk_first GROUP BY beat_id
+),
+agg AS (
+  SELECT beat_id,
+         array_to_string(list(span_id ORDER BY span_id) FILTER (WHERE is_expert), ',') AS expert_csv,
+         round(COALESCE(sum(CASE WHEN is_expert THEN toks ELSE 0 END) * 100.0
+                        / sum(toks), 0.0), 2) AS expert_coverage_pct
+  FROM joined GROUP BY beat_id
+)
+SELECT b.beat_id, s.speakers_csv,
+       COALESCE(a.expert_csv, '') AS expert_csv,
+       a.expert_coverage_pct
+FROM beats_id b
+JOIN spk_set s USING (beat_id)
+JOIN agg a USING (beat_id)
+"""
+
+
 QUERIES = {
     "trn_span_catalog": trn_span_catalog,
     "trn_beat_catalog": trn_beat_catalog,
@@ -573,9 +656,11 @@ QUERIES = {
     "trn_integrity_battery": trn_integrity_battery,
     "trn_coverage": trn_coverage,
     "trn_text_metrics": trn_text_metrics,
+    "trn_speaker_enrichment": trn_speaker_enrichment,
 }
 
 ORACLES = {
+    "trn_speaker_enrichment": TRN_SPEAKER_ENRICHMENT_SQL,
     "trn_text_metrics": TRN_TEXT_METRICS_SQL,
     "trn_integrity_battery": TRN_INTEGRITY_SQL,
     "trn_coverage": TRN_COVERAGE_SQL,
