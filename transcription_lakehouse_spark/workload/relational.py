@@ -309,7 +309,104 @@ GROUP BY p_type
 """
 
 
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy-HAVING on the fact table feeding a semi-join
+    back into an enriched top-k — the 'large volume customer' pattern.
+
+    Scale: the HAVING aggregate shuffles once on o_orderkey (partial aggs
+    combine map-side); the qualifying-key set is tiny, so the join back is
+    effectively a broadcast semi-join; top-k is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 150
+)
+SELECT c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregation over a join with a
+    NOT-IN anti-subquery (suppliers from EUROPE-region nations excluded —
+    the exclusion set is itself join-derived)."""
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    bad = (
+        nation.join(
+            region.filter(F.col("r_name") == "EUROPE"),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(F.col("n_nationkey").alias("s_nationkey"))
+        .distinct()
+    )
+    good = supplier.join(bad, "s_nationkey", "left_anti")
+    joined = li.join(
+        good.select("s_suppkey"), li["l_suppkey"] == F.col("s_suppkey")
+    ).join(part, li["l_partkey"] == part["p_partkey"])
+    return (
+        joined.groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+Q16_SQL = """
+WITH bad AS (
+  SELECT DISTINCT n_nationkey
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+good AS (
+  SELECT s_suppkey FROM supplier
+  WHERE s_nationkey NOT IN (SELECT n_nationkey FROM bad)
+)
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN good ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
 QUERIES = {
+    "q18_large_orders": q18_large_orders,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q_parts_below_type_avg": q_parts_below_type_avg,
@@ -322,6 +419,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q18_large_orders": Q18_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q_parts_below_type_avg": Q_PARTS_BELOW_AVG_SQL,
