@@ -478,6 +478,41 @@ def test_streaming_dedup_drops_repeated_fingerprints(spark, tmp_path):
     } == {"same text ", "different"}
 
 
+def test_streaming_quality_stats_windows(spark, tmp_path):
+    """Tumbling-window quality monitor: utterances land in their event-time
+    windows and the token battery matches the batch computation."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import streaming_quality_stats
+
+    d = tmp_path / "quality_in"
+    d.mkdir()
+    rows = [
+        {"episode_id": "E", "start": 5.0, "end": 6.0, "speaker": "A", "text": "one two three"},
+        {"episode_id": "E", "start": 30.0, "end": 32.0, "speaker": "B", "text": "four five"},
+        {"episode_id": "E", "start": 65.0, "end": 66.0, "speaker": "A", "text": "six"},
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    q = (
+        streaming_quality_stats(spark, str(d), window="60 seconds")
+        .writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window"]["start"].second + r["window"]["start"].minute * 60: r
+        for r in spark.sql("SELECT * FROM stream_quality").collect()
+    }
+    assert set(got) == {0, 60}
+    w0, w1 = got[0], got[60]
+    assert (w0["n_utterances"], w0["total_tokens"]) == (2, 5)
+    assert abs(w0["spoken_seconds"] - 3.0) < 1e-9
+    assert (w1["n_utterances"], w1["total_tokens"]) == (1, 1)
+
+
 def test_streaming_session_stats(spark, tmp_path):
     import json as _json
 

@@ -23,7 +23,12 @@ from pyspark.sql.streaming import StreamingQuery
 from ..ingestion import normalize, split_valid
 from ..schemas import RAW_UTTERANCE_SCHEMA
 
-__all__ = ["stream_ingest", "streaming_session_stats", "streaming_dedup"]
+__all__ = [
+    "stream_ingest",
+    "streaming_session_stats",
+    "streaming_dedup",
+    "streaming_quality_stats",
+]
 
 
 def stream_ingest(
@@ -63,6 +68,33 @@ def stream_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_quality_stats(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "60 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Live quality monitor: tumbling event-time windows of the A12-style
+    text battery (utterance counts, duration, token stats) per episode.
+    The watermark bounds aggregation state and admits late rows inside it —
+    the streaming twin of `quality.metrics.text_metrics`, for dashboards
+    over an ingest that never ends. Returns an unstarted streaming frame."""
+    from ..functions.text import token_count
+
+    raw = (
+        spark.readStream.schema(RAW_UTTERANCE_SCHEMA)
+        .json(input_dir)
+        .withColumn("event_time", F.timestamp_seconds("start"))
+        .withWatermark("event_time", watermark)
+    )
+    return raw.groupBy(F.window("event_time", window), "episode_id").agg(
+        F.count(F.lit(1)).alias("n_utterances"),
+        F.round(F.sum(F.col("end") - F.col("start")), 3).alias("spoken_seconds"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+    )
 
 
 def streaming_dedup(
