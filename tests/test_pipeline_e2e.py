@@ -281,6 +281,33 @@ def test_multimodal_plumbing(spark):
         resize_media(df).collect()  # stubbed decode surfaces clearly
 
 
+def test_media_metadata_filter_pushes_below_decode(spark, tmp_path):
+    """The 100 TB multimodal contract: metadata predicates must reach the
+    parquet scan so undecodable rows are pruned BEFORE any payload crosses
+    into the Arrow decode kernel."""
+    rows = [
+        ("m1", "image", b"\x89PNGfake", 64, 64, None, "png"),
+        ("m2", "video", b"fakevid", 320, 240, 3.5, "h264"),
+        ("m3", "audio", b"fakewav", None, None, 2.0, "wav"),
+    ]
+    src = media_table(
+        spark.createDataFrame(
+            rows,
+            "media_id string, media_type string, payload binary, width long, "
+            "height long, duration_sec double, codec string",
+        )
+    )
+    path = str(tmp_path / "media")
+    src.write.parquet(path)
+    m = spark.read.parquet(path)
+    feats = extract_features(m.filter(F.col("media_type") == "image"))
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PushedFilters") :][:250]
+    assert "media_type" in scan, plan  # predicate reached the scan
+    got = feats.collect()
+    assert [r["media_id"] for r in got] == ["m1"]
+
+
 def test_parquet_info_and_partitioned_embeddings(spark, tmp_path):
     from transcription_lakehouse_spark.embeddings import store_embeddings
     from transcription_lakehouse_spark.ingestion import parquet_info

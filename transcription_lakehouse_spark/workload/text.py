@@ -695,8 +695,53 @@ SELECT doc_id, lang FROM ranked WHERE rk <= a
 """
 
 
+def doc_curated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level twin of the curation funnel: the exact surviving document
+    set (id + language) after the language gate, quality gate, exact-dedup
+    keep-first, and LSH near-dup removal — the per-row answer to 'what
+    would this corpus ship to training', hash-gated row-for-row."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import (
+        jaccard_rescore,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from ..operators.langid import predict_lang
+
+    n_tok = token_count("text")
+    density = F.size(content_tokens("text")) / n_tok
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .filter(predict_lang("text") == F.lit("en"))
+        .filter((n_tok >= 20) & (n_tok <= 80) & (density >= 0.25))
+    )
+    s3 = (
+        d.withColumn("_fp", fingerprint("text"))
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    cands = lsh_candidate_pairs(minhash_signature(s3, "doc_id", "text"), "doc_id")
+    near = jaccard_rescore(cands, s3, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.6
+    )
+    drop = near.select(F.col("doc_id_2").alias("doc_id")).distinct()
+    return s3.join(drop, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+# reuse the funnel's CTE chain up to s4, emit the rows
+DOC_CURATED_IDS_SQL = (
+    DOC_CURATION_SQL.split(",\nf0 AS ")[0] + "\nSELECT doc_id, lang FROM s4"
+)
+
+
 QUERIES = {
     "doc_curation_funnel": doc_curation_funnel,
+    "doc_curated_ids": doc_curated_ids,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_edit_ratio_pairs": doc_edit_ratio_pairs,
     "doc_langid": doc_langid,
@@ -714,6 +759,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_curation_funnel": DOC_CURATION_SQL,
+    "doc_curated_ids": DOC_CURATED_IDS_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     "doc_edit_ratio_pairs": DOC_EDIT_RATIO_SQL,
     "doc_langid": DOC_LANGID_SQL,
