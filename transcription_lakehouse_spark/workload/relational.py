@@ -404,9 +404,91 @@ ORDER BY supplier_cnt DESC, p_brand, p_type
 """
 
 
+def q12_priority_by_date_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional-sum pivot — order-priority counts split
+    into high/low per ship-year. Pure map-side expressions + one groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q12_SQL = """
+SELECT EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation shipping volume —
+    a two-dimension join graph (lineitem→supplier→nation, →orders→customer→
+    nation) with every dimension broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nk"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    # exact decimal accumulation: double sums over per-group thousands of
+    # lines drift in the last ulp between engines and a 2-decimal round at
+    # a half-cent boundary flips — decimal addition is order-independent
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(vol), 2).cast("double").alias("volume"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       count(*) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q12_priority_by_date_band": q12_priority_by_date_band,
+    "q7_nation_volume": q7_nation_volume,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q_parts_below_type_avg": q_parts_below_type_avg,
@@ -421,6 +503,8 @@ QUERIES = {
 ORACLES = {
     "q18_large_orders": Q18_SQL,
     "q16_supplier_part_counts": Q16_SQL,
+    "q12_priority_by_date_band": Q12_SQL,
+    "q7_nation_volume": Q7_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q_parts_below_type_avg": Q_PARTS_BELOW_AVG_SQL,
