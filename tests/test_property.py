@@ -81,6 +81,60 @@ def test_monotonicity_matches_naive(spark, raw):
     assert got == naive
 
 
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega", "kappa"]
+
+_doc_specs = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(_WORDS), min_size=20, max_size=30),  # body
+        st.booleans(),  # clone the previous doc's text (plant exact dup)
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(_doc_specs)
+@settings(max_examples=6, deadline=None)
+def test_curation_flags_invariants(spark, specs):
+    """Curation gate-chain invariants on arbitrary corpora: the stages are
+    monotone per row (curated ⇒ exact_keep ⇒ q_ok ⇒ lang_ok), the curated
+    set carries no exact duplicates, and exactly one of each duplicated
+    quality-surviving text survives the fingerprint stage."""
+    from transcription_lakehouse_spark.operators.curation import curation_flags
+    from transcription_lakehouse_spark.operators.dedup import fingerprint as _fp
+
+    rows, prev_text = [], None
+    for i, (body, clone) in enumerate(specs):
+        text = prev_text if (clone and prev_text) else " ".join(body)
+        # langid needs target-language markers: prepend English ones
+        text = "the is and " + text
+        rows.append((f"d{i:03d}", "en", text))
+        prev_text = text
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    flags = curation_flags(df).collect()
+    by_id = {r["doc_id"]: r for r in flags}
+    assert len(by_id) == len(rows)  # no row lost or duplicated by the joins
+    for r in flags:
+        assert not r["curated"] or r["exact_keep"]
+        assert not r["exact_keep"] or r["q_ok"]
+        assert not r["q_ok"] or r["lang_ok"]
+    # curated set has no exact dups; among q_ok rows each fingerprint keeps
+    # exactly one survivor (the lowest id)
+    fps = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", _fp("text").alias("f")).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for rid, r in by_id.items():
+        if r["q_ok"]:
+            groups[fps[rid]["f"]].append(rid)
+    for f, ids in groups.items():
+        keepers = [i for i in ids if by_id[i]["exact_keep"]]
+        assert keepers == [min(ids)]
+
+
 @given(
     st.lists(
         st.tuples(

@@ -509,58 +509,22 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing materializes pairwise work outside shared LSH buckets. The
     DuckDB twin recomputes the whole funnel including the md5 minhash
     family, so the composition — not just each stage — is hash-gated."""
-    from pyspark.sql import Window
+    from ..operators.curation import curation_flags
 
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signature
-    from ..operators.langid import predict_lang
-
-    # One projection computes every per-doc gate; the funnel is then ONE
-    # aggregation over boolean flags. (Five per-stage groupBys would each
-    # re-scan documents and re-run langid/tokenization — 5x the text work
-    # for the same numbers.)
-    n_tok = token_count("text")
-    density = F.size(content_tokens("text")) / n_tok
-    flags = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            "lang",
-            "text",
-            (predict_lang("text") == F.lit("en")).alias("lang_ok"),
-            ((n_tok >= 20) & (n_tok <= 80) & (density >= 0.25)).alias("_q_band"),
-            n_tok.alias("_n_tok"),
-            fingerprint("text").alias("_fp"),
-        )
-        .withColumn("q_ok", F.col("lang_ok") & F.col("_q_band"))
-    )
-    # keep-first among quality survivors: q_ok joins the window partition so
-    # rejected docs never displace a survivor's rank
-    rn = F.row_number().over(Window.partitionBy("_fp", "q_ok").orderBy("doc_id"))
-    flags = flags.withColumn("exact_keep", F.col("q_ok") & (rn == 1))
-
-    s3 = flags.filter("exact_keep").select("doc_id", "text")
-    cands = lsh_candidate_pairs(minhash_signature(s3, "doc_id", "text"), "doc_id")
-    from ..operators.dedup import jaccard_rescore
-
-    near = jaccard_rescore(cands, s3, "doc_id", "text", n=3).filter(
-        F.col("jaccard") >= 0.6
-    )
-    drop = near.select(F.col("doc_id_2").alias("doc_id")).distinct()
-
-    curated = F.col("exact_keep") & ~F.coalesce(F.col("_neardup"), F.lit(False))
-    return (
-        flags.join(drop.withColumn("_neardup", F.lit(True)), "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_input"),
-            F.sum(F.col("lang_ok").cast("long")).alias("n_lang_verified"),
-            F.sum(F.col("q_ok").cast("long")).alias("n_quality_ok"),
-            F.sum(F.col("exact_keep").cast("long")).alias("n_exact_unique"),
-            F.sum(curated.cast("long")).alias("n_curated"),
-            F.coalesce(
-                F.sum(F.when(curated, F.col("_n_tok"))), F.lit(0).cast("long")
-            ).alias("sum_curated_tokens"),
-        )
+    # One flags projection (operators/curation.py), ONE aggregation over
+    # boolean columns. (Five per-stage groupBys would each re-scan
+    # documents and re-run langid/tokenization — 5x the text work.)
+    flags = curation_flags(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("lang_ok").cast("long")).alias("n_lang_verified"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality_ok"),
+        F.sum(F.col("exact_keep").cast("long")).alias("n_exact_unique"),
+        F.sum(F.col("curated").cast("long")).alias("n_curated"),
+        F.coalesce(
+            F.sum(F.when(F.col("curated"), F.col("_n_tok"))),
+            F.lit(0).cast("long"),
+        ).alias("sum_curated_tokens"),
     )
 
 
@@ -700,37 +664,10 @@ def doc_curated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (id + language) after the language gate, quality gate, exact-dedup
     keep-first, and LSH near-dup removal — the per-row answer to 'what
     would this corpus ship to training', hash-gated row-for-row."""
-    from pyspark.sql import Window
+    from ..operators.curation import curation_flags
 
-    from ..operators.dedup import (
-        jaccard_rescore,
-        lsh_candidate_pairs,
-        minhash_signature,
-    )
-    from ..operators.langid import predict_lang
-
-    n_tok = token_count("text")
-    density = F.size(content_tokens("text")) / n_tok
-    d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "lang", "text")
-        .filter(predict_lang("text") == F.lit("en"))
-        .filter((n_tok >= 20) & (n_tok <= 80) & (density >= 0.25))
-    )
-    s3 = (
-        d.withColumn("_fp", fingerprint("text"))
-        .withColumn(
-            "_rn", F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id"))
-        )
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "lang", "text")
-    )
-    cands = lsh_candidate_pairs(minhash_signature(s3, "doc_id", "text"), "doc_id")
-    near = jaccard_rescore(cands, s3, "doc_id", "text", n=3).filter(
-        F.col("jaccard") >= 0.6
-    )
-    drop = near.select(F.col("doc_id_2").alias("doc_id")).distinct()
-    return s3.join(drop, "doc_id", "left_anti").select("doc_id", "lang")
+    flags = curation_flags(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+    return flags.filter("curated").select("doc_id", "lang")
 
 
 # reuse the funnel's CTE chain up to s4, emit the rows
