@@ -505,6 +505,43 @@ def test_streaming_dedup_drops_repeated_fingerprints(spark, tmp_path):
     } == {"same text ", "different"}
 
 
+def test_stream_index_update_builds_then_appends(spark, tmp_path):
+    """Streamed artifacts flow through the shared embedder into the vector
+    index; a second batch appends only NEW ids (anti-join idempotence), and
+    a replay of the same files is a no-op."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import stream_index_update
+
+    d = tmp_path / "idx_in"
+    d.mkdir()
+    idx = str(tmp_path / "stream_idx")
+    ck = str(tmp_path / "ck")
+
+    (d / "a.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"artifact_id": f"a{i}", "text": f"first batch doc {i}"})
+            for i in range(8)
+        )
+    )
+    q = stream_index_update(spark, str(d), idx, ck)
+    q.awaitTermination(120)
+    assert spark.read.parquet(idx).count() == 8
+
+    # second file: 4 new + 4 already-indexed ids
+    (d / "b.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"artifact_id": f"{p}{i}", "text": f"second {i}"})
+            for p, i in [("a", 0), ("a", 1), ("a", 2), ("a", 3), ("b", 0), ("b", 1), ("b", 2), ("b", 3)]
+        )
+    )
+    q = stream_index_update(spark, str(d), idx, ck)
+    q.awaitTermination(120)
+    back = spark.read.parquet(idx)
+    assert back.count() == 12  # 8 + 4 new, replayed ids skipped
+    assert back.select("artifact_id").distinct().count() == 12
+
+
 def test_streaming_quality_stats_windows(spark, tmp_path):
     """Tumbling-window quality monitor: utterances land in their event-time
     windows and the token battery matches the batch computation."""

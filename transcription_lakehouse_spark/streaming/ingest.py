@@ -28,6 +28,7 @@ __all__ = [
     "streaming_session_stats",
     "streaming_dedup",
     "streaming_quality_stats",
+    "stream_index_update",
 ]
 
 
@@ -60,6 +61,60 @@ def stream_ingest(
         except Exception:  # first batch: sink does not exist yet
             fresh = normalized
         fresh.write.mode("append").parquet(out_path)
+
+    writer = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_index_update(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "artifact_id",
+    text_col: str = "text",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Live vector-index maintenance: stream text artifacts → embed
+    (mapInPandas, shared M1 batcher) → `indexing.incremental_update` per
+    micro-batch. The anti-join inside incremental_update makes replays
+    idempotent (deterministic ids) and appends keep the index's persisted
+    hash family. The batch-mode 30% rebuild is DISABLED here: a micro-batch
+    is a delta, not the corpus, and rebuilding from it would drop every
+    previously indexed row — periodic full rebuilds are an offline
+    `build_index` duty over the full store."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..embeddings import generate_embeddings
+    from ..indexing import incremental_update
+
+    schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField(text_col, StringType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        emb = generate_embeddings(batch, id_col, text_col, "stream").select(
+            "artifact_id", "embedding"
+        )
+        incremental_update(
+            batch.sparkSession, emb, index_path,
+            rebuild_threshold=float("inf"),
+        )
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
