@@ -37,6 +37,7 @@ __all__ = [
     "token_hashes",
     "simhash32_from_hashes",
     "simhash32",
+    "simhash_near_dup_pairs",
 ]
 
 N_MINHASHES = 8
@@ -338,3 +339,91 @@ def simhash32(col: Column | str) -> Column:
     """Convenience wrapper: simhash straight from a text column (small
     inputs; hot paths should materialize token_hashes first)."""
     return simhash32_from_hashes(token_hashes(col))
+
+
+def token_hashes60(col: Column | str) -> Column:
+    """array<long>: 60-bit md5-prefix hash per distinct token (15 hex chars
+    — stays inside signed-long range in both Spark and DuckDB; 16 would
+    overflow on the high nibble)."""
+    toks = F.array_distinct(tokens(col))
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+
+def simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """``bits``-wide SimHash from a materialized token-hash array (exact
+    long arithmetic — engine-portable). bit j is 1 iff the j-bit majority
+    vote over token hashes is positive."""
+    def _vote(j: int):
+        mask = F.lit(1 << j)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), _vote(j))
+        sig = sig + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: a 60-BIT signature (32 bits saturate — on a
+    shared-vocabulary corpus 32-bit majority votes collide for ~1% of ALL
+    pairs at Hamming 0) banded into ``n_bands`` 15-bit keys (pigeonhole:
+    any pair within Hamming distance ``n_bands - 1`` MUST collide in >= 1
+    band — exact candidate recall, not probabilistic), bucket-join per
+    band, exact Hamming rescore via xor bit-count.
+
+    All integer arithmetic — the DuckDB oracle reproduces signatures,
+    banding, and distances bit-for-bit. Scale shape matches minhash-LSH:
+    equi-joins on (band, key), no pairwise work outside shared buckets.
+    """
+    band_bits = 60 // n_bands
+    band_mask = (1 << band_bits) - 1
+    sigs = df.select(
+        F.col(id_col).alias("vid"),
+        simhash_from_hashes(token_hashes60(text_col), 60).alias("sig"),
+    )
+    bands = sigs.select(
+        "vid",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", band_bits * b)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(
+        F.col("vid").alias("id_1"), F.col("sig").alias("sig_1"), "band", "key"
+    )
+    right = bands.select(
+        F.col("vid").alias("id_2"), F.col("sig").alias("sig_2"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sig_1", "sig_2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_1").bitwiseXOR(F.col("sig_2")))
+    return (
+        cand.select("id_1", "id_2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("hamming", "id_1", "id_2")
+    )

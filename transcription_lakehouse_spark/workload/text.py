@@ -238,6 +238,46 @@ FROM hashes
 """
 
 
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 8-bit signature bands bucket the candidates
+    (pigeonhole-exact for Hamming distance <= 3 with 4 bands), xor bit-count
+    rescores — the fourth dedup family next to exact/Jaccard/MinHash, all
+    integer arithmetic, bit-for-bit reproducible in DuckDB."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+DOC_SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOK}) AS dt FROM documents
+), hashes AS (
+  SELECT doc_id,
+         list_transform(dt, tok -> CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+), sigs AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 59), j ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+                       CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS sig
+  FROM hashes
+), bands AS (
+  SELECT doc_id, sig, band, (sig >> (15 * band)) & 32767 AS key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+                  a.sig AS s1, b.sig AS s2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= 3
+ORDER BY hamming, id_1, id_2
+"""
+
+
 def doc_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by word-trigram Jaccard (inverted-index self-join, blocked by
     lang): the 20 most-similar same-language pairs."""
@@ -680,6 +720,7 @@ QUERIES = {
     "doc_curation_funnel": doc_curation_funnel,
     "doc_curated_ids": doc_curated_ids,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_simhash_pairs": doc_simhash_pairs,
     "doc_edit_ratio_pairs": doc_edit_ratio_pairs,
     "doc_langid": doc_langid,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
@@ -698,6 +739,7 @@ ORACLES = {
     "doc_curation_funnel": DOC_CURATION_SQL,
     "doc_curated_ids": DOC_CURATED_IDS_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
+    "doc_simhash_pairs": DOC_SIMHASH_PAIRS_SQL,
     "doc_edit_ratio_pairs": DOC_EDIT_RATIO_SQL,
     "doc_langid": DOC_LANGID_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_LSH_SQL,
