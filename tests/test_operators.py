@@ -140,6 +140,25 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert ("a", "c") not in cands
 
 
+def test_simhash_pairs_find_near_identical_token_sets(spark):
+    from transcription_lakehouse_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = "quick brown fox jumps over lazy dog while seven wizards brew strange potions tonight"
+    rows = [
+        ("a", base),
+        ("b", base + " extra"),  # one extra token -> tiny Hamming shift
+        ("c", "entirely different vocabulary about spacecraft telemetry and orbital mechanics data"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    pairs = simhash_near_dup_pairs(df, "id", "text", max_hamming=10)
+    got = {(r["id_1"], r["id_2"]): r["hamming"] for r in pairs.collect()}
+    assert ("a", "b") in got
+    assert ("a", "c") not in got and ("b", "c") not in got
+    # banded equi-join shape: no cartesian anywhere
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_simhash_matches_python_reference(spark):
     text = "alpha beta gamma"
     df = spark.createDataFrame([(text,)], "text string")
