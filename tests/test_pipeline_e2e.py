@@ -244,6 +244,57 @@ def test_snapshot_immutable_and_verifiable(spark, tmp_path):
     assert any("checksum mismatch" in p for p in verify_snapshot(snap))
 
 
+def test_quality_red_blocks_snapshot_through_pipeline(spark, tmp_path):
+    """End-to-end QA gating: a lake whose spans violate integrity rules
+    assesses RED through `pipeline.quality`, and `pipeline.snapshot` then
+    refuses the snapshot (reference `creator.py:99-130` behavior)."""
+    import pytest as _pytest
+
+    lake = str(tmp_path / "lake")
+    _write_jsonl(tmp_path, "ok.jsonl", n=20)
+    pipeline.ingest(spark, str(tmp_path / "*.jsonl"), lake)
+    pipeline.materialize(spark, lake, use_embeddings=False)
+    # corrupt the spans artifact: zero/negative durations + blank speakers
+    spans_path = f"{lake}/spans/v1"
+    spans = spark.read.parquet(spans_path)
+    bad = spans.withColumn("end_time", F.col("start_time") - 1.0).withColumn(
+        "speaker", F.lit("")
+    ).withColumn("duration", F.lit(-1.0))
+    bad.write.mode("overwrite").parquet(f"{lake}/spans_bad")
+    spark.read.parquet(f"{lake}/spans_bad").write.mode("overwrite").parquet(spans_path)
+
+    out = pipeline.quality(spark, lake)
+    assert out["status"] == "RED"
+    with _pytest.raises(ValueError, match="RED"):
+        pipeline.snapshot(spark, lake, "v1.0.0")
+
+
+def test_stream_ingest_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once per utterance under replay: re-processing the same files
+    with a FRESH checkpoint appends nothing (deterministic IDs + anti-join
+    upsert) — the streaming twin of the batch idempotence contract."""
+    import glob as _glob
+
+    from transcription_lakehouse_spark.streaming.ingest import stream_ingest
+
+    d = tmp_path / "ingest_in"
+    d.mkdir()
+    _write_jsonl(d, "a.jsonl", n=15)
+    lake = str(tmp_path / "slake")
+
+    q = stream_ingest(spark, str(d), lake, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(f"{lake}/normalized/v1").count()
+    assert n1 == 15
+
+    # fresh checkpoint = full replay of the same input
+    q = stream_ingest(spark, str(d), lake, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    back = spark.read.parquet(f"{lake}/normalized/v1")
+    assert back.count() == 15
+    assert back.select("utterance_id").distinct().count() == 15
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         ("m1", "image", b"\x89PNGfake", 64, 64, None, "png"),
