@@ -19,6 +19,43 @@ from transcription_lakehouse_spark.workload import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# Every entry here is a JUSTIFIED bounded shape — anything new that trips
+# the lint must either be fixed or argued onto this list:
+# - BNLJ from the distributed-rank offsets join (<= shuffle-partitions rows)
+_RANK_OFFSETS_BNLJ = {"evt_corr_stats"}
+# - BNLJ where one side is an intentionally bounded broadcast (sampled
+#   queries / per-label sample) and exact scoring IS the semantics
+_BOUNDED_BROADCAST_BNLJ = {"vec_knn_bruteforce", "vec_label_similarity_matrix"}
+# - SinglePartition from a global (no-key or bounded-aggregate) final step
+_GLOBAL_SCALAR_OK = {
+    "q6_forecast_revenue",       # single-row global aggregate
+    "trn_integrity_battery",     # single-row global aggregate
+    "trn_speaker_balance",       # global window over per-speaker aggregate
+}
+
+
+def test_plan_lint_every_query(spark):
+    """Global plan lint: NO workload query may contain a cartesian product,
+    an unbounded nested-loop join, or a single-partition funnel — except
+    the explicitly justified shapes above. This is the 100 TB regression
+    tripwire for every future query, not just the hand-pinned ones."""
+    bad = {}
+    for name, fn in sorted(QUERIES.items()):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        marks = []
+        if "CartesianProduct" in plan:
+            marks.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in (
+            _RANK_OFFSETS_BNLJ | _BOUNDED_BROADCAST_BNLJ
+        ):
+            marks.append("nested-loop")
+        if "SinglePartition" in plan and name not in _GLOBAL_SCALAR_OK:
+            marks.append("single-partition")
+        if marks:
+            bad[name] = marks
+    assert not bad, bad
+
+
 def test_q1_pushes_filter_and_prunes_columns(spark):
     df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
     pushed = pushed_filters(df)
