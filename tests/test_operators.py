@@ -383,3 +383,45 @@ def test_lsh_near_dup_pairs_finds_planted_dups(spark):
     got = {(r["id_1"], r["id_2"]) for r in out.collect()}
     assert {(j, 100 + j) for j in range(5)} <= got
     assert all(r["sim"] >= 0.95 for r in out.collect())
+
+
+def test_repetition_metrics_on_planted_docs(spark):
+    """Pathological docs get the expected repetition scores; clean doc passes
+    every Gopher rule. All metrics are pure array folds — the plan must have
+    no Exchange at all."""
+    from transcription_lakehouse_spark.operators.quality_rules import (
+        gopher_flags,
+        repetition_metrics,
+    )
+
+    rows = [
+        (1, "the cat sat on the warm mat and then quietly walked away home"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "#### @@@@ **** ^^^^ #### @@@@ 1234 5678 #### @@@@ **** ^^^^"),
+        (4, "one two one two one two one two one two one two one two stop"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r["doc_id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+
+    assert m[1]["distinct_ratio"] > 0.9 and m[1]["max_token_run"] == 1
+    # doc 2: one token repeated 12x consecutively
+    assert m[2]["max_token_run"] == 12
+    assert m[2]["top_unigram_share"] == 1.0
+    assert m[2]["distinct_ratio"] == round(1 / 12, 6)
+    # doc 3: no alphabetic words, symbol-heavy
+    assert m[3]["alpha_word_ratio"] == 0.0
+    assert m[3]["symbol_ratio"] > 0.5
+    # doc 4: dominant bigram "one two" (7 of 14 bigrams)
+    assert m[4]["top_bigram_share"] == round(7 / 14, 6)
+
+    f = {r["doc_id"]: r for r in
+         gopher_flags(df, "doc_id", "text", min_tokens=5).collect()}
+    assert f[1]["gopher_pass"]
+    assert f[2]["fail_top_unigram"] and f[2]["fail_distinct_ratio"]
+    assert not f[2]["gopher_pass"]
+    assert f[3]["fail_alpha_ratio"] and f[3]["fail_symbol_ratio"]
+    assert f[4]["fail_top_bigram"] and not f[4]["gopher_pass"]
+
+    plan = repetition_metrics(df, "doc_id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -669,6 +669,117 @@ LEFT JOIN f4 USING (lang)
 DOC_CURATION_SQL = _curation_sql()
 
 
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition battery (Rae et al. 2021 A1) per document:
+    distinct ratio, top uni/bigram share, max consecutive-token run, word
+    shape. Spark side is pure array-HOF folds — zero shuffles (plan-pinned);
+    the DuckDB twin recomputes mode counts via unnest+group and the run
+    length via the lag-cumsum idiom."""
+    from ..operators.quality_rules import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir), "doc_id", "text")
+
+
+DOC_REPETITION_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, text, {_TOK} AS t FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) > 0 THEN round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(t) > 0 THEN round(list_sum(list_transform(t, x -> len(x))) / CAST(len(t) AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(t) > 0 THEN round(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) / CAST(len(t) AS DOUBLE), 6) ELSE 0.0 END AS alpha_word_ratio,
+         CASE WHEN len(t) > 0 THEN round(len(regexp_replace(text, '[^#@*^~\\\\|]', '', 'g')) / CAST(len(t) AS DOUBLE), 6) ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1]) ELSE [] END AS bg
+  FROM tk
+), uni AS (
+  SELECT doc_id, max(c) AS top_uni FROM (
+    SELECT doc_id, u AS tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS u FROM tk) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, max(c) AS top_bi FROM (
+    SELECT doc_id, u AS g2, count(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS u FROM base) GROUP BY doc_id, g2
+  ) GROUP BY doc_id
+), pos AS (
+  SELECT doc_id, i, t[i] AS tok FROM tk, unnest(generate_series(1, len(t))) AS u(i)
+), flagged AS (
+  SELECT doc_id, i,
+         CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+              THEN 0 ELSE 1 END AS is_new
+  FROM pos
+), runs AS (
+  SELECT doc_id, max(rl) AS max_run FROM (
+    SELECT doc_id, count(*) AS rl FROM (
+      SELECT doc_id,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS rid
+      FROM flagged
+    ) GROUP BY doc_id, rid
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.distinct_ratio,
+       CASE WHEN b.n_tokens > 0 THEN round(u.top_uni / CAST(b.n_tokens AS DOUBLE), 6) ELSE 0.0 END AS top_unigram_share,
+       CASE WHEN len(b.bg) > 0 THEN round(i.top_bi / CAST(len(b.bg) AS DOUBLE), 6) ELSE 0.0 END AS top_bigram_share,
+       CAST(coalesce(r.max_run, 0) AS INT) AS max_token_run,
+       b.mean_word_len, b.alpha_word_ratio, b.symbol_ratio
+FROM base b LEFT JOIN uni u USING (doc_id) LEFT JOIN bi i USING (doc_id)
+LEFT JOIN runs r USING (doc_id)
+"""
+
+
+def doc_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation rollup of the Gopher rule battery per (lang, source):
+    how many documents fail each rule and the overall pass rate. One narrow
+    metric stage + one map-side-combined groupBy."""
+    from ..operators.quality_rules import gopher_flags
+
+    f = gopher_flags(_docs(spark, sf_dir), "doc_id", "text",
+                     extra_cols=["lang", "source"])
+    fail_cols = [c for c in f.columns if c.startswith("fail_")]
+    aggs = [F.sum(F.col(c).cast("long")).alias(f"n_{c}") for c in fail_cols]
+    return f.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+        F.round(F.sum(F.col("gopher_pass").cast("long")) / F.count(F.lit(1)), 6)
+        .alias("pass_rate"),
+        *aggs,
+    )
+
+
+def _gopher_report_sql() -> str:
+    from ..operators.quality_rules import GOPHER_DEFAULTS as P
+
+    rules = {
+        "fail_token_count": f"NOT (m.n_tokens BETWEEN {P['min_tokens']} AND {P['max_tokens']})",
+        "fail_mean_word_len": f"NOT (m.mean_word_len BETWEEN {P['min_mean_word_len']} AND {P['max_mean_word_len']})",
+        "fail_symbol_ratio": f"m.symbol_ratio > {P['max_symbol_ratio']}",
+        "fail_alpha_ratio": f"m.alpha_word_ratio < {P['min_alpha_word_ratio']}",
+        "fail_top_unigram": f"m.top_unigram_share > {P['max_top_unigram_share']}",
+        "fail_top_bigram": f"m.top_bigram_share > {P['max_top_bigram_share']}",
+        "fail_distinct_ratio": f"m.distinct_ratio < {P['min_distinct_ratio']}",
+    }
+    fails = ",\n       ".join(
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}"
+        for name, cond in rules.items()
+    )
+    all_pass = " AND NOT ".join(["TRUE"] + list(rules.values()))
+    return f"""
+WITH j AS (
+  SELECT d.lang, d.source, m.* FROM ({DOC_REPETITION_SQL}) m
+  JOIN documents d USING (doc_id)
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN {all_pass} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(sum(CASE WHEN {all_pass} THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pass_rate,
+       {fails}
+FROM j m GROUP BY lang, source
+"""
+
+
+DOC_GOPHER_REPORT_SQL = _gopher_report_sql()
+
+
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SA1 oracle: `quality.sampling.stratified_sample` with the
     content-hash ordering (sha2(id|seed)) — a pure function of the data, so
@@ -733,9 +844,13 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "doc_ngram_jaccard_topk": doc_ngram_jaccard_topk,
     "doc_quality_scores": doc_quality_scores,
+    "doc_repetition_metrics": doc_repetition_metrics,
+    "doc_gopher_report": doc_gopher_report,
 }
 
 ORACLES = {
+    "doc_repetition_metrics": DOC_REPETITION_SQL,
+    "doc_gopher_report": DOC_GOPHER_REPORT_SQL,
     "doc_curation_funnel": DOC_CURATION_SQL,
     "doc_curated_ids": DOC_CURATED_IDS_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
