@@ -425,3 +425,38 @@ def test_repetition_metrics_on_planted_docs(spark):
     plan = repetition_metrics(df, "doc_id", "text")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ngram_contamination_planted(spark):
+    """A corpus doc embedding a benchmark sentence verbatim is flagged with
+    the right gram counts; unrelated docs are not. The benchmark side must
+    broadcast (corpus side never shuffles on the gram key)."""
+    from transcription_lakehouse_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the full benchmark sentence -> its 7 trigrams all hit
+            (1, "intro words then the quick brown fox jumps over the lazy dog ends"),
+            (2, "completely unrelated clean text with no overlap at all here"),
+            # partial overlap: only 'quick brown fox' trigram
+            (3, "a quick brown fox appeared in camp"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(corpus, bench, "doc_id", "text", n=3)
+    m = {r["doc_id"]: r for r in out.collect()}
+    assert m[1]["is_contaminated"] and m[1]["n_hit"] == 7
+    assert m[2]["n_hit"] == 0 and not m[2]["is_contaminated"]
+    assert m[3]["n_hit"] == 1 and m[3]["is_contaminated"]
+    # every doc of the corpus comes back exactly once
+    assert sorted(m) == [1, 2, 3]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,79 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+Llama-style 13-gram overlap check — public method; n parametrized).
+
+The reference has no decontamination pass; this is one of the
+training-data-pipeline operators the brief adds as first-class.
+
+Scale design: the benchmark side is DISTINCT n-grams of the (small)
+eval set — broadcast to every executor, so the corpus side streams
+through one narrow explode + broadcast hash join + one groupBy(doc_id)
+with map-side combine. The corpus is never shuffled on the gram string,
+and no all-pairs doc×doc comparison ever exists. At 100 TB corpus /
+MB-scale benchmarks this is a single scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import tokens
+from .dedup import shingles_from_tokens
+
+__all__ = ["benchmark_ngrams", "ngram_contamination"]
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str, n: int
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark set — one column ``gram``.
+    Intended to be small enough to broadcast (eval sets are MBs)."""
+    toked = benchmark.select(tokens(text_col).alias("_toks"))
+    return (
+        toked.select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    flag_threshold: float = 0.0,
+) -> DataFrame:
+    """Per-corpus-document contamination against a benchmark set.
+
+    Returns (id, n_grams, n_hit, contamination_ratio, is_contaminated):
+    ``n_grams`` = distinct n-grams in the doc, ``n_hit`` = how many also
+    occur anywhere in the benchmark, ``is_contaminated`` = ratio strictly
+    greater than ``flag_threshold`` (default: any hit flags).
+
+    Documents with fewer than n tokens have no n-grams: ratio 0, never
+    flagged (mirrors the reference-free convention of the public recipes).
+    """
+    bench = F.broadcast(benchmark_ngrams(benchmark, text_col, n))
+    toked = corpus.select(id_col, tokens(text_col).alias("_toks"))
+    sh = toked.select(
+        id_col, shingles_from_tokens(F.col("_toks"), n).alias("_grams")
+    )
+    totals = sh.select(id_col, F.size("_grams").alias("n_grams"))
+    hits = (
+        sh.select(id_col, F.explode("_grams").alias("gram"))
+        .join(bench, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    joined = totals.join(hits, id_col, "left").fillna({"n_hit": 0})
+    ratio = F.when(
+        F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams").cast("double")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        id_col,
+        "n_grams",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(ratio, 6).alias("contamination_ratio"),
+        (ratio > F.lit(flag_threshold)).alias("is_contaminated"),
+    )

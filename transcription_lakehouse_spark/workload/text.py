@@ -780,6 +780,51 @@ FROM j m GROUP BY lang, source
 DOC_GOPHER_REPORT_SQL = _gopher_report_sql()
 
 
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style n-gram overlap,
+    n=3 here so the synthetic corpus has real hits): docs whose id ≡ 0
+    (mod 23) play the held-out benchmark, the rest are the training corpus.
+    Scale: benchmark grams broadcast; the corpus streams — no shuffle on
+    the gram key, no doc×doc pairs."""
+    from ..operators.decontam import ngram_contamination
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    return ngram_contamination(corpus, bench, "doc_id", "text", n=3)
+
+
+DOC_DECONTAM_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+         ELSE [] END AS grams
+  FROM tk
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 23 = 0
+), corpus AS (
+  SELECT doc_id, grams FROM sh WHERE doc_id % 23 <> 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+  JOIN bench USING (gram) GROUP BY doc_id
+)
+SELECT c.doc_id, len(c.grams) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CASE WHEN len(c.grams) > 0
+                  THEN coalesce(h.n_hit, 0) / CAST(len(c.grams) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS contamination_ratio,
+       (CASE WHEN len(c.grams) > 0
+             THEN coalesce(h.n_hit, 0) / CAST(len(c.grams) AS DOUBLE)
+             ELSE 0.0 END) > 0.0 AS is_contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SA1 oracle: `quality.sampling.stratified_sample` with the
     content-hash ordering (sha2(id|seed)) — a pure function of the data, so
@@ -846,9 +891,11 @@ QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_metrics": doc_repetition_metrics,
     "doc_gopher_report": doc_gopher_report,
+    "doc_decontamination": doc_decontamination,
 }
 
 ORACLES = {
+    "doc_decontamination": DOC_DECONTAM_SQL,
     "doc_repetition_metrics": DOC_REPETITION_SQL,
     "doc_gopher_report": DOC_GOPHER_REPORT_SQL,
     "doc_curation_funnel": DOC_CURATION_SQL,
