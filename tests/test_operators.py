@@ -460,3 +460,36 @@ def test_ngram_contamination_planted(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: match at-or-before, NULL when nothing precedes,
+    tolerance nulls stale matches, one shuffle on the key."""
+    from transcription_lakehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 1, 100), ("u1", 2, 205), ("u1", 3, 50), ("u2", 4, 10)],
+        "user string, lid long, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 200, "b"), ("u3", 5, "x")],
+        "user string, rts long, tag string",
+    )
+    out = asof_join(left, right, on=["user"], left_ts="ts", right_ts="rts")
+    m = {r["lid"]: r for r in out.collect()}
+    assert m[1]["tag"] == "a" and m[1]["rts"] == 100  # equal ts matches
+    assert m[2]["tag"] == "b"                          # most recent, not first
+    assert m[3]["tag"] is None                         # nothing at-or-before 50
+    assert m[4]["tag"] is None                         # no right rows for u2
+    assert sorted(m) == [1, 2, 3, 4]                   # every left row kept
+
+    tol = asof_join(left, right, on=["user"], left_ts="ts", right_ts="rts",
+                    tolerance=4)
+    t = {r["lid"]: r for r in tol.collect()}
+    assert t[1]["tag"] == "a"        # lag 0 <= 4
+    assert t[2]["tag"] is None       # lag 5 > 4 -> stale
+    assert t[2]["rts"] is None
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan  # union sides co-shuffle once each
+    assert "CartesianProduct" not in plan

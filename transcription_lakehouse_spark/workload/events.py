@@ -530,6 +530,53 @@ FROM ordered GROUP BY user_id
 """
 
 
+def evt_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view at
+    or before it (point-in-time-correct feature lookup). The right side is
+    pre-deduped to one row per (user, instant) keeping max event_id, so the
+    match — and the DuckDB ``ASOF LEFT JOIN`` twin — is fully deterministic.
+    Scale: one shuffle on user_id (union + keyed running-carry window), no
+    range explosion."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts_us").alias("view_ts_us"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts_us", right_ts="view_ts_us"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "view_event_id",
+        "view_ts_us",
+        (F.col("ts_us") - F.col("view_ts_us")).alias("lag_us"),
+    )
+
+
+EVT_ASOF_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, epoch_us(ts) AS view_ts_us, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT l.user_id, l.event_id, l.ts_us, r.view_event_id, r.view_ts_us,
+       l.ts_us - r.view_ts_us AS lag_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.view_ts_us
+"""
+
+
 def evt_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window aggregation: per-user running value total over time
     (the batch shape of a stateful streaming accumulator)."""
@@ -732,6 +779,7 @@ QUERIES = {
     "evt_type_share": evt_type_share,
     "evt_first_last_actions": evt_first_last_actions,
     "evt_running_total": evt_running_total,
+    "evt_asof_last_view": evt_asof_last_view,
     "evt_user_catalog": evt_user_catalog,
     "evt_user_catalog_salted": evt_user_catalog_salted,
     "evt_type_stats": evt_type_stats,
@@ -755,6 +803,7 @@ ORACLES = {
     "evt_type_share": EVT_TYPE_SHARE_SQL,
     "evt_first_last_actions": EVT_FIRST_LAST_SQL,
     "evt_running_total": EVT_RUNNING_TOTAL_SQL,
+    "evt_asof_last_view": EVT_ASOF_SQL,
     "evt_user_catalog": EVT_USER_CATALOG_SQL,
     "evt_user_catalog_salted": EVT_USER_CATALOG_SALTED_SQL,
     "evt_type_stats": EVT_TYPE_STATS_SQL,
