@@ -186,3 +186,27 @@ def test_numeric_anomalies(spark):
     out = numeric_anomalies(df)
     assert out["a"] == {"nan": 1, "null": 1, "inf": 0}
     assert out["b"] == {"nan": 0, "null": 0, "inf": 2}
+
+
+def test_weighted_sample_props(spark):
+    """A-ES weighted sampling: proportional-to-weight inclusion (a huge
+    weight virtually guarantees selection), partitioning invariance, and a
+    TakeOrdered plan (no global sort)."""
+    from transcription_lakehouse_spark.quality.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i else 1e8) for i in range(200)]  # row 0 dominates
+    df = spark.createDataFrame(rows, "id long, w double")
+    s = weighted_sample(df, 20, "w", "id")
+    ids = {r["id"] for r in s.collect()}
+    assert 0 in ids and len(ids) == 20
+
+    # zero/negative weights carry no mass
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
+    assert {r["id"] for r in weighted_sample(df2, 3, "w", "id").collect()} == {3}
+
+    # content-hash keys: same sample under a different partitioning
+    again = {r["id"] for r in weighted_sample(df.repartition(13), 20, "w", "id").collect()}
+    assert again == ids
+
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["stratified_sample", "random_pairs", "seeded_sample"]
+__all__ = ["stratified_sample", "random_pairs", "seeded_sample", "weighted_sample"]
 
 DEFAULT_SEED = 42
 
@@ -69,6 +69,45 @@ def seeded_sample(
         else F.rand(seed)
     )
     return df.orderBy(order).limit(n)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    public algorithm): each row draws u ~ U(0,1) and the n largest
+    ``u^(1/w)`` win — inclusion probability proportional to weight.
+
+    u derives from sha256(id|seed) — a pure function of the data, so the
+    sample is identical under any partitioning AND reproducible in the
+    DuckDB oracle. Rows with weight <= 0 are excluded (zero mass).
+
+    Scale: the order key is a narrow per-row expression and
+    ``orderBy().limit(n)`` plans as TakeOrdered (per-partition top-n merged
+    on the driver) — no global sort, no single-partition window.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat_ws("|", F.col(id_col), F.lit(str(seed))), 256), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.desc("_aes_key"), F.col(id_col))
+        .limit(n)
+        .drop("_aes_key")
+    )
 
 
 def random_pairs(

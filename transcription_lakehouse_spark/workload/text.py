@@ -780,6 +780,30 @@ FROM j m GROUP BY lang, source
 DOC_GOPHER_REPORT_SQL = _gopher_report_sql()
 
 
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA-extension: weighted sample of 50 docs, inclusion ∝ n_chars
+    (longer docs likelier — the 'sample by token mass' curation pattern).
+    A-ES keys from sha256(doc_id|seed): partitioning-invariant and exactly
+    reproducible in DuckDB. Plans as TakeOrdered — no global sort."""
+    from ..quality.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, 50, "n_chars", "doc_id")
+
+
+DOC_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         pow(CAST(('0x' || substr(sha256(concat(CAST(doc_id AS VARCHAR), '|', '42')), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0,
+             1.0 / n_chars) AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM keyed
+ORDER BY k DESC, doc_id LIMIT 50
+"""
+
+
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C style n-gram overlap,
     n=3 here so the synthetic corpus has real hits): docs whose id ≡ 0
@@ -892,10 +916,12 @@ QUERIES = {
     "doc_repetition_metrics": doc_repetition_metrics,
     "doc_gopher_report": doc_gopher_report,
     "doc_decontamination": doc_decontamination,
+    "doc_weighted_sample": doc_weighted_sample,
 }
 
 ORACLES = {
     "doc_decontamination": DOC_DECONTAM_SQL,
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_repetition_metrics": DOC_REPETITION_SQL,
     "doc_gopher_report": DOC_GOPHER_REPORT_SQL,
     "doc_curation_funnel": DOC_CURATION_SQL,
