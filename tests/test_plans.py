@@ -25,12 +25,21 @@ SF_DIR = "/root/testdata/sf0.001"
 _RANK_OFFSETS_BNLJ = {"evt_corr_stats"}
 # - BNLJ where one side is an intentionally bounded broadcast (sampled
 #   queries / per-label sample) and exact scoring IS the semantics
-_BOUNDED_BROADCAST_BNLJ = {"vec_knn_bruteforce", "vec_label_similarity_matrix"}
+_BOUNDED_BROADCAST_BNLJ = {
+    "vec_knn_bruteforce",
+    "vec_label_similarity_matrix",
+    "q22_idle_wealthy_customers",  # one-row global-avg threshold broadcast
+}
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {
     "q6_forecast_revenue",       # single-row global aggregate
     "trn_integrity_battery",     # single-row global aggregate
     "trn_speaker_balance",       # global window over per-speaker aggregate
+    "q14_promo_share",           # single-row global aggregate
+    "q15_top_supplier",          # one-row global max broadcast back
+    "q17_small_quantity_revenue",  # single-row global aggregate
+    "q19_disjunctive_revenue",   # single-row global aggregate
+    "q22_idle_wealthy_customers",  # one-row global-avg scalar
 }
 
 

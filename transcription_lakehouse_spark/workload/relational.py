@@ -484,7 +484,294 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders in a date window having at
+    least one lineitem shipped >90 days after the order date, counted per
+    priority. Scale: left-semi hash join on o_orderkey (the non-equi date
+    predicate rides the join as a residual condition); tiny groupBy after."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"].cast("date") > F.date_add(o["o_orderdate"].cast("date"), 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o.o_orderkey
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders (INCLUDING the
+    zero-order customers — the left-join-then-histogram pattern). Urgent
+    orders are excluded inside the join, not before the count, so 0 means
+    'no qualifying orders'. Two shuffles: join on custkey, histogram on k."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share — % of one month's revenue
+    from PROMO parts. Decimal accumulation (order-independent) on both
+    engines; part broadcasts into the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        F.round(
+            (F.lit(100.0) * F.round(F.sum(promo), 2).cast("double"))
+            / F.round(F.sum(rev), 2).cast("double"),
+            4,
+        ).alias("promo_pct"),
+    )
+
+
+Q14_SQL = """
+SELECT count(*) AS n_lines,
+       CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
+       round(100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+             / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the MAX revenue over a
+    quarter — the scalar-subquery-over-aggregated-view pattern. The global
+    max is a one-row aggregate broadcast back into the per-supplier rows
+    (bounded SinglePartition, justified in the plan lint)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — lineitems with
+    quantity under 20% of their part's average, for one brand. The per-part
+    threshold decorrelates to an agg + broadcast join; the final sum is a
+    one-row global (justified SinglePartition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_qty = li.groupBy("l_partkey").agg(
+        F.round(F.lit(0.2) * F.avg("l_quantity"), 4).alias("_thresh")
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(avg_qty.join(part, avg_qty["l_partkey"] == part["p_partkey"])
+                          .select(avg_qty["l_partkey"].alias("_pk"), "_thresh")),
+              li["l_partkey"] == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7, 2
+        ).cast("double").alias("avg_yearly"),
+    )
+
+
+Q17_SQL = """
+SELECT count(*) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem l JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT round(0.2 * avg(l_quantity), 4) FROM lineitem WHERE l_partkey = l.l_partkey
+  )
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join (brand x size
+    x quantity bands). Catalyst extracts the common l_partkey = p_partkey
+    conjunct so this stays a hash join with a residual disjunction — never
+    a cartesian. One-row global result (justified SinglePartition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 45)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return j.filter(band).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )
+
+
+Q19_SQL = """
+SELECT count(*) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and NO urgent
+    orders — global-scalar threshold + anti-join, rolled up per nation. The
+    average is a one-row aggregate broadcast into the filter (justified
+    SinglePartition); the anti-join shuffles on custkey. (Plain 'no orders'
+    is vacuous on this testdata — every customer has orders — so the
+    anti-join runs against the urgent subset to keep the check non-empty.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("_avg")
+    )
+    wealthy = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+    )
+    idle = wealthy.join(
+        orders, wealthy["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS n_custs,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
+    "q4_late_shipments": q4_late_shipments,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_share": q14_promo_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_idle_wealthy_customers": q22_idle_wealthy_customers,
     "q18_large_orders": q18_large_orders,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q12_priority_by_date_band": q12_priority_by_date_band,
@@ -501,6 +788,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q4_late_shipments": Q4_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q14_promo_share": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q22_idle_wealthy_customers": Q22_SQL,
     "q18_large_orders": Q18_SQL,
     "q16_supplier_part_counts": Q16_SQL,
     "q12_priority_by_date_band": Q12_SQL,
