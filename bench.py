@@ -35,6 +35,9 @@ HEADLINE = [
     "doc_fingerprints",
     "vec_knn_bruteforce",
     "vec_knn_lsh",
+    "evt_asof_last_view",
+    "doc_decontamination",
+    "doc_gopher_report",
     "trn_span_catalog",
     "trn_beat_catalog",
     "trn_section_catalog",

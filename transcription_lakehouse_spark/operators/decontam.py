@@ -54,19 +54,31 @@ def ngram_contamination(
     Documents with fewer than n tokens have no n-grams: ratio 0, never
     flagged (mirrors the reference-free convention of the public recipes).
     """
-    bench = F.broadcast(benchmark_ngrams(benchmark, text_col, n))
+    bench = F.broadcast(
+        benchmark_ngrams(benchmark, text_col, n).withColumn("_hit", F.lit(1))
+    )
     toked = corpus.select(id_col, tokens(text_col).alias("_toks"))
     sh = toked.select(
         id_col, shingles_from_tokens(F.col("_toks"), n).alias("_grams")
     )
-    totals = sh.select(id_col, F.size("_grams").alias("n_grams"))
-    hits = (
-        sh.select(id_col, F.explode("_grams").alias("gram"))
-        .join(bench, "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # ONE corpus pass: totals ride the exploded rows (explode_outer keeps
+    # gram-less docs AND avoids the inferred size>0 filter that would
+    # re-evaluate the shingle lambda on raw text), the broadcast left join
+    # marks hits, and the per-doc groupBy collapses map-side before any
+    # shuffle. A separate totals branch would scan + shingle twice.
+    ex = sh.select(
+        id_col,
+        F.size("_grams").alias("n_grams"),
+        F.explode_outer("_grams").alias("gram"),
     )
-    joined = totals.join(hits, id_col, "left").fillna({"n_hit": 0})
+    joined = (
+        ex.join(bench, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
     ratio = F.when(
         F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams").cast("double")
     ).otherwise(F.lit(0.0))

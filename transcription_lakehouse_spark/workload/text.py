@@ -814,7 +814,13 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 23 == 0)
-    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    # the small test parquet arrives as ONE input partition and the explode
+    # amplifies per-row work ~60x — spread it the way a real stored table
+    # would be (same convention as the 20x bench fixtures; the operator
+    # itself never forces a shuffle)
+    corpus = d.filter(F.col("doc_id") % 23 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ngram_contamination(corpus, bench, "doc_id", "text", n=3)
 
 
