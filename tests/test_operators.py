@@ -493,3 +493,27 @@ def test_asof_join_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan  # union sides co-shuffle once each
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_fraction_planted(spark):
+    """Docs sharing a repeated passage score high boilerplate fraction;
+    a unique doc scores 0. No cartesian anywhere."""
+    from transcription_lakehouse_spark.operators.decontam import (
+        boilerplate_fraction,
+    )
+
+    passage = "all rights reserved click here to subscribe now"
+    rows = [(i, f"{passage} unique tail {i} alpha beta") for i in range(4)]
+    rows.append((99, "entirely original prose with no repeated passage inside"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_fraction(df, "doc_id", "text", n=3, min_df=3)
+    m = {r["doc_id"]: r for r in out.collect()}
+    # passage trigrams appear in 4 docs -> boilerplate; the per-doc unique
+    # tails do not
+    assert all(m[i]["n_boiler"] >= 6 for i in range(4))
+    assert all(m[i]["boiler_fraction"] > 0.5 for i in range(4))
+    assert m[99]["n_boiler"] == 0 and m[99]["boiler_fraction"] == 0.0
+    assert sorted(m) == [0, 1, 2, 3, 99]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from ..functions.text import tokens
 from .dedup import shingles_from_tokens
 
-__all__ = ["benchmark_ngrams", "ngram_contamination"]
+__all__ = ["benchmark_ngrams", "ngram_contamination", "boilerplate_fraction"]
 
 
 def benchmark_ngrams(
@@ -88,4 +88,60 @@ def ngram_contamination(
         F.col("n_hit").cast("long").alias("n_hit"),
         F.round(ratio, 6).alias("contamination_ratio"),
         (ratio > F.lit(flag_threshold)).alias("is_contaminated"),
+    )
+
+
+def boilerplate_fraction(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_df: int = 10,
+) -> DataFrame:
+    """Corpus-internal boilerplate detection (the CCNet/C4-style repeated-
+    passage filter, public method): an n-gram is *boilerplate* when it
+    occurs in >= ``min_df`` distinct documents; each document reports the
+    fraction of its distinct n-grams that are boilerplate.
+
+    Returns (id, n_grams, n_boiler, boiler_fraction).
+
+    Scale design: two shuffles, both map-side combinable — (1) gram →
+    document-frequency counts (distinct grams per doc by construction, so
+    ``count(*)`` IS the df), (2) the exploded corpus re-joins the df table
+    on the gram hash and collapses back to one row per document. Hot grams
+    skew shuffle (2); AQE skew-join splitting handles it because the join is
+    a plain equi-join. No doc×doc pairs, no driver collection.
+    """
+    toked = corpus.select(id_col, tokens(text_col).alias("_toks"))
+    sh = toked.select(
+        id_col, shingles_from_tokens(F.col("_toks"), n).alias("_grams")
+    )
+    ex = sh.select(
+        id_col,
+        F.size("_grams").alias("n_grams"),
+        F.explode_outer("_grams").alias("gram"),
+    )
+    df_counts = (
+        ex.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("gram", F.lit(1).alias("_boiler"))
+    )
+    joined = (
+        ex.join(df_counts, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.coalesce(F.sum("_boiler"), F.lit(0)).alias("n_boiler"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_boiler") / F.col("n_grams").cast("double")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        id_col,
+        "n_grams",
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.round(frac, 6).alias("boiler_fraction"),
     )

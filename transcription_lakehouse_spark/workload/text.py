@@ -780,6 +780,44 @@ FROM j m GROUP BY lang, source
 DOC_GOPHER_REPORT_SQL = _gopher_report_sql()
 
 
+def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal boilerplate (CCNet/C4-style repeated-passage filter):
+    per document, the fraction of its distinct trigrams occurring in >= 3
+    documents. Two map-side-combinable shuffles (gram-df count, per-doc
+    rollup); hot grams are AQE-splittable equi-join skew."""
+    from ..operators.decontam import boilerplate_fraction
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return boilerplate_fraction(d, "doc_id", "text", n=3, min_df=3)
+
+
+DOC_BOILERPLATE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+         ELSE [] END AS grams
+  FROM tk
+), ex AS (
+  SELECT doc_id, unnest(grams) AS gram FROM sh
+), boiler AS (
+  SELECT gram FROM ex GROUP BY gram HAVING count(*) >= 3
+), hits AS (
+  SELECT doc_id, count(*) AS n_boiler
+  FROM ex JOIN boiler USING (gram) GROUP BY doc_id
+)
+SELECT s.doc_id, len(s.grams) AS n_grams,
+       CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+       round(CASE WHEN len(s.grams) > 0
+                  THEN coalesce(h.n_boiler, 0) / CAST(len(s.grams) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS boiler_fraction
+FROM sh s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SA-extension: weighted sample of 50 docs, inclusion ∝ n_chars
     (longer docs likelier — the 'sample by token mass' curation pattern).
@@ -923,11 +961,13 @@ QUERIES = {
     "doc_gopher_report": doc_gopher_report,
     "doc_decontamination": doc_decontamination,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_boilerplate": doc_boilerplate,
 }
 
 ORACLES = {
     "doc_decontamination": DOC_DECONTAM_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
+    "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "doc_repetition_metrics": DOC_REPETITION_SQL,
     "doc_gopher_report": DOC_GOPHER_REPORT_SQL,
     "doc_curation_funnel": DOC_CURATION_SQL,
