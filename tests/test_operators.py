@@ -517,3 +517,43 @@ def test_boilerplate_fraction_planted(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_scrub_pii_planted(spark):
+    """Planted PII is masked with typed placeholders and counted per family;
+    clean text is untouched. The Spark scrub and the DuckDB twin SQL agree
+    byte-for-byte (engine regex parity)."""
+    import duckdb
+
+    from transcription_lakehouse_spark.operators.scrub import (
+        duckdb_scrub_sql,
+        scrub_report,
+    )
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.org or visit https://ex.com/a?b=1 now"),
+        (2, "server 192.168.001.250 responded, call +1 555-123 4567 or 123456789"),
+        (3, "perfectly clean text with the number 42 and word123 inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_report(df, "doc_id", "text").collect()}
+
+    assert out[1]["n_email"] == 1 and out[1]["n_url"] == 1
+    assert out[1]["scrubbed_text"] == "contact me at <EMAIL> or visit <URL> now"
+    assert out[2]["n_ip"] == 1 and out[2]["n_phone"] == 1 and out[2]["n_idnum"] == 1
+    assert "<IP>" in out[2]["scrubbed_text"]
+    assert "<PHONE>" in out[2]["scrubbed_text"]
+    assert "<NUM>" in out[2]["scrubbed_text"]
+    assert out[3]["n_scrubbed"] == 0
+    assert out[3]["scrubbed_text"] == rows[2][1]
+
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        got = con.execute(
+            f"SELECT {duckdb_scrub_sql('?')}", [text]
+        ).fetchone()[0]
+        assert got == out[doc_id]["scrubbed_text"], (doc_id, got)
+
+    plan = scrub_report(df, "doc_id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -818,6 +818,57 @@ FROM sh s LEFT JOIN hits h USING (doc_id)
 """
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub parity gate: the testdata has no PII, so each doc is
+    DECORATED with deterministic synthetic PII derived from doc_id (both
+    engines build the identical string), then scrubbed; counts per family
+    and the md5 of the scrubbed text must hash-match DuckDB's replay of the
+    same pattern pipeline. Pure per-row regex — shuffle-free."""
+    from ..operators.scrub import scrub_report
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach u"), F.col("doc_id"), F.lit("@mail.test or "),
+            F.lit("https://ex.test/p/"), F.col("doc_id"),
+            F.lit(" id 90000"), F.format_string("%05d", F.col("doc_id").cast("int")),
+        ).alias("text"),
+    )
+    rep = scrub_report(d, "doc_id", "text")
+    return rep.select(
+        "doc_id", "n_url", "n_email", "n_ip", "n_idnum", "n_phone",
+        "n_scrubbed", F.md5("scrubbed_text").alias("scrub_md5"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from ..operators.scrub import SCRUB_PATTERNS
+
+    deco = ("text || ' reach u' || CAST(doc_id AS VARCHAR) || '@mail.test or '"
+            " || 'https://ex.test/p/' || CAST(doc_id AS VARCHAR)"
+            " || ' id 90000' || format('{:05d}', doc_id)")
+    cur = deco
+    counts = []
+    for name, pat, repl in SCRUB_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all({cur}, '{p}')) AS INT) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in SCRUB_PATTERNS)
+    return f"""
+WITH scrubbed AS (
+  SELECT doc_id, {', '.join(counts)}, md5({cur}) AS scrub_md5
+  FROM documents
+)
+SELECT doc_id, n_url, n_email, n_ip, n_idnum, n_phone,
+       CAST({total} AS BIGINT) AS n_scrubbed, scrub_md5
+FROM scrubbed
+"""
+
+
+DOC_PII_SCRUB_SQL = _pii_scrub_sql()
+
+
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SA-extension: weighted sample of 50 docs, inclusion ∝ n_chars
     (longer docs likelier — the 'sample by token mass' curation pattern).
@@ -962,12 +1013,14 @@ QUERIES = {
     "doc_decontamination": doc_decontamination,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_boilerplate": doc_boilerplate,
+    "doc_pii_scrub": doc_pii_scrub,
 }
 
 ORACLES = {
     "doc_decontamination": DOC_DECONTAM_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
+    "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_repetition_metrics": DOC_REPETITION_SQL,
     "doc_gopher_report": DOC_GOPHER_REPORT_SQL,
     "doc_curation_funnel": DOC_CURATION_SQL,
