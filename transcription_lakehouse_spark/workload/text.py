@@ -818,6 +818,86 @@ FROM sh s LEFT JOIN hits h USING (doc_id)
 """
 
 
+def doc_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 curation funnel over the corpus split (benchmark docs — id ≡
+    0 mod 23 — excluded): Gopher rule battery → benchmark decontamination →
+    boilerplate cap, with per-(lang, source) survivor counts and the token
+    mass that remains. Each stage reuses the standalone oracle-gated
+    operator; the DuckDB twin recomputes the whole composition from the same
+    per-stage SQL, so the funnel — not just its parts — is hash-gated."""
+    from ..operators.decontam import boilerplate_fraction, ngram_contamination
+    from ..operators.quality_rules import gopher_flags
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+
+    g = gopher_flags(corpus, "doc_id", "text", extra_cols=["lang", "source"])
+    c = ngram_contamination(corpus, bench, "doc_id", "text", n=3).select(
+        "doc_id", "n_hit"
+    )
+    b = boilerplate_fraction(corpus, "doc_id", "text", n=3, min_df=3).select(
+        "doc_id", "boiler_fraction"
+    )
+    j = (
+        g.select("doc_id", "lang", "source", "n_tokens", "gopher_pass")
+        .join(c, "doc_id")
+        .join(b, "doc_id")
+    )
+    s1 = F.col("gopher_pass")
+    s2 = s1 & (F.col("n_hit") == 0)
+    s3 = s2 & (F.col("boiler_fraction") <= 0.3)
+    return j.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(s1.cast("long")).alias("n_gopher_ok"),
+        F.sum(s2.cast("long")).alias("n_clean"),
+        F.sum(s3.cast("long")).alias("n_curated"),
+        F.coalesce(F.sum(F.when(s3, F.col("n_tokens"))), F.lit(0).cast("long"))
+        .alias("sum_curated_tokens"),
+    )
+
+
+def _curation_v2_sql() -> str:
+    from ..operators.quality_rules import GOPHER_DEFAULTS as P
+
+    gopher_ok = (
+        f"(m.n_tokens BETWEEN {P['min_tokens']} AND {P['max_tokens']})"
+        f" AND (m.mean_word_len BETWEEN {P['min_mean_word_len']} AND {P['max_mean_word_len']})"
+        f" AND m.symbol_ratio <= {P['max_symbol_ratio']}"
+        f" AND m.alpha_word_ratio >= {P['min_alpha_word_ratio']}"
+        f" AND m.top_unigram_share <= {P['max_top_unigram_share']}"
+        f" AND m.top_bigram_share <= {P['max_top_bigram_share']}"
+        f" AND m.distinct_ratio >= {P['min_distinct_ratio']}"
+    )
+    return f"""
+WITH rep AS ({DOC_REPETITION_SQL}),
+decon AS ({DOC_DECONTAM_SQL}),
+boiler AS ({DOC_BOILERPLATE_SQL}),
+j AS (
+  SELECT d.lang, d.source, m.n_tokens,
+         CASE WHEN {gopher_ok} THEN 1 ELSE 0 END AS s1,
+         c.n_hit, b.boiler_fraction
+  FROM documents d
+  JOIN rep m USING (doc_id)
+  JOIN decon c USING (doc_id)
+  JOIN boiler b USING (doc_id)
+), staged AS (
+  SELECT lang, source, n_tokens, s1,
+         CASE WHEN s1 = 1 AND n_hit = 0 THEN 1 ELSE 0 END AS s2,
+         CASE WHEN s1 = 1 AND n_hit = 0 AND boiler_fraction <= 0.3
+              THEN 1 ELSE 0 END AS s3
+  FROM j
+)
+SELECT lang, source, count(*) AS n_corpus,
+       CAST(sum(s1) AS BIGINT) AS n_gopher_ok,
+       CAST(sum(s2) AS BIGINT) AS n_clean,
+       CAST(sum(s3) AS BIGINT) AS n_curated,
+       CAST(coalesce(sum(CASE WHEN s3 = 1 THEN n_tokens END), 0) AS BIGINT)
+         AS sum_curated_tokens
+FROM staged GROUP BY lang, source
+"""
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub parity gate: the testdata has no PII, so each doc is
     DECORATED with deterministic synthetic PII derived from doc_id (both
@@ -991,6 +1071,9 @@ DOC_CURATED_IDS_SQL = (
 )
 
 
+# composed AFTER its per-stage SQL constants exist (module order)
+DOC_CURATION_V2_SQL = _curation_v2_sql()
+
 QUERIES = {
     "doc_curation_funnel": doc_curation_funnel,
     "doc_curated_ids": doc_curated_ids,
@@ -1014,6 +1097,7 @@ QUERIES = {
     "doc_weighted_sample": doc_weighted_sample,
     "doc_boilerplate": doc_boilerplate,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_curation_v2": doc_curation_v2,
 }
 
 ORACLES = {
@@ -1021,6 +1105,7 @@ ORACLES = {
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
+    "doc_curation_v2": DOC_CURATION_V2_SQL,
     "doc_repetition_metrics": DOC_REPETITION_SQL,
     "doc_gopher_report": DOC_GOPHER_REPORT_SQL,
     "doc_curation_funnel": DOC_CURATION_SQL,
