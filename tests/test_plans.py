@@ -29,6 +29,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "vec_knn_bruteforce",
     "vec_label_similarity_matrix",
     "q22_idle_wealthy_customers",  # one-row global-avg threshold broadcast
+    "q11_important_parts",  # one-row global-total threshold broadcast
 }
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {
@@ -40,6 +41,7 @@ _GLOBAL_SCALAR_OK = {
     "q17_small_quantity_revenue",  # single-row global aggregate
     "q19_disjunctive_revenue",   # single-row global aggregate
     "q22_idle_wealthy_customers",  # one-row global-avg scalar
+    "q11_important_parts",       # one-row global total over per-part agg
 }
 
 

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import events, relational, text, transcript, vectors
+from . import events, relational, relational2, text, transcript, vectors
 
-_MODULES = (relational, events, text, vectors, transcript)
+_MODULES = (relational, relational2, events, text, vectors, transcript)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
