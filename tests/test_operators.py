@@ -557,3 +557,41 @@ def test_scrub_pii_planted(spark):
     plan = scrub_report(df, "doc_id", "text")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_connected_components_transitive_chain(spark):
+    from transcription_lakehouse_spark.operators.graph import (
+        connected_components,
+        dup_clusters,
+    )
+
+    # two components: a 6-node path (needs >1 propagation round — exercises
+    # pointer jumping) and a triangle; node 99 untouched (absent from edges)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (10, 12)],
+        "a int, b int",
+    )
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 12: 10}
+
+    out = dup_clusters(edges, "a", "b").collect()
+    keepers = sorted(r["doc_id"] for r in out if r["is_keeper"])
+    assert keepers == [1, 10]
+    assert len(out) == 9  # singletons not emitted
+
+
+def test_connected_components_direction_invariance(spark):
+    from transcription_lakehouse_spark.operators.graph import connected_components
+
+    # same graph, edges given in arbitrary orientation — same components
+    edges = spark.createDataFrame(
+        [(5, 1), (2, 5), (7, 8)], "a int, b int"
+    )
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert cc == {1: 1, 2: 1, 5: 1, 7: 7, 8: 7}

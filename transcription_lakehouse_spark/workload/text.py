@@ -1074,7 +1074,63 @@ DOC_CURATED_IDS_SQL = (
 # composed AFTER its per-stage SQL constants exist (module order)
 DOC_CURATION_V2_SQL = _curation_v2_sql()
 
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate CLUSTERS: MinHash-LSH candidates → exact-Jaccard
+    rescore (>= 0.5) → connected components (iterative hash-to-min with
+    pointer jumping) → one canonical keeper per cluster (min doc_id).
+
+    This is the stage the pair queries stop short of: A~B and B~C must
+    dedup as ONE cluster {A, B, C} keeping only A, even when A~C never
+    scored. The DuckDB twin recomputes the same graph with a recursive CTE
+    (component = min reachable node), so the oracle checks the transitive
+    closure itself, not just the pair set."""
+    from ..operators.dedup import (
+        jaccard_rescore,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from ..operators.graph import dup_clusters
+
+    d = _docs(spark, sf_dir).filter(token_count("text") >= 3)
+    cands = lsh_candidate_pairs(minhash_signature(d, "doc_id", "text", n=3), "doc_id")
+    pairs = jaccard_rescore(cands, d, "doc_id", "text", n=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dup_clusters(pairs, "doc_id_1", "doc_id_2").orderBy(
+        "component_id", "doc_id"
+    )
+
+
+DOC_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_CANDS_SQL.format(tok=_TOK)
+    + """
+, scored AS (
+  SELECT c.doc_id_1, c.doc_id_2
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_id_1
+  JOIN sh s2 ON s2.doc_id = c.doc_id_2
+  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        / (len(s1.shingles) + len(s2.shingles)
+           - len(list_intersect(s1.shingles, s2.shingles))) >= 0.5
+), sym AS (
+  SELECT doc_id_1 AS s, doc_id_2 AS d FROM scored
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM scored
+), reach(n, r) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON reach.n = sym.s
+)
+SELECT n AS doc_id, min(r) AS component_id, n = min(r) AS is_keeper
+FROM reach GROUP BY n
+ORDER BY component_id, doc_id
+"""
+)
+
+
 QUERIES = {
+    "doc_dup_clusters": doc_dup_clusters,
     "doc_curation_funnel": doc_curation_funnel,
     "doc_curated_ids": doc_curated_ids,
     "doc_stratified_sample": doc_stratified_sample,
@@ -1101,6 +1157,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_decontamination": DOC_DECONTAM_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
