@@ -30,6 +30,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "vec_label_similarity_matrix",
     "q22_idle_wealthy_customers",  # one-row global-avg threshold broadcast
     "q11_important_parts",  # one-row global-total threshold broadcast
+    "doc_unigram_logprob",  # one-row corpus-total broadcast into ln()
 }
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {
@@ -42,6 +43,7 @@ _GLOBAL_SCALAR_OK = {
     "q19_disjunctive_revenue",   # single-row global aggregate
     "q22_idle_wealthy_customers",  # one-row global-avg scalar
     "q11_important_parts",       # one-row global total over per-part agg
+    "doc_unigram_logprob",       # one-row corpus-total aggregate
 }
 
 

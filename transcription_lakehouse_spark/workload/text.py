@@ -1129,7 +1129,59 @@ ORDER BY component_id, doc_id
 )
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document — the in-engine stand-in for the
+    KenLM-perplexity quality filter (CCNet recipe): documents whose tokens
+    are globally rare score high and are filter candidates.
+
+    sum_nll = Σ_tokens ln(total_tokens / count(token)), emitted as a SUM
+    plus n_tokens (consumers divide) — derived averages round differently
+    across engines. Each ln term is rounded to 12 decimals and accumulated
+    in DECIMAL so the sum is order-independent and a last-ulp ln()
+    difference between JVM and C math libs is 8 orders below the 4-decimal
+    output precision.
+
+    Scale: vocabulary groupBy (one map-side-combined shuffle), equi-join of
+    the exploded corpus to the vocab on token (shuffle or broadcast per
+    AQE), one-row total broadcast — no per-row Python anywhere."""
+    d = _docs(spark, sf_dir)
+    toked = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    counts = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("_total"))
+    nll = F.round(
+        F.log(F.col("_total").cast("double")) - F.log(F.col("cnt").cast("double")),
+        12,
+    ).cast("decimal(28,12)")
+    return (
+        toked.join(counts, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(nll), 4).cast("double").alias("sum_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_UNIGRAM_LOGPROB_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM toked GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS total FROM counts
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(round(sum(CAST(round(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)), 12)
+                           AS DECIMAL(28,12))), 4) AS DOUBLE) AS sum_nll
+FROM toked JOIN counts USING (tok) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "doc_unigram_logprob": doc_unigram_logprob,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_curation_funnel": doc_curation_funnel,
     "doc_curated_ids": doc_curated_ids,
@@ -1157,6 +1209,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_decontamination": DOC_DECONTAM_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
