@@ -595,3 +595,43 @@ def test_connected_components_direction_invariance(spark):
         for r in connected_components(edges, "a", "b").collect()
     }
     assert cc == {1: 1, 2: 1, 5: 1, 7: 7, 8: 7}
+
+
+def test_interval_overlap_join_semantics(spark):
+    from transcription_lakehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    W = 100  # tiny bins so pairs span MANY shared bins
+    a = spark.createDataFrame(
+        [
+            ("u", 1, 0, 1000),     # spans 10 bins
+            ("u", 2, 5000, 5010),
+            ("u", 3, 7000, 7000),  # empty interval: never matches
+            ("v", 4, 0, 1000),     # other key: must not meet u's intervals
+        ],
+        "k string, id int, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [
+            ("u", 10, 500, 2000),   # overlaps id=1 across 5 shared bins
+            ("u", 11, 1000, 1100),  # touches id=1 end: half-open, NO match
+            ("u", 12, 5005, 6000),  # overlaps id=2
+            ("v", 13, 100, 200),    # overlaps id=4 under key v only
+        ],
+        "k string, id2 int, s2 long, e2 long",
+    )
+    out = interval_overlap_join(
+        a, b, ["k"], "s", "e", "s2", "e2", bin_width_us=W
+    ).select("k", "id", "id2").collect()
+    pairs = sorted((r["k"], r["id"], r["id2"]) for r in out)
+    # exactly once each, despite multi-bin sharing
+    assert pairs == [("u", 1, 10), ("u", 2, 12), ("v", 4, 13)]
+
+    # plan: equi-join on (key, bin), never a nested loop or cartesian
+    plan = (
+        interval_overlap_join(a, b, ["k"], "s", "e", "s2", "e2", bin_width_us=W)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

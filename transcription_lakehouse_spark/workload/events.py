@@ -770,7 +770,57 @@ SELECT id_1, id_2 FROM r1 JOIN r2 USING (i) WHERE id_1 <> id_2
 """
 
 
+def evt_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap RANGE JOIN: every pair of a user's event intervals
+    that overlaps in time, with the overlap length. Spark plans a pure
+    inequality join as a nested loop, so the operator bins both sides to
+    64 s buckets and equi-joins on (user, bin) — each pair is emitted once
+    from its anchor bin, no distinct needed (`operators/rangejoin.py`).
+    The DuckDB twin is the naive inequality join, so the oracle proves
+    binning + anchor ≡ true range-join semantics."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    iv = _intervals(spark, sf_dir)
+    a = iv.select(
+        "user_id",
+        F.col("event_id").alias("id_1"),
+        F.col("start_us").alias("s_1"),
+        F.col("end_us").alias("e_1"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("event_id").alias("id_2"),
+        F.col("start_us").alias("s_2"),
+        F.col("end_us").alias("e_2"),
+    )
+    j = interval_overlap_join(a, b, ["user_id"], "s_1", "e_1", "s_2", "e_2")
+    return (
+        j.filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "user_id",
+            "id_1",
+            "id_2",
+            (F.least("e_1", "e_2") - F.greatest("s_1", "s_2")).alias(
+                "overlap_us"
+            ),
+        )
+        .orderBy("user_id", "id_1", "id_2")
+    )
+
+
+EVT_OVERLAP_JOIN_SQL = f"""
+WITH iv AS ({_INTERVALS_SQL})
+SELECT a.user_id, a.event_id AS id_1, b.event_id AS id_2,
+       least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.start_us < b.end_us AND b.start_us < a.end_us
+ORDER BY a.user_id, id_1, id_2
+"""
+
+
 QUERIES = {
+    "evt_overlap_join": evt_overlap_join,
     "evt_random_pairs": evt_random_pairs,
     "evt_corr_stats": evt_corr_stats,
     "evt_error_only_users": evt_error_only_users,
@@ -795,6 +845,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_overlap_join": EVT_OVERLAP_JOIN_SQL,
     "evt_random_pairs": EVT_RANDOM_PAIRS_SQL,
     "evt_corr_stats": EVT_CORR_SQL,
     "evt_error_only_users": EVT_ERROR_ONLY_SQL,
