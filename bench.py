@@ -42,6 +42,11 @@ HEADLINE = [
     "trn_beat_catalog",
     "trn_section_catalog",
     "doc_curation_funnel",
+    "doc_dup_clusters",
+    "doc_unigram_logprob",
+    "evt_overlap_join",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -704,3 +704,43 @@ def test_stateful_sessionize_late_row_expands_open_span_start():
     assert out["session_start"].tolist() == [8.0]
     assert out["session_end"].tolist() == [12.0]
     assert out["n_utterances"].tolist() == [2]
+
+
+def test_streaming_annotation_join(spark, tmp_path):
+    """Stream-stream join: annotations attach to the same-episode utterance
+    within the time bound; out-of-range and cross-episode ones drop."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.joins import (
+        streaming_annotation_join,
+    )
+
+    u = tmp_path / "utter_in"
+    a = tmp_path / "ann_in"
+    u.mkdir(); a.mkdir()
+    utts = [
+        {"episode_id": "E1", "start": 10.0, "end": 12.0, "speaker": "A", "text": "hello"},
+        {"episode_id": "E1", "start": 100.0, "end": 101.0, "speaker": "B", "text": "later"},
+        {"episode_id": "E2", "start": 10.0, "end": 11.0, "speaker": "C", "text": "other"},
+    ]
+    anns = [
+        {"episode_id": "E1", "at": 15.0, "label": "laughter"},   # in window of E1@10
+        {"episode_id": "E1", "at": 60.0, "label": "too-late"},   # >30s after E1@10, <E1@100
+        {"episode_id": "E2", "at": 12.0, "label": "applause"},   # E2 only
+    ]
+    (u / "u.jsonl").write_text("\n".join(_json.dumps(r) for r in utts))
+    (a / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in anns))
+    q = (
+        streaming_annotation_join(spark, str(u), str(a))
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["episode_id"], r["label"], r["lag_seconds"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    )
+    assert got == [("E1", "laughter", 5.0), ("E2", "applause", 2.0)]
