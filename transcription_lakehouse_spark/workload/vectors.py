@@ -300,7 +300,87 @@ GROUP BY 1, 2
 """
 
 
+def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication, end-to-end: banded
+    hyperplane-LSH cosine near-dup pairs (`vec_near_dup_pairs` machinery)
+    folded into TRANSITIVE clusters via connected components, one keeper
+    (min vec_id) per cluster. This is the full embedding-dedup pipeline a
+    curation run executes — pair detection alone under-deletes chains
+    (A~B, B~C must drop both B and C). The DuckDB twin replays the sign
+    projections, banding, rescore, and the transitive closure (recursive
+    CTE), so the oracle checks the cluster structure itself."""
+    from ..operators.graph import dup_clusters
+
+    e = _emb(spark, sf_dir)
+    pairs = lsh_near_dup_pairs(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=_NEAR_DUP_THRESHOLD,
+        n_bands=_NEAR_DUP_BANDS,
+        planes_per_band=_NEAR_DUP_PPB,
+    )
+    return (
+        dup_clusters(pairs, "id_1", "id_2")
+        .select(
+            F.col("doc_id").alias("vec_id"), "component_id", "is_keeper"
+        )
+        .orderBy("component_id", "vec_id")
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    threshold: float, n_bands: int, planes_per_band: int, dims: int = 64
+) -> str:
+    bucket_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {_sql_band_bucket('e', b, planes_per_band, dims)} AS bucket FROM v"
+        for b in range(n_bands)
+    )
+    sim = (
+        "CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0"
+        " THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))"
+        " / (sqrt(list_sum(list_transform(x.e, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(y.e, t -> t * t))))"
+        " ELSE 0.0 END"
+    )
+    return f"""
+WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS ({bucket_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2
+  FROM bk a JOIN bk b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+pairs AS (
+  SELECT id_1, id_2
+  FROM cand c JOIN v x ON c.id_1 = x.vec_id JOIN v y ON c.id_2 = y.vec_id
+  WHERE round({sim}, 6) >= {threshold}
+),
+sym AS (
+  SELECT id_1 AS s, id_2 AS d FROM pairs
+  UNION
+  SELECT id_2, id_1 FROM pairs
+),
+reach(n, r) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON reach.n = sym.s
+)
+SELECT n AS vec_id, min(r) AS component_id, n = min(r) AS is_keeper
+FROM reach GROUP BY n
+ORDER BY component_id, vec_id
+"""
+
+
+VEC_SEMANTIC_DEDUP_SQL = _semantic_dedup_oracle_sql(
+    _NEAR_DUP_THRESHOLD, _NEAR_DUP_BANDS, _NEAR_DUP_PPB
+)
+
+
 QUERIES = {
+    "vec_semantic_dedup": vec_semantic_dedup,
     "vec_label_centroids": vec_label_centroids,
     "vec_label_similarity_matrix": vec_label_similarity_matrix,
     "vec_norm_stats": vec_norm_stats,
@@ -311,6 +391,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vec_semantic_dedup": VEC_SEMANTIC_DEDUP_SQL,
     "vec_label_centroids": VEC_LABEL_CENTROIDS_SQL,
     "vec_label_similarity_matrix": VEC_LABEL_SIM_MATRIX_SQL,
     "vec_norm_stats": VEC_NORM_STATS_SQL,
