@@ -31,6 +31,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "q22_idle_wealthy_customers",  # one-row global-avg threshold broadcast
     "q11_important_parts",  # one-row global-total threshold broadcast
     "doc_unigram_logprob",  # one-row corpus-total broadcast into ln()
+    "doc_drift_psi",        # one-row slice-total broadcast into shares
 }
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {
@@ -44,6 +45,7 @@ _GLOBAL_SCALAR_OK = {
     "q22_idle_wealthy_customers",  # one-row global-avg scalar
     "q11_important_parts",       # one-row global total over per-part agg
     "doc_unigram_logprob",       # one-row corpus-total aggregate
+    "doc_drift_psi",             # one-row slice-total aggregate
 }
 
 

@@ -819,7 +819,77 @@ ORDER BY a.user_id, id_1, id_2
 """
 
 
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase: each step's
+    timestamp is the user's FIRST occurrence of that type strictly ordered
+    after the previous step. Three per-user aggregates, each joined back on
+    user_id — the partitioning is established once and every subsequent
+    shuffle reuses it (same key), so the funnel costs one real exchange of
+    the fact table plus small per-user relations. `stage` counts completed
+    steps (ties at the same µs count as ordered: >=)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t_view_us")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts_us") >= F.col("t_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click_us"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts_us") >= F.col("t_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase_us"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view_us",
+            "t_click_us",
+            "t_purchase_us",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click_us").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase_us").isNotNull(), 1).otherwise(0)
+            ).alias("stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVT_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(epoch_us(ts)) AS t_click_us
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE event_type = 'click' AND epoch_us(ts) >= t_view_us
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(epoch_us(ts)) AS t_purchase_us
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE event_type = 'purchase' AND epoch_us(ts) >= t_click_us
+  GROUP BY e.user_id
+)
+SELECT t1.user_id, t_view_us, t_click_us, t_purchase_us,
+       1 + CASE WHEN t_click_us IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN t_purchase_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+ORDER BY t1.user_id
+"""
+
+
 QUERIES = {
+    "evt_funnel": evt_funnel,
     "evt_overlap_join": evt_overlap_join,
     "evt_random_pairs": evt_random_pairs,
     "evt_corr_stats": evt_corr_stats,
@@ -845,6 +915,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_funnel": EVT_FUNNEL_SQL,
     "evt_overlap_join": EVT_OVERLAP_JOIN_SQL,
     "evt_random_pairs": EVT_RANDOM_PAIRS_SQL,
     "evt_corr_stats": EVT_CORR_SQL,

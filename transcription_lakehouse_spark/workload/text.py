@@ -1180,7 +1180,86 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def doc_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: Population Stability Index terms between a
+    reference slice (src0-src9) and a candidate slice (src10-src19) over
+    token-count bins — the standard check that a new crawl/batch hasn't
+    shifted the length distribution before it joins the training mix.
+
+    Emits one row per bin with both shares and the PSI term
+    (p - q)·ln(p/q); bins absent from either side are reported with a NULL
+    term (the ln is undefined — flagging them IS the drift signal).
+    Consumers sum psi_term over non-null bins. Shares are exact decimals;
+    the ln product uses the same 12-decimal quantization as
+    doc_unigram_logprob so engines agree at 6-decimal output. Scale: two
+    conditional aggregates in ONE pass over the corpus (no self-join), a
+    tiny per-bin relation, one broadcast one-row total."""
+    d = _docs(spark, sf_dir).select(
+        token_count("text").alias("n_tok"),
+        F.col("source"),
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("_srcnum"),
+    )
+    binned = d.select(
+        F.expr("n_tok div 10").alias("bin_id"),
+        (F.col("_srcnum") < 10).alias("_is_ref"),
+    )
+    per_bin = binned.groupBy("bin_id").agg(
+        F.sum(F.col("_is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("_is_ref")).cast("long")).alias("n_cand"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cand").alias("_tc")
+    )
+    p = F.col("n_ref") / F.col("_tr")
+    q = F.col("n_cand") / F.col("_tc")
+    term = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cand") > 0),
+        F.round(
+            (p - q) * F.round(F.log(p) - F.log(q), 12),
+            6,
+        ),
+    )
+    return (
+        per_bin.join(F.broadcast(tot))
+        .select(
+            "bin_id",
+            "n_ref",
+            "n_cand",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("q_cand"),
+            term.alias("psi_term"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+DOC_DRIFT_PSI_SQL = f"""
+WITH d AS (
+  SELECT len({_TOK}) AS n_tok,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) < 10 AS is_ref
+  FROM documents
+), per_bin AS (
+  SELECT n_tok // 10 AS bin_id,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cand
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT sum(n_ref) AS tr, sum(n_cand) AS tc FROM per_bin
+)
+SELECT bin_id, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cand AS BIGINT) AS n_cand,
+       round(n_ref / CAST(tr AS DOUBLE), 6) AS p_ref,
+       round(n_cand / CAST(tc AS DOUBLE), 6) AS q_cand,
+       CASE WHEN n_ref > 0 AND n_cand > 0 THEN
+         round((n_ref / CAST(tr AS DOUBLE) - n_cand / CAST(tc AS DOUBLE))
+               * round(ln(n_ref / CAST(tr AS DOUBLE)) - ln(n_cand / CAST(tc AS DOUBLE)), 12), 6)
+       END AS psi_term
+FROM per_bin CROSS JOIN tot
+ORDER BY bin_id
+"""
+
+
 QUERIES = {
+    "doc_drift_psi": doc_drift_psi,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_curation_funnel": doc_curation_funnel,
@@ -1209,6 +1288,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_drift_psi": DOC_DRIFT_PSI_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_decontamination": DOC_DECONTAM_SQL,
