@@ -84,6 +84,26 @@ def run(factor: int) -> dict:
     merged_intervals(iv, ["user_id"], "start_us", "end_us").groupBy().count().collect()
     out["interval_union_sec"] = round(time.time() - t0, 2)
 
+    from transcription_lakehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = iv.select(
+        "user_id",
+        F.col("start_us").alias("s_1"),
+        F.col("end_us").alias("e_1"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("start_us").alias("s_2"),
+        F.col("end_us").alias("e_2"),
+    )
+    t0 = time.time()
+    interval_overlap_join(a, b, ["user_id"], "s_1", "e_1", "s_2", "e_2").filter(
+        F.col("s_1") < F.col("s_2")
+    ).groupBy().count().collect()
+    out["range_join_sec"] = round(time.time() - t0, 2)
+
     t0 = time.time()
     ev.groupBy("user_id").agg(
         F.count(F.lit(1)), F.sum("value"), F.countDistinct("event_type")
@@ -104,6 +124,17 @@ def run(factor: int) -> dict:
     sigs = minhash_signature(docs, "doc_id", "text", n=3)
     lsh_candidate_pairs(sigs, "doc_id").groupBy().count().collect()
     out["dedup_minhash_sec"] = round(time.time() - t0, 2)
+
+    # connected components over the real LSH pair graph (replica groups
+    # form factor-sized cliques, so the graph grows linearly with factor)
+    from transcription_lakehouse_spark.operators.graph import dup_clusters
+
+    cands = lsh_candidate_pairs(sigs, "doc_id").cache()
+    out["cc_edges"] = cands.count()
+    t0 = time.time()
+    dup_clusters(cands, "doc_id_1", "doc_id_2").groupBy().count().collect()
+    out["dedup_cc_sec"] = round(time.time() - t0, 2)
+    cands.unpersist()
     docs.unpersist()
 
     emb = scaled_embeddings(spark, factor).cache()

@@ -646,7 +646,81 @@ JOIN agg a USING (beat_id)
 """
 
 
+def trn_crosstalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-speaker overlapping speech per episode (interruption /
+    crosstalk QA): every pair of same-episode utterances by DIFFERENT
+    speakers whose time ranges overlap, rolled up to per-episode pair count
+    and total overlap seconds. The reference's overlap check walks rows in
+    Python (`quality/metrics/integrity.py` timestamp overlap scan); here
+    the pair detection is the binned range join (`operators/rangejoin.py`,
+    8 s buckets over µs-quantized times) — equi-join shaped, so an episode
+    with thousands of utterances never degenerates to an all-pairs scan.
+    The DuckDB twin is the naive inequality join over the same µs longs."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    u = _utterances(spark, sf_dir)
+    us = u.select(
+        "episode_id",
+        "utterance_id",
+        "speaker",
+        F.floor(F.col("start") * 1e6).cast("long").alias("s_us"),
+        F.floor(F.col("end") * 1e6).cast("long").alias("e_us"),
+    )
+    a = us.select(
+        "episode_id",
+        F.col("utterance_id").alias("id_1"),
+        F.col("speaker").alias("sp_1"),
+        F.col("s_us").alias("s_1"),
+        F.col("e_us").alias("e_1"),
+    )
+    b = us.select(
+        "episode_id",
+        F.col("utterance_id").alias("id_2"),
+        F.col("speaker").alias("sp_2"),
+        F.col("s_us").alias("s_2"),
+        F.col("e_us").alias("e_2"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ["episode_id"], "s_1", "e_1", "s_2", "e_2", bin_width_us=8_000_000
+    ).filter((F.col("id_1") < F.col("id_2")) & (F.col("sp_1") != F.col("sp_2")))
+    return (
+        pairs.groupBy("episode_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_crosstalk_pairs"),
+            F.round(
+                F.sum(F.least("e_1", "e_2") - F.greatest("s_1", "s_2"))
+                / F.lit(1e6),
+                6,
+            ).alias("crosstalk_sec"),
+        )
+        .orderBy("episode_id")
+    )
+
+
+TRN_CROSSTALK_SQL = f"""
+WITH u AS ({_UTTERANCES_SQL}),
+iv AS (
+  SELECT episode_id, utterance_id, speaker,
+         CAST(floor(start * 1000000.0) AS BIGINT) AS s,
+         CAST(floor(end_t * 1000000.0) AS BIGINT) AS e
+  FROM u
+)
+SELECT a.episode_id,
+       count(*) AS n_crosstalk_pairs,
+       round(sum(least(a.e, b.e) - greatest(a.s, b.s)) / 1000000.0, 6)
+         AS crosstalk_sec
+FROM iv a JOIN iv b
+  ON a.episode_id = b.episode_id
+ AND a.utterance_id < b.utterance_id
+ AND a.speaker <> b.speaker
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.episode_id
+ORDER BY a.episode_id
+"""
+
+
 QUERIES = {
+    "trn_crosstalk": trn_crosstalk,
     "trn_span_catalog": trn_span_catalog,
     "trn_beat_catalog": trn_beat_catalog,
     "trn_section_catalog": trn_section_catalog,
@@ -660,6 +734,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "trn_crosstalk": TRN_CROSSTALK_SQL,
     "trn_speaker_enrichment": TRN_SPEAKER_ENRICHMENT_SQL,
     "trn_text_metrics": TRN_TEXT_METRICS_SQL,
     "trn_integrity_battery": TRN_INTEGRITY_SQL,
