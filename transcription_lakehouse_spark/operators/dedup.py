@@ -34,6 +34,8 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "edit_ratio_rescore",
+    "positional_grams",
+    "dup_span_stats",
     "token_hashes",
     "simhash32_from_hashes",
     "simhash32",
@@ -300,6 +302,87 @@ def edit_ratio_rescore(
     return (
         joined.select(f"{id_col}_1", f"{id_col}_2", ratio.alias("edit_ratio"))
         .filter(F.col("edit_ratio") >= min_ratio)
+    )
+
+
+def positional_grams(t: Column, n: int) -> Column:
+    """array<struct<p:int, gram:string>>: the word n-gram STARTING at every
+    token position (0-based) of a materialized token array — positional,
+    NOT distinct, unlike :func:`shingles_from_tokens` (span detection needs
+    to know *where* a duplicated gram sits, and a gram repeated inside one
+    document occupies several positions)."""
+    idx = F.sequence(F.lit(0), F.size(t) - F.lit(n))
+    pg = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("p"),
+            F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ).alias("gram"),
+        ),
+    )
+    return F.when(F.size(t) >= n, pg).otherwise(
+        F.array().cast("array<struct<p:int,gram:string>>")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", public recipe): token
+    positions whose n-gram occurs in >= ``min_df`` distinct documents,
+    merged into MAXIMAL duplicated spans per document — the regions a
+    substring-level dedup pass would cut, not just a per-doc ratio.
+
+    Returns one row per document: (id, n_tokens, n_dup_spans, dup_tokens,
+    dup_fraction). Suffix arrays don't distribute; the equivalent
+    n-gram-df formulation is three map-side-combinable shuffles: positional
+    explode → gram df (count distinct doc) → rejoin dup grams → per-doc
+    interval union (W3 window) → rollup. No doc×doc pairs; hot grams are
+    plain equi-join skew (AQE-splittable).
+    """
+    from ..functions.text import tokens as _tokens
+    from .intervals import merged_intervals
+
+    toked = df.select(id_col, _tokens(text_col).alias("_toks"))
+    base = toked.select(id_col, F.size("_toks").alias("n_tokens"), "_toks")
+    ex = base.select(
+        id_col,
+        "n_tokens",
+        F.explode(positional_grams(F.col("_toks"), n)).alias("_pg"),
+    ).select(id_col, "n_tokens", F.col("_pg.p").alias("_p"), F.col("_pg.gram").alias("_g"))
+    gram_df = (
+        ex.groupBy("_g")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_g")
+    )
+    dup_pos = ex.join(gram_df, "_g").select(
+        id_col,
+        F.col("_p").cast("long").alias("_s"),
+        (F.col("_p") + n).cast("long").alias("_e"),
+    )
+    spans = merged_intervals(dup_pos, [id_col], "_s", "_e")
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s")).alias("dup_tokens"),
+    )
+    out = base.select(id_col, "n_tokens").join(per_doc, id_col, "left")
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(frac, 6).alias("dup_fraction"),
     )
 
 

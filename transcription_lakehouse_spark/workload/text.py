@@ -1258,7 +1258,63 @@ ORDER BY bin_id
 """
 
 
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 13-gram recipe):
+    maximal cross-document duplicated token spans per doc — positional
+    grams → corpus document frequency → per-doc interval union (W3). The
+    DuckDB twin recomputes positions with list slicing and the same
+    island-merge window."""
+    from ..operators.dedup import dup_span_stats
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return dup_span_stats(d, "doc_id", "text", n=13, min_df=2).orderBy("doc_id")
+
+
+DOC_DUP_SPANS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+), pos AS (
+  SELECT doc_id, len(t) AS n_tokens, unnest(generate_series(1, len(t) - 12)) AS p, t
+  FROM tk WHERE len(t) >= 13
+), g AS (
+  SELECT doc_id, n_tokens, p, array_to_string(t[p:p+12], ' ') AS gram FROM pos
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dup_pos AS (
+  -- 0-based [s, e) token spans, matching the Spark side
+  SELECT doc_id, CAST(p - 1 AS BIGINT) AS s, CAST(p + 12 AS BIGINT) AS e
+  FROM g JOIN dupg USING (gram)
+), tagged AS (
+  SELECT *, CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+  FROM dup_pos
+), islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM tagged
+), merged AS (
+  SELECT doc_id, island_id, min(s) AS s, max(e) AS e
+  FROM islands GROUP BY doc_id, island_id
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
+  FROM merged GROUP BY doc_id
+)
+SELECT tk.doc_id, len(tk.t) AS n_tokens,
+       CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CASE WHEN len(tk.t) > 0
+                  THEN coalesce(dup_tokens, 0) / CAST(len(tk.t) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_fraction
+FROM tk LEFT JOIN per_doc ON tk.doc_id = per_doc.doc_id
+ORDER BY tk.doc_id
+"""
+
+
 QUERIES = {
+    "doc_dup_spans": doc_dup_spans,
     "doc_drift_psi": doc_drift_psi,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_dup_clusters": doc_dup_clusters,
@@ -1288,6 +1344,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "doc_drift_psi": DOC_DRIFT_PSI_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
