@@ -888,7 +888,44 @@ ORDER BY t1.user_id
 """
 
 
+def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week, then
+    distinct active users per (cohort_week, week_offset). Two aggregates on
+    the SAME user_id key — the per-user first-week relation joins back
+    without a new shuffle partitioning — then a small (cohort, offset)
+    rollup. Weeks are epoch-µs div 7-days (epoch-anchored, no calendar
+    ambiguity between engines)."""
+    wk = 7 * 24 * 3600 * 1_000_000
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {wk}").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVT_COHORT_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM e JOIN first ON e.user_id = first.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "evt_cohort_retention": evt_cohort_retention,
     "evt_funnel": evt_funnel,
     "evt_overlap_join": evt_overlap_join,
     "evt_random_pairs": evt_random_pairs,
@@ -915,6 +952,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_cohort_retention": EVT_COHORT_SQL,
     "evt_funnel": EVT_FUNNEL_SQL,
     "evt_overlap_join": EVT_OVERLAP_JOIN_SQL,
     "evt_random_pairs": EVT_RANDOM_PAIRS_SQL,

@@ -1313,7 +1313,62 @@ ORDER BY tk.doc_id
 """
 
 
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local training-sequence packing: documents fill fixed
+    token-budget sequences contiguously (seq_id = running token count
+    before the doc, integer-divided by the budget) within each source
+    shard, ordered by a content-hash shuffle both engines reproduce.
+    This is the distributed version of sample packing: each shard packs
+    independently (one window shuffle on `source`), so no global order —
+    the thing that cannot scale — is ever required. Emits the doc → (shard,
+    seq_id, offset) assignment a loader would materialize."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "source", "n_tok", cum_before.alias("cum_before"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr(f"cum_before div {_PACK_BUDGET}").alias("seq_id"),
+            F.expr(f"cum_before % {_PACK_BUDGET}").alias("offset"),
+        )
+        .orderBy("source", "seq_id", "doc_id")
+    )
+
+
+DOC_SEQUENCE_PACKING_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOK}) AS n_tok FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before
+  FROM d
+)
+SELECT doc_id, source, n_tok,
+       CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS offset
+FROM c ORDER BY source, seq_id, doc_id
+"""
+
+
 QUERIES = {
+    "doc_sequence_packing": doc_sequence_packing,
     "doc_dup_spans": doc_dup_spans,
     "doc_drift_psi": doc_drift_psi,
     "doc_unigram_logprob": doc_unigram_logprob,
@@ -1344,6 +1399,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_sequence_packing": DOC_SEQUENCE_PACKING_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "doc_drift_psi": DOC_DRIFT_PSI_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
