@@ -163,3 +163,55 @@ def test_sessionization_matches_naive(spark, raw):
         naive.append(cur)
         prev = (t, sp)
     assert got == naive
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _naive_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every node labeled by the min node of its component
+    roots: dict[int, list[int]] = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(ns) for r, ns in roots.items() for n in ns}
+
+
+@given(_edges)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    from transcription_lakehouse_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "a int, b int")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+    want = _naive_components(edges)
+    # self-loop-only nodes are singletons: dropped by the operator
+    want = {
+        n: c
+        for n, c in want.items()
+        if any(a != b and n in (a, b) for a, b in edges)
+    }
+    assert got == want
