@@ -74,3 +74,28 @@ def test_incremental_filter_drops_seen_episodes(spark):
     out = incremental_filter(raw, existing)
     assert out.filter(F.col("episode_id") == EP1).count() == 0
     assert out.count() == raw.count() - existing.count()
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: 64 tiny files -> few size-targeted files,
+    byte-identical row multiset, old version untouched."""
+    from transcription_lakehouse_spark.maintenance import compact, file_stats
+
+    src = str(tmp_path / "v1")
+    dst = str(tmp_path / "v2")
+    spark.range(10_000).selectExpr(
+        "id", "id % 97 AS k", "repeat('x', 50) AS pad"
+    ).repartition(64).write.parquet(src)
+    assert file_stats(src)["n_files"] == 64
+
+    stats = compact(spark, src, dst, target_file_bytes=256 * 1024,
+                    sort_within_by=["k"])
+    assert stats["n_files_before"] == 64
+    assert stats["n_files_after"] < 16
+    assert stats["rows"] == 10_000
+
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
+    # immutability: source still intact after compaction
+    assert file_stats(src)["n_files"] == 64

@@ -1,0 +1,76 @@
+"""Table maintenance: small-file compaction (the OPTIMIZE half of lakehouse
+housekeeping the reference's versioned writer leaves to the user —
+`/root/reference/src/lakehouse/ingestion/writer.py` writes whatever
+partitioning the upstream job had).
+
+Small files are the dominant silent killer of 100 TB scans: a table written
+by a 2000-task streaming job accumulates thousands of KB-sized parquet
+files, and every downstream scan pays per-file open/footer costs plus
+scheduler overhead. Compaction rewrites a versioned artifact into
+size-targeted files WITHOUT changing row contents, as a NEW version —
+readers of the old version are untouched (same immutability contract as
+`ingestion.write_versioned`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["file_stats", "compact"]
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
+
+
+def file_stats(path: str) -> dict:
+    """Per-directory parquet file-size profile (recursive): count, bytes,
+    min/avg/max file size — the signal that decides whether compaction is
+    worth a rewrite."""
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    sizes = [os.path.getsize(f) for f in files]
+    n = len(sizes)
+    return {
+        "n_files": n,
+        "bytes": sum(sizes),
+        "min_file_bytes": min(sizes) if sizes else 0,
+        "avg_file_bytes": (sum(sizes) // n) if n else 0,
+        "max_file_bytes": max(sizes) if sizes else 0,
+    }
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Rewrite ``src_path`` into ``dst_path`` with ceil(bytes/target) files.
+
+    The file count is planned from the SOURCE's on-disk bytes (parquet in,
+    parquet out — compressed sizes carry over closely), so no double scan.
+    ``coalesce`` (not repartition) merges input splits without a shuffle
+    when reducing; ``sort_within_by`` optionally clusters rows inside each
+    output file so parquet min/max row-group stats become selective for
+    those columns (poor man's OPTIMIZE ZORDER for the single-column case).
+
+    Returns {"n_files_before", "n_files_after", "rows"}. Contents are
+    row-identical to the source (asserted by tests, order excepted).
+    """
+    before = file_stats(src_path)
+    n_out = max(1, math.ceil(before["bytes"] / target_file_bytes))
+    df: DataFrame = spark.read.parquet(src_path)
+    out = df.coalesce(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("error").parquet(dst_path)
+    after = file_stats(dst_path)
+    return {
+        "n_files_before": before["n_files"],
+        "n_files_after": after["n_files"],
+        "rows": spark.read.parquet(dst_path).count(),
+    }
