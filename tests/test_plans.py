@@ -259,3 +259,25 @@ def test_ivf_probe_join_is_equi_not_cartesian(spark):
     # nested-loop product here would be the O(n*m) trap at 100 TB
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-style partition pruning: a filter on the partition column must
+    land in the scan's PartitionFilters (directories skipped at planning,
+    zero I/O for non-matching partitions) — the layout contract for any
+    100 TB table partitioned by ingest date/type."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    path = str(tmp_path / "events_by_type")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.partitionBy(
+        "event_type"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200], plan
+    # the value predicate must NOT appear as a post-scan Filter on rows
+    n_parts = df.select("event_type").distinct().count()
+    assert n_parts == 1
