@@ -43,6 +43,8 @@ HEADLINE = [
     "trn_section_catalog",
     "doc_curation_funnel",
     "doc_dup_clusters",
+    "doc_dup_spans",
+    "vec_semantic_dedup",
     "doc_unigram_logprob",
     "evt_overlap_join",
     "q9_product_profit",

@@ -45,7 +45,10 @@ def connected_components(
     jumping that needs a component diameter around 2^25, i.e. pathological
     input, and a silent partial merge would corrupt downstream dedup.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # materialize the edge list BEFORE symmetrizing: the union would
+    # otherwise evaluate the (often expensive — e.g. an LSH rescore)
+    # upstream plan once per branch
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
     sym = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .filter(F.col("s") != F.col("d"))
@@ -76,11 +79,13 @@ def connected_components(
             F.least("_l1", F.coalesce("_pl", "_l1")).alias("_l2"),
             "l",
         )
+        # ONE materialization per round: the checkpoint backs both the
+        # fixpoint probe and the next round's labels (a lazy select over
+        # checkpointed rows adds no lineage and costs no second job)
         jumped = jumped.localCheckpoint()
+        labels = jumped.select("n", F.col("_l2").alias("l"))
         if jumped.filter(F.col("_l2") != F.col("l")).limit(1).count() == 0:
-            labels = jumped
             break
-        labels = jumped.select("n", F.col("_l2").alias("l")).localCheckpoint()
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
