@@ -99,3 +99,23 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert a == b
     # immutability: source still intact after compaction
     assert file_stats(src)["n_files"] == 64
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    from transcription_lakehouse_spark.maintenance import merge_upsert
+
+    src = str(tmp_path / "t1")
+    dst = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    ).write.parquet(src)
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id int, v string"
+    )
+    stats = merge_upsert(spark, src, dst, updates, ["id"])
+    assert stats == {"existing": 3, "updated": 1, "inserted": 1, "rows_out": 4}
+    got = {r["id"]: r["v"] for r in spark.read.parquet(dst).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # old version untouched
+    old = {r["id"]: r["v"] for r in spark.read.parquet(src).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}

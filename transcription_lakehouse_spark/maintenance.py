@@ -17,9 +17,10 @@ from __future__ import annotations
 import math
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["file_stats", "compact"]
+__all__ = ["file_stats", "compact", "merge_upsert"]
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
 
@@ -73,4 +74,41 @@ def compact(
         "n_files_before": before["n_files"],
         "n_files_after": after["n_files"],
         "rows": spark.read.parquet(dst_path).count(),
+    }
+
+
+def merge_upsert(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """Batch MERGE (upsert) without Delta: rows matching an update key are
+    REPLACED by the update, unmatched updates are INSERTED, everything else
+    carries over — written as a new immutable version at ``dst_path``
+    (reference versioning convention, `writer.py`; this container has no
+    Delta, so MERGE is the keep ⋃ updates relational identity).
+
+    Scale: one anti-join shuffle on the key (the update key set rides as a
+    broadcast when small — typical CDC batches are tiny next to the table)
+    plus the rewrite. At 100 TB the rewrite cost is the real constraint;
+    partition the table so updates cluster into few partitions and point
+    src/dst at partition subtrees.
+
+    Returns {"existing", "updated", "inserted", "rows_out"}.
+    """
+    existing = spark.read.parquet(src_path)
+    keys = updates.select(*key_cols).distinct()
+    kept = existing.join(F.broadcast(keys), key_cols, "left_anti")
+    merged = kept.unionByName(updates.select(*existing.columns))
+    merged.write.mode("error").parquet(dst_path)
+    n_existing = existing.count()
+    n_kept = kept.count()
+    n_updates = updates.count()
+    return {
+        "existing": n_existing,
+        "updated": n_existing - n_kept,
+        "inserted": n_updates - (n_existing - n_kept),
+        "rows_out": spark.read.parquet(dst_path).count(),
     }

@@ -924,7 +924,54 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def evt_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1 h windows every 30 min): each event
+    lands in duration/slide = 2 overlapping windows — Spark's `F.window`
+    with a slide explodes exactly those assignments JVM-side (the batch
+    twin of the streaming sliding monitor). The DuckDB twin reproduces the
+    window set with a 2-element offset series. Emitted as epoch-µs window
+    starts so both engines compare integers, not timestamps."""
+    ev = _events(spark, sf_dir)
+    w = F.window(F.timestamp_micros(F.col("ts_us")), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+EVT_SLIDING_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t, event_type, value FROM events
+), assigned AS (
+  -- the two 1h/30min sliding windows covering t: starts at
+  -- floor(t/slide)*slide - k*slide for k in 0..(duration/slide - 1),
+  -- keeping only windows that actually contain t (t < start + duration)
+  SELECT (t // 1800000000 - k) * 1800000000 AS win_start_us, event_type, value
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+  WHERE t < (t // 1800000000 - k) * 1800000000 + 3600000000
+)
+SELECT win_start_us, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "evt_sliding_counts": evt_sliding_counts,
     "evt_cohort_retention": evt_cohort_retention,
     "evt_funnel": evt_funnel,
     "evt_overlap_join": evt_overlap_join,
@@ -952,6 +999,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_sliding_counts": EVT_SLIDING_SQL,
     "evt_cohort_retention": EVT_COHORT_SQL,
     "evt_funnel": EVT_FUNNEL_SQL,
     "evt_overlap_join": EVT_OVERLAP_JOIN_SQL,
