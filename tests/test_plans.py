@@ -32,6 +32,9 @@ _BOUNDED_BROADCAST_BNLJ = {
     "q11_important_parts",  # one-row global-total threshold broadcast
     "doc_unigram_logprob",  # one-row corpus-total broadcast into ln()
     "doc_drift_psi",        # one-row slice-total broadcast into shares
+    "doc_mixture_plan",     # one-row corpus-total broadcast into shares
+    "vec_hard_negatives",   # sampled queries broadcast, exact scoring IS
+                            # the semantics (brute_force_topk shape)
 }
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {
@@ -46,6 +49,7 @@ _GLOBAL_SCALAR_OK = {
     "q11_important_parts",       # one-row global total over per-part agg
     "doc_unigram_logprob",       # one-row corpus-total aggregate
     "doc_drift_psi",             # one-row slice-total aggregate
+    "doc_mixture_plan",          # one-row corpus-total aggregate
 }
 
 

@@ -24,6 +24,7 @@ from ..functions.vector import as_double_array, dot, l2_norm
 
 __all__ = [
     "brute_force_topk",
+    "hard_negatives",
     "hyperplane_bucket",
     "lsh_topk",
     "lsh_near_dup_pairs",
@@ -79,6 +80,39 @@ def brute_force_topk(
         as_double_array(vec_col).alias("cv"),
     ).withColumn("cn", l2_norm(F.col("cv")))
     return _score_topk(F.broadcast(q).crossJoin(c), k, round_digits)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR/Contriever-style
+    public recipe): per query, the top-k most-similar corpus vectors with a
+    DIFFERENT label — near-misses are the informative negatives. Same
+    broadcast-queries/streaming-corpus shape as :func:`brute_force_topk`,
+    with the label-mismatch predicate applied before ranking so ranks are
+    over the negative pool only."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("c_label"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_label") != F.col("c_label"))
+    )
+    return _score_topk(pairs, k, round_digits)
 
 
 def _plane_signs(p: int, max_dims: int) -> list[float]:

@@ -1367,7 +1367,58 @@ FROM c ORDER BY source, seq_id, doc_id
 """
 
 
+def doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: per source shard — token mass, natural share
+    of the corpus, and the over/under-sampling factor needed to hit a
+    UNIFORM target mixture (the sampling-weight table an LLM data loader
+    consumes; epochs > 1 = the shard repeats, the standard up-sampling
+    read-out). One aggregate plus a one-row total broadcast; shares are
+    exact integer ratios rounded at 6 decimals on both engines."""
+    d = _docs(spark, sf_dir).select(
+        "source", token_count("text").alias("n_tok")
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.count(F.lit(1)).alias("_n_src"),
+    )
+    nat = F.col("n_tokens") / F.col("_tot")
+    target = F.lit(1.0) / F.col("_n_src")
+    return (
+        per_src.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(nat, 6).alias("natural_share"),
+            F.round(target / nat, 6).alias("sampling_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_MIXTURE_PLAN_SQL = f"""
+WITH d AS (
+  SELECT source, len({_TOK}) AS n_tok FROM documents
+), per_src AS (
+  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM d GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tot, count(*) AS n_src FROM per_src
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_tokens / CAST(tot AS DOUBLE), 6) AS natural_share,
+       round((1.0 / n_src) / (n_tokens / CAST(tot AS DOUBLE)), 6) AS sampling_factor
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "doc_mixture_plan": doc_mixture_plan,
     "doc_sequence_packing": doc_sequence_packing,
     "doc_dup_spans": doc_dup_spans,
     "doc_drift_psi": doc_drift_psi,
@@ -1399,6 +1450,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_mixture_plan": DOC_MIXTURE_PLAN_SQL,
     "doc_sequence_packing": DOC_SEQUENCE_PACKING_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "doc_drift_psi": DOC_DRIFT_PSI_SQL,

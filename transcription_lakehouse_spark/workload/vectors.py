@@ -379,7 +379,41 @@ VEC_SEMANTIC_DEDUP_SQL = _semantic_dedup_oracle_sql(
 )
 
 
+def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training data prep): for every
+    40th vector, the 5 most-similar vectors with a DIFFERENT label —
+    broadcast queries, corpus streams, label predicate applied before the
+    rank so the top-k is over the negative pool."""
+    from ..operators.similarity import hard_negatives
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 40 == 0)
+    return hard_negatives(queries, e, "vec_id", "embedding", "label", k=5)
+
+
+VEC_HARD_NEGATIVES_SQL = f"""
+WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 40 = 0),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(
+           CASE WHEN {_DNORM_A} * {_DNORM_B} > 0
+                THEN {_DDOT} / ({_DNORM_A} * {_DNORM_B})
+                ELSE 0.0 END, 6) AS sim
+  FROM q a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+)
+SELECT query_id, neighbor_id, rank, sim
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
+    "vec_hard_negatives": vec_hard_negatives,
     "vec_semantic_dedup": vec_semantic_dedup,
     "vec_label_centroids": vec_label_centroids,
     "vec_label_similarity_matrix": vec_label_similarity_matrix,
@@ -391,6 +425,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vec_hard_negatives": VEC_HARD_NEGATIVES_SQL,
     "vec_semantic_dedup": VEC_SEMANTIC_DEDUP_SQL,
     "vec_label_centroids": VEC_LABEL_CENTROIDS_SQL,
     "vec_label_similarity_matrix": VEC_LABEL_SIM_MATRIX_SQL,
