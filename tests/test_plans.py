@@ -50,6 +50,8 @@ _GLOBAL_SCALAR_OK = {
     "doc_unigram_logprob",       # one-row corpus-total aggregate
     "doc_drift_psi",             # one-row slice-total aggregate
     "doc_mixture_plan",          # one-row corpus-total aggregate
+    "evt_cumulative_users",      # running window over the per-DAY rollup
+                                 # (bounded by calendar days, not rows)
 }
 
 

@@ -970,7 +970,142 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def evt_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — windows can't COUNT(DISTINCT),
+    so the scalable identity is: flag each user's FIRST-ever event (one
+    per-user window), then a running sum of flags over the per-day rollup.
+    Two shuffles (user window, day rollup) plus a day-grain running window
+    over a tiny relation."""
+    day = 24 * 3600 * 1_000_000
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr(f"ts_us div {day}").alias("d")
+    )
+    w = Window.partitionBy("user_id").orderBy("d", "event_id")
+    flagged = ev.withColumn(
+        "is_first", (F.row_number().over(w) == 1).cast("long")
+    )
+    per_day = flagged.groupBy("d").agg(
+        F.sum("is_first").alias("new_users"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("d").alias("day_id"),
+        "new_users",
+        "active_users",
+        F.sum("new_users").over(run).alias("cumulative_users"),
+    ).orderBy("day_id")
+
+
+EVT_CUMULATIVE_USERS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 86400000000 AS d FROM events
+), flagged AS (
+  SELECT d, user_id,
+         CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY d, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM e
+), per_day AS (
+  SELECT d AS day_id, CAST(sum(is_first) AS BIGINT) AS new_users,
+         count(DISTINCT user_id) AS active_users
+  FROM flagged GROUP BY d
+)
+SELECT day_id, new_users, active_users,
+       CAST(sum(new_users) OVER (ORDER BY day_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM per_day ORDER BY day_id
+"""
+
+
+def evt_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier battery per event type: median + MAD (median absolute
+    deviation), and the count of events beyond median ± 3·1.4826·MAD — the
+    robust z-score rule that survives the heavy tails that break stddev
+    fences. Two passes over the fact table (median, then MAD), each an
+    exact-percentile aggregate on the type key; the 3-row stats relation
+    broadcasts back for the final conditional count."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("ad"))
+        .groupBy("event_type")
+        .agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    fence = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("med"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > fence).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVT_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM events e JOIN med ON e.event_type = med.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_type, count(*) AS n_events,
+       round(min(med), 6) AS median,
+       round(min(mad), 6) AS mad,
+       CAST(sum(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN med ON e.event_type = med.event_type
+JOIN mad ON e.event_type = mad.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+def evt_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `groupBy().pivot()` — per user, one column per event type
+    (counts). The explicit value list keeps the plan a single pass
+    (omitting it adds a distinct-scan job to discover the columns — never
+    do that on a 100 TB table)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combinations; a count should read 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    ).orderBy("user_id")
+
+
+EVT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "evt_cumulative_users": evt_cumulative_users,
+    "evt_robust_outliers": evt_robust_outliers,
+    "evt_type_pivot": evt_type_pivot,
     "evt_sliding_counts": evt_sliding_counts,
     "evt_cohort_retention": evt_cohort_retention,
     "evt_funnel": evt_funnel,
@@ -999,6 +1134,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_cumulative_users": EVT_CUMULATIVE_USERS_SQL,
+    "evt_robust_outliers": EVT_ROBUST_OUTLIERS_SQL,
+    "evt_type_pivot": EVT_TYPE_PIVOT_SQL,
     "evt_sliding_counts": EVT_SLIDING_SQL,
     "evt_cohort_retention": EVT_COHORT_SQL,
     "evt_funnel": EVT_FUNNEL_SQL,
