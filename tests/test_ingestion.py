@@ -119,3 +119,49 @@ def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
     # old version untouched
     old = {r["id"]: r["v"] for r in spark.read.parquet(src).collect()}
     assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_compaction_sort_clusters_row_groups(spark, tmp_path):
+    """sort_within_by makes parquet min/max stats selective: after sorting
+    by k, each output file covers a narrow disjoint k range (the data-
+    skipping footprint a filtered 100 TB scan prunes on), while the
+    unsorted source files all span nearly the full domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from transcription_lakehouse_spark.maintenance import compact
+
+    src = str(tmp_path / "u1")
+    dst = str(tmp_path / "u2")
+    spark.range(40_000).selectExpr(
+        "id", "CAST(hash(id) % 1000 AS INT) AS k", "repeat('x', 30) AS pad"
+    ).repartition(16).write.parquet(src)
+
+    def rg_widths(path):
+        widths = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ki = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "k"
+            )
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ki).statistics
+                widths.append(st.max - st.min)
+        return widths
+
+    stats = compact(
+        spark, src, dst, target_file_bytes=32 * 1024, sort_within_by=["k"]
+    )
+    assert stats["n_files_after"] >= 4, stats
+    # hash-repartitioned source: every row group spans ~the whole k domain
+    src_w = rg_widths(src)
+    assert min(src_w) > 900, src_w
+    # range-clustered compaction: each file owns a disjoint k slice, so a
+    # k-filter prunes whole files by footer stats alone
+    dst_w = rg_widths(dst)
+    assert sum(dst_w) / len(dst_w) < 0.5 * sum(src_w) / len(src_w), (
+        src_w,
+        dst_w,
+    )

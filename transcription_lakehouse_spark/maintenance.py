@@ -54,10 +54,12 @@ def compact(
 
     The file count is planned from the SOURCE's on-disk bytes (parquet in,
     parquet out — compressed sizes carry over closely), so no double scan.
-    ``coalesce`` (not repartition) merges input splits without a shuffle
-    when reducing; ``sort_within_by`` optionally clusters rows inside each
-    output file so parquet min/max row-group stats become selective for
-    those columns (poor man's OPTIMIZE ZORDER for the single-column case).
+    Plain compaction uses ``coalesce`` — merges input splits with NO
+    shuffle. ``sort_within_by`` upgrades to CLUSTERING (the OPTIMIZE
+    ZORDER-1D equivalent): ``repartitionByRange`` on those columns makes
+    every output file own a disjoint value range, so parquet min/max
+    footer stats prune whole files/row groups on filtered scans — that
+    costs one range shuffle, which is the honest price of clustering.
 
     Returns {"n_files_before", "n_files_after", "rows"}. Contents are
     row-identical to the source (asserted by tests, order excepted).
@@ -65,9 +67,12 @@ def compact(
     before = file_stats(src_path)
     n_out = max(1, math.ceil(before["bytes"] / target_file_bytes))
     df: DataFrame = spark.read.parquet(src_path)
-    out = df.coalesce(n_out)
     if sort_within_by:
-        out = out.sortWithinPartitions(*sort_within_by)
+        out = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.coalesce(n_out)
     out.write.mode("error").parquet(dst_path)
     after = file_stats(dst_path)
     return {
