@@ -635,3 +635,47 @@ def test_interval_overlap_join_semantics(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_span_stats_planted_shared_substring(spark):
+    from transcription_lakehouse_spark.operators.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon"  # 5-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"five six seven {shared} eight"),
+            (3, "nine ten eleven twelve thirteen fourteen"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_stats(docs, "doc_id", "text", n=5, min_df=2).collect()
+    }
+    # only the exact 5-gram "alpha...epsilon" recurs across docs -> one
+    # 5-token span in each of doc 1 and 2, none in doc 3
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 5
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 5
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert out[1]["dup_fraction"] == round(5 / 9, 6)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from transcription_lakehouse_spark.operators.similarity import hard_negatives
+
+    # q (label 0) is nearly parallel to a same-label vector (excluded) and
+    # moderately similar to two other-label vectors
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [0.99, 0.1, 0.0]),   # same label: must never appear
+        (2, 1, [0.8, 0.6, 0.0]),
+        (3, 1, [0.0, 1.0, 0.0]),
+        (4, 2, [0.6, 0.0, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<double>")
+    out = hard_negatives(
+        df.filter("vec_id = 0"), df, "vec_id", "embedding", "label", k=2
+    ).collect()
+    got = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 2), (2, 4)]  # ranked by cosine among labels != 0
