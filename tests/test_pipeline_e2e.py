@@ -744,3 +744,32 @@ def test_streaming_annotation_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ss_join").collect()
     )
     assert got == [("E1", "laughter", 5.0), ("E2", "applause", 2.0)]
+
+
+def test_streaming_quality_stats_sliding(spark, tmp_path):
+    """Sliding monitor: one utterance at t=70 lands in BOTH the [30,90) and
+    [60,120) windows (60s window, 30s slide)."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import streaming_quality_stats
+
+    d = tmp_path / "slide_in"
+    d.mkdir()
+    rows = [{"episode_id": "E", "start": 70.0, "end": 71.0, "speaker": "A",
+             "text": "hello world"}]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    q = (
+        streaming_quality_stats(spark, str(d), window="60 seconds",
+                                slide="30 seconds")
+        .writeStream.format("memory")
+        .queryName("slide_quality")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    starts = sorted(
+        r["window"]["start"].minute * 60 + r["window"]["start"].second
+        for r in spark.sql("SELECT * FROM slide_quality").collect()
+    )
+    assert starts == [30, 60]

@@ -33,6 +33,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "doc_unigram_logprob",  # one-row corpus-total broadcast into ln()
     "doc_drift_psi",        # one-row slice-total broadcast into shares
     "doc_mixture_plan",     # one-row corpus-total broadcast into shares
+    "doc_collocations",     # two one-row totals broadcast into the PMI
     "vec_hard_negatives",   # sampled queries broadcast, exact scoring IS
                             # the semantics (brute_force_topk shape)
 }
@@ -50,6 +51,7 @@ _GLOBAL_SCALAR_OK = {
     "doc_unigram_logprob",       # one-row corpus-total aggregate
     "doc_drift_psi",             # one-row slice-total aggregate
     "doc_mixture_plan",          # one-row corpus-total aggregate
+    "doc_collocations",          # two one-row total aggregates
     "evt_cumulative_users",      # running window over the per-DAY rollup
                                  # (bounded by calendar days, not rows)
 }

@@ -130,12 +130,15 @@ def streaming_quality_stats(
     input_dir: str,
     window: str = "60 seconds",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Live quality monitor: tumbling event-time windows of the A12-style
-    text battery (utterance counts, duration, token stats) per episode.
-    The watermark bounds aggregation state and admits late rows inside it —
-    the streaming twin of `quality.metrics.text_metrics`, for dashboards
-    over an ingest that never ends. Returns an unstarted streaming frame."""
+    """Live quality monitor: event-time windows of the A12-style text
+    battery (utterance counts, duration, token stats) per episode —
+    tumbling by default, SLIDING when ``slide`` < ``window`` (each row then
+    lands in window/slide overlapping windows; state stays bounded because
+    the watermark still expires window state in event-time order). The
+    streaming twin of `quality.metrics.text_metrics`, for dashboards over
+    an ingest that never ends. Returns an unstarted streaming frame."""
     from ..functions.text import token_count
 
     raw = (
@@ -144,7 +147,12 @@ def streaming_quality_stats(
         .withColumn("event_time", F.timestamp_seconds("start"))
         .withWatermark("event_time", watermark)
     )
-    return raw.groupBy(F.window("event_time", window), "episode_id").agg(
+    win = (
+        F.window("event_time", window, slide)
+        if slide
+        else F.window("event_time", window)
+    )
+    return raw.groupBy(win, "episode_id").agg(
         F.count(F.lit(1)).alias("n_utterances"),
         F.round(F.sum(F.col("end") - F.col("start")), 3).alias("spoken_seconds"),
         F.sum(token_count("text")).alias("total_tokens"),

@@ -1417,7 +1417,94 @@ ORDER BY source
 """
 
 
+def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: top-20
+    adjacent token pairs with n_ab >= 5, ranked by
+    PMI = ln(p(ab) / (p(a)·p(b))). The ratio is assembled from exact
+    integer counts with ONE double division (identical operand order on
+    both engines) so the ln input is bit-identical; output rounds at 6
+    decimals. Shapes: two token-grain aggregates (map-side combinable),
+    two equi-joins back on the component tokens, two one-row totals
+    broadcast."""
+    d = _docs(spark, sf_dir)
+    t = tokens("text")
+    uni = (
+        d.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_uni = uni.agg(F.sum("n_w").alias("_nu"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    bi = (
+        d.select(F.explode(F.when(F.size(t) >= 2, bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    n_bi = (
+        d.select(F.greatest(F.size(t) - F.lit(1), F.lit(0)).alias("c"))
+        .agg(F.sum("c").alias("_nb"))
+    )
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    ua = uni.select(F.col("w").alias("_w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("_w2"), F.col("n_w").alias("n_b"))
+    joined = (
+        bi.withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(ua, "_w1")
+        .join(ub, "_w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+    )
+    ratio = (
+        F.col("n_ab").cast("double") * F.col("_nu") * F.col("_nu")
+    ) / (F.col("_nb").cast("double") * F.col("n_a") * F.col("n_b"))
+    return (
+        joined.select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+DOC_COLLOCATIONS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+uni AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+nu AS (SELECT sum(n_w) AS _nu FROM uni),
+bi AS (
+  SELECT bigram, count(*) AS n_ab
+  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY bigram HAVING count(*) >= 5
+),
+nb AS (SELECT sum(greatest(len(t) - 1, 0)) AS _nb FROM toks)
+SELECT bigram, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+       round(ln((CAST(n_ab AS DOUBLE) * _nu * _nu)
+                / (CAST(_nb AS DOUBLE) * ua.n_w * ub.n_w)), 6) AS pmi
+FROM bi
+JOIN uni ua ON ua.w = split_part(bigram, ' ', 1)
+JOIN uni ub ON ub.w = split_part(bigram, ' ', 2)
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "doc_collocations": doc_collocations,
     "doc_mixture_plan": doc_mixture_plan,
     "doc_sequence_packing": doc_sequence_packing,
     "doc_dup_spans": doc_dup_spans,
@@ -1450,6 +1537,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_collocations": DOC_COLLOCATIONS_SQL,
     "doc_mixture_plan": DOC_MIXTURE_PLAN_SQL,
     "doc_sequence_packing": DOC_SEQUENCE_PACKING_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
