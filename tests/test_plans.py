@@ -52,6 +52,7 @@ _GLOBAL_SCALAR_OK = {
     "doc_drift_psi",             # one-row slice-total aggregate
     "doc_mixture_plan",          # one-row corpus-total aggregate
     "doc_collocations",          # two one-row total aggregates
+    "q_referential_integrity",   # union of one-row orphan counts
     "evt_cumulative_users",      # running window over the per-DAY rollup
                                  # (bounded by calendar days, not rows)
 }

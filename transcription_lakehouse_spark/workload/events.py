@@ -1102,7 +1102,78 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def evt_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window spike detection over the hourly event-rate series:
+    per type, each hour's count against the mean/std of the PRECEDING 24
+    hourly buckets (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING — the
+    classic trailing-baseline frame), flagged when count > mean + 3σ.
+    The window runs over the per-(type, hour) ROLLUP, not raw events, so
+    the frame relation is tiny regardless of corpus size. Variance uses
+    the explicit E[x²]−E[x]² form with decimal-safe integer sums so both
+    engines agree bitwise; hours with fewer than 6 baseline buckets are
+    unflagged (cold start)."""
+    hour = 3600 * 1_000_000
+    per_hour = (
+        _events(spark, sf_dir)
+        .select("event_type", F.expr(f"ts_us div {hour}").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    base_n = F.count("n").over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s1.cast("double") / base_n
+    var = s2.cast("double") / base_n - mean * mean
+    spike = (
+        (base_n >= 6)
+        & (F.col("n").cast("double") > mean + F.lit(3.0) * F.sqrt(var))
+    )
+    return (
+        per_hour.select(
+            "event_type",
+            F.col("h").alias("hour_id"),
+            "n",
+            F.round(mean, 6).alias("baseline_mean"),
+            spike.alias("is_spike"),
+        )
+        .filter(F.col("baseline_mean").isNotNull())
+        .orderBy("event_type", "hour_id")
+    )
+
+
+EVT_RATE_SPIKES_SQL = """
+WITH per_hour AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+), framed AS (
+  SELECT event_type, h AS hour_id, n,
+         count(n) OVER w AS base_n,
+         sum(n) OVER w AS s1,
+         sum(n * n) OVER w AS s2
+  FROM per_hour
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_id, n,
+       round(CAST(s1 AS DOUBLE) / base_n, 6) AS baseline_mean,
+       base_n >= 6 AND CAST(n AS DOUBLE) >
+         CAST(s1 AS DOUBLE) / base_n
+         + 3.0 * sqrt(CAST(s2 AS DOUBLE) / base_n
+                      - (CAST(s1 AS DOUBLE) / base_n) * (CAST(s1 AS DOUBLE) / base_n))
+         AS is_spike
+FROM framed
+WHERE base_n > 0
+ORDER BY event_type, hour_id
+"""
+
+
 QUERIES = {
+    "evt_rate_spikes": evt_rate_spikes,
     "evt_cumulative_users": evt_cumulative_users,
     "evt_robust_outliers": evt_robust_outliers,
     "evt_type_pivot": evt_type_pivot,
@@ -1134,6 +1205,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_rate_spikes": EVT_RATE_SPIKES_SQL,
     "evt_cumulative_users": EVT_CUMULATIVE_USERS_SQL,
     "evt_robust_outliers": EVT_ROBUST_OUTLIERS_SQL,
     "evt_type_pivot": EVT_TYPE_PIVOT_SQL,

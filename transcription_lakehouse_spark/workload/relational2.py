@@ -447,7 +447,72 @@ LIMIT 20
 """
 
 
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for every
+    foreign-key edge of the schema graph in ONE result — the lakehouse
+    constraint check engines without enforced FKs (Spark, most warehouses)
+    must run as a query. Each edge is a left-anti join against the DISTINCT
+    key set of the parent (parent key sets broadcast — dimension-sized),
+    rolled up with a union of one-row counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, edge: str) -> DataFrame:
+        pk = parent.select(F.col(pkey).alias(ckey)).distinct()
+        return (
+            child.select(ckey)
+            .join(F.broadcast(pk), ckey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "n_orphans")
+        )
+
+    checks = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", part, "p_partkey", "lineitem->part"),
+        orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"),
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        orphans(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+        orphans(supp, "s_nationkey", nation, "n_nationkey", "supplier->nation"),
+        orphans(nation, "n_regionkey", region, "r_regionkey", "nation->region"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("fk_edge")
+
+
+Q_REF_INTEGRITY_SQL = """
+SELECT 'customer->nation' AS fk_edge, CAST(count(*) AS BIGINT) AS n_orphans
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'lineitem->orders', count(*)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem->part', count(*)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem->supplier', count(*)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'nation->region', count(*)
+FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+UNION ALL
+SELECT 'orders->customer', count(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'supplier->nation', count(*)
+FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+ORDER BY fk_edge
+"""
+
+
 QUERIES = {
+    "q_referential_integrity": q_referential_integrity,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -458,6 +523,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_referential_integrity": Q_REF_INTEGRITY_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
