@@ -412,7 +412,51 @@ WHERE rank <= 5
 """
 
 
+def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension health: per dimension — mean, variance
+    (E[x²]−E[x]² in one pass), and the zero fraction. Dead or collapsed
+    dimensions (≈0 variance) are the classic sign of a broken encoder or a
+    truncated export; this is the per-dimension companion to the per-vector
+    norm battery (A20). posexplode fans each vector into (dim, value) rows
+    — n·d rows but fully map-side-combinable into d output groups."""
+    e = _emb(spark, sf_dir).select(
+        F.posexplode(as_double_array("embedding")).alias("dim", "x")
+    )
+    s1 = F.sum(F.col("x").cast("decimal(28,12)"))
+    s2 = F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+    n = F.count(F.lit(1))
+    mean = (s1.cast("double") / n)
+    return (
+        e.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(s2.cast("double") / n - mean * mean, 6).alias("variance"),
+            F.round(
+                F.sum((F.col("x") == 0.0).cast("long")) / n.cast("double"), 6
+            ).alias("zero_frac"),
+        )
+        .orderBy("dim")
+    )
+
+
+VEC_DIM_STATS_SQL = """
+WITH ex AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+)
+SELECT dim, count(*) AS n,
+       round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean,
+       round(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*))
+               * (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*)), 6) AS variance,
+       round(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS zero_frac
+FROM ex GROUP BY dim ORDER BY dim
+"""
+
+
 QUERIES = {
+    "vec_dim_stats": vec_dim_stats,
     "vec_hard_negatives": vec_hard_negatives,
     "vec_semantic_dedup": vec_semantic_dedup,
     "vec_label_centroids": vec_label_centroids,
@@ -425,6 +469,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vec_dim_stats": VEC_DIM_STATS_SQL,
     "vec_hard_negatives": VEC_HARD_NEGATIVES_SQL,
     "vec_semantic_dedup": VEC_SEMANTIC_DEDUP_SQL,
     "vec_label_centroids": VEC_LABEL_CENTROIDS_SQL,
