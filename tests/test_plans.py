@@ -34,6 +34,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "doc_drift_psi",        # one-row slice-total broadcast into shares
     "doc_mixture_plan",     # one-row corpus-total broadcast into shares
     "doc_collocations",     # two one-row totals broadcast into the PMI
+    "doc_tfidf_topk",       # one-row doc-count broadcast into the idf
     "vec_hard_negatives",   # sampled queries broadcast, exact scoring IS
                             # the semantics (brute_force_topk shape)
 }
@@ -53,6 +54,7 @@ _GLOBAL_SCALAR_OK = {
     "doc_mixture_plan",          # one-row corpus-total aggregate
     "doc_collocations",          # two one-row total aggregates
     "q_referential_integrity",   # union of one-row orphan counts
+    "doc_tfidf_topk",            # one-row doc-count aggregate
     "evt_cumulative_users",      # running window over the per-DAY rollup
                                  # (bounded by calendar days, not rows)
 }

@@ -1503,7 +1503,75 @@ LIMIT 20
 """
 
 
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (first 50 docs): tf = in-doc count,
+    idf = ln(N / df) with df = documents containing the term. Three
+    map-side-combinable aggregates ((doc, term) counts, term df, one-row
+    N) and a rank window on the (doc, term) grain. The ln input is an
+    exact integer ratio (one double division, same operand order both
+    engines); ranking ties break on the rounded score then term so the
+    top-3 is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+DOC_TFIDF_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 50
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS _n FROM d),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(CAST(_n AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, tfidf
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
+    "doc_tfidf_topk": doc_tfidf_topk,
     "doc_collocations": doc_collocations,
     "doc_mixture_plan": doc_mixture_plan,
     "doc_sequence_packing": doc_sequence_packing,
@@ -1537,6 +1605,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_tfidf_topk": DOC_TFIDF_SQL,
     "doc_collocations": DOC_COLLOCATIONS_SQL,
     "doc_mixture_plan": DOC_MIXTURE_PLAN_SQL,
     "doc_sequence_packing": DOC_SEQUENCE_PACKING_SQL,
