@@ -773,3 +773,37 @@ def test_streaming_quality_stats_sliding(spark, tmp_path):
         for r in spark.sql("SELECT * FROM slide_quality").collect()
     )
     assert starts == [30, 60]
+
+
+def test_streaming_role_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: roles attach in-flight, unknown
+    speakers fall back to the default role."""
+    import json as _json
+
+    from transcription_lakehouse_spark.speaker_roles import SpeakerRoleConfig
+    from transcription_lakehouse_spark.streaming.joins import (
+        streaming_role_enrichment,
+    )
+
+    d = tmp_path / "enrich_in"
+    d.mkdir()
+    rows = [
+        {"episode_id": "E", "start": 1.0, "end": 2.0, "speaker": "Dr. A", "text": "x"},
+        {"episode_id": "E", "start": 3.0, "end": 4.0, "speaker": "Random", "text": "y"},
+    ]
+    (d / "u.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    cfg = SpeakerRoleConfig(experts=["Dr. A"], roles={"Dr. A": "expert"})
+    q = (
+        streaming_role_enrichment(spark, str(d), cfg)
+        .writeStream.format("memory")
+        .queryName("ss_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["speaker"]: (r["speaker_role"], r["is_expert"])
+        for r in spark.sql("SELECT * FROM ss_enrich").collect()
+    }
+    assert got == {"Dr. A": ("expert", True), "Random": ("other", False)}

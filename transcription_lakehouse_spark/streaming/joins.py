@@ -22,7 +22,11 @@ from pyspark.sql.types import (
 
 from ..schemas import RAW_UTTERANCE_SCHEMA
 
-__all__ = ["ANNOTATION_SCHEMA", "streaming_annotation_join"]
+__all__ = [
+    "ANNOTATION_SCHEMA",
+    "streaming_annotation_join",
+    "streaming_role_enrichment",
+]
 
 # live human/model annotations landing beside the transcript stream:
 # a point-in-time label that must attach to the utterance being spoken
@@ -81,4 +85,33 @@ def streaming_annotation_join(
         "label",
         "at",
         (F.col("at") - F.col("start")).alias("lag_seconds"),
+    )
+
+
+def streaming_role_enrichment(
+    spark: SparkSession,
+    utterance_dir: str,
+    config,
+) -> DataFrame:
+    """Stream-STATIC join: the live utterance stream enriched against the
+    speaker-role config table (J4's streaming twin). The static side is
+    broadcast once per micro-batch — no state, no watermark needed; this
+    is the cheapest streaming join and the first choice whenever one side
+    is a slowly-changing dimension. ``config`` is a
+    ``speaker_roles.SpeakerRoleConfig``. Returns an unstarted streaming
+    DataFrame."""
+    cfg = config.to_df(spark).withColumnRenamed("speaker", "_cfg_speaker")
+    raw = spark.readStream.schema(RAW_UTTERANCE_SCHEMA).json(utterance_dir)
+    out = raw.join(
+        F.broadcast(cfg), raw["speaker"] == cfg["_cfg_speaker"], "left"
+    ).drop("_cfg_speaker")
+    return (
+        out.withColumn(
+            "speaker_canonical", F.coalesce("speaker_canonical", "speaker")
+        )
+        .withColumn(
+            "speaker_role",
+            F.coalesce("speaker_role", F.lit(config.default_role)),
+        )
+        .withColumn("is_expert", F.coalesce("is_expert", F.lit(False)))
     )
