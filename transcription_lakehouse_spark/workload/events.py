@@ -1172,7 +1172,44 @@ ORDER BY event_type, hour_id
 """
 
 
+def evt_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram via ntile(10) within each event type: per
+    decile — row count, min/max/avg value. One keyed window shuffle (the
+    type key), then a rollup on (type, decile) that reuses the window's
+    partitioning."""
+    ev = _events(spark, sf_dir).select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 2
+            ).cast("double").alias("total"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+EVT_VALUE_DECILES_SQL = """
+SELECT event_type, decile, count(*) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "evt_value_deciles": evt_value_deciles,
     "evt_rate_spikes": evt_rate_spikes,
     "evt_cumulative_users": evt_cumulative_users,
     "evt_robust_outliers": evt_robust_outliers,
@@ -1205,6 +1242,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_value_deciles": EVT_VALUE_DECILES_SQL,
     "evt_rate_spikes": EVT_RATE_SPIKES_SQL,
     "evt_cumulative_users": EVT_CUMULATIVE_USERS_SQL,
     "evt_robust_outliers": EVT_ROBUST_OUTLIERS_SQL,
