@@ -113,7 +113,13 @@ def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
         [(2, "B2"), (4, "d")], "id int, v string"
     )
     stats = merge_upsert(spark, src, dst, updates, ["id"])
-    assert stats == {"existing": 3, "updated": 1, "inserted": 1, "rows_out": 4}
+    assert stats == {
+        "existing": 3,
+        "keys_updated": 1,
+        "rows_replaced": 1,
+        "inserted": 1,
+        "rows_out": 4,
+    }
     got = {r["id"]: r["v"] for r in spark.read.parquet(dst).collect()}
     assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
     # old version untouched
@@ -165,3 +171,17 @@ def test_compaction_sort_clusters_row_groups(spark, tmp_path):
         src_w,
         dst_w,
     )
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest
+
+    from transcription_lakehouse_spark.maintenance import merge_upsert
+
+    src = str(tmp_path / "m1")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(src)
+    dupes = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id int, v string"
+    )
+    with pytest.raises(ValueError, match="distinct keys"):
+        merge_upsert(spark, src, str(tmp_path / "m2"), dupes, ["id"])

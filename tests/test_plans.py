@@ -289,6 +289,11 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan, plan
     assert "event_type" in plan.split("PartitionFilters")[1][:200], plan
-    # the value predicate must NOT appear as a post-scan Filter on rows
+    # the predicate must NOT survive as a post-scan row-level Filter node
+    # (directory pruning already answered it)
+    import re
+
+    assert not re.search(r"\bFilter\b[^\[]*\[?[^\n]*event_type",
+                         plan.split("PartitionFilters")[0]), plan
     n_parts = df.select("event_type").distinct().count()
     assert n_parts == 1

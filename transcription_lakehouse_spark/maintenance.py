@@ -28,7 +28,8 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
 def file_stats(path: str) -> dict:
     """Per-directory parquet file-size profile (recursive): count, bytes,
     min/avg/max file size — the signal that decides whether compaction is
-    worth a rewrite."""
+    worth a rewrite. LOCAL filesystem paths only (glob-based); for object
+    stores, size from the catalog/filesystem listing instead."""
     import glob as _glob
 
     files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -65,14 +66,26 @@ def compact(
     row-identical to the source (asserted by tests, order excepted).
     """
     before = file_stats(src_path)
+    if before["n_files"] == 0:
+        # an empty glob means a non-local path or a typo, NOT an empty
+        # table — proceeding would plan n_out=1 and funnel everything
+        # through a single task
+        raise ValueError(
+            f"compact: no parquet files visible at {src_path!r} "
+            "(local paths only; see file_stats)"
+        )
     n_out = max(1, math.ceil(before["bytes"] / target_file_bytes))
     df: DataFrame = spark.read.parquet(src_path)
     if sort_within_by:
         out = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
             *sort_within_by
         )
-    else:
+    elif n_out <= df.rdd.getNumPartitions():
         out = df.coalesce(n_out)
+    else:
+        # coalesce cannot INCREASE partition count — a few huge input
+        # files splitting into more, smaller outputs needs the shuffle
+        out = df.repartition(n_out)
     out.write.mode("error").parquet(dst_path)
     after = file_stats(dst_path)
     return {
@@ -95,25 +108,41 @@ def merge_upsert(
     (reference versioning convention, `writer.py`; this container has no
     Delta, so MERGE is the keep ⋃ updates relational identity).
 
-    Scale: one anti-join shuffle on the key (the update key set rides as a
-    broadcast when small — typical CDC batches are tiny next to the table)
-    plus the rewrite. At 100 TB the rewrite cost is the real constraint;
-    partition the table so updates cluster into few partitions and point
-    src/dst at partition subtrees.
+    Raises if the update batch has MULTIPLE rows for one key — the same
+    multiple-matches error Delta MERGE raises, because silently unioning
+    both rows would write duplicates. The anti-join is a plain equi-join
+    (no forced broadcast hint): AQE broadcasts the key set when it is
+    actually small and falls back to a shuffle join for huge backfill
+    batches. At 100 TB the rewrite cost is the real constraint; partition
+    the table so updates cluster into few partitions and point src/dst at
+    partition subtrees.
 
-    Returns {"existing", "updated", "inserted", "rows_out"}.
+    Returns {"existing", "keys_updated", "rows_replaced", "inserted",
+    "rows_out"} — rows_replaced can exceed keys_updated when the existing
+    table itself holds several rows per key (all are replaced).
     """
-    existing = spark.read.parquet(src_path)
+    n_updates = updates.count()
     keys = updates.select(*key_cols).distinct()
-    kept = existing.join(F.broadcast(keys), key_cols, "left_anti")
+    n_keys = keys.count()
+    if n_keys != n_updates:
+        raise ValueError(
+            f"merge_upsert: update batch has {n_updates} rows but only "
+            f"{n_keys} distinct keys — multiple rows per key make the "
+            "merge ambiguous (same contract as Delta MERGE)"
+        )
+    existing = spark.read.parquet(src_path)
+    kept = existing.join(keys, key_cols, "left_anti")
+    matched = keys.join(
+        existing.select(*key_cols).distinct(), key_cols, "semi"
+    ).count()
     merged = kept.unionByName(updates.select(*existing.columns))
     merged.write.mode("error").parquet(dst_path)
     n_existing = existing.count()
     n_kept = kept.count()
-    n_updates = updates.count()
     return {
         "existing": n_existing,
-        "updated": n_existing - n_kept,
-        "inserted": n_updates - (n_existing - n_kept),
+        "keys_updated": matched,
+        "rows_replaced": n_existing - n_kept,
+        "inserted": n_updates - matched,
         "rows_out": spark.read.parquet(dst_path).count(),
     }

@@ -99,19 +99,12 @@ def streaming_role_enrichment(
     is the cheapest streaming join and the first choice whenever one side
     is a slowly-changing dimension. ``config`` is a
     ``speaker_roles.SpeakerRoleConfig``. Returns an unstarted streaming
-    DataFrame."""
-    cfg = config.to_df(spark).withColumnRenamed("speaker", "_cfg_speaker")
+    DataFrame.
+
+    The enrichment itself IS the batch operator — ``enrich_spans`` is pure
+    lazy column algebra, so the same function serves both engines and the
+    two paths cannot drift."""
+    from ..speaker_roles import enrich_spans
+
     raw = spark.readStream.schema(RAW_UTTERANCE_SCHEMA).json(utterance_dir)
-    out = raw.join(
-        F.broadcast(cfg), raw["speaker"] == cfg["_cfg_speaker"], "left"
-    ).drop("_cfg_speaker")
-    return (
-        out.withColumn(
-            "speaker_canonical", F.coalesce("speaker_canonical", "speaker")
-        )
-        .withColumn(
-            "speaker_role",
-            F.coalesce("speaker_role", F.lit(config.default_role)),
-        )
-        .withColumn("is_expert", F.coalesce("is_expert", F.lit(False)))
-    )
+    return enrich_spans(raw, config, spark)

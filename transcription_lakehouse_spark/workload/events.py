@@ -815,6 +815,8 @@ SELECT a.user_id, a.event_id AS id_1, b.event_id AS id_2,
 FROM iv a JOIN iv b
   ON a.user_id = b.user_id AND a.event_id < b.event_id
  AND a.start_us < b.end_us AND b.start_us < a.end_us
+ -- mirror the operator's empty-interval guard (end <= start never joins)
+ AND a.end_us > a.start_us AND b.end_us > b.start_us
 ORDER BY a.user_id, id_1, id_2
 """
 

@@ -714,6 +714,8 @@ FROM iv a JOIN iv b
  AND a.utterance_id < b.utterance_id
  AND a.speaker <> b.speaker
  AND a.s < b.e AND b.s < a.e
+ -- mirror the operator's empty-interval guard (end <= start never joins)
+ AND a.e > a.s AND b.e > b.s
 GROUP BY a.episode_id
 ORDER BY a.episode_id
 """
