@@ -1570,7 +1570,141 @@ ORDER BY doc_id, rank
 """
 
 
+def doc_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation curation funnel composing this round's gates, one
+    row per document with each gate's verdict:
+
+    - g_cluster: not a non-keeper of a transitive near-dup cluster
+      (MinHash-LSH pairs ≥ 0.5 Jaccard → connected components → min-id
+      keeper — `doc_dup_clusters`);
+    - g_spans: ≤ half the doc's tokens inside cross-document duplicated
+      13-gram spans (`doc_dup_spans`, integer-exact 2·dup ≤ n compare);
+    - g_surprisal: mean unigram surprisal ≤ 3.5 nats (the CCNet-style
+      perplexity cut, compared as rounded-sum ≤ 3.5·n so no derived
+      average is ever hashed);
+    - kept: all three.
+
+    The DuckDB twin recomputes the ENTIRE composition — recursive-CTE
+    closure included — so the funnel's wiring, not just its parts, is
+    hash-gated. Each stage is the already-green standalone operator."""
+    from ..operators.dedup import dup_span_stats
+
+    d = _docs(spark, sf_dir)
+    clusters = doc_dup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
+    spans = dup_span_stats(d, "doc_id", "text", n=13, min_df=2).select(
+        "doc_id", "n_tokens", "dup_tokens"
+    )
+    lp = doc_unigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").alias("_lp_n"),
+        F.col("sum_nll").alias("_lp_sum"),
+    )
+    j = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(spans, "doc_id", "left")
+        .join(lp, "doc_id", "left")
+    )
+    g_cluster = F.coalesce(F.col("is_keeper"), F.lit(True))
+    g_spans = (
+        F.lit(2) * F.coalesce(F.col("dup_tokens"), F.lit(0))
+        <= F.coalesce(F.col("n_tokens"), F.lit(0))
+    )
+    g_surprisal = F.coalesce(
+        F.col("_lp_sum") <= F.lit(3.5) * F.col("_lp_n"), F.lit(True)
+    )
+    return j.select(
+        "doc_id",
+        g_cluster.alias("g_cluster"),
+        g_spans.alias("g_spans"),
+        g_surprisal.alias("g_surprisal"),
+        (g_cluster & g_spans & g_surprisal).alias("kept"),
+    ).orderBy("doc_id")
+
+
+DOC_CURATION_V3_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_CANDS_SQL.format(tok=_TOK)
+    + """
+, scored AS (
+  SELECT c.doc_id_1, c.doc_id_2
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_id_1
+  JOIN sh s2 ON s2.doc_id = c.doc_id_2
+  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        / (len(s1.shingles) + len(s2.shingles)
+           - len(list_intersect(s1.shingles, s2.shingles))) >= 0.5
+), sym AS (
+  SELECT doc_id_1 AS s, doc_id_2 AS d FROM scored
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM scored
+), reach(n, r) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON reach.n = sym.s
+), clusters AS (
+  SELECT n AS doc_id, n = min(r) AS is_keeper FROM reach GROUP BY n
+), tk AS (
+  SELECT doc_id, {tok} AS t FROM documents
+), pos AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         unnest(generate_series(1, len(t) - 12)) AS p, t
+  FROM tk WHERE len(t) >= 13
+), g AS (
+  SELECT doc_id, p, array_to_string(t[p:p+12], ' ') AS gram FROM pos
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dup_pos AS (
+  SELECT doc_id, CAST(p - 1 AS BIGINT) AS s, CAST(p + 12 AS BIGINT) AS e
+  FROM g JOIN dupg USING (gram)
+), tagged AS (
+  SELECT *, CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+  FROM dup_pos
+), islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM tagged
+), merged AS (
+  SELECT doc_id, island_id, min(s) AS s, max(e) AS e
+  FROM islands GROUP BY doc_id, island_id
+), span_doc AS (
+  SELECT doc_id, sum(e - s) AS dup_tokens FROM merged GROUP BY doc_id
+), toked AS (
+  SELECT doc_id, unnest({tok}) AS tok2 FROM documents
+), counts AS (
+  SELECT tok2, count(*) AS cnt FROM toked GROUP BY tok2
+), tot AS (
+  SELECT sum(cnt) AS total FROM counts
+), lp AS (
+  SELECT doc_id, count(*) AS lp_n,
+         CAST(round(sum(CAST(round(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)), 12)
+                             AS DECIMAL(28,12))), 4) AS DOUBLE) AS lp_sum
+  FROM toked JOIN counts USING (tok2) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT docs.doc_id,
+       coalesce(c.is_keeper, TRUE) AS g_cluster,
+       2 * coalesce(sd.dup_tokens, 0) <= coalesce(len(tk.t), 0) AS g_spans,
+       coalesce(lp.lp_sum <= 3.5 * lp.lp_n, TRUE) AS g_surprisal,
+       coalesce(c.is_keeper, TRUE)
+         AND (2 * coalesce(sd.dup_tokens, 0) <= coalesce(len(tk.t), 0))
+         AND coalesce(lp.lp_sum <= 3.5 * lp.lp_n, TRUE) AS kept
+FROM documents docs
+LEFT JOIN clusters c ON docs.doc_id = c.doc_id
+LEFT JOIN tk ON docs.doc_id = tk.doc_id
+LEFT JOIN span_doc sd ON docs.doc_id = sd.doc_id
+LEFT JOIN lp ON docs.doc_id = lp.doc_id
+ORDER BY docs.doc_id
+""".format(tok=_TOK)
+)
+
+
 QUERIES = {
+    "doc_curation_v3": doc_curation_v3,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_collocations": doc_collocations,
     "doc_mixture_plan": doc_mixture_plan,
@@ -1605,6 +1739,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_curation_v3": DOC_CURATION_V3_SQL,
     "doc_tfidf_topk": DOC_TFIDF_SQL,
     "doc_collocations": DOC_COLLOCATIONS_SQL,
     "doc_mixture_plan": DOC_MIXTURE_PLAN_SQL,
