@@ -35,6 +35,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "doc_mixture_plan",     # one-row corpus-total broadcast into shares
     "doc_collocations",     # two one-row totals broadcast into the PMI
     "doc_tfidf_topk",       # one-row doc-count broadcast into the idf
+    "doc_curation_v3",      # inherits doc_unigram_logprob's one-row total
     "vec_hard_negatives",   # sampled queries broadcast, exact scoring IS
                             # the semantics (brute_force_topk shape)
 }
@@ -55,6 +56,7 @@ _GLOBAL_SCALAR_OK = {
     "doc_collocations",          # two one-row total aggregates
     "q_referential_integrity",   # union of one-row orphan counts
     "doc_tfidf_topk",            # one-row doc-count aggregate
+    "doc_curation_v3",           # inherits the one-row corpus total
     "evt_cumulative_users",      # running window over the per-DAY rollup
                                  # (bounded by calendar days, not rows)
 }
