@@ -36,6 +36,7 @@ __all__ = [
     "edit_ratio_rescore",
     "positional_grams",
     "dup_span_stats",
+    "cut_dup_spans",
     "token_hashes",
     "simhash32_from_hashes",
     "simhash32",
@@ -383,6 +384,80 @@ def dup_span_stats(
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
         F.round(frac, 6).alias("dup_fraction"),
+    )
+
+
+def cut_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_df: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of substring-level dedup: rewrite each document
+    with its cross-document duplicated spans (see :func:`dup_span_stats`)
+    cut out, keeping the surviving tokens space-joined in order.
+
+    Returns (id, n_tokens, dup_tokens, cleaned_text). The span set rides
+    back to the token array as one `collect_list` per doc (spans per doc
+    are few — they are MERGED maximal intervals), and the cut is a pure
+    JVM array filter: token i survives iff no span [s, e) contains i.
+    Cost per row is O(n_tokens · n_spans) — no Python, no extra shuffle
+    beyond dup_span_stats' own aggregates.
+    """
+    from ..functions.text import tokens as _tokens
+    from .intervals import merged_intervals
+
+    toked = df.select(id_col, _tokens(text_col).alias("_toks"))
+    ex = toked.select(
+        id_col,
+        F.explode(positional_grams(F.col("_toks"), n)).alias("_pg"),
+    ).select(id_col, F.col("_pg.p").alias("_p"), F.col("_pg.gram").alias("_g"))
+    gram_df = (
+        ex.groupBy("_g")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_g")
+    )
+    dup_pos = ex.join(gram_df, "_g").select(
+        id_col,
+        F.col("_p").cast("long").alias("_s"),
+        (F.col("_p") + n).cast("long").alias("_e"),
+    )
+    spans = (
+        merged_intervals(dup_pos, [id_col], "_s", "_e")
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("_s").alias("s"), F.col("_e").alias("e"))).alias(
+                "_spans"
+            )
+        )
+    )
+    j = toked.join(spans, id_col, "left").withColumn(
+        "_spans", F.coalesce("_spans", F.array().cast("array<struct<s:long,e:long>>"))
+    )
+    idx = F.sequence(F.lit(0), F.size("_toks") - F.lit(1))
+    surviving = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("_spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    cleaned = F.concat_ws(
+        " ", F.transform(surviving, lambda i: F.element_at(F.col("_toks"), i + 1))
+    )
+    dup_tokens = F.aggregate(
+        F.col("_spans"),
+        F.lit(0).cast("long"),
+        lambda acc, sp: acc + (sp["e"] - sp["s"]),
+    )
+    return j.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        dup_tokens.alias("dup_tokens"),
+        F.when(F.size("_toks") > 0, cleaned).otherwise(F.lit("")).alias(
+            "cleaned_text"
+        ),
     )
 
 

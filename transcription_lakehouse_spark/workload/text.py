@@ -1703,7 +1703,79 @@ ORDER BY docs.doc_id
 )
 
 
+def doc_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REWRITE: each document with its cross-document
+    duplicated 13-gram spans removed (the text a substring-level dedup
+    pass would actually keep), plus before/after token accounting. The
+    DuckDB twin rebuilds the cleaned string with the same list filter, so
+    the oracle checks the surgery byte-for-byte."""
+    from ..operators.dedup import cut_dup_spans
+
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    return cut_dup_spans(d, "doc_id", "text", n=13, min_df=2).orderBy("doc_id")
+
+
+DOC_CUT_DUP_SPANS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 12)) AS p, t
+  FROM tk WHERE len(t) >= 13
+), g AS (
+  SELECT doc_id, p, array_to_string(t[p:p+12], ' ') AS gram FROM pos
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dup_pos AS (
+  SELECT doc_id, CAST(p - 1 AS BIGINT) AS s, CAST(p + 12 AS BIGINT) AS e
+  FROM g JOIN dupg USING (gram)
+), tagged AS (
+  SELECT *, CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+  FROM dup_pos
+), islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM tagged
+), merged AS (
+  SELECT doc_id, island_id, min(s) AS s, max(e) AS e
+  FROM islands GROUP BY doc_id, island_id
+), span_agg AS (
+  SELECT doc_id,
+         -- named-struct list: ROW(s, e) inherits the column names, and
+         -- positional sp[1] indexing on a NAMED struct yields NULL inside
+         -- lambdas — always access by field
+         list({{'s': s, 'e': e}}) AS spans,
+         sum(e - s) AS dup_tokens
+  FROM merged GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sa.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       -- NULL-span docs keep every token via the coalesce(...FALSE) in
+       -- the filter; the outer coalesce only absorbs DuckDB's
+       -- array_to_string(transform([])) = NULL artifact for all-cut or
+       -- token-less docs (Spark side emits '' there)
+       coalesce(
+         array_to_string(
+           list_transform(
+             list_filter(generate_series(0, len(tk.t) - 1),
+                         i -> NOT coalesce(
+                           len(list_filter(sa.spans,
+                                           sp -> i >= sp.s AND i < sp.e)) > 0,
+                           FALSE)),
+             j -> tk.t[j + 1]),
+           ' '),
+         '') AS cleaned_text
+FROM tk LEFT JOIN span_agg sa ON tk.doc_id = sa.doc_id
+ORDER BY tk.doc_id
+"""
+
+
 QUERIES = {
+    "doc_cut_dup_spans": doc_cut_dup_spans,
     "doc_curation_v3": doc_curation_v3,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_collocations": doc_collocations,
@@ -1739,6 +1811,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_cut_dup_spans": DOC_CUT_DUP_SPANS_SQL,
     "doc_curation_v3": DOC_CURATION_V3_SQL,
     "doc_tfidf_topk": DOC_TFIDF_SQL,
     "doc_collocations": DOC_COLLOCATIONS_SQL,
