@@ -44,6 +44,7 @@ HEADLINE = [
     "doc_curation_funnel",
     "doc_dup_clusters",
     "doc_dup_spans",
+    "doc_cut_dup_spans",
     "vec_semantic_dedup",
     "doc_unigram_logprob",
     "evt_overlap_join",
