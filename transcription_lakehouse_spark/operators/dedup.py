@@ -327,6 +327,35 @@ def positional_grams(t: Column, n: int) -> Column:
     )
 
 
+def _merged_dup_spans(
+    toked: DataFrame, id_col: str, n: int, min_df: int
+) -> DataFrame:
+    """Shared core of the Lee-et-al substring-dup derivation: from a
+    (id, _toks) frame, the MERGED maximal duplicated spans per doc as
+    (id, _s, _e, n_merged) — positional explode → gram df (count distinct
+    doc) → rejoin dup grams → per-doc interval union. Both the reporting
+    (`dup_span_stats`) and the rewrite (`cut_dup_spans`) consume this, so
+    the span set cannot drift between them."""
+    from .intervals import merged_intervals
+
+    ex = toked.select(
+        id_col,
+        F.explode(positional_grams(F.col("_toks"), n)).alias("_pg"),
+    ).select(id_col, F.col("_pg.p").alias("_p"), F.col("_pg.gram").alias("_g"))
+    gram_df = (
+        ex.groupBy("_g")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_g")
+    )
+    dup_pos = ex.join(gram_df, "_g").select(
+        id_col,
+        F.col("_p").cast("long").alias("_s"),
+        (F.col("_p") + n).cast("long").alias("_e"),
+    )
+    return merged_intervals(dup_pos, [id_col], "_s", "_e")
+
+
 def dup_span_stats(
     df: DataFrame,
     id_col: str,
@@ -342,33 +371,15 @@ def dup_span_stats(
 
     Returns one row per document: (id, n_tokens, n_dup_spans, dup_tokens,
     dup_fraction). Suffix arrays don't distribute; the equivalent
-    n-gram-df formulation is three map-side-combinable shuffles: positional
-    explode → gram df (count distinct doc) → rejoin dup grams → per-doc
-    interval union (W3 window) → rollup. No doc×doc pairs; hot grams are
-    plain equi-join skew (AQE-splittable).
+    n-gram-df formulation is three map-side-combinable shuffles (see
+    :func:`_merged_dup_spans`). No doc×doc pairs; hot grams are plain
+    equi-join skew (AQE-splittable).
     """
     from ..functions.text import tokens as _tokens
-    from .intervals import merged_intervals
 
     toked = df.select(id_col, _tokens(text_col).alias("_toks"))
     base = toked.select(id_col, F.size("_toks").alias("n_tokens"), "_toks")
-    ex = base.select(
-        id_col,
-        "n_tokens",
-        F.explode(positional_grams(F.col("_toks"), n)).alias("_pg"),
-    ).select(id_col, "n_tokens", F.col("_pg.p").alias("_p"), F.col("_pg.gram").alias("_g"))
-    gram_df = (
-        ex.groupBy("_g")
-        .agg(F.countDistinct(id_col).alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("_g")
-    )
-    dup_pos = ex.join(gram_df, "_g").select(
-        id_col,
-        F.col("_p").cast("long").alias("_s"),
-        (F.col("_p") + n).cast("long").alias("_e"),
-    )
-    spans = merged_intervals(dup_pos, [id_col], "_s", "_e")
+    spans = _merged_dup_spans(toked, id_col, n, min_df)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("_e") - F.col("_s")).alias("dup_tokens"),
@@ -406,26 +417,10 @@ def cut_dup_spans(
     beyond dup_span_stats' own aggregates.
     """
     from ..functions.text import tokens as _tokens
-    from .intervals import merged_intervals
 
     toked = df.select(id_col, _tokens(text_col).alias("_toks"))
-    ex = toked.select(
-        id_col,
-        F.explode(positional_grams(F.col("_toks"), n)).alias("_pg"),
-    ).select(id_col, F.col("_pg.p").alias("_p"), F.col("_pg.gram").alias("_g"))
-    gram_df = (
-        ex.groupBy("_g")
-        .agg(F.countDistinct(id_col).alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("_g")
-    )
-    dup_pos = ex.join(gram_df, "_g").select(
-        id_col,
-        F.col("_p").cast("long").alias("_s"),
-        (F.col("_p") + n).cast("long").alias("_e"),
-    )
     spans = (
-        merged_intervals(dup_pos, [id_col], "_s", "_e")
+        _merged_dup_spans(toked, id_col, n, min_df)
         .groupBy(id_col)
         .agg(
             F.collect_list(F.struct(F.col("_s").alias("s"), F.col("_e").alias("e"))).alias(

@@ -1101,11 +1101,11 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_DUP_CLUSTERS_SQL = (
-    "WITH RECURSIVE "
-    + _MINHASH_CANDS_SQL.format(tok=_TOK)
-    + """
-, scored AS (
+# Shared transitive-closure CTEs over the MinHash candidates (requires
+# `cand` + `sh` in scope from _MINHASH_CANDS_SQL; top-level WITH must be
+# RECURSIVE). Ends at `reach` (n, r); consumers aggregate min(r) per n.
+# Reused by the cluster query and the v3 funnel so the closures match.
+_CLUSTER_CTES = """scored AS (
   SELECT c.doc_id_1, c.doc_id_2
   FROM cand c
   JOIN sh s1 ON s1.doc_id = c.doc_id_1
@@ -1121,7 +1121,15 @@ DOC_DUP_CLUSTERS_SQL = (
   SELECT DISTINCT s, s FROM sym
   UNION
   SELECT sym.d, reach.r FROM reach JOIN sym ON reach.n = sym.s
-)
+)"""
+
+
+DOC_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_CANDS_SQL.format(tok=_TOK)
+    + ", "
+    + _CLUSTER_CTES
+    + """
 SELECT n AS doc_id, min(r) AS component_id, n = min(r) AS is_keeper
 FROM reach GROUP BY n
 ORDER BY component_id, doc_id
@@ -1164,20 +1172,31 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_UNIGRAM_LOGPROB_SQL = f"""
-WITH toked AS (
-  SELECT doc_id, unnest({_TOK}) AS tok FROM documents
-), counts AS (
-  SELECT tok, count(*) AS cnt FROM toked GROUP BY tok
-), tot AS (
-  SELECT sum(cnt) AS total FROM counts
-)
-SELECT doc_id, count(*) AS n_tokens,
-       CAST(round(sum(CAST(round(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)), 12)
-                           AS DECIMAL(28,12))), 4) AS DOUBLE) AS sum_nll
-FROM toked JOIN counts USING (tok) CROSS JOIN tot
-GROUP BY doc_id ORDER BY doc_id
+# Shared unigram-surprisal CTEs, ending at `lp` (doc_id, lp_n, lp_sum).
+# Reused by the standalone query and the v3 funnel oracle.
+_UNIGRAM_LP_CTES = f"""lp_toked AS (
+  SELECT doc_id, unnest({_TOK}) AS lp_tok FROM documents
+), lp_counts AS (
+  SELECT lp_tok, count(*) AS cnt FROM lp_toked GROUP BY lp_tok
+), lp_tot AS (
+  SELECT sum(cnt) AS total FROM lp_counts
+), lp AS (
+  SELECT doc_id, count(*) AS lp_n,
+         CAST(round(sum(CAST(round(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)), 12)
+                             AS DECIMAL(28,12))), 4) AS DOUBLE) AS lp_sum
+  FROM lp_toked JOIN lp_counts USING (lp_tok) CROSS JOIN lp_tot
+  GROUP BY doc_id
+)"""
+
+
+DOC_UNIGRAM_LOGPROB_SQL = (
+    "WITH "
+    + _UNIGRAM_LP_CTES
+    + """
+SELECT doc_id, lp_n AS n_tokens, lp_sum AS sum_nll
+FROM lp ORDER BY doc_id
 """
+)
 
 
 def doc_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,14 +1289,18 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(d, "doc_id", "text", n=13, min_df=2).orderBy("doc_id")
 
 
-DOC_DUP_SPANS_SQL = f"""
-WITH tk AS (
+# Shared Lee-et-al dup-span derivation (DuckDB side of
+# operators.dedup._merged_dup_spans): 13-gram positions → corpus df >= 2 →
+# 0-based [s, e) spans → island-merge. Ends at CTE `merged` (doc_id,
+# island_id, s, e). Reused verbatim by the span report, the span cut, and
+# the v3 funnel so the three oracles can never diverge.
+_DUP_SPAN_CTES = f"""tk AS (
   SELECT doc_id, {_TOK} AS t FROM documents
 ), pos AS (
-  SELECT doc_id, len(t) AS n_tokens, unnest(generate_series(1, len(t) - 12)) AS p, t
+  SELECT doc_id, unnest(generate_series(1, len(t) - 12)) AS p, t
   FROM tk WHERE len(t) >= 13
 ), g AS (
-  SELECT doc_id, n_tokens, p, array_to_string(t[p:p+12], ' ') AS gram FROM pos
+  SELECT doc_id, p, array_to_string(t[p:p+12], ' ') AS gram FROM pos
 ), dupg AS (
   SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
 ), dup_pos AS (
@@ -1298,7 +1321,14 @@ WITH tk AS (
 ), merged AS (
   SELECT doc_id, island_id, min(s) AS s, max(e) AS e
   FROM islands GROUP BY doc_id, island_id
-), per_doc AS (
+)"""
+
+
+DOC_DUP_SPANS_SQL = (
+    "WITH "
+    + _DUP_SPAN_CTES
+    + """
+, per_doc AS (
   SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
   FROM merged GROUP BY doc_id
 )
@@ -1311,6 +1341,7 @@ SELECT tk.doc_id, len(tk.t) AS n_tokens,
 FROM tk LEFT JOIN per_doc ON tk.doc_id = per_doc.doc_id
 ORDER BY tk.doc_id
 """
+)
 
 
 _PACK_BUDGET = 512  # tokens per packed training sequence
@@ -1591,9 +1622,16 @@ def doc_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     clusters = doc_dup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
-    spans = dup_span_stats(d, "doc_id", "text", n=13, min_df=2).select(
-        "doc_id", "n_tokens", "dup_tokens"
-    )
+    # repartition before the positional-gram explode (same reason as
+    # doc_dup_spans: the documents parquet has few files, and the 13-gram
+    # stage is the expensive one)
+    spans = dup_span_stats(
+        d.repartition(spark.sparkContext.defaultParallelism),
+        "doc_id",
+        "text",
+        n=13,
+        min_df=2,
+    ).select("doc_id", "n_tokens", "dup_tokens")
     lp = doc_unigram_logprob(spark, sf_dir).select(
         "doc_id",
         F.col("n_tokens").alias("_lp_n"),
@@ -1625,67 +1663,19 @@ def doc_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_CURATION_V3_SQL = (
     "WITH RECURSIVE "
     + _MINHASH_CANDS_SQL.format(tok=_TOK)
+    + ", "
+    + _CLUSTER_CTES
     + """
-, scored AS (
-  SELECT c.doc_id_1, c.doc_id_2
-  FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.doc_id_1
-  JOIN sh s2 ON s2.doc_id = c.doc_id_2
-  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
-        / (len(s1.shingles) + len(s2.shingles)
-           - len(list_intersect(s1.shingles, s2.shingles))) >= 0.5
-), sym AS (
-  SELECT doc_id_1 AS s, doc_id_2 AS d FROM scored
-  UNION
-  SELECT doc_id_2, doc_id_1 FROM scored
-), reach(n, r) AS (
-  SELECT DISTINCT s, s FROM sym
-  UNION
-  SELECT sym.d, reach.r FROM reach JOIN sym ON reach.n = sym.s
-), clusters AS (
+, clusters AS (
   SELECT n AS doc_id, n = min(r) AS is_keeper FROM reach GROUP BY n
-), tk AS (
-  SELECT doc_id, {tok} AS t FROM documents
-), pos AS (
-  SELECT doc_id, len(t) AS n_tokens,
-         unnest(generate_series(1, len(t) - 12)) AS p, t
-  FROM tk WHERE len(t) >= 13
-), g AS (
-  SELECT doc_id, p, array_to_string(t[p:p+12], ' ') AS gram FROM pos
-), dupg AS (
-  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
-), dup_pos AS (
-  SELECT doc_id, CAST(p - 1 AS BIGINT) AS s, CAST(p + 12 AS BIGINT) AS e
-  FROM g JOIN dupg USING (gram)
-), tagged AS (
-  SELECT *, CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-                   OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                 THEN 1 ELSE 0 END AS new_island
-  FROM dup_pos
-), islands AS (
-  SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
-                                  ROWS UNBOUNDED PRECEDING) AS island_id
-  FROM tagged
-), merged AS (
-  SELECT doc_id, island_id, min(s) AS s, max(e) AS e
-  FROM islands GROUP BY doc_id, island_id
-), span_doc AS (
+), """
+    + _DUP_SPAN_CTES
+    + """
+, span_doc AS (
   SELECT doc_id, sum(e - s) AS dup_tokens FROM merged GROUP BY doc_id
-), toked AS (
-  SELECT doc_id, unnest({tok}) AS tok2 FROM documents
-), counts AS (
-  SELECT tok2, count(*) AS cnt FROM toked GROUP BY tok2
-), tot AS (
-  SELECT sum(cnt) AS total FROM counts
-), lp AS (
-  SELECT doc_id, count(*) AS lp_n,
-         CAST(round(sum(CAST(round(ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)), 12)
-                             AS DECIMAL(28,12))), 4) AS DOUBLE) AS lp_sum
-  FROM toked JOIN counts USING (tok2) CROSS JOIN tot
-  GROUP BY doc_id
-)
+), """
+    + _UNIGRAM_LP_CTES
+    + """
 SELECT docs.doc_id,
        coalesce(c.is_keeper, TRUE) AS g_cluster,
        2 * coalesce(sd.dup_tokens, 0) <= coalesce(len(tk.t), 0) AS g_spans,
@@ -1699,7 +1689,7 @@ LEFT JOIN tk ON docs.doc_id = tk.doc_id
 LEFT JOIN span_doc sd ON docs.doc_id = sd.doc_id
 LEFT JOIN lp ON docs.doc_id = lp.doc_id
 ORDER BY docs.doc_id
-""".format(tok=_TOK)
+"""
 )
 
 
@@ -1715,39 +1705,16 @@ def doc_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_dup_spans(d, "doc_id", "text", n=13, min_df=2).orderBy("doc_id")
 
 
-DOC_CUT_DUP_SPANS_SQL = f"""
-WITH tk AS (
-  SELECT doc_id, {_TOK} AS t FROM documents
-), pos AS (
-  SELECT doc_id, unnest(generate_series(1, len(t) - 12)) AS p, t
-  FROM tk WHERE len(t) >= 13
-), g AS (
-  SELECT doc_id, p, array_to_string(t[p:p+12], ' ') AS gram FROM pos
-), dupg AS (
-  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
-), dup_pos AS (
-  SELECT doc_id, CAST(p - 1 AS BIGINT) AS s, CAST(p + 12 AS BIGINT) AS e
-  FROM g JOIN dupg USING (gram)
-), tagged AS (
-  SELECT *, CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-                   OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                 THEN 1 ELSE 0 END AS new_island
-  FROM dup_pos
-), islands AS (
-  SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
-                                  ROWS UNBOUNDED PRECEDING) AS island_id
-  FROM tagged
-), merged AS (
-  SELECT doc_id, island_id, min(s) AS s, max(e) AS e
-  FROM islands GROUP BY doc_id, island_id
-), span_agg AS (
+DOC_CUT_DUP_SPANS_SQL = (
+    "WITH "
+    + _DUP_SPAN_CTES
+    + """
+, span_agg AS (
   SELECT doc_id,
          -- named-struct list: ROW(s, e) inherits the column names, and
          -- positional sp[1] indexing on a NAMED struct yields NULL inside
          -- lambdas — always access by field
-         list({{'s': s, 'e': e}}) AS spans,
+         list({'s': s, 'e': e}) AS spans,
          sum(e - s) AS dup_tokens
   FROM merged GROUP BY doc_id
 )
@@ -1772,6 +1739,7 @@ SELECT tk.doc_id,
 FROM tk LEFT JOIN span_agg sa ON tk.doc_id = sa.doc_id
 ORDER BY tk.doc_id
 """
+)
 
 
 QUERIES = {
