@@ -1210,7 +1210,61 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the 20 most common 3-step event-type paths across
+    user timelines. Each user's ordered sequence is ONE map-side
+    `sort_array(collect_list(struct(ts, id, type)))` per user (bounded by
+    per-user event counts), the path trigrams are an in-array transform —
+    so the only shuffles are the user rollup and the small path count.
+    Ordering ties break on (ts, event_id) so both engines see identical
+    sequences."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+        ).alias("_seq")
+    )
+    types = F.transform("_seq", lambda x: x["event_type"])
+    per_user = per_user.select(
+        "user_id", types.alias("_t")
+    ).filter(F.size("_t") >= 3)
+    trigrams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - F.lit(3)),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at(F.col("_t"), i + 1),
+            F.element_at(F.col("_t"), i + 2),
+            F.element_at(F.col("_t"), i + 3),
+        ),
+    )
+    return (
+        per_user.select(F.explode(trigrams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+EVT_TOP_PATHS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         list(event_type ORDER BY epoch_us(ts), event_id) AS t
+  FROM events GROUP BY user_id
+), paths AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || '>' || t[i + 1] || '>' || t[i + 2])) AS path
+  FROM per_user WHERE len(t) >= 3
+)
+SELECT path, count(*) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "evt_top_paths": evt_top_paths,
     "evt_value_deciles": evt_value_deciles,
     "evt_rate_spikes": evt_rate_spikes,
     "evt_cumulative_users": evt_cumulative_users,
@@ -1244,6 +1298,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_top_paths": EVT_TOP_PATHS_SQL,
     "evt_value_deciles": EVT_VALUE_DECILES_SQL,
     "evt_rate_spikes": EVT_RATE_SPIKES_SQL,
     "evt_cumulative_users": EVT_CUMULATIVE_USERS_SQL,
