@@ -36,6 +36,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "doc_collocations",     # two one-row totals broadcast into the PMI
     "doc_tfidf_topk",       # one-row doc-count broadcast into the idf
     "doc_curation_v3",      # inherits doc_unigram_logprob's one-row total
+    "q_nation_intersect",   # one-row global-avg threshold broadcast
     "vec_hard_negatives",   # sampled queries broadcast, exact scoring IS
                             # the semantics (brute_force_topk shape)
 }
@@ -57,6 +58,7 @@ _GLOBAL_SCALAR_OK = {
     "q_referential_integrity",   # union of one-row orphan counts
     "doc_tfidf_topk",            # one-row doc-count aggregate
     "doc_curation_v3",           # inherits the one-row corpus total
+    "q_nation_intersect",        # one-row global-avg aggregate
     "evt_cumulative_users",      # running window over the per-DAY rollup
                                  # (bounded by calendar days, not rows)
 }

@@ -511,7 +511,47 @@ ORDER BY fk_edge
 """
 
 
+def q_nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation (the one set-op shape the workload didn't
+    yet exercise): nations that BOTH have a BUILDING-segment customer AND
+    a supplier with above-average balance. Each side reduces to a distinct
+    key set before the intersect, so the set op runs on dimension-sized
+    relations regardless of fact-table size."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    avg_bal = supp.agg(F.avg("s_acctbal").alias("_avg"))
+    rich_supp = supp.join(F.broadcast(avg_bal)).filter(
+        F.col("s_acctbal") > F.col("_avg")
+    )
+    a = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    b = rich_supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        a.intersect(b)
+        .join(F.broadcast(nation), F.col("nationkey") == nation["n_nationkey"])
+        .select("nationkey", "n_name")
+        .orderBy("nationkey")
+    )
+
+
+Q_NATION_INTERSECT_SQL = """
+SELECT nationkey, n_name
+FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier
+  WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+)
+JOIN nation ON nationkey = n_nationkey
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
+    "q_nation_intersect": q_nation_intersect,
     "q_referential_integrity": q_referential_integrity,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -523,6 +563,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_nation_intersect": Q_NATION_INTERSECT_SQL,
     "q_referential_integrity": Q_REF_INTEGRITY_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q8_market_share": Q8_SQL,
