@@ -1742,7 +1742,58 @@ ORDER BY tk.doc_id
 )
 
 
+_CHUNK_SIZE = 32  # tokens per RAG chunk
+_CHUNK_STEP = 24  # stride (8-token overlap)
+
+
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: each document (first 50) split into overlapping
+    token windows (32 tokens, stride 24) — the retrieval-unit explode
+    every embedding-index build starts from. Chunk boundaries are an
+    in-array `sequence` + `slice` (JVM-side, no UDTF/Python); the explode
+    multiplies rows by ~n_tok/stride, which IS the product, not overhead.
+    Chunk ids are position-deterministic so replays are idempotent."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    toked = d.select("doc_id", tokens("text").alias("_t"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_t") - F.lit(1), F.lit(0)),
+        F.lit(_CHUNK_STEP),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / F.lit(_CHUNK_STEP)).cast("long").alias("chunk_id"),
+            F.slice(F.col("_t"), s + 1, _CHUNK_SIZE).alias("toks"),
+        ),
+    )
+    ex = toked.filter(F.size("_t") > 0).select(
+        "doc_id", F.explode(chunks).alias("_c")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.size("_c.toks").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("_c.toks")).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+DOC_RAG_CHUNKS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+       len(t[s + 1 : s + {_CHUNK_SIZE}]) AS n_chunk_tokens,
+       array_to_string(t[s + 1 : s + {_CHUNK_SIZE}], ' ') AS chunk_text
+FROM tk, unnest(generate_series(0, greatest(len(t) - 1, 0), {_CHUNK_STEP})) AS u(s)
+WHERE len(t) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
+    "doc_rag_chunks": doc_rag_chunks,
     "doc_cut_dup_spans": doc_cut_dup_spans,
     "doc_curation_v3": doc_curation_v3,
     "doc_tfidf_topk": doc_tfidf_topk,
@@ -1779,6 +1830,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_rag_chunks": DOC_RAG_CHUNKS_SQL,
     "doc_cut_dup_spans": DOC_CUT_DUP_SPANS_SQL,
     "doc_curation_v3": DOC_CURATION_V3_SQL,
     "doc_tfidf_topk": DOC_TFIDF_SQL,
