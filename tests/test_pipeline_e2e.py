@@ -807,3 +807,42 @@ def test_streaming_role_enrichment(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ss_enrich").collect()
     }
     assert got == {"Dr. A": ("expert", True), "Random": ("other", False)}
+
+
+def test_rag_chunk_embed_index_search_roundtrip(spark, tmp_path):
+    """End-to-end RAG prep: chunk documents -> embed chunks (hash double)
+    -> build the LSH index -> search with a chunk's own text and get that
+    chunk back as the top hit (the deterministic provider embeds equal
+    text identically)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.embeddings import generate_embeddings
+    from transcription_lakehouse_spark.indexing import build_index, search
+    from transcription_lakehouse_spark.workload.text import doc_rag_chunks
+
+    chunks = doc_rag_chunks(spark, "/root/testdata/sf0.001").withColumn(
+        "chunk_key",
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_id")),
+    )
+    emb = generate_embeddings(chunks, "chunk_key", "chunk_text", "chunk")
+    idx_path = str(tmp_path / "chunk_index")
+    build_index(emb, idx_path)
+    corpus = spark.read.parquet(idx_path)
+    assert corpus.count() == chunks.count()
+
+    probe_row = chunks.orderBy("doc_id", "chunk_id").limit(1).collect()[0]
+    probe = generate_embeddings(
+        spark.createDataFrame(
+            [("probe", probe_row["chunk_text"])], "chunk_key string, chunk_text string"
+        ),
+        "chunk_key",
+        "chunk_text",
+        "chunk",
+    )
+    hits = search(
+        probe, corpus, id_col="artifact_id", k=3,
+        corpus_rows=corpus.count(),
+    ).collect()
+    top = [h for h in hits if h["rank"] == 1][0]
+    assert top["neighbor_id"] == f"{probe_row['doc_id']}:{probe_row['chunk_id']}"
+    assert abs(top["sim"] - 1.0) < 1e-6
