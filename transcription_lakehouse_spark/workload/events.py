@@ -1263,7 +1263,55 @@ LIMIT 20
 """
 
 
+def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day. Windows cannot COUNT(DISTINCT) over a
+    trailing range, so WAU uses the contribution-explode identity: each
+    (user, day) pair contributes to the 7 target days [d, d+6], and a
+    plain distinct-count per target day IS the trailing-7-day active
+    count. Cost: 7× the (user, day) relation — already deduped, tiny next
+    to the fact table — then two map-side-combinable rollups."""
+    day = 24 * 3600 * 1_000_000
+    ud = (
+        _events(spark, sf_dir)
+        .select("user_id", F.expr(f"ts_us div {day}").alias("d"))
+        .distinct()
+    )
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6))).alias("td"),
+    )
+    wau = contrib.groupBy("td").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau["d"] == wau["td"])
+        .select(
+            F.col("d").alias("day_id"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day_id")
+    )
+
+
+EVT_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+), dau AS (
+  SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY d
+), contrib AS (
+  SELECT user_id, unnest(generate_series(d, d + 6)) AS td FROM ud
+), wau AS (
+  SELECT td, count(DISTINCT user_id) AS wau FROM contrib GROUP BY td
+)
+SELECT d AS day_id, dau, wau, round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON d = td
+ORDER BY day_id
+"""
+
+
 QUERIES = {
+    "evt_stickiness": evt_stickiness,
     "evt_top_paths": evt_top_paths,
     "evt_value_deciles": evt_value_deciles,
     "evt_rate_spikes": evt_rate_spikes,
@@ -1298,6 +1346,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_stickiness": EVT_STICKINESS_SQL,
     "evt_top_paths": EVT_TOP_PATHS_SQL,
     "evt_value_deciles": EVT_VALUE_DECILES_SQL,
     "evt_rate_spikes": EVT_RATE_SPIKES_SQL,
