@@ -135,6 +135,16 @@ def run(factor: int) -> dict:
     dup_clusters(cands, "doc_id_1", "doc_id_2").groupBy().count().collect()
     out["dedup_cc_sec"] = round(time.time() - t0, 2)
     cands.unpersist()
+
+    # substring dup spans: positional 13-grams -> df -> interval union
+    # (replica groups make EVERY position duplicated -> worst-case volume)
+    from transcription_lakehouse_spark.operators.dedup import dup_span_stats
+
+    t0 = time.time()
+    dup_span_stats(docs, "doc_id", "text", n=13, min_df=2).groupBy().agg(
+        F.sum("dup_tokens")
+    ).collect()
+    out["dup_spans_sec"] = round(time.time() - t0, 2)
     docs.unpersist()
 
     emb = scaled_embeddings(spark, factor).cache()
