@@ -843,6 +843,8 @@ def test_rag_chunk_embed_index_search_roundtrip(spark, tmp_path):
         probe, corpus, id_col="artifact_id", k=3,
         corpus_rows=corpus.count(),
     ).collect()
-    top = [h for h in hits if h["rank"] == 1][0]
-    assert top["neighbor_id"] == f"{probe_row['doc_id']}:{probe_row['chunk_id']}"
-    assert abs(top["sim"] - 1.0) < 1e-6
+    # the fixture contains chunks with IDENTICAL text (replica docs), so
+    # several neighbors can tie at sim=1.0 — assert membership among the
+    # perfect-similarity hits, not strict top-1 (tie order is an id sort)
+    perfect = {h["neighbor_id"] for h in hits if abs(h["sim"] - 1.0) < 1e-6}
+    assert f"{probe_row['doc_id']}:{probe_row['chunk_id']}" in perfect, hits

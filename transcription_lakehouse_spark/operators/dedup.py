@@ -335,9 +335,17 @@ def _merged_dup_spans(
     (id, _s, _e, n_merged) — positional explode → gram df (count distinct
     doc) → rejoin dup grams → per-doc interval union. Both the reporting
     (`dup_span_stats`) and the rewrite (`cut_dup_spans`) consume this, so
-    the span set cannot drift between them."""
+    the span set cannot drift between them.
+
+    The positional-gram explode is the expensive stage and inherits the
+    input's partitioning; a corpus read from a few parquet files would run
+    it near-serially, so the helper widens thin inputs to the default
+    parallelism itself (callers need no repartition of their own)."""
     from .intervals import merged_intervals
 
+    parallelism = toked.sparkSession.sparkContext.defaultParallelism
+    if toked.rdd.getNumPartitions() < parallelism:
+        toked = toked.repartition(parallelism)
     ex = toked.select(
         id_col,
         F.explode(positional_grams(F.col("_toks"), n)).alias("_pg"),

@@ -1285,7 +1285,7 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     island-merge window."""
     from ..operators.dedup import dup_span_stats
 
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs(spark, sf_dir)  # the operator widens thin inputs itself
     return dup_span_stats(d, "doc_id", "text", n=13, min_df=2).orderBy("doc_id")
 
 
@@ -1622,16 +1622,9 @@ def doc_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     clusters = doc_dup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
-    # repartition before the positional-gram explode (same reason as
-    # doc_dup_spans: the documents parquet has few files, and the 13-gram
-    # stage is the expensive one)
-    spans = dup_span_stats(
-        d.repartition(spark.sparkContext.defaultParallelism),
-        "doc_id",
-        "text",
-        n=13,
-        min_df=2,
-    ).select("doc_id", "n_tokens", "dup_tokens")
+    spans = dup_span_stats(d, "doc_id", "text", n=13, min_df=2).select(
+        "doc_id", "n_tokens", "dup_tokens"
+    )
     lp = doc_unigram_logprob(spark, sf_dir).select(
         "doc_id",
         F.col("n_tokens").alias("_lp_n"),
@@ -1701,7 +1694,7 @@ def doc_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle checks the surgery byte-for-byte."""
     from ..operators.dedup import cut_dup_spans
 
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    d = _docs(spark, sf_dir)  # the operator widens thin inputs itself
     return cut_dup_spans(d, "doc_id", "text", n=13, min_df=2).orderBy("doc_id")
 
 
