@@ -45,7 +45,7 @@ HEADLINE = [
     "doc_dup_clusters",
     "doc_dup_spans",
     "doc_cut_dup_spans",
-    "vec_semantic_dedup",
+    "vec_semantic_dedup_p95",
     "doc_unigram_logprob",
     "evt_overlap_join",
     "q9_product_profit",

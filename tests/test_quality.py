@@ -140,6 +140,45 @@ def test_assess_rag_verdict(spark):
     assert g.status == "GREEN", [v.as_dict() for v in g.violations]
 
 
+def test_assess_driver_collects_are_capped(spark):
+    """Pathological key cardinality (many speakers, many low-coverage
+    episodes) must yield BOUNDED driver-side metric lists: top-N detail
+    plus one tail-rollup row, never the full per-key list."""
+    n_speakers, cap = 500, 10
+    spans = (
+        spark.range(n_speakers)
+        .select(
+            F.concat(F.lit("s"), F.col("id")).alias("span_id"),
+            F.concat(F.lit("EP"), F.col("id")).alias("episode_id"),
+            F.concat(F.lit("spk"), F.col("id")).alias("speaker"),
+            F.lit(0.0).alias("start_time"),
+            (10.0 + F.col("id") % 7).alias("end_time"),
+            (10.0 + F.col("id") % 7).alias("duration"),
+            F.lit("some words here truly fine").alias("text"),
+        )
+    )
+    eps = spark.range(n_speakers).select(
+        F.concat(F.lit("EP"), F.col("id")).alias("episode_id"),
+        F.lit(100.0).alias("duration_seconds"),  # every episode <80% covered
+        F.lit("S").alias("series"),
+    )
+    a = assess(spans, eps, thresholds=Thresholds(max_detail_rows=cap))
+    # coverage: cap rows of detail + distributed rollup accounting for all
+    assert len(a.metrics["coverage"]) == cap
+    assert a.metrics["coverage_summary"]["n_episodes"] == n_speakers
+    assert a.metrics["coverage_summary"]["n_below_threshold"] == n_speakers
+    cov_viol = [v for v in a.violations if v.category == "coverage"]
+    assert len(cov_viol) == cap + 1  # cap detail rows + 1 rollup violation
+    assert any("more episodes below threshold" in v.check for v in cov_viol)
+    # balance: cap speakers + one <tail> rollup whose share closes to 100%
+    bal = a.metrics["speaker_balance"]
+    assert len(bal) == cap + 1
+    assert bal[-1]["speaker"] == "<tail>"
+    assert bal[-1]["n_speakers_in_tail"] == n_speakers - cap
+    total_pct = sum(r["pct_duration"] for r in bal)
+    assert abs(total_pct - 100.0) < 0.5
+
+
 def test_stratified_sample_guarantees_and_determinism(spark):
     df = spans_df(spark)
     s1 = stratified_sample(df, ["episode_id", "speaker"], 6)

@@ -19,6 +19,10 @@ stay memory-resident per executor core.
 from __future__ import annotations
 
 import hashlib
+import json
+import time
+import urllib.error
+import urllib.request
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -30,6 +34,7 @@ __all__ = [
     "hash_embed",
     "generate_embeddings",
     "encode_texts",
+    "openai_api_provider",
     "DIM",
     "MAX_CHARS",
     "MODEL_BATCH",
@@ -86,6 +91,103 @@ def _sentence_transformers_provider(
         )
 
     return embed
+
+
+# transport(url, headers, payload_dict) -> (status:int, headers:dict, body:dict)
+Transport = Callable[[str, dict, dict], tuple[int, dict, dict]]
+
+
+def _urllib_transport(
+    url: str, headers: dict, payload: dict
+) -> tuple[int, dict, dict]:  # pragma: no cover - network not in test env
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode("utf-8"), headers=headers, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, dict(resp.headers), json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        body = e.read()
+        try:
+            parsed = json.loads(body) if body else {}
+        except ValueError:
+            parsed = {"error": body.decode("utf-8", "replace")}
+        return e.code, dict(e.headers or {}), parsed
+
+
+def openai_api_provider(
+    api_key: str,
+    model: str = "text-embedding-3-small",
+    base_url: str = "https://api.openai.com/v1",
+    max_retries: int = 5,
+    backoff_s: float = 0.5,
+    transport: Transport | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> ProviderFactory:
+    """Remote-provider seam shaped like the public OpenAI embeddings API
+    (the reference's remote path, `models.py:87-391`): POST
+    ``{base_url}/embeddings`` with ``{"model", "input": [texts],
+    "dimensions"}``, parse ``{"data": [{"index", "embedding"}]}``.
+
+    All local semantics stay in the SHARED `encode_texts` path — 8192-char
+    truncation and model batches of 32 happen before a request is built, so
+    one HTTP call carries exactly one model batch. This factory owns only
+    the remote concerns: auth header, retry with exponential backoff on
+    429/5xx honoring ``Retry-After``, index-ordered response assembly, and
+    a hard dim check (no silent slice).
+
+    ``transport``/``sleep`` are injectable so tests drive the full retry/
+    batch protocol against a fake HTTP layer without sockets."""
+    post = transport or _urllib_transport
+
+    def factory(dim: int) -> Callable[[list[str]], np.ndarray]:
+        url = base_url.rstrip("/") + "/embeddings"
+        headers = {
+            "Authorization": f"Bearer {api_key}",
+            "Content-Type": "application/json",
+        }
+
+        def embed(texts: list[str]) -> np.ndarray:
+            payload = {"model": model, "input": texts, "dimensions": dim}
+            last = None
+            for attempt in range(max_retries + 1):
+                status, resp_headers, body = post(url, headers, payload)
+                if status == 200:
+                    data = sorted(body["data"], key=lambda d: d["index"])
+                    if len(data) != len(texts):
+                        raise ValueError(
+                            f"embeddings API returned {len(data)} vectors "
+                            f"for {len(texts)} inputs"
+                        )
+                    mat = np.asarray(
+                        [d["embedding"] for d in data], dtype="float32"
+                    )
+                    if mat.shape != (len(texts), dim):
+                        raise ValueError(
+                            f"embeddings API returned shape {mat.shape}, "
+                            f"expected {(len(texts), dim)}"
+                        )
+                    return mat
+                last = (status, body)
+                if status == 429 or status >= 500:
+                    retry_after = resp_headers.get("Retry-After")
+                    delay = (
+                        float(retry_after)
+                        if retry_after is not None
+                        else backoff_s * (2**attempt)
+                    )
+                    if attempt < max_retries:
+                        sleep(delay)
+                    continue
+                break  # 4xx other than 429: not retryable
+            raise RuntimeError(
+                f"embeddings API failed after {max_retries + 1} attempt(s): "
+                f"status={last[0]} body={str(last[1])[:500]}"
+            )
+
+        return embed
+
+    return factory
 
 
 PROVIDERS: dict[str, ProviderFactory] = {

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 import os
+from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -122,6 +123,18 @@ def merge_upsert(
     table itself holds several rows per key (all are replaced).
     """
     n_updates = updates.count()
+    null_keyed = updates.filter(
+        reduce(lambda a, b: a | b, [F.col(c).isNull() for c in key_cols])
+    ).count()
+    if null_keyed:
+        # A NULL key never matches the equality anti-join, so a NULL-keyed
+        # update would be silently INSERTED next to any existing NULL-keyed
+        # rows — diverging from the Delta MERGE contract this mirrors.
+        raise ValueError(
+            f"merge_upsert: {null_keyed} update row(s) have NULL in a key "
+            f"column {key_cols} — NULL keys cannot match and would "
+            "duplicate instead of replace"
+        )
     keys = updates.select(*key_cols).distinct()
     n_keys = keys.count()
     if n_keys != n_updates:

@@ -238,10 +238,18 @@ def lsh_candidate_pairs(
     """Band the signature and bucket-join: docs sharing any full band are
     candidates. Returns distinct (id_1, id_2) with id_1 < id_2.
 
-    ``k`` must match the signature length produced by minhash_signature
-    (defaults to N_MINHASHES; banding past the array's end would throw
-    under ANSI or silently collapse buckets with ANSI off)."""
-    k = N_MINHASHES if k is None else k
+    ``k`` must match the signature length produced by minhash_signature.
+    When omitted it is INFERRED from the first row's array length (one
+    cheap single-partition job) rather than assumed to be N_MINHASHES —
+    a caller who built longer signatures would otherwise silently band
+    only the first N_MINHASHES entries and lose recall."""
+    if k is None:
+        row = signatures.select(F.size("minhashes").alias("k")).first()
+        k = N_MINHASHES if row is None else int(row["k"])
+    if k < band_size:
+        raise ValueError(
+            f"lsh_candidate_pairs: signature length {k} < band_size {band_size}"
+        )
     n_bands = k // band_size
     bands = signatures.select(
         id_col,
@@ -481,19 +489,7 @@ def simhash32_from_hashes(hashes: Column) -> Column:
     bit j of the signature is 1 iff sum over tokens of
     (bit j of hash ? +1 : -1) is > 0.
     """
-    def _vote(j: int):
-        # closure factory: pyspark HOF lambdas must have exact arity (a
-        # default arg would be mistaken for the optional index parameter)
-        mask = F.lit(1 << j)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(mask) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    sig = F.lit(0).cast("long")
-    for j in range(32):
-        vote = F.aggregate(hashes, F.lit(0), _vote(j))
-        sig = sig + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return sig
+    return simhash_from_hashes(hashes, 32)
 
 
 def simhash32(col: Column | str) -> Column:

@@ -40,6 +40,10 @@ class Thresholds:
     max_regressions: int = 0
     max_integrity_violations: int = 0
     random_seed: int = 42
+    # driver-side detail cap: per-key metric lists (episodes, speakers)
+    # collect at most this many rows + ONE tail-rollup row, so pathological
+    # key cardinality (100k speakers) cannot OOM the driver
+    max_detail_rows: int = 1000
 
 
 @dataclass
@@ -80,16 +84,46 @@ def assess(
     violations: list[Violation] = []
     metrics: dict = {}
 
-    # A: coverage
+    # A: coverage — collect only the WORST max_detail_rows episodes plus a
+    # distributed rollup; per-episode violation detail is bounded even on a
+    # million-episode lake
     cov = coverage_metrics(spans, episodes)
-    cov_rows = cov.collect()
+    cov_rows = (
+        cov.orderBy(F.asc("coverage_pct"), F.asc("episode_id"))
+        .limit(th.max_detail_rows)
+        .collect()
+    )
+    cov_summary = cov.agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.sum((F.col("coverage_pct") < th.min_coverage_pct).cast("long")).alias(
+            "n_below_threshold"
+        ),
+        F.round(F.avg("coverage_pct"), 2).alias("avg_coverage_pct"),
+        F.min("coverage_pct").alias("min_coverage_pct"),
+    ).collect()[0].asDict()
     metrics["coverage"] = [r.asDict() for r in cov_rows]
+    metrics["coverage_summary"] = cov_summary
+    n_below = int(cov_summary["n_below_threshold"] or 0)
     for r in cov_rows:
         if r["coverage_pct"] < th.min_coverage_pct:
             violations.append(
                 Violation("coverage", f"episode {r['episode_id']}", "warning",
                           r["coverage_pct"], th.min_coverage_pct)
             )
+    n_detailed = sum(
+        1 for r in cov_rows if r["coverage_pct"] < th.min_coverage_pct
+    )
+    if n_below > n_detailed:
+        violations.append(
+            Violation(
+                "coverage",
+                f"{n_below - n_detailed} more episodes below threshold "
+                f"(detail capped at {th.max_detail_rows})",
+                "warning",
+                float(cov_summary["avg_coverage_pct"]),
+                th.min_coverage_pct,
+            )
+        )
 
     # B: distribution
     metrics["span_duration"] = duration_stats(spans).collect()[0].asDict()
@@ -127,10 +161,24 @@ def assess(
                       th.max_regressions)
         )
 
-    # D: balance
-    metrics["speaker_balance"] = [
-        r.asDict() for r in speaker_balance(spans).collect()
-    ]
+    # D: balance — top-N by rank + ONE tail-rollup row, never the full
+    # per-speaker list (a 100k-speaker corpus must not OOM the driver)
+    bal = speaker_balance(spans)
+    head = bal.filter(F.col("rank") <= th.max_detail_rows)
+    tail = bal.filter(F.col("rank") > th.max_detail_rows).agg(
+        F.lit("<tail>").alias("speaker"),
+        F.sum("n_segments").alias("n_segments"),
+        F.round(F.sum("total_duration"), 6).alias("total_duration"),
+        F.lit(None).cast("int").alias("rank"),
+        F.round(F.sum("pct_duration"), 2).alias("pct_duration"),
+        F.lit(False).alias("in_top_n"),
+        F.count(F.lit(1)).alias("n_speakers_in_tail"),
+    )
+    balance_rows = [r.asDict() for r in head.collect()]
+    tail_row = tail.collect()[0].asDict()
+    if (tail_row["n_speakers_in_tail"] or 0) > 0:
+        balance_rows.append(tail_row)
+    metrics["speaker_balance"] = balance_rows
 
     # E: text quality
     metrics["text"] = text_metrics(spans).collect()[0].asDict()

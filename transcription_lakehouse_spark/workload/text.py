@@ -568,7 +568,12 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_sql() -> str:
+def _curation_stage_ctes() -> str:
+    """Shared WITH-chain of the curation funnel: d -> s1 (langid) -> s2
+    (quality gate) -> s3 (exact dedup) -> s4 (near-dup removal). Both
+    DOC_CURATION_SQL and DOC_CURATED_IDS_SQL compose from this one copy
+    so the derived oracle cannot drift (previously sliced by string
+    splitting on a formatting-sensitive literal)."""
     return f"""
 WITH d AS (SELECT doc_id, lang, text FROM documents),
 scored AS (
@@ -644,7 +649,11 @@ near AS (
 s4 AS (
   SELECT * FROM s3
   WHERE doc_id NOT IN (SELECT DISTINCT doc_id_2 FROM near)
-),
+)"""
+
+
+def _curation_sql() -> str:
+    return _curation_stage_ctes() + f""",
 f0 AS (SELECT lang, count(*) AS n_input FROM d GROUP BY lang),
 f1 AS (SELECT lang, count(*) AS n_lang_verified FROM s1 GROUP BY lang),
 f2 AS (SELECT lang, count(*) AS n_quality_ok FROM s2 GROUP BY lang),
@@ -1066,9 +1075,7 @@ def doc_curated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # reuse the funnel's CTE chain up to s4, emit the rows
-DOC_CURATED_IDS_SQL = (
-    DOC_CURATION_SQL.split(",\nf0 AS ")[0] + "\nSELECT doc_id, lang FROM s4"
-)
+DOC_CURATED_IDS_SQL = _curation_stage_ctes() + "\nSELECT doc_id, lang FROM s4"
 
 
 # composed AFTER its per-stage SQL constants exist (module order)
