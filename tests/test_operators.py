@@ -583,6 +583,52 @@ def test_connected_components_transitive_chain(spark):
     assert len(out) == 9  # singletons not emitted
 
 
+def test_two_phase_components_match_hash_to_min(spark):
+    from transcription_lakehouse_spark.operators.graph import connected_components
+
+    # same fixture as the hash-to-min test: path + triangle + orientation mix
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (12, 10),
+         (20, 21), (21, 20)],
+        "a int, b int",
+    )
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, "a", "b", algorithm="two-phase"
+        ).collect()
+    }
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, "a", "b", algorithm="nope")
+
+
+def test_two_phase_components_chain_converges_logarithmically(spark):
+    """A 10k-node chain (diameter = node count) must converge well inside
+    max_iter — the case two-phase exists for (VERDICT r2 #6)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.graph import dup_clusters
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    out = dup_clusters(chain, "a", "b", max_iter=18, algorithm="two-phase")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component_id").alias("n_comp"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n_keep"),
+    ).collect()[0]
+    assert (agg["n"], agg["n_comp"], agg["n_keep"]) == (n, 1, 1)
+
+
 def test_connected_components_direction_invariance(spark):
     from transcription_lakehouse_spark.operators.graph import connected_components
 

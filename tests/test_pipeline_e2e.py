@@ -593,6 +593,69 @@ def test_stream_index_update_builds_then_appends(spark, tmp_path):
     assert back.select("artifact_id").distinct().count() == 12
 
 
+def test_stream_cluster_update_maintains_dup_clusters(spark, tmp_path):
+    """Streaming dup-cluster maintenance (batch dedup pipeline's streaming
+    twin): batch 1 forms a 2-doc cluster; replaying the same docs causes
+    ZERO keeper churn; a new near-dup doc joins its existing cluster."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import stream_cluster_update
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    state = str(tmp_path / "cluster_state")
+    ck = str(tmp_path / "ck")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the morning light"
+    )
+    docs1 = [
+        {"doc_id": "a1", "text": base},
+        {"doc_id": "a2", "text": base + " today"},  # near-dup of a1
+        {"doc_id": "b1", "text": "completely different content about "
+                                 "spacecraft navigation systems and orbital "
+                                 "mechanics for deep space missions"},
+    ]
+    (d / "one.jsonl").write_text("\n".join(_json.dumps(r) for r in docs1))
+    q = stream_cluster_update(spark, str(d), state, ck)
+    q.awaitTermination(120)
+
+    clusters = {
+        r["doc_id"]: (r["component_id"], r["is_keeper"])
+        for r in spark.read.parquet(f"{state}/clusters").collect()
+    }
+    # a1/a2 cluster with a1 the keeper; b1 is a singleton (not emitted)
+    assert clusters == {"a1": ("a1", True), "a2": ("a1", False)}
+
+    # replay: same doc ids in a new file — anti-join makes it a no-op
+    (d / "two.jsonl").write_text("\n".join(_json.dumps(r) for r in docs1))
+    q = stream_cluster_update(spark, str(d), state, ck)
+    q.awaitTermination(120)
+    replayed = {
+        r["doc_id"]: (r["component_id"], r["is_keeper"])
+        for r in spark.read.parquet(f"{state}/clusters").collect()
+    }
+    assert replayed == clusters  # zero keeper churn
+    assert spark.read.parquet(f"{state}/corpus").count() == 3
+
+    # a new near-dup of a2 joins the existing cluster; keeper unchanged
+    (d / "three.jsonl").write_text(
+        _json.dumps({"doc_id": "a3", "text": base + " tonight"})
+    )
+    q = stream_cluster_update(spark, str(d), state, ck)
+    q.awaitTermination(120)
+    grown = {
+        r["doc_id"]: (r["component_id"], r["is_keeper"])
+        for r in spark.read.parquet(f"{state}/clusters").collect()
+    }
+    assert grown == {
+        "a1": ("a1", True),
+        "a2": ("a1", False),
+        "a3": ("a1", False),
+    }
+
+
 def test_streaming_quality_stats_windows(spark, tmp_path):
     """Tumbling-window quality monitor: utterances land in their event-time
     windows and the token battery matches the batch computation."""

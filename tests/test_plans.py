@@ -301,3 +301,78 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
                          plan.split("PartitionFilters")[0]), plan
     n_parts = df.select("event_type").distinct().count()
     assert n_parts == 1
+
+
+def _fs_bytes_read(spark) -> int:
+    """Actual bytes read from the local filesystem by this JVM (Hadoop
+    FileSystem statistics, scheme 'file') — a true scan-bytes meter, not
+    plan text."""
+    total = 0
+    it = spark._jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics().iterator()
+    while it.hasNext():
+        s = it.next()
+        if s.getScheme() == "file":
+            total += s.getBytesRead()
+    return total
+
+
+def test_compacted_layout_prunes_partitions_and_row_groups(spark, tmp_path):
+    """File-skipping audit at 10x scale (VERDICT r2 #8): on the compacted
+    lakehouse layout (partitionBy(event_type) + range-clustered by ts), a
+    time-range + type filter must cut ACTUAL scan bytes — partition dirs
+    skipped at planning, row groups skipped by parquet footer min/max —
+    asserted on filesystem bytes read, not just plan text."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.maintenance import compact
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    # 10x the sf0.01 events (100k rows), distinct ids per replica
+    base = load_table(spark, "/root/testdata/sf0.01", "events")
+    tenx = base.crossJoin(spark.range(10).select(F.col("id").alias("_rep"))).select(
+        (F.col("event_id") * 10 + F.col("_rep")).alias("event_id"),
+        "ts", "user_id", "event_type", "value", "props",
+    )
+    raw = str(tmp_path / "events_raw")
+    tenx.repartition(8).write.partitionBy("event_type").parquet(raw)
+
+    # range-cluster each partition by ts: every output file owns a disjoint
+    # ts range, so footer stats answer time-range predicates
+    clustered = str(tmp_path / "events_clustered")
+    for row in spark.read.parquet(raw).select("event_type").distinct().collect():
+        et = row["event_type"]
+        compact(
+            spark,
+            f"{raw}/event_type={et}",
+            f"{clustered}/event_type={et}",
+            target_file_bytes=64 * 1024,  # force multiple files per partition
+            sort_within_by=["ts"],
+        )
+
+    table = spark.read.parquet(clustered)
+    ts_lo, ts_hi = table.agg(F.min("ts"), F.max("ts")).collect()[0]
+    # a ~2% slice of the time range on ONE event type
+    cut = ts_lo + (ts_hi - ts_lo) * 2 // 100
+    pred = (F.col("event_type") == "click") & (F.col("ts") <= cut)
+
+    b0 = _fs_bytes_read(spark)
+    full = table.agg(F.sum("value")).collect()[0][0]
+    b1 = _fs_bytes_read(spark)
+    pruned = table.filter(pred).agg(F.sum("value")).collect()[0][0]
+    b2 = _fs_bytes_read(spark)
+    full_bytes, pruned_bytes = b1 - b0, b2 - b1
+
+    assert full is not None and pruned is not None
+    # plan text: the partition filter reached PartitionFilters and the ts
+    # range reached PushedFilters
+    plan = table.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:300], plan
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters")[1][
+        :300
+    ], plan
+    # the hard assertion: the pruned scan reads a small fraction of the
+    # bytes (partition dirs skipped entirely; non-matching row groups cost
+    # only their footers)
+    assert pruned_bytes < full_bytes * 0.45, (pruned_bytes, full_bytes)

@@ -203,10 +203,6 @@ def test_connected_components_matches_union_find(spark, edges):
     from transcription_lakehouse_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(edges, "a int, b int")
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(df, "a", "b").collect()
-    }
     want = _naive_components(edges)
     # self-loop-only nodes are singletons: dropped by the operator
     want = {
@@ -214,4 +210,11 @@ def test_connected_components_matches_union_find(spark, edges):
         for n, c in want.items()
         if any(a != b and n in (a, b) for a, b in edges)
     }
-    assert got == want
+    for algorithm in ("hash-to-min", "two-phase"):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, "a", "b", algorithm=algorithm
+            ).collect()
+        }
+        assert got == want, algorithm

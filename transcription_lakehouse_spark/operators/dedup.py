@@ -32,6 +32,7 @@ __all__ = [
     "shingle_pair_jaccard",
     "jaccard_rescore",
     "minhash_signature",
+    "signature_bands",
     "lsh_candidate_pairs",
     "edit_ratio_rescore",
     "positional_grams",
@@ -229,29 +230,26 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
+def signature_bands(
     signatures: DataFrame,
     id_col: str,
     band_size: int = BAND_SIZE,
     k: int | None = None,
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any full band are
-    candidates. Returns distinct (id_1, id_2) with id_1 < id_2.
-
-    ``k`` must match the signature length produced by minhash_signature.
-    When omitted it is INFERRED from the first row's array length (one
-    cheap single-partition job) rather than assumed to be N_MINHASHES —
-    a caller who built longer signatures would otherwise silently band
-    only the first N_MINHASHES entries and lose recall."""
+    """Explode MinHash signatures into the LSH band inverted index:
+    (id, band, key) with one row per band, key = the band's hash values
+    joined. This is the persistable half of `lsh_candidate_pairs` — a
+    streaming maintainer appends it per micro-batch so existing docs never
+    re-shingle. ``k`` as in `lsh_candidate_pairs` (inferred when None)."""
     if k is None:
         row = signatures.select(F.size("minhashes").alias("k")).first()
         k = N_MINHASHES if row is None else int(row["k"])
     if k < band_size:
         raise ValueError(
-            f"lsh_candidate_pairs: signature length {k} < band_size {band_size}"
+            f"signature_bands: signature length {k} < band_size {band_size}"
         )
     n_bands = k // band_size
-    bands = signatures.select(
+    return signatures.select(
         id_col,
         F.explode(
             F.array(
@@ -271,6 +269,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    band_size: int = BAND_SIZE,
+    k: int | None = None,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any full band are
+    candidates. Returns distinct (id_1, id_2) with id_1 < id_2.
+
+    ``k`` must match the signature length produced by minhash_signature.
+    When omitted it is INFERRED from the first row's array length (one
+    cheap single-partition job) rather than assumed to be N_MINHASHES —
+    a caller who built longer signatures would otherwise silently band
+    only the first N_MINHASHES entries and lose recall."""
+    bands = signature_bands(signatures, id_col, band_size, k)
     left = bands.select(F.col(id_col).alias(f"{id_col}_1"), "band", "key")
     right = bands.select(F.col(id_col).alias(f"{id_col}_2"), "band", "key")
     return (

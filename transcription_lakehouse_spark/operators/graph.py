@@ -34,12 +34,94 @@ from pyspark.sql import DataFrame
 __all__ = ["connected_components", "dup_clusters"]
 
 
+def _two_phase_components(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond") — converges in O(log n) rounds even
+    on chain-heavy graphs where hash-to-min's per-round frontier only moves
+    by pointer jumps. Each round is two groupBy-min + two equi-joins over
+    the EDGE relation (which two-phase monotonically shrinks toward stars),
+    vs hash-to-min's joins over the label relation.
+
+    large-star: every node connects its strictly-larger neighbors to
+    min(N(u) ∪ {u}); small-star: every node connects its smaller neighbors
+    (and itself) to that min. Fixpoint = the edge set stops changing, at
+    which point edges ARE the (component-min → node) label pairs."""
+    edges = (
+        sym.filter(F.col("s") < F.col("d"))
+        .select(F.col("s").alias("a"), F.col("d").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.limit(1).count() == 0:
+        return edges.select(
+            F.col("a").alias("node"), F.col("b").alias("component")
+        )
+    for _ in range(max_iter):
+        # LARGE-STAR: directed both ways; (v, m(u)) for neighbors v > u
+        nb = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = nb.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            nb.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))  # m <= u < v keeps a < b
+            .distinct()
+        )
+        # SMALL-STAR: per node u over its smaller neighbors N⁻(u);
+        # m = min(N⁻(u)); emit (m, v) for v ∈ N⁻(u)\{m} and (m, u)
+        nb2 = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins2 = nb2.groupBy("u").agg(F.min("v").alias("mn"))
+        small_nbrs = (
+            nb2.join(mins2, "u")
+            .select(F.col("mn").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        small_self = mins2.select(F.col("mn").alias("a"), F.col("u").alias("b"))
+        new_edges = small_nbrs.union(small_self).distinct().localCheckpoint()
+        # fixpoint: both sides are distinct canonical sets, so equal counts
+        # + empty one-direction difference ⇒ identical
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"two-phase connected components did not converge in "
+            f"{max_iter} rounds"
+        )
+    # stars: every non-center node appears exactly once as b with its
+    # component min as a; centers label themselves
+    members = edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    centers = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return members.union(centers)
+
+
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+    algorithm: str = "hash-to-min",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     min node id reachable (undirected). Nodes with no edges are not emitted
     (a dedup caller treats absent = singleton = keep).
+
+    ``algorithm``: "hash-to-min" (default — min-label propagation with
+    pointer jumping; 3 label-relation shuffles/round) or "two-phase"
+    (large-star/small-star; edge-relation shuffles but provably O(log n)
+    rounds — prefer it for chain-heavy graphs whose diameter approaches the
+    node count).
 
     Raises if ``max_iter`` rounds don't reach the fixpoint — with pointer
     jumping that needs a component diameter around 2^25, i.e. pathological
@@ -55,6 +137,10 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if algorithm == "two-phase":
+        return _two_phase_components(sym, max_iter)
+    if algorithm != "hash-to-min":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     labels = (
         sym.select(F.col("s").alias("n"))
         .distinct()
@@ -94,14 +180,20 @@ def connected_components(
 
 
 def dup_clusters(
-    pairs: DataFrame, id_1: str, id_2: str, max_iter: int = 25
+    pairs: DataFrame,
+    id_1: str,
+    id_2: str,
+    max_iter: int = 25,
+    algorithm: str = "hash-to-min",
 ) -> DataFrame:
     """Fold near-dup pairs into clusters: (doc_id, component_id, is_keeper)
     where component_id = min doc id in the cluster and the keeper is that
     minimum (deterministic canonical-doc policy — swap in a quality-ranked
     argmax upstream by re-mapping ids if needed). Only clustered docs are
     emitted; absent docs are singletons and always kept."""
-    cc = connected_components(pairs, id_1, id_2, max_iter=max_iter)
+    cc = connected_components(
+        pairs, id_1, id_2, max_iter=max_iter, algorithm=algorithm
+    )
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("component_id"),

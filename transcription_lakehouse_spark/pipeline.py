@@ -120,7 +120,7 @@ def quality(spark: SparkSession, lake_dir: str) -> dict:
     beats_path = os.path.join(lake_dir, "beats", "v1")
     beats = read_versioned(spark, lake_dir, "beats") if os.path.isdir(beats_path) else None
     a = assess(spans, episodes, beats=beats)
-    rep_dir = write_report(a, f"{lake_dir}/quality_reports")
+    rep_dir = write_report(a, f"{lake_dir}/quality_reports", spans=spans)
     return {
         "status": a.status,
         "n_violations": len(a.violations),
@@ -141,10 +141,16 @@ def snapshot(
 
     if qa_status is None:
         qa_status = "UNKNOWN"
-        reports = sorted(_glob.glob(f"{lake_dir}/quality_reports/*/global.json"))
+        reports = sorted(
+            _glob.glob(f"{lake_dir}/quality_reports/*/metrics/global.json")
+        )
         if reports:
             with open(reports[-1]) as f:
-                qa_status = _json.load(f).get("status", "UNKNOWN")
+                qa_status = (
+                    _json.load(f)
+                    .get("metadata", {})
+                    .get("rag_status", "UNKNOWN")
+                )
     snap_dir = create_snapshot(spark, lake_dir, version, qa_status=qa_status)
     problems = verify_snapshot(snap_dir)
     return {

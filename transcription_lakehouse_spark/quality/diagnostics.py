@@ -91,7 +91,7 @@ def neighbor_sample(
             ),
             "neighbor_id",
         )
-        .select("query_id", "rank", "sim", "query_text", "neighbor_text")
+        .select("query_id", "neighbor_id", "rank", "sim", "query_text", "neighbor_text")
     )
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_quality_stats",
     "stream_index_update",
+    "stream_cluster_update",
 ]
 
 
@@ -115,6 +116,170 @@ def stream_index_update(
             batch.sparkSession, emb, index_path,
             rebuild_threshold=float("inf"),
         )
+
+    writer = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_cluster_update(
+    spark: SparkSession,
+    input_dir: str,
+    cluster_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Incremental duplicate-CLUSTER maintenance over a document stream —
+    the streaming twin of the batch dedup pipeline (MinHash → LSH bands →
+    exact-Jaccard rescore → connected components), mirroring how
+    `stream_index_update` maintains the ANN index.
+
+    State tree under ``cluster_path`` (all parquet):
+
+        corpus/    (doc_id, text)          — for exact rescore of candidates
+        bands/     (doc_id, band, key)     — persisted LSH inverted index,
+                                             so existing docs NEVER re-shingle
+        pairs/     (doc_id_1, doc_id_2)    — confirmed near-dup edges
+        clusters/  (doc_id, component_id, is_keeper)
+
+    Per micro-batch: anti-join against the corpus (deterministic ids ⇒
+    replay is a no-op — zero keeper churn), band only the NEW docs, bucket-
+    join new bands against the stored index, exact-rescore candidates, and
+    recompute connected components ONLY for clusters touched by new pairs
+    (untouched components carry over verbatim). At 100 TB the per-batch cost
+    is bounded by the delta's LSH-bucket reach, not the corpus."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..operators.dedup import (
+        jaccard_rescore,
+        minhash_signature,
+        signature_bands,
+    )
+    from ..operators.graph import dup_clusters
+
+    corpus_path = f"{cluster_path}/corpus"
+    bands_path = f"{cluster_path}/bands"
+    pairs_path = f"{cluster_path}/pairs"
+    clusters_path = f"{cluster_path}/clusters"
+
+    schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField(text_col, StringType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+
+    def _read_or_none(sess: SparkSession, path: str) -> DataFrame | None:
+        try:
+            return sess.read.parquet(path)
+        except Exception:  # state not created yet (first batch)
+            return None
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        corpus = _read_or_none(sess, corpus_path)
+        if corpus is not None:
+            fresh = batch.join(
+                F.broadcast(corpus.select(id_col)), id_col, "left_anti"
+            )
+        else:
+            fresh = batch
+        fresh = fresh.localCheckpoint()  # reused by 4 consumers below
+        if not fresh.head(1):
+            return
+
+        new_bands = signature_bands(
+            minhash_signature(fresh, id_col, text_col), id_col
+        ).localCheckpoint()
+        old_bands = _read_or_none(sess, bands_path)
+        all_bands = (
+            old_bands.unionByName(new_bands) if old_bands is not None else new_bands
+        )
+        # candidates must touch >= 1 new doc: one side is the new-band
+        # relation, the other the full index — never old×old
+        cands = (
+            all_bands.select(
+                F.col(id_col).alias("_other"), "band", "key"
+            )
+            .join(
+                new_bands.select(F.col(id_col).alias("_new"), "band", "key"),
+                ["band", "key"],
+            )
+            .filter(F.col("_other") != F.col("_new"))
+            .select(
+                F.least("_other", "_new").alias(f"{id_col}_1"),
+                F.greatest("_other", "_new").alias(f"{id_col}_2"),
+            )
+            .distinct()
+        )
+        texts = (
+            corpus.unionByName(fresh.select(id_col, text_col))
+            if corpus is not None
+            else fresh.select(id_col, text_col)
+        )
+        new_pairs = (
+            jaccard_rescore(cands, texts, id_col, text_col)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select(f"{id_col}_1", f"{id_col}_2")
+            .localCheckpoint()
+        )
+
+        fresh.select(id_col, text_col).write.mode("append").parquet(corpus_path)
+        new_bands.write.mode("append").parquet(bands_path)
+        new_pairs.write.mode("append").parquet(pairs_path)
+
+        if not new_pairs.head(1):
+            return  # no cluster structure changed
+
+        # CC delta: recompute only components reachable from the new pairs
+        old_clusters = _read_or_none(sess, clusters_path)
+        touched = (
+            new_pairs.select(F.col(f"{id_col}_1").alias("doc_id"))
+            .union(new_pairs.select(F.col(f"{id_col}_2").alias("doc_id")))
+            .distinct()
+        )
+        all_pairs = sess.read.parquet(pairs_path)
+        if old_clusters is not None:
+            affected_comp = (
+                old_clusters.join(touched, "doc_id")
+                .select("component_id")
+                .distinct()
+            )
+            affected_docs = (
+                old_clusters.join(
+                    F.broadcast(affected_comp), "component_id"
+                )
+                .select("doc_id")
+                .union(touched)
+                .distinct()
+            )
+            scoped_pairs = all_pairs.join(
+                affected_docs.select(F.col("doc_id").alias(f"{id_col}_1")),
+                f"{id_col}_1",
+                "semi",
+            )
+            kept = old_clusters.join(affected_docs, "doc_id", "anti")
+        else:
+            scoped_pairs = all_pairs
+            kept = None
+        recomputed = dup_clusters(scoped_pairs, f"{id_col}_1", f"{id_col}_2")
+        out = (
+            kept.unionByName(recomputed) if kept is not None else recomputed
+        ).localCheckpoint()  # materialize BEFORE overwriting our own input
+        out.write.mode("overwrite").parquet(clusters_path)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
