@@ -244,6 +244,46 @@ def test_snapshot_immutable_and_verifiable(spark, tmp_path):
     assert any("checksum mismatch" in p for p in verify_snapshot(snap))
 
 
+def test_validate_command_clean_then_corrupted(spark, tmp_path):
+    """`pipeline.validate` (reference `lakehouse validate` parity): a clean
+    materialized lake passes every check; injected violations (dup span ids,
+    negative durations, orphan episode) show up with nonzero counts."""
+    lake = str(tmp_path / "lake")
+    _write_jsonl(tmp_path, "ok.jsonl", n=20)
+    pipeline.ingest(spark, str(tmp_path / "*.jsonl"), lake)
+    pipeline.materialize(spark, lake, use_embeddings=False)
+
+    out = pipeline.validate(spark, lake)
+    assert out["ok"], out
+    assert out["tables"]["normalized"] == 20
+    assert set(out["checks"]) >= {
+        "utterance_id_dupes",
+        "span_id_dupes",
+        "spans_negative_duration",
+        "spans_missing_speaker",
+        "spans_orphan_episodes",
+    }
+
+    # corrupt: duplicate a span id, negate a duration, orphan an episode
+    spans_path = f"{lake}/spans/v1"
+    spans = spark.read.parquet(spans_path)
+    first = spans.limit(1)
+    bad = spans.unionByName(
+        first.withColumn("duration", F.lit(-2.0)).withColumn(
+            "episode_id", F.lit("GHOST")
+        )
+    )
+    bad.write.mode("overwrite").parquet(f"{lake}/spans_bad")
+    spark.read.parquet(f"{lake}/spans_bad").write.mode("overwrite").parquet(
+        spans_path
+    )
+    out2 = pipeline.validate(spark, lake)
+    assert not out2["ok"]
+    assert out2["checks"]["span_id_dupes"] == 1
+    assert out2["checks"]["spans_negative_duration"] == 1
+    assert out2["checks"]["spans_orphan_episodes"] == 1
+
+
 def test_quality_red_blocks_snapshot_through_pipeline(spark, tmp_path):
     """End-to-end QA gating: a lake whose spans violate integrity rules
     assesses RED through `pipeline.quality`, and `pipeline.snapshot` then

@@ -174,6 +174,44 @@ def hyperplane_bucket(
     return bucket
 
 
+def _band_buckets_udf(n_bands: int, planes_per_band: int, max_dims: int = 256):
+    """Arrow-batched pandas_udf: ALL band bucket ids per vector as ONE
+    numpy GEMM against the md5-derived ±1 sign matrix — the same plane
+    family as `hyperplane_bucket` (band b uses planes [b*r, (b+1)*r)), so
+    results are interchangeable. Exists because a wide banding config
+    (e.g. the 8x12 production semantic-dedup point = 96 planes) expressed
+    as literal arrays blows the codegen tree past 1 MB task binaries and
+    planning dominates; the GEMM keeps the plan tiny and per-row cost one
+    matmul (same trade the IVF cell-assign makes, `_nearest_cells_udf`).
+    Sign-of-projection parity with a sequential-sum oracle can differ only
+    when |projection| < ~1e-13 — measure-zero for real embeddings."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = n_bands * planes_per_band
+    S = np.asarray(
+        [_plane_signs(p, max_dims) for p in range(planes)], dtype=np.float64
+    )
+    pows = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        if V.shape[1] > max_dims:
+            raise ValueError(
+                f"band buckets: vector dims {V.shape[1]} exceed "
+                f"max_dims={max_dims}; raise max_dims"
+            )
+        proj = V @ S[:, : V.shape[1]].T  # (n, planes)
+        bits = (proj > 0).reshape(len(V), n_bands, planes_per_band)
+        bk = (bits * pows).sum(axis=2)  # (n, n_bands) int64
+        return pd.Series(list(bk))
+
+    return buckets
+
+
 def train_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -385,24 +423,36 @@ def lsh_near_dup_pairs(
     v = df.select(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
     )
-    ids = v.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        hyperplane_bucket(
-                            F.col("v"),
-                            planes_per_band,
-                            plane_offset=b * planes_per_band,
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if n_bands * planes_per_band > 32:
+        # wide banding: literal-array codegen would dominate (see
+        # _band_buckets_udf); one GEMM, posexplode the per-band buckets
+        ids = v.select(
+            "vid",
+            F.posexplode(
+                _band_buckets_udf(n_bands, planes_per_band)(F.col("v"))
+            ).alias("band", "bucket"),
+        )
+    else:
+        ids = v.select(
+            "vid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            hyperplane_bucket(
+                                F.col("v"),
+                                planes_per_band,
+                                plane_offset=b * planes_per_band,
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            "vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
     left = ids.select(
         F.col("vid").alias("id_1"), "band", "bucket"
     )

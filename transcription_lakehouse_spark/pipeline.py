@@ -9,8 +9,10 @@ Usage:
     python -m transcription_lakehouse_spark.pipeline ingest <input_glob> <lake_dir>
     python -m transcription_lakehouse_spark.pipeline materialize <lake_dir>
     python -m transcription_lakehouse_spark.pipeline catalog <lake_dir>
+    python -m transcription_lakehouse_spark.pipeline validate <lake_dir>
     python -m transcription_lakehouse_spark.pipeline quality <lake_dir>
     python -m transcription_lakehouse_spark.pipeline snapshot <lake_dir> [version]
+    python -m transcription_lakehouse_spark.pipeline verify <snapshot_dir>
 """
 
 from __future__ import annotations
@@ -128,6 +130,58 @@ def quality(spark: SparkSession, lake_dir: str) -> dict:
     }
 
 
+def validate(spark: SparkSession, lake_dir: str) -> dict:
+    """`lakehouse validate` parity (reference `cli/commands/validate.py:66`):
+    integrity battery over the materialized artifacts — non-empty tables,
+    timestamp quality, text quality, ID uniqueness, referential integrity,
+    NaN/Inf numerics — as ONE aggregation pass per artifact plus two
+    distinct-count probes; no per-row driver work.
+
+    Returns {"checks": {name: failing_count}, "tables": {name: rows},
+    "ok": bool} — ok iff every failing_count is 0."""
+    import os
+
+    from .quality.metrics import integrity_counts, numeric_anomalies
+
+    checks: dict[str, int] = {}
+    tables: dict[str, int] = {}
+
+    utt = read_versioned(spark, lake_dir, "normalized")
+    tables["normalized"] = utt.count()
+    checks["normalized_empty"] = int(tables["normalized"] == 0)
+    checks["utterance_id_dupes"] = tables["normalized"] - utt.select(
+        "utterance_id"
+    ).distinct().count()
+    for name, d in numeric_anomalies(utt, ["start_time", "end_time"]).items():
+        checks[f"normalized_{name}_nan_inf"] = d["nan"] + d["inf"]
+
+    spans_path = os.path.join(lake_dir, "spans", "v1")
+    if os.path.isdir(spans_path):
+        spans = read_versioned(spark, lake_dir, "spans")
+        tables["spans"] = spans.count()
+        checks["spans_empty"] = int(tables["spans"] == 0)
+        checks["span_id_dupes"] = tables["spans"] - spans.select(
+            "span_id"
+        ).distinct().count()
+        # battery covers timestamp quality (negative start/duration),
+        # missing speaker/episode/text — one scan
+        for key, val in integrity_counts(spans).items():
+            checks[f"spans_{key}"] = val
+        # referential integrity: every span's episode exists upstream
+        checks["spans_orphan_episodes"] = (
+            spans.select("episode_id")
+            .distinct()
+            .join(utt.select("episode_id").distinct(), "episode_id", "left_anti")
+            .count()
+        )
+
+    return {
+        "checks": checks,
+        "tables": tables,
+        "ok": all(v == 0 for v in checks.values()),
+    }
+
+
 def snapshot(
     spark: SparkSession, lake_dir: str, version: str, qa_status: str | None = None
 ) -> dict:
@@ -162,11 +216,25 @@ def snapshot(
 
 
 def main(argv: list[str]) -> int:
-    n_args = {"ingest": 3, "materialize": 2, "catalog": 2, "quality": 2, "snapshot": 2}
+    n_args = {
+        "ingest": 3,
+        "materialize": 2,
+        "catalog": 2,
+        "validate": 2,
+        "quality": 2,
+        "snapshot": 2,
+        "verify": 2,
+    }
     if not argv or argv[0] not in n_args or len(argv) < n_args[argv[0]]:
         print(__doc__)
         return 2
     cmd = argv[0]
+    if cmd == "verify":  # pure filesystem check, no Spark needed
+        from .snapshot import verify_snapshot
+
+        problems = verify_snapshot(argv[1])
+        print({"snapshot": argv[1], "verified": not problems, "problems": problems})
+        return 0 if not problems else 1
     spark = get_spark(app_name=f"lakehouse-{cmd}")
     if cmd == "ingest":
         print(ingest(spark, argv[1], argv[2]))
@@ -174,6 +242,10 @@ def main(argv: list[str]) -> int:
         print(materialize(spark, argv[1]))
     elif cmd == "catalog":
         print(catalog(spark, argv[1]))
+    elif cmd == "validate":
+        out = validate(spark, argv[1])
+        print(out)
+        return 0 if out["ok"] else 1
     elif cmd == "quality":
         out = quality(spark, argv[1])
         print(out)

@@ -380,13 +380,17 @@ VEC_SEMANTIC_DEDUP_SQL = _semantic_dedup_oracle_sql(
 
 
 # Production operating point (SemDeDup-style curation): 0.95 cosine with
-# (8 bands x 4 planes) banding. On near-orthogonal test vectors this keeps
-# the candidate rate <1% (vs 23% for the 0.35 stress variant), so this is
-# the cost profile a real curation run pays; the stress variant stays
-# registered for oracle coverage of the low-threshold path.
+# (8 bands x 12 planes) banding. Selectivity lives in the AND-width:
+# p_plane(0.95) = 1 - arccos(.95)/pi = 0.899, so recall on true 0.95-pairs
+# = 1-(1-.899^12)^8 = 0.93 while the random-pair candidate rate is
+# 8*(1/2)^12 = 0.2% (few bands x MANY planes; the 0.35 stress variant's
+# 4x4 shape would pass ~23% of all pairs, and widening bands without
+# widening planes RAISES the rate — OR-construction). This is the cost
+# profile a real curation run pays; the stress variant stays registered
+# for oracle coverage of the low-threshold path.
 _PROD_DEDUP_THRESHOLD = 0.95
 _PROD_DEDUP_BANDS = 8
-_PROD_DEDUP_PPB = 4
+_PROD_DEDUP_PPB = 12
 
 
 def vec_semantic_dedup_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
