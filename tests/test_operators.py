@@ -583,6 +583,31 @@ def test_connected_components_transitive_chain(spark):
     assert len(out) == 9  # singletons not emitted
 
 
+def test_lsh_banding_rejects_mismatched_signature_length(spark):
+    """A signature longer than the assumed k must RAISE (in-plan guard),
+    never silently band a prefix and lose recall; passing the matching k
+    bands the full signature."""
+    import pytest as _pytest
+
+    from transcription_lakehouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x y z w v u"), ("b", "x y z w v u"),
+         ("c", "totally different words here now")],
+        "doc_id string, text string",
+    )
+    assert lsh_candidate_pairs(
+        minhash_signature(df, "doc_id", "text"), "doc_id"
+    ).count() == 1
+    sigs12 = minhash_signature(df, "doc_id", "text", k=12)
+    with _pytest.raises(Exception, match="expected signature length"):
+        lsh_candidate_pairs(sigs12, "doc_id").count()
+    assert lsh_candidate_pairs(sigs12, "doc_id", k=12).count() == 1
+
+
 def test_two_phase_components_match_hash_to_min(spark):
     from transcription_lakehouse_spark.operators.graph import connected_components
 

@@ -240,22 +240,38 @@ def signature_bands(
     (id, band, key) with one row per band, key = the band's hash values
     joined. This is the persistable half of `lsh_candidate_pairs` — a
     streaming maintainer appends it per micro-batch so existing docs never
-    re-shingle. ``k`` as in `lsh_candidate_pairs` (inferred when None)."""
-    if k is None:
-        row = signatures.select(F.size("minhashes").alias("k")).first()
-        k = N_MINHASHES if row is None else int(row["k"])
+    re-shingle. ``k`` defaults to N_MINHASHES; an in-plan per-row guard
+    raises on signatures of any other length (banding past the array's end
+    would throw under ANSI; a LONGER signature would silently band only a
+    prefix and lose recall — this makes both loud, with NO extra job)."""
+    k = N_MINHASHES if k is None else k
     if k < band_size:
         raise ValueError(
             f"signature_bands: signature length {k} < band_size {band_size}"
         )
     n_bands = k // band_size
+    guard = (
+        F.when(
+            F.size("minhashes") != F.lit(k),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"signature_bands: expected signature length {k}, got "
+                    ),
+                    F.size("minhashes").cast("string"),
+                    F.lit(" — pass k= matching minhash_signature(k=)"),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.lit(0))
+    )
     return signatures.select(
         id_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
+                        (F.lit(b) + guard).alias("band"),
                         F.concat_ws(
                             "|",
                             *[
@@ -280,11 +296,13 @@ def lsh_candidate_pairs(
     """Band the signature and bucket-join: docs sharing any full band are
     candidates. Returns distinct (id_1, id_2) with id_1 < id_2.
 
-    ``k`` must match the signature length produced by minhash_signature.
-    When omitted it is INFERRED from the first row's array length (one
-    cheap single-partition job) rather than assumed to be N_MINHASHES —
-    a caller who built longer signatures would otherwise silently band
-    only the first N_MINHASHES entries and lose recall."""
+    ``k`` must match the signature length produced by minhash_signature
+    (defaults to N_MINHASHES). A mismatch RAISES at runtime via an in-plan
+    guard (`signature_bands`) — a caller who built longer signatures would
+    otherwise silently band only the first N_MINHASHES entries and lose
+    recall. The guard is a per-row comparison, not an extra job: inferring
+    the length eagerly would re-execute the (often expensive) upstream
+    shingle→minhash lineage once just to read one row."""
     bands = signature_bands(signatures, id_col, band_size, k)
     left = bands.select(F.col(id_col).alias(f"{id_col}_1"), "band", "key")
     right = bands.select(F.col(id_col).alias(f"{id_col}_2"), "band", "key")
