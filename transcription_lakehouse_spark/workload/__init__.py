@@ -19,8 +19,11 @@ _MODULES = (transcript, vectors, text, events, relational, relational2)
 # The driver's correctness gate records at most 50 queries per round, taken
 # in registry order.  Queries that have never had a green driver row (all
 # trn_*, the round-2 doc_*/vec_* additions, and the three round-1 CAST-fixed
-# evt_* queries) go first so the next CORRECTNESS_r{N}.json certifies them;
-# rotate this list as rows turn green so every query eventually gets one.
+# evt_* queries) go first so the next CORRECTNESS_r{N}.json certifies them.
+# `_driver_green_names` below automates the rotation from this round on:
+# anything green in a committed CORRECTNESS artifact drops out of the
+# priority window, so each round's 50-query budget lands on whatever still
+# lacks a driver row. This static list is the round-3 seed / fallback.
 _PRIORITY = (
     "trn_span_catalog",
     "trn_beat_catalog",
@@ -66,6 +69,36 @@ _PRIORITY = (
     "doc_pii_scrub",
 )
 
+def _driver_green_names() -> set[str]:
+    """Names with a green row in ANY committed driver correctness artifact
+    (CORRECTNESS_r*.json next to the repo root). Green = value-hash match,
+    or a clean rows-only row for non-SQL-expressible queries. Unreadable /
+    absent artifacts contribute nothing — ordering degrades to the static
+    seed, never breaks the registry."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
+    green: set[str] = set()
+    for path in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict) or r.get("err") is not None:
+                continue
+            if r.get("hash_match") or (
+                r.get("hash_match") is None and r.get("rows_match")
+            ):
+                green.add(name)
+    return green
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -77,8 +110,15 @@ for _m in _MODULES:
         if _sql is not None:
             _ALL_ORACLES[_name] = _sql
 
+# never-driver-green first (auto-rotates as artifacts land), then the
+# static seed order, then everything else in module order
+_GREEN = _driver_green_names()
+for _name in _ALL_QUERIES:
+    if _name not in _GREEN:
+        QUERIES[_name] = _ALL_QUERIES[_name]
 for _name in _PRIORITY:
-    QUERIES[_name] = _ALL_QUERIES[_name]
+    if _name not in QUERIES:
+        QUERIES[_name] = _ALL_QUERIES[_name]
 for _name, _fn in _ALL_QUERIES.items():
     if _name not in QUERIES:
         QUERIES[_name] = _fn
