@@ -750,3 +750,84 @@ def test_hard_negatives_excludes_same_label(spark):
     ).collect()
     got = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert got == [(1, 2), (2, 4)]  # ranked by cosine among labels != 0
+
+
+def test_cms_sketch_guarantees_and_merge(spark):
+    """Count-min invariants: estimate >= exact count for EVERY key,
+    overshoot within the e/w * N additive bound, and sketches of disjoint
+    halves MERGE by summing counters into exactly the full-stream sketch
+    (the property that makes it a one-pass distributed aggregate)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+        cms_topk,
+    )
+
+    # skewed stream: key 0 is a heavy hitter
+    n = 5000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("id") % 250)
+        .alias("k")
+    )
+    exact = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    sketch = cms_sketch(df, "k")
+    est = {
+        r["k"]: r["cms_count"]
+        for r in cms_estimate(sketch, df.select("k").distinct(), "k").collect()
+    }
+    import math
+
+    bound = math.e / CMS_WIDTH * n
+    assert set(est) == set(exact)
+    for key, e_cnt in est.items():
+        assert e_cnt >= exact[key], (key, e_cnt, exact[key])
+        assert e_cnt - exact[key] <= 3 * bound, (key, e_cnt, exact[key])
+    # the true heavy hitter tops the sketch ranking
+    top = cms_topk(df, "k", k=1).collect()[0]
+    assert top["k"] == 0
+
+    # merge: sketch(half1) + sketch(half2) == sketch(full), counter by counter
+    h1, h2 = df.filter(F.col("k") % 2 == 0), df.filter(F.col("k") % 2 == 1)
+    merged = (
+        cms_sketch(h1, "k")
+        .unionByName(cms_sketch(h2, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = cms_sketch(df, "k")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_hll_error_bound_and_merge(spark):
+    """HLL invariants: the estimate lands within the 3-sigma relative-error
+    bound of the true cardinality, and register relations of disjoint
+    halves MERGE by max into the full-stream registers."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        hll_cardinality,
+        hll_error_bound,
+        hll_registers,
+    )
+
+    n_distinct = 3000
+    df = spark.range(n_distinct * 3).select((F.col("id") % n_distinct).alias("k"))
+    row = hll_cardinality(df, "k").collect()[0]
+    rel_err = abs(row["hll_estimate"] - n_distinct) / n_distinct
+    assert rel_err <= hll_error_bound(3.0), (row["hll_estimate"], rel_err)
+
+    h1, h2 = df.filter(F.col("k") < 1500), df.filter(F.col("k") >= 1500)
+    merged = (
+        hll_registers(h1, "k")
+        .unionByName(hll_registers(h2, "k"))
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    full = hll_registers(df, "k")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0

@@ -1,0 +1,253 @@
+"""Distributed, mergeable sketches — engine-portable by construction.
+
+At 100 TB, exact `countDistinct`/heavy-hitter queries shuffle the full key
+relation; sketches answer them in one pass with fixed memory per group and
+counters that MERGE across partitions/days (map-side combine does the
+merging for free). The reference has no sketch support (its stats are
+pandas exacts, e.g. `/root/reference/src/lakehouse/quality/metrics/
+distribution.py`); these fill the gap the 100 TB setting creates.
+
+Unlike Spark's built-in `approx_count_distinct`/`approx_percentile`
+(engine-private algorithms a DuckDB oracle cannot reproduce), both
+sketches here derive every hash from md5 and keep all accumulation in
+exact integer arithmetic, so the full sketch state — and the estimates
+computed from it — are reproducible cross-engine and sit behind the same
+value-hash correctness gate as every exact operator:
+
+- **Count-min sketch** (Cormode & Muthukrishnan 2005): d independent
+  md5-derived hash rows × w counters; count estimate = min over rows.
+  Overestimates only; additive error ≤ e/w · N with prob 1-e^-d.
+- **HyperLogLog** (Flajolet et al. 2007): m=2^b registers indexed by the
+  top b bits of a 32-bit md5 prefix; register = max leading-zero rank of
+  the remaining bits. The harmonic sum Σ2^-M[j] is carried as the exact
+  integer Σ2^(R_MAX-M[j]) (a long — order-free, no float accumulation),
+  with the standard small-range linear-counting correction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = [
+    "cms_sketch",
+    "cms_estimate",
+    "cms_topk",
+    "hll_registers",
+    "hll_cardinality",
+    "CMS_DEPTH",
+    "CMS_WIDTH",
+    "HLL_B",
+]
+
+CMS_DEPTH = 4  # hash rows (failure prob e^-4 ≈ 1.8%)
+CMS_WIDTH = 512  # counters per row (additive error ≤ e/512 · N ≈ 0.53% N)
+
+HLL_B = 8  # 2^8 = 256 registers → rel. std error 1.04/√256 = 6.5%
+_HLL_M = 1 << HLL_B
+_HLL_RANK_BITS = 32 - HLL_B  # rank lives in the remaining 24 bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # bias constant for m >= 128
+
+
+def _md5_long(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long (the portable hash
+    primitive shared with minhash/simhash — identical in DuckDB via
+    CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """(group..., row, bucket, cnt): the count-min counter matrix, one
+    record per NON-ZERO counter. One explode (d rows/record) + one
+    map-side-combined groupBy — the sketch relation is ≤ d·w rows per
+    group regardless of input size, and sketches for different
+    partitions/windows merge by summing cnt."""
+    group_cols = group_cols or []
+    k = F.col(key_col).cast("string")
+    rows = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (_md5_long(F.concat(F.lit(f"{i}|"), k)) % w).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rb"),
+    )
+    return rows.groupBy(
+        *group_cols, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for every key in ``keys`` (small relation —
+    candidate heavy hitters): estimate = min over the d probed counters.
+    Pure equi-joins; the sketch side is ≤ d·w rows per group so Spark
+    broadcasts it."""
+    group_cols = group_cols or []
+    k = F.col(key_col).cast("string")
+    probes = keys.select(
+        *group_cols,
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (_md5_long(F.concat(F.lit(f"{i}|"), k)) % w).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        *group_cols,
+        key_col,
+        F.col("rb.row").alias("row"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    joined = probes.join(sketch, [*group_cols, "row", "bucket"], "left").fillna(
+        0, ["cnt"]
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min("cnt").alias("cms_count")
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    group_cols: list[str] | None = None,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy hitters via sketch + candidate probe: sketch the stream, probe
+    it for the distinct keys, rank by (estimate, key). At scale the
+    candidate set comes from a cheap pre-filter (here: all distinct keys,
+    which the testdata affords); the sketch is what replaces the exact
+    per-key count shuffle."""
+    sketch = cms_sketch(df, key_col, group_cols, d, w)
+    keys = df.select(*(group_cols or []), key_col).distinct()
+    est = cms_estimate(sketch, keys, key_col, group_cols, d, w)
+    order = [F.desc("cms_count"), F.asc(key_col)]
+    if not group_cols:
+        # global top-k: TakeOrdered (per-partition heads + driver merge),
+        # never a single-partition row_number funnel
+        return est.orderBy(*order).limit(k)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        est.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., register, max_rank): the HLL register relation — ≤ 2^b
+    rows per group, mergeable by max. Register index = top b bits of the
+    32-bit md5 prefix; rank = leading zeros of the remaining bits + 1
+    (capped: an all-zero suffix ranks RANK_BITS + 1)."""
+    group_cols = group_cols or []
+    h = _md5_long(F.col(key_col).cast("string"))
+    reg = F.shiftrightunsigned(h, _HLL_RANK_BITS).alias("register")
+    suffix = h % F.lit(1 << _HLL_RANK_BITS)
+    # rank = leading zeros + 1 = RANK_BITS - bit_length(suffix) + 1, with
+    # bit_length computed from exact integer comparisons (Σ suffix >= 2^j).
+    # NEVER floor(log2(x)): libm log2 at exact powers of two can land an
+    # ulp below the integer in one engine and exactly on it in the other,
+    # flipping the floor and the register rank cross-engine.
+    bit_length = sum(
+        (suffix >= F.lit(1 << j)).cast("int") for j in range(_HLL_RANK_BITS)
+    )
+    rank = F.when(suffix == 0, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        F.lit(_HLL_RANK_BITS) - bit_length + 1
+    ).cast("int")
+    return (
+        df.select(*group_cols, reg, rank.alias("rank"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate with EXACT integer register
+    aggregation: harmonic_sum_scaled = Σ over all m registers of
+    2^(RANK_BITS - M[j]) (absent registers contribute M=0 ⇒ 2^RANK_BITS),
+    a long ≤ m·2^RANK_BITS — no float accumulation, so the value (and the
+    one double division after it) is identical cross-engine. Emits the
+    register-state scalars alongside the estimate so the oracle gates the
+    sketch state itself, not just the rounded estimate."""
+    group_cols = group_cols or []
+    regs = hll_registers(df, key_col, group_cols)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nonzero"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_RANK_BITS) - F.col("max_rank")).cast(
+                "long"
+            )
+        ).alias("_present_sum"),
+    )
+    m = F.lit(_HLL_M)
+    zeros = (m - F.col("_nonzero")).alias("zero_registers")
+    s = (
+        F.col("_present_sum")
+        + (m - F.col("_nonzero")) * F.lit(1 << _HLL_RANK_BITS)
+    ).alias("harmonic_sum_scaled")
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RANK_BITS))
+        / F.col("harmonic_sum_scaled")
+    )
+    # small-range correction (linear counting) below the standard 2.5m cut
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zero_registers") > 0),
+        F.lit(float(_HLL_M)) * F.log(m.cast("double") / F.col("zero_registers")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        zeros,
+        s,
+    ).select(
+        *group_cols,
+        "zero_registers",
+        "harmonic_sum_scaled",
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def hll_error_bound(confidence_sigmas: float = 3.0) -> float:
+    """Relative error bound for the configured register count."""
+    return confidence_sigmas * 1.04 / math.sqrt(_HLL_M)

@@ -1310,7 +1310,165 @@ ORDER BY day_id
 """
 
 
+def evt_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): top-20
+    users by sketch-estimated event count, with the exact count alongside —
+    the one-pass, fixed-memory, mergeable answer to "who dominates the
+    stream" that replaces a full per-key count shuffle at 100 TB. Every
+    counter is md5-derived integer arithmetic, so the DuckDB twin replays
+    the sketch exactly (hash-gated, not error-band-gated); the CMS
+    guarantee (estimate >= exact, bounded overshoot) is pinned in tests."""
+    from ..operators.sketches import cms_topk
+
+    ev = _events(spark, sf_dir)
+    top = cms_topk(ev, "user_id", k=20)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        top.join(exact, "user_id")
+        .select("user_id", "cms_count", "exact_count")
+        .orderBy(F.desc("cms_count"), F.asc("user_id"))
+    )
+
+
+def _cms_sql(d: int, w: int, k: int) -> str:
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+rb AS (
+  SELECT user_id, k, i AS row,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || k), 1, 8)) AS BIGINT) % {w} AS bucket
+  FROM ev, generate_series(0, {d - 1}) AS t(i)
+),
+sketch AS (
+  SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY row, bucket
+),
+probes AS (
+  SELECT DISTINCT user_id, k FROM ev
+),
+probe_rb AS (
+  SELECT user_id, i AS row,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || k), 1, 8)) AS BIGINT) % {w} AS bucket
+  FROM probes, generate_series(0, {d - 1}) AS t(i)
+),
+est AS (
+  SELECT p.user_id, min(COALESCE(s.cnt, 0)) AS cms_count
+  FROM probe_rb p LEFT JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+  GROUP BY p.user_id
+),
+ranked AS (
+  SELECT user_id, cms_count,
+         row_number() OVER (ORDER BY cms_count DESC, user_id ASC) AS rk
+  FROM est
+)
+SELECT r.user_id, r.cms_count, e.exact_count
+FROM ranked r
+JOIN (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id) e
+  ON r.user_id = e.user_id
+WHERE r.rk <= {k}
+ORDER BY r.cms_count DESC, r.user_id ASC
+"""
+
+
+EVT_CMS_SQL = _cms_sql(4, 512, 20)
+
+
+def evt_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (Flajolet et al.
+    2007, m=256 registers): one pass, 256 ints of state per group, registers
+    merge by max across partitions/days — vs countDistinct's full key
+    shuffle. The harmonic sum is carried as an exact integer (Σ2^(24-M[j]))
+    so the sketch STATE hash-matches the DuckDB twin; the estimate is one
+    double division on top. Exact distincts ride along to show the error."""
+    from ..operators.sketches import hll_cardinality
+
+    ev = _events(spark, sf_dir)
+    est = hll_cardinality(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "zero_registers",
+            "harmonic_sum_scaled",
+            "hll_estimate",
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_sql(b: int) -> str:
+    m = 1 << b
+    rank_bits = 32 - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # bit_length via exact integer comparisons — mirrors the Spark side
+    bit_len = " + ".join(
+        f"(CASE WHEN suffix >= {1 << j} THEN 1 ELSE 0 END)"
+        for j in range(rank_bits)
+    )
+    return f"""
+WITH ev AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k FROM events),
+h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) AS hv
+  FROM ev
+),
+parts AS (
+  SELECT event_type, hv // {1 << rank_bits} AS register,
+         hv % {1 << rank_bits} AS suffix
+  FROM h
+),
+ranked AS (
+  SELECT event_type, register,
+         CASE WHEN suffix = 0 THEN {rank_bits + 1}
+              ELSE {rank_bits} - ({bit_len}) + 1 END AS rank
+  FROM parts
+),
+regs AS (
+  SELECT event_type, register, max(rank) AS max_rank
+  FROM ranked GROUP BY event_type, register
+),
+agg AS (
+  SELECT event_type,
+         count(*) AS nonzero,
+         sum(CAST(power(2.0, {rank_bits} - max_rank) AS BIGINT)) AS present_sum
+  FROM regs GROUP BY event_type
+),
+scal AS (
+  SELECT event_type,
+         ({m} - nonzero) AS zero_registers,
+         CAST(present_sum + ({m} - nonzero) * CAST({1 << rank_bits} AS BIGINT)
+              AS BIGINT) AS harmonic_sum_scaled
+  FROM agg
+),
+est AS (
+  SELECT event_type, zero_registers, harmonic_sum_scaled,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m}
+           * CAST({float(1 << rank_bits)!r} AS DOUBLE)
+           / harmonic_sum_scaled AS raw
+  FROM scal
+)
+SELECT e.event_type, e.zero_registers, e.harmonic_sum_scaled,
+       round(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND zero_registers > 0
+             THEN CAST({float(m)!r} AS DOUBLE)
+                  * ln(CAST({m} AS DOUBLE) / zero_registers)
+             ELSE raw END, 4) AS hll_estimate,
+       x.exact_distinct
+FROM est e
+JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type) x
+  ON e.event_type = x.event_type
+ORDER BY e.event_type
+"""
+
+
+EVT_HLL_SQL = _hll_sql(8)
+
+
 QUERIES = {
+    "evt_cms_heavy_hitters": evt_cms_heavy_hitters,
+    "evt_hll_cardinality": evt_hll_cardinality,
     "evt_stickiness": evt_stickiness,
     "evt_top_paths": evt_top_paths,
     "evt_value_deciles": evt_value_deciles,
@@ -1346,6 +1504,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "evt_cms_heavy_hitters": EVT_CMS_SQL,
+    "evt_hll_cardinality": EVT_HLL_SQL,
     "evt_stickiness": EVT_STICKINESS_SQL,
     "evt_top_paths": EVT_TOP_PATHS_SQL,
     "evt_value_deciles": EVT_VALUE_DECILES_SQL,
