@@ -48,6 +48,8 @@ HEADLINE = [
     "vec_semantic_dedup_p95",
     "doc_unigram_logprob",
     "evt_overlap_join",
+    "evt_cms_heavy_hitters",
+    "evt_hll_cardinality",
     "q9_product_profit",
     "q21_waiting_suppliers",
 ]
