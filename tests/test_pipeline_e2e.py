@@ -696,6 +696,63 @@ def test_stream_cluster_update_maintains_dup_clusters(spark, tmp_path):
     }
 
 
+def test_stream_hll_update_matches_batch_estimate(spark, tmp_path):
+    """Streaming HLL register maintenance: after two micro-batch rounds the
+    persisted registers equal the batch registers over the union (merge by
+    max), the streamed estimate equals the batch estimate, and replaying a
+    batch is a no-op."""
+    import json as _json
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        hll_cardinality,
+        hll_estimate_from_registers,
+    )
+    from transcription_lakehouse_spark.streaming.ingest import stream_hll_update
+
+    d = tmp_path / "hll_in"
+    d.mkdir()
+    state = str(tmp_path / "hll_state")
+    ck = str(tmp_path / "ck")
+
+    rows1 = [{"event_type": "click", "user_id": i} for i in range(400)]
+    rows2 = [{"event_type": "click", "user_id": i} for i in range(200, 600)] + [
+        {"event_type": "view", "user_id": i} for i in range(50)
+    ]
+    (d / "one.jsonl").write_text("\n".join(_json.dumps(r) for r in rows1))
+    q = stream_hll_update(spark, str(d), state, ck)
+    q.awaitTermination(120)
+    (d / "two.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    q = stream_hll_update(spark, str(d), state, ck)
+    q.awaitTermination(120)
+
+    streamed = {
+        r["event_type"]: r["harmonic_sum_scaled"]
+        for r in hll_estimate_from_registers(
+            spark.read.parquet(state), ["event_type"]
+        ).collect()
+    }
+    all_rows = spark.createDataFrame(
+        rows1 + rows2, "event_type string, user_id long"
+    )
+    batch = {
+        r["event_type"]: r["harmonic_sum_scaled"]
+        for r in hll_cardinality(all_rows, "user_id", ["event_type"]).collect()
+    }
+    assert streamed == batch  # register-exact, not just estimate-close
+
+    # replay: same file content again -> max merge is a no-op
+    (d / "three.jsonl").write_text("\n".join(_json.dumps(r) for r in rows2))
+    q = stream_hll_update(spark, str(d), state, ck)
+    q.awaitTermination(120)
+    replayed = {
+        r["event_type"]: r["harmonic_sum_scaled"]
+        for r in hll_estimate_from_registers(
+            spark.read.parquet(state), ["event_type"]
+        ).collect()
+    }
+    assert replayed == streamed
+
+
 def test_streaming_quality_stats_windows(spark, tmp_path):
     """Tumbling-window quality monitor: utterances land in their event-time
     windows and the token battery matches the batch computation."""

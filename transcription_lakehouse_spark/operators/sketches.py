@@ -37,6 +37,7 @@ __all__ = [
     "cms_topk",
     "hll_registers",
     "hll_cardinality",
+    "hll_estimate_from_registers",
     "CMS_DEPTH",
     "CMS_WIDTH",
     "HLL_B",
@@ -211,8 +212,20 @@ def hll_cardinality(
     one double division after it) is identical cross-engine. Emits the
     register-state scalars alongside the estimate so the oracle gates the
     sketch state itself, not just the rounded estimate."""
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, group_cols), group_cols
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The estimator half of `hll_cardinality`, reusable over any register
+    relation — in particular a PERSISTED one that a streaming maintainer
+    merges by max per micro-batch (the registers, not raw keys, are the
+    state a live distinct-count dashboard stores)."""
     group_cols = group_cols or []
-    regs = hll_registers(df, key_col, group_cols)
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_nonzero"),
         F.sum(

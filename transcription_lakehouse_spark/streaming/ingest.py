@@ -30,6 +30,7 @@ __all__ = [
     "streaming_quality_stats",
     "stream_index_update",
     "stream_cluster_update",
+    "stream_hll_update",
 ]
 
 
@@ -280,6 +281,64 @@ def stream_cluster_update(
             kept.unionByName(recomputed) if kept is not None else recomputed
         ).localCheckpoint()  # materialize BEFORE overwriting our own input
         out.write.mode("overwrite").parquet(clusters_path)
+
+    writer = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_hll_update(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("event_type",),
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Live distinct-count monitoring with HyperLogLog state: each
+    micro-batch's registers merge by MAX into a persisted register table
+    (≤ groups × 256 rows — the whole dashboard state), so the running
+    per-group distinct estimate never re-reads history and replays are
+    no-ops (max of identical registers). The batch estimator
+    (`hll_estimate_from_registers`) reads the same state — streaming and
+    batch agree by construction because registers, not floats, are the
+    state."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.sketches import hll_registers
+
+    schema = StructType(
+        [StructField(c, StringType(), True) for c in group_cols]
+        + [StructField(key_col, LongType(), True)]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+    gcols = list(group_cols)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        delta = hll_registers(batch, key_col, gcols)
+        try:
+            existing = sess.read.parquet(state_path)
+            merged = (
+                existing.unionByName(delta)
+                .groupBy(*gcols, "register")
+                .agg(F.max("max_rank").alias("max_rank"))
+            )
+        except Exception:  # first batch
+            merged = delta
+        merged = merged.localCheckpoint()  # materialize before self-overwrite
+        merged.write.mode("overwrite").parquet(state_path)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
