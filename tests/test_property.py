@@ -218,3 +218,60 @@ def test_connected_components_matches_union_find(spark, edges):
             ).collect()
         }
         assert got == want, algorithm
+
+
+_key_streams = st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=120)
+
+
+@given(_key_streams)
+@settings(max_examples=8, deadline=None)
+def test_cms_never_underestimates(spark, keys):
+    """Count-min structural guarantee on arbitrary streams: the sketch
+    estimate is >= the exact count for EVERY key (min over d counters can
+    only include collisions, never miss occurrences)."""
+    from collections import Counter
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    sketch = cms_sketch(df, "k")
+    est = {
+        r["k"]: r["cms_count"]
+        for r in cms_estimate(sketch, df.select("k").distinct(), "k").collect()
+    }
+    exact = Counter(keys)
+    assert set(est) == set(exact)
+    for key, c in exact.items():
+        assert est[key] >= c, (key, est[key], c)
+
+
+@given(_key_streams, st.integers(min_value=1, max_value=119))
+@settings(max_examples=8, deadline=None)
+def test_hll_merge_is_order_and_split_invariant(spark, keys, cut):
+    """HLL registers are a max-semilattice: ANY split of the stream merged
+    by max equals the whole-stream registers (what makes per-partition /
+    per-day sketch maintenance correct)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.sketches import hll_registers
+
+    cut = cut % len(keys) if len(keys) > 1 else 1
+    a, b = keys[:cut] or [keys[0]], keys[cut:] or [keys[-1]]
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    da = spark.createDataFrame([(k,) for k in a], "k int")
+    db = spark.createDataFrame([(k,) for k in b], "k int")
+    merged = (
+        hll_registers(da, "k")
+        .unionByName(hll_registers(db, "k"))
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    full = hll_registers(df, "k")
+    got = {(r["register"], r["max_rank"]) for r in merged.collect()}
+    want = {(r["register"], r["max_rank"]) for r in full.collect()}
+    # a split that duplicates a boundary key can only ADD occurrences of
+    # existing keys — registers are occurrence-insensitive, so still equal
+    assert got == want
