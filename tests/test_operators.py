@@ -831,3 +831,46 @@ def test_hll_error_bound_and_merge(spark):
     full = hll_registers(df, "k")
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_production_banding_finds_planted_095_near_dups(spark):
+    """The 0.95 production operating point (8 bands x 12 planes, the GEMM
+    banding path) must actually FIND planted >=0.95-cosine duplicates with
+    high recall while passing almost no random pairs — the property the
+    8x12 shape was chosen for (recall 1-(1-.899^12)^8 = 0.93, random rate
+    ~0.2%)."""
+    import numpy as np
+
+    from transcription_lakehouse_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    rows, planted = [], []
+    for i in range(150):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        rows.append((f"o{i:03d}", [float(x) for x in v]))
+        if i < 60:  # plant a >=0.95 near-dup: tiny perturbation
+            w = v + rng.standard_normal(64) * 0.02
+            w /= np.linalg.norm(w)
+            assert float(v @ w) >= 0.95
+            rows.append((f"p{i:03d}", [float(x) for x in w]))
+            planted.append((f"o{i:03d}", f"p{i:03d}"))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = {
+        tuple(sorted((r["id_1"], r["id_2"])))
+        for r in lsh_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.95,
+            n_bands=8, planes_per_band=12,
+        ).collect()
+    }
+    want = {tuple(sorted(p)) for p in planted}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.85, (recall, len(got), len(want))
+    # exact rescore keeps precision perfect: nothing below 0.95 survives
+    extras = got - want
+    if extras:
+        vecs = {r[0]: np.asarray(r[1]) for r in rows}
+        for a, b in extras:
+            assert float(vecs[a] @ vecs[b]) >= 0.95, (a, b)
