@@ -110,6 +110,20 @@ def run(factor: int) -> dict:
     ).groupBy().count().collect()
     out["rollup_sec"] = round(time.time() - t0, 2)
 
+    # sketches: per-group state is CONSTANT (d*w counters / 256 registers),
+    # so wall should track the single scan, not the key cardinality
+    from transcription_lakehouse_spark.operators.sketches import (
+        cms_sketch,
+        hll_cardinality,
+    )
+
+    t0 = time.time()
+    cms_sketch(ev, "user_id", ["event_type"]).groupBy().count().collect()
+    out["cms_sketch_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    hll_cardinality(ev, "user_id", ["event_type"]).collect()
+    out["hll_sec"] = round(time.time() - t0, 2)
+
     ev.unpersist()
 
     from transcription_lakehouse_spark.operators.dedup import (

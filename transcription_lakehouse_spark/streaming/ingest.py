@@ -154,8 +154,12 @@ def stream_cluster_update(
     replay is a no-op — zero keeper churn), band only the NEW docs, bucket-
     join new bands against the stored index, exact-rescore candidates, and
     recompute connected components ONLY for clusters touched by new pairs
-    (untouched components carry over verbatim). At 100 TB the per-batch cost
-    is bounded by the delta's LSH-bucket reach, not the corpus."""
+    (untouched components carry over verbatim). Cost anatomy at scale: the
+    SHUFFLE/compute work is bounded by the delta's LSH-bucket reach, while
+    the band-index probe is a broadcast-join SCAN of the stored index —
+    bucket the bands store by `key` (sources/bucketed.py) on a real
+    deployment so the probe prunes files instead of reading the full
+    index each batch."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     from ..operators.dedup import (

@@ -1331,23 +1331,26 @@ def evt_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_sql(d: int, w: int, k: int) -> str:
+    # Carter-Wegman family from ONE md5 (mirrors operators/sketches.py):
+    # h_i = ((a + i*b) mod (2^31-1)) mod w
     return f"""
 WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+ab AS (
+  SELECT user_id, k,
+         CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) AS a,
+         CAST(('0x' || substr(md5(k), 9, 8)) AS BIGINT) AS b
+  FROM ev
+),
 rb AS (
   SELECT user_id, k, i AS row,
-         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || k), 1, 8)) AS BIGINT) % {w} AS bucket
-  FROM ev, generate_series(0, {d - 1}) AS t(i)
+         ((a + i * b) % 2147483647) % {w} AS bucket
+  FROM ab, generate_series(0, {d - 1}) AS t(i)
 ),
 sketch AS (
   SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY row, bucket
 ),
-probes AS (
-  SELECT DISTINCT user_id, k FROM ev
-),
 probe_rb AS (
-  SELECT user_id, i AS row,
-         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || k), 1, 8)) AS BIGINT) % {w} AS bucket
-  FROM probes, generate_series(0, {d - 1}) AS t(i)
+  SELECT DISTINCT user_id, row, bucket FROM rb
 ),
 est AS (
   SELECT p.user_id, min(COALESCE(s.cnt, 0)) AS cms_count
