@@ -228,11 +228,22 @@ def generate_embeddings(
     artifact_type: str,
     dim: int = DIM,
     provider: str | ProviderFactory = "hash",
+    model_name: str | None = None,
+    model_version: str = "1",
 ) -> DataFrame:
     """Returns the EMBEDDING_SCHEMA shape: (artifact_id, artifact_type,
     embedding, model_name, model_version). `provider` is a registry key or
-    a factory callable (dim -> embed_batch) for injection in tests."""
+    a factory callable (dim -> embed_batch) for injection in tests.
+    ``model_name`` defaults to the provider's registry key (reference
+    stamps real model identity per row, `models.py:73-85` — downstream
+    index/version bookkeeping keys on it)."""
     factory = PROVIDERS[provider] if isinstance(provider, str) else provider
+    if model_name is None:
+        model_name = (
+            MODEL_NAME
+            if not isinstance(provider, str) or provider == "hash"
+            else provider
+        )
     if isinstance(provider, str) and provider == "sentence-transformers":
         # fail fast on the driver rather than inside every executor task
         factory(dim)
@@ -254,8 +265,8 @@ def generate_embeddings(
         "artifact_id",
         F.lit(artifact_type).alias("artifact_type"),
         "embedding",
-        F.lit(MODEL_NAME).alias("model_name"),
-        F.lit("1").alias("model_version"),
+        F.lit(model_name).alias("model_name"),
+        F.lit(model_version).alias("model_version"),
     )
 
 
