@@ -37,6 +37,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "doc_tfidf_topk",       # one-row doc-count broadcast into the idf
     "doc_curation_v3",      # inherits doc_unigram_logprob's one-row total
     "q_nation_intersect",   # one-row global-avg threshold broadcast
+    "vec_contrastive_triplets",  # sampled anchors broadcast, one scored pass
     "vec_hard_negatives",   # sampled queries broadcast, exact scoring IS
                             # the semantics (brute_force_topk shape)
 }

@@ -115,6 +115,61 @@ def hard_negatives(
     return _score_topk(pairs, k, round_digits)
 
 
+def contrastive_triplets(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_negatives: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive-training TRIPLET assembly (the DPR/SimCSE-style training
+    artifact): per anchor, the single most-similar SAME-label vector (the
+    positive) and the top-n most-similar DIFFERENT-label vectors (the hard
+    negatives), in one broadcast-anchors/streaming-corpus pass — one scored
+    scan, one window, instead of separate positive and negative mining jobs.
+    Emits (query_id, role 'pos'|'neg', rank, other_id, sim); anchors whose
+    label has no second member simply lack a pos row."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("other_id"),
+        F.col(label_col).alias("c_label"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    den = F.col("qn") * F.col("cn")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("other_id"))
+        .select(
+            "query_id",
+            F.when(F.col("q_label") == F.col("c_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            "other_id",
+            F.round(
+                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                round_digits,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.desc("sim"), F.asc("other_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        (F.col("role") == "pos") & (F.col("rank") == 1)
+        | (F.col("role") == "neg") & (F.col("rank") <= n_negatives)
+    ).select("query_id", "role", "rank", "other_id", "sim")
+
+
 def _plane_signs(p: int, max_dims: int) -> list[float]:
     """Deterministic ±1 sign for plane p, dimension d: low bit of
     md5(f'{p}|{d}')'s first 8 hex chars. Computed once driver-side (the

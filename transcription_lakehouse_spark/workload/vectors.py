@@ -455,6 +455,44 @@ WHERE rank <= 5
 """
 
 
+def vec_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet dataset (anchor / best same-label positive /
+    top-2 hard negatives) for every 40th vector — the composed
+    training-data artifact built from one scored pass (see
+    `operators/similarity.py:contrastive_triplets`)."""
+    from ..operators.similarity import contrastive_triplets
+
+    e = _emb(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") % 40 == 0)
+    return contrastive_triplets(
+        anchors, e, "vec_id", "embedding", "label", n_negatives=2
+    )
+
+
+VEC_CONTRASTIVE_SQL = f"""
+WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 40 = 0),
+scored AS (
+  SELECT a.vec_id AS query_id,
+         CASE WHEN a.label = b.label THEN 'pos' ELSE 'neg' END AS role,
+         b.vec_id AS other_id,
+         round(
+           CASE WHEN {_DNORM_A} * {_DNORM_B} > 0
+                THEN {_DDOT} / ({_DNORM_A} * {_DNORM_B})
+                ELSE 0.0 END, 6) AS sim
+  FROM q a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id, role
+                   ORDER BY sim DESC, other_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, role, rank, other_id, sim
+FROM ranked
+WHERE (role = 'pos' AND rank = 1) OR (role = 'neg' AND rank <= 2)
+"""
+
+
 def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-dimension health: per dimension — mean, variance
     (E[x²]−E[x]² in one pass), and the zero fraction. Dead or collapsed
@@ -501,6 +539,7 @@ FROM ex GROUP BY dim ORDER BY dim
 QUERIES = {
     "vec_dim_stats": vec_dim_stats,
     "vec_hard_negatives": vec_hard_negatives,
+    "vec_contrastive_triplets": vec_contrastive_triplets,
     "vec_semantic_dedup": vec_semantic_dedup,
     "vec_semantic_dedup_p95": vec_semantic_dedup_p95,
     "vec_label_centroids": vec_label_centroids,
@@ -515,6 +554,7 @@ QUERIES = {
 ORACLES = {
     "vec_dim_stats": VEC_DIM_STATS_SQL,
     "vec_hard_negatives": VEC_HARD_NEGATIVES_SQL,
+    "vec_contrastive_triplets": VEC_CONTRASTIVE_SQL,
     "vec_semantic_dedup": VEC_SEMANTIC_DEDUP_SQL,
     "vec_semantic_dedup_p95": VEC_SEMANTIC_DEDUP_P95_SQL,
     "vec_label_centroids": VEC_LABEL_CENTROIDS_SQL,
