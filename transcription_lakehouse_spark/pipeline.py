@@ -142,6 +142,7 @@ def validate(spark: SparkSession, lake_dir: str) -> dict:
     import os
 
     from .quality.metrics import integrity_counts, numeric_anomalies
+    from .schemas import UTTERANCE_SCHEMA, validate_schema
 
     checks: dict[str, int] = {}
     tables: dict[str, int] = {}
@@ -149,6 +150,9 @@ def validate(spark: SparkSession, lake_dir: str) -> dict:
     utt = read_versioned(spark, lake_dir, "normalized")
     tables["normalized"] = utt.count()
     checks["normalized_empty"] = int(tables["normalized"] == 0)
+    checks["normalized_schema_problems"] = len(
+        validate_schema(utt, UTTERANCE_SCHEMA)
+    )
     checks["utterance_id_dupes"] = tables["normalized"] - utt.select(
         "utterance_id"
     ).distinct().count()
@@ -160,6 +164,7 @@ def validate(spark: SparkSession, lake_dir: str) -> dict:
         spans = read_versioned(spark, lake_dir, "spans")
         tables["spans"] = spans.count()
         checks["spans_empty"] = int(tables["spans"] == 0)
+        checks["spans_schema_problems"] = len(validate_schema(spans, SPAN_SCHEMA))
         checks["span_id_dupes"] = tables["spans"] - spans.select(
             "span_id"
         ).distinct().count()
