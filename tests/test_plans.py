@@ -377,3 +377,55 @@ def test_compacted_layout_prunes_partitions_and_row_groups(spark, tmp_path):
     # bytes (partition dirs skipped entirely; non-matching row groups cost
     # only their footers)
     assert pruned_bytes < full_bytes * 0.45, (pruned_bytes, full_bytes)
+
+
+def test_zorder_prunes_on_both_clustered_columns(spark, tmp_path):
+    """Z-order vs 1D clustering (VERDICT r2 #8 family, extended): on a
+    z-ordered (ts, user_id) layout, BOTH a time-range scan and a user-range
+    scan read a small fraction of the bytes — the multi-predicate skipping
+    1D range clustering cannot give — measured on actual filesystem bytes."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.maintenance import compact_zorder
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.01", "events")
+    tenx = base.crossJoin(spark.range(10).select(F.col("id").alias("_rep"))).select(
+        (F.col("event_id") * 10 + F.col("_rep")).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_rep") * 1000).alias("user_id"),
+        "event_type", "value",
+    )
+    raw = str(tmp_path / "raw")
+    tenx.repartition(8).write.parquet(raw)
+    zpath = str(tmp_path / "zordered")
+    stats = compact_zorder(
+        spark, raw, zpath, ["ts", "user_id"], target_file_bytes=48 * 1024
+    )
+    assert stats["rows"] == tenx.count()
+    assert stats["n_files_after"] > 4  # multiple files, else nothing to skip
+
+    t = spark.read.parquet(zpath)
+    lo = t.agg(
+        F.min("ts"), F.max("ts"), F.min("user_id"), F.max("user_id")
+    ).collect()[0]
+    ts_cut = lo[0] + (lo[1] - lo[0]) * 5 // 100
+    uid_cut = lo[2] + (lo[3] - lo[2]) * 5 // 100
+
+    # baselines use an always-true predicate on the SAME column so the scans
+    # read identical column sets — otherwise column pruning, not row-group
+    # skipping, would dominate the byte difference
+    b0 = _fs_bytes_read(spark)
+    t.filter(F.col("ts") <= lo[1]).agg(F.sum("value")).collect()
+    b1 = _fs_bytes_read(spark)
+    t.filter(F.col("ts") <= ts_cut).agg(F.sum("value")).collect()
+    b2 = _fs_bytes_read(spark)
+    t.filter(F.col("user_id") <= lo[3]).agg(F.sum("value")).collect()
+    b3 = _fs_bytes_read(spark)
+    t.filter(F.col("user_id") <= uid_cut).agg(F.sum("value")).collect()
+    b4 = _fs_bytes_read(spark)
+    full_ts, by_ts = b1 - b0, b2 - b1
+    full_uid, by_uid = b3 - b2, b4 - b3
+    # both dimensions prune: each 5% slice reads well under its full scan
+    assert by_ts < full_ts * 0.7, (by_ts, full_ts)
+    assert by_uid < full_uid * 0.7, (by_uid, full_uid)

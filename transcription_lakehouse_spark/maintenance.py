@@ -21,7 +21,7 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["file_stats", "compact", "merge_upsert"]
+__all__ = ["file_stats", "compact", "compact_zorder", "zorder_value", "merge_upsert"]
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
 
@@ -87,6 +87,82 @@ def compact(
         # coalesce cannot INCREASE partition count — a few huge input
         # files splitting into more, smaller outputs needs the shuffle
         out = df.repartition(n_out)
+    out.write.mode("error").parquet(dst_path)
+    after = file_stats(dst_path)
+    return {
+        "n_files_before": before["n_files"],
+        "n_files_after": after["n_files"],
+        "rows": spark.read.parquet(dst_path).count(),
+    }
+
+
+def zorder_value(
+    cols: list,
+    bounds: list[tuple[float, float]],
+    bits: int = 10,
+):
+    """Interleaved-bit Z-value over ``cols`` (Morton order): each column is
+    min/max-scaled onto a 2^bits grid and the grid coordinates' bits are
+    interleaved, so rows close in EVERY dimension get close z-values. Pure
+    constant-folded integer arithmetic (bits*len(cols) shift-or terms), no
+    UDF. ``bounds`` are (min, max) per column — driver-side scalars from
+    one aggregate."""
+    grid = (1 << bits) - 1
+    coords = []
+    for c, (lo, hi) in zip(cols, bounds):
+        span = (hi - lo) or 1.0
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * grid
+        ).cast("long")
+        coords.append(F.greatest(F.lit(0), F.least(F.lit(grid), scaled)))
+    z = F.lit(0).cast("long")
+    n = len(coords)
+    for i in range(bits):
+        for j, coord in enumerate(coords):
+            bit = F.shiftright(coord, i).bitwiseAND(F.lit(1))
+            z = z + (bit * F.lit(1 << (i * n + j)))
+    return z
+
+
+def compact_zorder(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    zorder_by: list[str],
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    bits: int = 10,
+) -> dict:
+    """Multi-column clustering rewrite (the OPTIMIZE ZORDER equivalent —
+    public Delta Lake feature, implemented here as range-partitioning on a
+    Morton z-value): where `compact(sort_within_by=)` gives each file a
+    disjoint range of ONE column, z-ordering makes footer min/max stats
+    selective for predicates on EVERY z-ordered column simultaneously —
+    the layout for tables filtered sometimes by time, sometimes by key.
+    Min/max scaling makes the grid skew-sensitive (a heavy-hitter key
+    crowds one cell); range-cluster 1D instead when one column dominates
+    the workload. Cost: one bounds aggregate + one range shuffle."""
+    before = file_stats(src_path)
+    if before["n_files"] == 0:
+        raise ValueError(
+            f"compact_zorder: no parquet files visible at {src_path!r}"
+        )
+    df: DataFrame = spark.read.parquet(src_path)
+    row = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo{i}") for i, c in enumerate(zorder_by)],
+        *[F.max(c).cast("double").alias(f"_hi{i}") for i, c in enumerate(zorder_by)],
+    ).collect()[0]
+    bounds = [
+        (row[f"_lo{i}"], row[f"_hi{i}"]) for i in range(len(zorder_by))
+    ]
+    n_out = max(1, math.ceil(before["bytes"] / target_file_bytes))
+    out = (
+        df.withColumn("_z", zorder_value(zorder_by, bounds, bits))
+        .repartitionByRange(n_out, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
     out.write.mode("error").parquet(dst_path)
     after = file_stats(dst_path)
     return {

@@ -61,6 +61,11 @@ def get_spark(
         # --- parquet scan behavior ---
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # write timestamps as TIMESTAMP_MICROS, not the INT96 legacy type:
+        # INT96 chunks carry NO usable min/max statistics, so every
+        # timestamp-range scan on our own lake layout would lose row-group
+        # skipping entirely (measured: zero bytes pruned on a z-ordered ts)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # quieter local runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
