@@ -874,3 +874,48 @@ def test_production_banding_finds_planted_095_near_dups(spark):
         vecs = {r[0]: np.asarray(r[1]) for r in rows}
         for a, b in extras:
             assert float(vecs[a] @ vecs[b]) >= 0.95, (a, b)
+
+
+def test_histogram_quantile_error_bound_and_merge(spark):
+    """Histogram-sketch quantiles: every estimate within one bin width of
+    the exact percentile, and sketches of disjoint halves merge by summing
+    bin counts (same (lo,hi) frame) into the full-stream sketch."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        HIST_BINS,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.normal(50, 10, 4000), rng.exponential(20, 2000)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    sk = histogram_sketch(df, "v")
+    qs = [0.1, 0.5, 0.9]
+    est = {r["q"]: r["est"] for r in histogram_quantiles(sk, qs).collect()}
+    width = (vals.max() - vals.min()) / HIST_BINS
+    for q in qs:
+        exact = float(np.quantile(vals, q))
+        assert abs(est[q] - exact) <= width, (q, est[q], exact, width)
+
+    # merge: bins of two halves (computed against the SAME global frame by
+    # fixing lo/hi via union) sum to the full sketch
+    h1 = df.filter(F.col("v") < 50)
+    h2 = df.filter(F.col("v") >= 50)
+    full = histogram_sketch(df, "v")
+    lo, hi = full.select("lo", "hi").first()
+    def rebinned(part):
+        v = F.col("v")
+        span = hi - lo
+        raw = F.floor((v - F.lit(lo)) / F.lit(span) * HIST_BINS).cast("int")
+        b = F.least(F.lit(HIST_BINS - 1), F.greatest(F.lit(0), raw))
+        return part.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = (
+        rebinned(h1).unionByName(rebinned(h2))
+        .groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r["bin"], r["cnt"]) for r in merged.collect()}
+    want = {(r["bin"], r["cnt"]) for r in full.select("bin", "cnt").collect()}
+    assert got == want

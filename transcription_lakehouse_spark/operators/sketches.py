@@ -38,6 +38,9 @@ __all__ = [
     "hll_registers",
     "hll_cardinality",
     "hll_estimate_from_registers",
+    "histogram_sketch",
+    "histogram_quantiles",
+    "HIST_BINS",
     "CMS_DEPTH",
     "CMS_WIDTH",
     "HLL_B",
@@ -288,3 +291,85 @@ def hll_estimate_from_registers(
 def hll_error_bound(confidence_sigmas: float = 3.0) -> float:
     """Relative error bound for the configured register count."""
     return confidence_sigmas * 1.04 / math.sqrt(_HLL_M)
+
+
+HIST_BINS = 64  # quantile error <= 1 bin width = (max-min)/64
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """(group..., lo, hi, bin, cnt): equi-width histogram sketch — the
+    mergeable quantile state (bins sum across partitions/windows given the
+    same (lo, hi) frame). Two passes: per-group (min, max) bounds, then one
+    map-side-combined bin count; state is ≤ n_bins rows per group
+    regardless of input size. Deterministic float binning — the same
+    expression replays identically in SQL."""
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    span = F.col("hi") - F.col("lo")
+    raw_bin = F.floor((v - F.col("lo")) / span * n_bins).cast("int")
+    bin_col = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin))
+    )
+    return joined.groupBy(*group_cols, "lo", "hi", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group quantile estimates from the histogram sketch by linear
+    interpolation inside the covering bin: target = q·N; the first bin
+    whose cumulative count reaches it contributes
+    est = lo + width·(bin + (target - cum_before)/cnt). Error ≤ one bin
+    width by construction. All arithmetic is fixed-order double ops over
+    exact integer counts — cross-engine reproducible."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    totals = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    cum_w = totals.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cur = (
+        sketch.withColumn("n_total", F.sum("cnt").over(totals))
+        .withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    q_rel = None
+    out = []
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    for q in quantiles:
+        target = F.lit(q) * F.col("n_total")
+        covering = cur.filter(
+            (F.col("cum") >= target) & (F.col("cum_before") < target)
+        )
+        est = F.col("lo") + width * (
+            F.col("bin")
+            + (target - F.col("cum_before")) / F.col("cnt")
+        )
+        out.append(
+            covering.select(
+                *group_cols,
+                F.lit(q).alias("q"),
+                F.round(est, 6).alias("est"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    q_rel = _reduce(lambda a, b: a.unionByName(b), out)
+    return q_rel.orderBy(*group_cols, "q")

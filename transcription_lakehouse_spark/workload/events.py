@@ -1469,9 +1469,69 @@ ORDER BY e.event_type
 EVT_HLL_SQL = _hll_sql(8)
 
 
+def evt_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (mergeable approximate percentiles): per
+    event type, deciles 0.1/0.5/0.9 estimated from a 64-bin equi-width
+    sketch by in-bin linear interpolation — the fixed-memory alternative to
+    a full sort at 100 TB, with error bounded by one bin width. Unlike
+    Spark's approx_percentile (engine-private sketch), the bin counts are
+    exact integers and the interpolation is a fixed-order double formula,
+    so DuckDB replays it bit-for-bit — hash-gated, not error-band-gated."""
+    from ..operators.sketches import histogram_quantiles, histogram_sketch
+
+    ev = _events(spark, sf_dir)
+    sk = histogram_sketch(ev, "value", ["event_type"])
+    return histogram_quantiles(sk, [0.1, 0.5, 0.9], ["event_type"]).select(
+        "event_type", "q", "est"
+    )
+
+
+def _quantile_sketch_sql(n_bins: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT event_type, min(CAST(value AS DOUBLE)) AS lo,
+         max(CAST(value AS DOUBLE)) AS hi
+  FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type, bd.lo, bd.hi,
+         CASE WHEN bd.hi - bd.lo = 0 THEN 0
+              ELSE least({n_bins - 1}, greatest(0,
+                CAST(floor((CAST(e.value AS DOUBLE) - bd.lo)
+                           / (bd.hi - bd.lo) * {n_bins}) AS INTEGER))) END AS bin
+  FROM events e JOIN b bd ON e.event_type = bd.event_type
+),
+sk AS (
+  SELECT event_type, lo, hi, bin, count(*) AS cnt
+  FROM binned GROUP BY event_type, lo, hi, bin
+),
+cum AS (
+  SELECT *,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_total,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM sk
+),
+cur AS (SELECT *, cum - cnt AS cum_before FROM cum),
+qs AS (SELECT unnest([0.1, 0.5, 0.9]) AS q)
+SELECT event_type, CAST(q AS DOUBLE) AS q,
+       round(lo + (hi - lo) / {n_bins}
+               * (bin + (CAST(q AS DOUBLE) * n_total - cum_before) / cnt), 6)
+         AS est
+FROM cur JOIN qs
+  ON cum >= CAST(q AS DOUBLE) * n_total
+ AND cum_before < CAST(q AS DOUBLE) * n_total
+ORDER BY event_type, q
+"""
+
+
+EVT_QUANTILE_SKETCH_SQL = _quantile_sketch_sql(64)
+
+
 QUERIES = {
     "evt_cms_heavy_hitters": evt_cms_heavy_hitters,
     "evt_hll_cardinality": evt_hll_cardinality,
+    "evt_quantile_sketch": evt_quantile_sketch,
     "evt_stickiness": evt_stickiness,
     "evt_top_paths": evt_top_paths,
     "evt_value_deciles": evt_value_deciles,
@@ -1509,6 +1569,7 @@ QUERIES = {
 ORACLES = {
     "evt_cms_heavy_hitters": EVT_CMS_SQL,
     "evt_hll_cardinality": EVT_HLL_SQL,
+    "evt_quantile_sketch": EVT_QUANTILE_SKETCH_SQL,
     "evt_stickiness": EVT_STICKINESS_SQL,
     "evt_top_paths": EVT_TOP_PATHS_SQL,
     "evt_value_deciles": EVT_VALUE_DECILES_SQL,
