@@ -185,3 +185,39 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="distinct keys"):
         merge_upsert(spark, src, str(tmp_path / "m2"), dupes, ["id"])
+
+
+def test_version_diff_tags_added_removed_changed(spark, tmp_path):
+    """Row-level version diff: only the delta comes back, tagged by kind;
+    identical versions diff to empty."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.maintenance import version_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)],
+        "id long, name string, score double",
+    )
+    pa, pb, pc = (str(tmp_path / p) for p in ("va", "vb", "vc"))
+    a.write.parquet(pa)
+    # b: drop id=3, change id=2, add id=4
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 9.9), (4, "w", 4.0)],
+        "id long, name string, score double",
+    )
+    b.write.parquet(pb)
+    got = {
+        r["id"]: r["change"]
+        for r in version_diff(spark, pa, pb, ["id"]).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    # identical copies diff empty (row order / partitioning irrelevant)
+    spark.read.parquet(pa).repartition(7).write.parquet(pc)
+    assert version_diff(spark, pa, pc, ["id"]).count() == 0
+    # duplicate-key cardinality change reads as changed
+    a.unionByName(a.filter(F.col("id") == 1)).write.mode("overwrite").parquet(pb)
+    got2 = {
+        r["id"]: r["change"]
+        for r in version_diff(spark, pa, pb, ["id"]).collect()
+    }
+    assert got2 == {1: "changed"}

@@ -21,7 +21,14 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["file_stats", "compact", "compact_zorder", "zorder_value", "merge_upsert"]
+__all__ = [
+    "file_stats",
+    "compact",
+    "compact_zorder",
+    "zorder_value",
+    "merge_upsert",
+    "version_diff",
+]
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
 
@@ -235,3 +242,53 @@ def merge_upsert(
         "inserted": n_updates - matched,
         "rows_out": spark.read.parquet(dst_path).count(),
     }
+
+
+def version_diff(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two table versions (the audit tool the
+    versioned-directory convention needs — what Delta's CDF/time-travel
+    diff gives): returns keys tagged ``change`` ∈ {'added', 'removed',
+    'changed'} where 'added' = in B only, 'removed' = in A only, 'changed'
+    = both but compare-column content differs.
+
+    One full-outer join on the keys comparing an xxhash64 of the compare
+    columns (all non-key columns by default) — O(n) shuffle on the key,
+    never a row-by-row collect. Unchanged rows are NOT emitted, so the
+    result is delta-sized. Rows with duplicate keys hash-aggregate first
+    (multiset semantics: a cardinality change on a key reads as
+    'changed')."""
+    a = spark.read.parquet(path_a)
+    b = spark.read.parquet(path_b)
+    if compare_cols is None:
+        compare_cols = [c for c in a.columns if c not in key_cols]
+
+    def digest(df: DataFrame, side: str) -> DataFrame:
+        h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                         for c in compare_cols])
+        return df.groupBy(*key_cols).agg(
+            F.sum(h.cast("decimal(38,0)")).alias(f"_h_{side}"),
+            F.count(F.lit(1)).alias(f"_n_{side}"),
+        )
+
+    joined = digest(a, "a").join(digest(b, "b"), key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_a").isNull(), F.lit("added"))
+        .when(F.col("_h_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_h_a") != F.col("_h_b"))
+            | (F.col("_n_a") != F.col("_n_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )
