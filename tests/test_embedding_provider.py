@@ -134,3 +134,43 @@ def test_dim_mismatch_raises_instead_of_slicing():
     factory, _ = _provider(t)
     with pytest.raises(ValueError, match="shape"):
         factory(8)(["hello"])  # caller asked for 8
+
+
+def test_retry_after_http_date_falls_back_to_backoff():
+    """RFC 9110 allows an HTTP-date Retry-After; it must not crash the
+    retry loop — fall back to exponential backoff. Lowercase header names
+    (HTTP/2, proxies) are honored too."""
+    t = FakeTransport(
+        dim=4,
+        failures=[
+            (503, {"Retry-After": "Fri, 14 Aug 2026 10:00:00 GMT"}),
+            (429, {"retry-after": "1.5"}),
+        ],
+    )
+    factory, sleeps = _provider(t, backoff_s=0.5)
+    mat = encode_texts(["hello"], factory(4), dim=4)
+    assert mat.shape == (1, 4)
+    assert sleeps == [0.5, 1.5]  # date -> backoff; lowercase -> honored
+
+
+def test_model_identity_stamped_from_provider(spark):
+    """Rows carry the real provider identity: the OpenAI factory stamps
+    openai:<model>, the hash registry key stamps the hash-double name."""
+    from transcription_lakehouse_spark.embeddings import (
+        MODEL_NAME,
+        generate_embeddings,
+    )
+
+    df = spark.createDataFrame([("a", "hello world")], "id string, text string")
+    hash_row = generate_embeddings(df, "id", "text", "span", dim=8).collect()[0]
+    assert hash_row["model_name"] == MODEL_NAME
+
+    t = FakeTransport(dim=8)
+    factory = openai_api_provider(
+        api_key="k", model="text-embedding-3-small",
+        base_url="https://example.invalid/v1", transport=t, sleep=lambda s: None,
+    )
+    remote_row = generate_embeddings(
+        df, "id", "text", "span", dim=8, provider=factory
+    ).collect()[0]
+    assert remote_row["model_name"] == "openai:text-embedding-3-small"

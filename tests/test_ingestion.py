@@ -221,3 +221,20 @@ def test_version_diff_tags_added_removed_changed(spark, tmp_path):
         for r in version_diff(spark, pa, pb, ["id"]).collect()
     }
     assert got2 == {1: "changed"}
+    # NULL keys are null-safe: identical NULL-keyed rows diff empty, a
+    # changed NULL-keyed row reads as changed (not added+removed)
+    n1 = spark.createDataFrame(
+        [(None, "n", 0.5), (9, "q", 9.0)], "id long, name string, score double"
+    )
+    pn1, pn2 = str(tmp_path / "n1"), str(tmp_path / "n2")
+    n1.write.parquet(pn1)
+    n1.write.parquet(pn2)
+    assert version_diff(spark, pn1, pn2, ["id"]).count() == 0
+    spark.createDataFrame(
+        [(None, "n", 7.7), (9, "q", 9.0)], "id long, name string, score double"
+    ).write.mode("overwrite").parquet(pn2)
+    got3 = {
+        r["id"]: r["change"]
+        for r in version_diff(spark, pn1, pn2, ["id"]).collect()
+    }
+    assert got3 == {None: "changed"}

@@ -919,3 +919,26 @@ def test_histogram_quantile_error_bound_and_merge(spark):
     got = {(r["bin"], r["cnt"]) for r in merged.collect()}
     want = {(r["bin"], r["cnt"]) for r in full.select("bin", "cnt").collect()}
     assert got == want
+
+
+def test_hll_max_rank_register_is_not_dropped(spark):
+    """Regression: a key whose 24-bit md5 suffix is all zeros gets the
+    capped rank 25; its harmonic term is 2^-(25) which the old
+    2^RANK_BITS scaling truncated to 0 long (and SQL rounded to 1 —
+    cross-engine divergence). Key 4147901 has exactly that suffix."""
+    from transcription_lakehouse_spark.operators.sketches import (
+        hll_cardinality,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([(4147901,), (7,)], "k long")
+    regs = {r["register"]: r["max_rank"] for r in hll_registers(df, "k").collect()}
+    assert 25 in regs.values()  # the capped rank actually occurs
+    row = hll_cardinality(df, "k").collect()[0]
+    # scaled sum = 2^(25-25) + 2^(25-rank7) + 254 empty * 2^25 — the
+    # rank-25 register must contribute exactly 1, never 0
+    empty = row["zero_registers"] * (1 << 25)
+    present = row["harmonic_sum_scaled"] - empty
+    terms = sorted(1 << (25 - r) for r in regs.values())
+    assert present == sum(terms)
+    assert min(terms) == 1

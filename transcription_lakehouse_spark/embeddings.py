@@ -170,12 +170,22 @@ def openai_api_provider(
                     return mat
                 last = (status, body)
                 if status == 429 or status >= 500:
-                    retry_after = resp_headers.get("Retry-After")
-                    delay = (
-                        float(retry_after)
-                        if retry_after is not None
-                        else backoff_s * (2**attempt)
+                    retry_after = next(
+                        (
+                            v
+                            for k, v in resp_headers.items()
+                            if k.lower() == "retry-after"
+                        ),
+                        None,
                     )
+                    delay = backoff_s * (2**attempt)
+                    if retry_after is not None:
+                        try:
+                            delay = float(retry_after)
+                        except ValueError:
+                            # RFC 9110 also allows an HTTP-date here; fall
+                            # back to backoff rather than dying mid-retry
+                            pass
                     if attempt < max_retries:
                         sleep(delay)
                     continue
@@ -187,6 +197,7 @@ def openai_api_provider(
 
         return embed
 
+    factory.__name__ = f"openai:{model}"  # stamped into rows' model_name
     return factory
 
 
@@ -239,11 +250,15 @@ def generate_embeddings(
     index/version bookkeeping keys on it)."""
     factory = PROVIDERS[provider] if isinstance(provider, str) else provider
     if model_name is None:
-        model_name = (
-            MODEL_NAME
-            if not isinstance(provider, str) or provider == "hash"
-            else provider
-        )
+        if isinstance(provider, str):
+            model_name = MODEL_NAME if provider == "hash" else provider
+        else:
+            # callable factories advertise identity via __name__ (the
+            # openai_api_provider factory sets it to "openai:<model>");
+            # anonymous test doubles fall back to the hash-double name
+            model_name = getattr(provider, "__name__", None) or MODEL_NAME
+            if model_name in ("factory", "<lambda>"):
+                model_name = MODEL_NAME
     if isinstance(provider, str) and provider == "sentence-transformers":
         # fail fast on the driver rather than inside every executor task
         factory(dim)

@@ -114,9 +114,19 @@ def zorder_value(
     constant-folded integer arithmetic (bits*len(cols) shift-or terms), no
     UDF. ``bounds`` are (min, max) per column — driver-side scalars from
     one aggregate."""
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"zorder_value: {bits} bits x {len(cols)} columns exceeds a "
+            "63-bit long; lower bits or z-order fewer columns"
+        )
     grid = (1 << bits) - 1
     coords = []
     for c, (lo, hi) in zip(cols, bounds):
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder_value: column {c!r} has NULL min/max (all-NULL or "
+                "empty input) — cannot place NULLs on the z-grid"
+            )
         span = (hi - lo) or 1.0
         scaled = F.floor(
             (F.col(c).cast("double") - F.lit(float(lo)))
@@ -271,15 +281,25 @@ def version_diff(
     def digest(df: DataFrame, side: str) -> DataFrame:
         h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
                          for c in compare_cols])
-        return df.groupBy(*key_cols).agg(
+        return df.groupBy(
+            *[F.col(c).alias(f"_k_{side}_{c}") for c in key_cols]
+        ).agg(
             F.sum(h.cast("decimal(38,0)")).alias(f"_h_{side}"),
             F.count(F.lit(1)).alias(f"_n_{side}"),
         )
 
-    joined = digest(a, "a").join(digest(b, "b"), key_cols, "full_outer")
+    da, db = digest(a, "a"), digest(b, "b")
+    # null-safe key equality: a NULL-keyed group must MATCH its twin on the
+    # other side (plain equality would misreport identical NULL-keyed rows
+    # as simultaneous added+removed) — same contract as merge_upsert's guard
+    cond = None
+    for c in key_cols:
+        eq = da[f"_k_a_{c}"].eqNullSafe(db[f"_k_b_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    joined = da.join(db, cond, "full_outer")
     change = (
-        F.when(F.col("_h_a").isNull(), F.lit("added"))
-        .when(F.col("_h_b").isNull(), F.lit("removed"))
+        F.when(F.col("_n_a").isNull(), F.lit("added"))
+        .when(F.col("_n_b").isNull(), F.lit("removed"))
         .when(
             (F.col("_h_a") != F.col("_h_b"))
             | (F.col("_n_a") != F.col("_n_b")),
@@ -290,5 +310,11 @@ def version_diff(
     return (
         joined.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(*key_cols, "change")
+        .select(
+            *[
+                F.coalesce(F.col(f"_k_a_{c}"), F.col(f"_k_b_{c}")).alias(c)
+                for c in key_cols
+            ],
+            "change",
+        )
     )

@@ -127,6 +127,10 @@ def connected_components(
     jumping that needs a component diameter around 2^25, i.e. pathological
     input, and a silent partial merge would corrupt downstream dedup.
     """
+    if algorithm not in ("hash-to-min", "two-phase"):
+        # validate BEFORE the checkpoints below run real jobs on a possibly
+        # expensive (LSH-rescore) lineage
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # materialize the edge list BEFORE symmetrizing: the union would
     # otherwise evaluate the (often expensive — e.g. an LSH rescore)
     # upstream plan once per branch
@@ -139,8 +143,6 @@ def connected_components(
     )
     if algorithm == "two-phase":
         return _two_phase_components(sym, max_iter)
-    if algorithm != "hash-to-min":
-        raise ValueError(f"unknown algorithm {algorithm!r}")
     labels = (
         sym.select(F.col("s").alias("n"))
         .distinct()

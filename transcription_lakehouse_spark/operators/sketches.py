@@ -234,7 +234,7 @@ def hll_cardinality(
 ) -> DataFrame:
     """Per-group HLL distinct-count estimate with EXACT integer register
     aggregation: harmonic_sum_scaled = Σ over all m registers of
-    2^(RANK_BITS - M[j]) (absent registers contribute M=0 ⇒ 2^RANK_BITS),
+    2^(RANK_BITS+1 - M[j]) (absent registers contribute M=0),
     a long ≤ m·2^RANK_BITS — no float accumulation, so the value (and the
     one double division after it) is identical cross-engine. Emits the
     register-state scalars alongside the estimate so the oracle gates the
@@ -253,10 +253,16 @@ def hll_estimate_from_registers(
     merges by max per micro-batch (the registers, not raw keys, are the
     state a live distinct-count dashboard stores)."""
     group_cols = group_cols or []
+    # scale factor 2^(RANK_BITS+1), NOT 2^RANK_BITS: ranks run 1..RANK_BITS+1
+    # (the +1 is the all-zero-suffix cap), and the smallest term
+    # 2^-(RANK_BITS+1) must stay a positive integer after scaling — at the
+    # 2^RANK_BITS scale it is 0.5, which Spark's long cast truncates to 0
+    # while SQL CAST rounds to 1, silently diverging cross-engine
+    scale_pow = _HLL_RANK_BITS + 1
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_nonzero"),
         F.sum(
-            F.pow(F.lit(2.0), F.lit(_HLL_RANK_BITS) - F.col("max_rank")).cast(
+            F.pow(F.lit(2.0), F.lit(scale_pow) - F.col("max_rank")).cast(
                 "long"
             )
         ).alias("_present_sum"),
@@ -265,10 +271,10 @@ def hll_estimate_from_registers(
     zeros = (m - F.col("_nonzero")).alias("zero_registers")
     s = (
         F.col("_present_sum")
-        + (m - F.col("_nonzero")) * F.lit(1 << _HLL_RANK_BITS)
+        + (m - F.col("_nonzero")) * F.lit(1 << scale_pow)
     ).alias("harmonic_sum_scaled")
     raw = (
-        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RANK_BITS))
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << scale_pow))
         / F.col("harmonic_sum_scaled")
     )
     # small-range correction (linear counting) below the standard 2.5m cut

@@ -87,7 +87,8 @@ def assess(
     # A: coverage — collect only the WORST max_detail_rows episodes plus a
     # distributed rollup; per-episode violation detail is bounded even on a
     # million-episode lake
-    cov = coverage_metrics(spans, episodes)
+    # persist: the detail limit and the rollup both execute this aggregate
+    cov = coverage_metrics(spans, episodes).persist()
     cov_rows = (
         cov.orderBy(F.asc("coverage_pct"), F.asc("episode_id"))
         .limit(th.max_detail_rows)
@@ -101,6 +102,7 @@ def assess(
         F.round(F.avg("coverage_pct"), 2).alias("avg_coverage_pct"),
         F.min("coverage_pct").alias("min_coverage_pct"),
     ).collect()[0].asDict()
+    cov.unpersist()
     metrics["coverage"] = [r.asDict() for r in cov_rows]
     metrics["coverage_summary"] = cov_summary
     n_below = int(cov_summary["n_below_threshold"] or 0)
@@ -163,7 +165,7 @@ def assess(
 
     # D: balance — top-N by rank + ONE tail-rollup row, never the full
     # per-speaker list (a 100k-speaker corpus must not OOM the driver)
-    bal = speaker_balance(spans)
+    bal = speaker_balance(spans).persist()  # head + tail both execute it
     head = bal.filter(F.col("rank") <= th.max_detail_rows)
     tail = bal.filter(F.col("rank") > th.max_detail_rows).agg(
         F.lit("<tail>").alias("speaker"),
@@ -176,6 +178,7 @@ def assess(
     )
     balance_rows = [r.asDict() for r in head.collect()]
     tail_row = tail.collect()[0].asDict()
+    bal.unpersist()
     if (tail_row["n_speakers_in_tail"] or 0) > 0:
         balance_rows.append(tail_row)
     metrics["speaker_balance"] = balance_rows

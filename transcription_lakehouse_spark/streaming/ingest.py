@@ -242,11 +242,24 @@ def stream_cluster_update(
             .localCheckpoint()
         )
 
-        fresh.select(id_col, text_col).write.mode("append").parquet(corpus_path)
+        # WRITE ORDER IS THE CRASH-SAFETY CONTRACT: the corpus append goes
+        # ABSOLUTELY LAST because it is the replay gate (the anti-join
+        # above). A crash anywhere before it means the replay re-enters
+        # with the same docs and re-runs every step — the re-appended
+        # bands/pairs are harmless duplicates (candidates are DISTINCT
+        # pairs and connected components dedups edges) and the clusters
+        # overwrite is recomputed from the pairs store. Corpus-first would
+        # gate the replay out and permanently strand the docs with no band
+        # index and stale clusters. (A transactional log — what Delta
+        # provides — is the complete fix; this ordering makes every
+        # partial-failure path re-runnable.)
         new_bands.write.mode("append").parquet(bands_path)
         new_pairs.write.mode("append").parquet(pairs_path)
 
         if not new_pairs.head(1):
+            fresh.select(id_col, text_col).write.mode("append").parquet(
+                corpus_path
+            )
             return  # no cluster structure changed
 
         # CC delta: recompute only components reachable from the new pairs
@@ -285,6 +298,8 @@ def stream_cluster_update(
             kept.unionByName(recomputed) if kept is not None else recomputed
         ).localCheckpoint()  # materialize BEFORE overwriting our own input
         out.write.mode("overwrite").parquet(clusters_path)
+        # the replay gate commits ONLY after all derived state is durable
+        fresh.select(id_col, text_col).write.mode("append").parquet(corpus_path)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)

@@ -110,14 +110,15 @@ for _m in _MODULES:
         if _sql is not None:
             _ALL_ORACLES[_name] = _sql
 
-# never-driver-green first (auto-rotates as artifacts land), then the
-# static seed order, then everything else in module order
+# never-driver-green first — seed-listed ones in seed order, then the rest
+# in module order (auto-rotates as artifacts land); green queries follow.
+# With no readable artifact _GREEN is empty, so this IS the seed ordering.
 _GREEN = _driver_green_names()
-for _name in _ALL_QUERIES:
+for _name in _PRIORITY:
     if _name not in _GREEN:
         QUERIES[_name] = _ALL_QUERIES[_name]
-for _name in _PRIORITY:
-    if _name not in QUERIES:
+for _name in _ALL_QUERIES:
+    if _name not in _GREEN and _name not in QUERIES:
         QUERIES[_name] = _ALL_QUERIES[_name]
 for _name, _fn in _ALL_QUERIES.items():
     if _name not in QUERIES:

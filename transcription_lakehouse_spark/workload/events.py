@@ -1378,7 +1378,7 @@ def evt_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event type (Flajolet et al.
     2007, m=256 registers): one pass, 256 ints of state per group, registers
     merge by max across partitions/days — vs countDistinct's full key
-    shuffle. The harmonic sum is carried as an exact integer (Σ2^(24-M[j]))
+    shuffle. The harmonic sum is carried as an exact integer (Σ2^(25-M[j]))
     so the sketch STATE hash-matches the DuckDB twin; the estimate is one
     double division on top. Exact distincts ride along to show the error."""
     from ..operators.sketches import hll_cardinality
@@ -1435,20 +1435,20 @@ regs AS (
 agg AS (
   SELECT event_type,
          count(*) AS nonzero,
-         sum(CAST(power(2.0, {rank_bits} - max_rank) AS BIGINT)) AS present_sum
+         sum(CAST(power(2.0, {rank_bits + 1} - max_rank) AS BIGINT)) AS present_sum
   FROM regs GROUP BY event_type
 ),
 scal AS (
   SELECT event_type,
          ({m} - nonzero) AS zero_registers,
-         CAST(present_sum + ({m} - nonzero) * CAST({1 << rank_bits} AS BIGINT)
+         CAST(present_sum + ({m} - nonzero) * CAST({1 << (rank_bits + 1)} AS BIGINT)
               AS BIGINT) AS harmonic_sum_scaled
   FROM agg
 ),
 est AS (
   SELECT event_type, zero_registers, harmonic_sum_scaled,
          CAST({alpha!r} AS DOUBLE) * {m} * {m}
-           * CAST({float(1 << rank_bits)!r} AS DOUBLE)
+           * CAST({float(1 << (rank_bits + 1))!r} AS DOUBLE)
            / harmonic_sum_scaled AS raw
   FROM scal
 )

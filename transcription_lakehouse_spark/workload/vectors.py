@@ -395,8 +395,9 @@ _PROD_DEDUP_PPB = 12
 
 def vec_semantic_dedup_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`vec_semantic_dedup` at the production knobs (threshold 0.95,
-    8x4 banding) — the operating point users actually run; headline-bench
-    entry so the suite number reflects real usage, per SCALING.md."""
+    8 bands x 12 planes) — the operating point users actually run;
+    headline-bench entry so the suite number reflects real usage, per
+    SCALING.md."""
     from ..operators.graph import dup_clusters
 
     e = _emb(spark, sf_dir)
