@@ -696,6 +696,57 @@ def test_stream_cluster_update_maintains_dup_clusters(spark, tmp_path):
     }
 
 
+def test_stream_cluster_update_survives_partial_failure_replay(spark, tmp_path):
+    """Crash-safety contract: bands/pairs written but corpus NOT yet
+    appended (the crash window) must leave the state fully recoverable —
+    the replay re-runs the batch, duplicate band/pair rows are harmless,
+    and the final clusters/corpus match the clean run."""
+    import json as _json
+
+    from transcription_lakehouse_spark.operators.dedup import (
+        minhash_signature,
+        signature_bands,
+    )
+    from transcription_lakehouse_spark.streaming.ingest import stream_cluster_update
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the morning light"
+    )
+    docs = [
+        {"doc_id": "a1", "text": base},
+        {"doc_id": "a2", "text": base + " today"},
+    ]
+    (d / "one.jsonl").write_text("\n".join(_json.dumps(r) for r in docs))
+
+    # simulate the crash window: bands + pairs durable, corpus absent
+    df = spark.createDataFrame([(r["doc_id"], r["text"]) for r in docs],
+                               "doc_id string, text string")
+    pre_bands = signature_bands(minhash_signature(df, "doc_id", "text"), "doc_id")
+    pre_bands.write.mode("append").parquet(f"{state}/bands")
+    spark.createDataFrame([("a1", "a2")], "doc_id_1 string, doc_id_2 string") \
+        .write.mode("append").parquet(f"{state}/pairs")
+
+    # the stream replays the batch from scratch (corpus gate still open)
+    q = stream_cluster_update(spark, str(d), state, ck)
+    q.awaitTermination(120)
+
+    clusters = {
+        r["doc_id"]: (r["component_id"], r["is_keeper"])
+        for r in spark.read.parquet(f"{state}/clusters").collect()
+    }
+    assert clusters == {"a1": ("a1", True), "a2": ("a1", False)}
+    # corpus has each doc exactly once; duplicated pairs/bands tolerated
+    corpus = spark.read.parquet(f"{state}/corpus")
+    assert corpus.count() == 2
+    assert corpus.select("doc_id").distinct().count() == 2
+    assert spark.read.parquet(f"{state}/pairs").distinct().count() == 1
+
+
 def test_stream_hll_update_matches_batch_estimate(spark, tmp_path):
     """Streaming HLL register maintenance: after two micro-batch rounds the
     persisted registers equal the batch registers over the union (merge by
