@@ -181,11 +181,60 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (OR-of-8-bands × AND-of-4-planes; recall@5 vs brute force gated in
     tests/test_operators.py).
 
-    No SQL oracle (approximate operator; driver records rows-only) — but the
-    bucketing is deterministic so results are stable run-to-run."""
+    FULLY oracle-gated despite being approximate: the plane family is
+    md5-derived, so the DuckDB twin replays the banding, candidate join,
+    and exact rescore bit-for-bit — the hash gate certifies the
+    approximation's exact candidate structure, not just row counts."""
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 25 == 0)
     return lsh_topk(queries, e, "vec_id", "embedding", k=5)
+
+
+def _knn_lsh_oracle_sql(n_bands: int, planes_per_band: int, k: int) -> str:
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {_sql_band_bucket('e', b, planes_per_band, 64)} AS bucket FROM q"
+        for b in range(n_bands)
+    )
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {_sql_band_bucket('e', b, planes_per_band, 64)} AS bucket FROM v"
+        for b in range(n_bands)
+    )
+    sim = (
+        "CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0"
+        " THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))"
+        " / (sqrt(list_sum(list_transform(x.e, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(y.e, t -> t * t))))"
+        " ELSE 0.0 END"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+qb AS ({qb}),
+cb AS ({cb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS neighbor_id
+  FROM qb a JOIN cb b2 ON a.band = b2.band AND a.bucket = b2.bucket
+  WHERE a.vec_id <> b2.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, round({sim}, 6) AS sim
+  FROM cand c JOIN v x ON c.query_id = x.vec_id
+              JOIN v y ON c.neighbor_id = y.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+VEC_KNN_LSH_SQL = _knn_lsh_oracle_sql(8, 4, 5)
 
 
 def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,5 +612,5 @@ ORACLES = {
     "vec_norm_stats": VEC_NORM_STATS_SQL,
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
-    "vec_knn_lsh": None,
+    "vec_knn_lsh": VEC_KNN_LSH_SQL,
 }
