@@ -37,6 +37,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "doc_tfidf_topk",       # one-row doc-count broadcast into the idf
     "doc_curation_v3",      # inherits doc_unigram_logprob's one-row total
     "q_nation_intersect",   # one-row global-avg threshold broadcast
+    "evt_key_skew",         # one-row total broadcast into the share division
     "vec_contrastive_triplets",  # sampled anchors broadcast, one scored pass
     "vec_hard_negatives",   # sampled queries broadcast, exact scoring IS
                             # the semantics (brute_force_topk shape)
@@ -62,6 +63,8 @@ _GLOBAL_SCALAR_OK = {
     "q_nation_intersect",        # one-row global-avg aggregate
     "evt_cumulative_users",      # running window over the per-DAY rollup
                                  # (bounded by calendar days, not rows)
+    "evt_key_skew",              # cum-share window over the top-10-row
+                                 # relation + one-row total broadcast
 }
 
 

@@ -18,7 +18,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "key_skew_stats"]
 
 # merge rules for re-aggregating partials: partial alias -> final expr
 _MERGEABLE = {"sum", "count", "min", "max"}
@@ -69,3 +69,36 @@ def salted_agg(
         *partial_exprs
     )
     return partial.groupBy(*group_cols).agg(*final_exprs)
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Skew DIAGNOSIS — the decision input for `salted_agg` / AQE tuning:
+    per hot key its row share, plus the distribution scalars that tell you
+    whether a shuffle on this key will straggle (max-key share vs the
+    1/shuffle-partitions ideal). One map-side-combined groupBy over the
+    keys + a TakeOrdered top-N; the per-key relation never collects.
+
+    Returns top_n rows: (key..., n_rows, share, cum_share) ordered by
+    n_rows desc — `share` > a few percent on a 1000-partition cluster
+    means the key owns entire tasks and needs salting."""
+    per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per.agg(F.sum("n_rows").cast("double").alias("_t"))  # 1 row
+    top = per.orderBy(F.desc("n_rows"), *key_cols).limit(top_n)
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.desc("n_rows"), *key_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the window and the broadcast total both act on the top_n-row
+    # relation only — bounded, never a global sort or a driver collect
+    return top.crossJoin(F.broadcast(total)).select(
+        *key_cols,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_t"), 6).alias("share"),
+        F.round(F.sum("n_rows").over(w) / F.col("_t"), 6).alias("cum_share"),
+    )

@@ -1528,10 +1528,38 @@ ORDER BY event_type, q
 EVT_QUANTILE_SKETCH_SQL = _quantile_sketch_sql(64)
 
 
+def evt_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis (the decision input for salting / AQE
+    tuning): the 10 hottest user keys with row share and cumulative share.
+    A key whose share exceeds ~1/shuffle-partitions owns entire tasks —
+    the signal to route its aggregations through `salted_agg`."""
+    from ..operators.skew import key_skew_stats
+
+    ev = _events(spark, sf_dir)
+    return key_skew_stats(ev, ["user_id"], top_n=10)
+
+
+EVT_KEY_SKEW_SQL = """
+WITH per AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM per),
+top AS (
+  SELECT user_id, n_rows FROM per ORDER BY n_rows DESC, user_id LIMIT 10
+)
+SELECT user_id, n_rows,
+       round(n_rows / total, 6) AS share,
+       round(CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 6) AS cum_share
+FROM top, t
+"""
+
+
 QUERIES = {
     "evt_cms_heavy_hitters": evt_cms_heavy_hitters,
     "evt_hll_cardinality": evt_hll_cardinality,
     "evt_quantile_sketch": evt_quantile_sketch,
+    "evt_key_skew": evt_key_skew,
     "evt_stickiness": evt_stickiness,
     "evt_top_paths": evt_top_paths,
     "evt_value_deciles": evt_value_deciles,
@@ -1570,6 +1598,7 @@ ORACLES = {
     "evt_cms_heavy_hitters": EVT_CMS_SQL,
     "evt_hll_cardinality": EVT_HLL_SQL,
     "evt_quantile_sketch": EVT_QUANTILE_SKETCH_SQL,
+    "evt_key_skew": EVT_KEY_SKEW_SQL,
     "evt_stickiness": EVT_STICKINESS_SQL,
     "evt_top_paths": EVT_TOP_PATHS_SQL,
     "evt_value_deciles": EVT_VALUE_DECILES_SQL,
