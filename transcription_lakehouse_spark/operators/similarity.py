@@ -229,44 +229,6 @@ def hyperplane_bucket(
     return bucket
 
 
-def _band_buckets_udf(n_bands: int, planes_per_band: int, max_dims: int = 256):
-    """Arrow-batched pandas_udf: ALL band bucket ids per vector as ONE
-    numpy GEMM against the md5-derived ±1 sign matrix — the same plane
-    family as `hyperplane_bucket` (band b uses planes [b*r, (b+1)*r)), so
-    results are interchangeable. Exists because a wide banding config
-    (e.g. the 8x12 production semantic-dedup point = 96 planes) expressed
-    as literal arrays blows the codegen tree past 1 MB task binaries and
-    planning dominates; the GEMM keeps the plan tiny and per-row cost one
-    matmul (same trade the IVF cell-assign makes, `_nearest_cells_udf`).
-    Sign-of-projection parity with a sequential-sum oracle can differ only
-    when |projection| < ~1e-13 — measure-zero for real embeddings."""
-    import numpy as np
-    from pyspark.sql.types import ArrayType, LongType
-
-    planes = n_bands * planes_per_band
-    S = np.asarray(
-        [_plane_signs(p, max_dims) for p in range(planes)], dtype=np.float64
-    )
-    pows = 1 << np.arange(planes_per_band, dtype=np.int64)
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def buckets(vs: pd.Series) -> pd.Series:
-        if not len(vs):
-            return pd.Series([], dtype=object)
-        V = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
-        if V.shape[1] > max_dims:
-            raise ValueError(
-                f"band buckets: vector dims {V.shape[1]} exceed "
-                f"max_dims={max_dims}; raise max_dims"
-            )
-        proj = V @ S[:, : V.shape[1]].T  # (n, planes)
-        bits = (proj > 0).reshape(len(V), n_bands, planes_per_band)
-        bk = (bits * pows).sum(axis=2)  # (n, n_bands) int64
-        return pd.Series(list(bk))
-
-    return buckets
-
-
 def train_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -552,9 +514,18 @@ def _band_buckets_udf(n_bands: int, planes_per_band: int, max_dims: int = 256):
     (same `_plane_signs`), but 10-100× faster for multi-band hashing — the
     per-plane HOF expression tree is interpreted per element, and banding
     multiplies that cost by bands×planes (measured 98 s vs ~8 s on the 20×
-    bench). Used only on the oracle-less top-k path; the near-dup pair
-    operator keeps the HOF form its DuckDB twin mirrors expression-for-
-    expression."""
+    bench). Used by the top-k path (now oracle-gated) and by
+    `lsh_near_dup_pairs` when bands×planes > 32; the narrow near-dup
+    configs keep the HOF form its DuckDB twin mirrors expression-for-
+    expression.
+
+    Cross-engine caveat the oracle gate rests on: the GEMM accumulates in
+    BLAS blocked order while the SQL twin sums left-to-right, so a bucket
+    bit can differ only when |projection| falls within accumulation-order
+    rounding of 0 (~1e-13 · |v|). Measured min margin on the shipped
+    testdata: 1.6e-4 (sf0.01), 1.0e-6 (sf0.1) — zero flips; on corpora
+    with near-degenerate projections prefer the HOF path for oracle-gated
+    queries."""
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 __all__ = ["salted_agg", "key_skew_stats"]
 
@@ -86,10 +86,11 @@ def key_skew_stats(
     n_rows desc — `share` > a few percent on a 1000-partition cluster
     means the key owns entire tasks and needs salting."""
     per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = per.agg(F.sum("n_rows").cast("double").alias("_t"))  # 1 row
+    # total rows == Σ per-key counts, but summing `per` would run the
+    # keyed groupBy SHUFFLE twice (no exchange reuse — verified in the
+    # plan); a plain count over the source is map-side only
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_t"))  # 1 row
     top = per.orderBy(F.desc("n_rows"), *key_cols).limit(top_n)
-    from pyspark.sql import Window
-
     w = (
         Window.orderBy(F.desc("n_rows"), *key_cols)
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -1543,7 +1543,7 @@ EVT_KEY_SKEW_SQL = """
 WITH per AS (
   SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
 ),
-t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM per),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events),
 top AS (
   SELECT user_id, n_rows FROM per ORDER BY n_rows DESC, user_id LIMIT 10
 )

@@ -135,38 +135,46 @@ def _sql_band_bucket(col: str, band: int, planes_per_band: int, dims: int) -> st
     return " + ".join(terms)
 
 
+# the guarded exact cosine over aliases x.e / y.e — ONE copy shared by
+# every banded-LSH oracle (near-dup, semantic dedup, k-NN) so the twins
+# cannot drift from each other
+_XY_COS = (
+    "CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))"
+    " * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0"
+    " THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))"
+    " / (sqrt(list_sum(list_transform(x.e, t -> t * t)))"
+    " * sqrt(list_sum(list_transform(y.e, t -> t * t))))"
+    " ELSE 0.0 END"
+)
+
+
+def _bucket_union_sql(
+    src: str, n_bands: int, planes_per_band: int, dims: int = 64
+) -> str:
+    """One (vec_id, band, bucket) SELECT per band over relation ``src``
+    (whose vector column is ``e``) — the shared banding half of every
+    LSH oracle."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {_sql_band_bucket('e', b, planes_per_band, dims)} AS bucket FROM {src}"
+        for b in range(n_bands)
+    )
+
+
 def _near_dup_oracle_sql(
     threshold: float, n_bands: int, planes_per_band: int, dims: int = 64
 ) -> str:
-    bucket_union = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band,"
-        f" {_sql_band_bucket('e', b, planes_per_band, dims)} AS bucket FROM v"
-        for b in range(n_bands)
-    )
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-bk AS ({bucket_union}),
+bk AS ({_bucket_union_sql('v', n_bands, planes_per_band, dims)}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2
   FROM bk a JOIN bk b2
     ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 )
-SELECT id_1, id_2,
-       round(
-         CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))
-                   * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0
-              THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))
-                   / (sqrt(list_sum(list_transform(x.e, t -> t * t)))
-                      * sqrt(list_sum(list_transform(y.e, t -> t * t))))
-              ELSE 0.0 END, 6) AS sim
+SELECT id_1, id_2, round({_XY_COS}, 6) AS sim
 FROM cand c JOIN v x ON c.id_1 = x.vec_id JOIN v y ON c.id_2 = y.vec_id
-WHERE round(
-        CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))
-                  * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0
-             THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))
-                  / (sqrt(list_sum(list_transform(x.e, t -> t * t)))
-                     * sqrt(list_sum(list_transform(y.e, t -> t * t))))
-             ELSE 0.0 END, 6) >= {threshold}
+WHERE round({_XY_COS}, 6) >= {threshold}
 ORDER BY sim DESC, id_1 ASC, id_2 ASC
 """
 
@@ -190,37 +198,21 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, e, "vec_id", "embedding", k=5)
 
 
-def _knn_lsh_oracle_sql(n_bands: int, planes_per_band: int, k: int) -> str:
-    qb = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band,"
-        f" {_sql_band_bucket('e', b, planes_per_band, 64)} AS bucket FROM q"
-        for b in range(n_bands)
-    )
-    cb = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band,"
-        f" {_sql_band_bucket('e', b, planes_per_band, 64)} AS bucket FROM v"
-        for b in range(n_bands)
-    )
-    sim = (
-        "CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))"
-        " * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0"
-        " THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))"
-        " / (sqrt(list_sum(list_transform(x.e, t -> t * t)))"
-        " * sqrt(list_sum(list_transform(y.e, t -> t * t))))"
-        " ELSE 0.0 END"
-    )
+def _knn_lsh_oracle_sql(
+    n_bands: int, planes_per_band: int, k: int, dims: int = 64
+) -> str:
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT * FROM v WHERE vec_id % 25 = 0),
-qb AS ({qb}),
-cb AS ({cb}),
+qb AS ({_bucket_union_sql('q', n_bands, planes_per_band, dims)}),
+cb AS ({_bucket_union_sql('v', n_bands, planes_per_band, dims)}),
 cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS neighbor_id
   FROM qb a JOIN cb b2 ON a.band = b2.band AND a.bucket = b2.bucket
   WHERE a.vec_id <> b2.vec_id
 ),
 scored AS (
-  SELECT c.query_id, c.neighbor_id, round({sim}, 6) AS sim
+  SELECT c.query_id, c.neighbor_id, round({_XY_COS}, 6) AS sim
   FROM cand c JOIN v x ON c.query_id = x.vec_id
               JOIN v y ON c.neighbor_id = y.vec_id
 )
@@ -381,22 +373,9 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_dedup_oracle_sql(
     threshold: float, n_bands: int, planes_per_band: int, dims: int = 64
 ) -> str:
-    bucket_union = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band,"
-        f" {_sql_band_bucket('e', b, planes_per_band, dims)} AS bucket FROM v"
-        for b in range(n_bands)
-    )
-    sim = (
-        "CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))"
-        " * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0"
-        " THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))"
-        " / (sqrt(list_sum(list_transform(x.e, t -> t * t)))"
-        " * sqrt(list_sum(list_transform(y.e, t -> t * t))))"
-        " ELSE 0.0 END"
-    )
     return f"""
 WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-bk AS ({bucket_union}),
+bk AS ({_bucket_union_sql('v', n_bands, planes_per_band, dims)}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_1, b2.vec_id AS id_2
   FROM bk a JOIN bk b2
@@ -405,7 +384,7 @@ cand AS (
 pairs AS (
   SELECT id_1, id_2
   FROM cand c JOIN v x ON c.id_1 = x.vec_id JOIN v y ON c.id_2 = y.vec_id
-  WHERE round({sim}, 6) >= {threshold}
+  WHERE round({_XY_COS}, 6) >= {threshold}
 ),
 sym AS (
   SELECT id_1 AS s, id_2 AS d FROM pairs
