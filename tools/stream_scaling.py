@@ -1,0 +1,73 @@
+"""Streaming cluster-maintenance scaling probe (SCALING.md evidence).
+
+Adversarial workload: each batch re-lands every sf0.01 document as a NEW
+near-dup variant, so every batch pairs against the entire prior corpus —
+the worst case for an incremental maintainer. A flat per-batch wall while
+the corpus and the pair graph grow is the delta-boundedness evidence.
+
+Usage: python tools/stream_scaling.py [n_batches]   (default 6)
+Prints one JSON line per batch: corpus size, pairs-store size, wall sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from transcription_lakehouse_spark.session import get_spark  # noqa: E402
+from transcription_lakehouse_spark.streaming.ingest import (  # noqa: E402
+    stream_cluster_update,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    spark = get_spark(app_name="stream-scaling")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    tmp = tempfile.mkdtemp(prefix="stream_scaling_")
+    d = os.path.join(tmp, "in")
+    os.makedirs(d)
+    state = os.path.join(tmp, "state")
+    ck = os.path.join(tmp, "ck")
+    for i in range(n_batches):
+        with open(os.path.join(d, f"b{i}.jsonl"), "w") as f:
+            for doc_id, text in rows:
+                f.write(
+                    json.dumps(
+                        {"doc_id": f"{doc_id}_r{i}", "text": f"{text} tail{i}"}
+                    )
+                    + "\n"
+                )
+        t0 = time.time()
+        q = stream_cluster_update(spark, d, state, ck)
+        q.awaitTermination(300)
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "batch": i,
+                    "corpus": spark.read.parquet(f"{state}/corpus").count(),
+                    "pairs": spark.read.parquet(f"{state}/pairs").count(),
+                    "clustered": spark.read.parquet(
+                        f"{state}/clusters"
+                    ).count(),
+                    "wall_sec": round(wall, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
