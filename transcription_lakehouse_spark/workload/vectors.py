@@ -229,6 +229,83 @@ WHERE rank <= {k}
 VEC_KNN_LSH_SQL = _knn_lsh_oracle_sql(8, 4, 5)
 
 
+def vec_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FIXED coarse quantizer (cells = the 16 lowest-id
+    vectors): same assignment/probe/rescore machinery as the k-means IVF
+    (`vec_knn_ivf`), but with deterministic centroids the DuckDB twin can
+    reconstruct — so the cell assignment (d² = |c|²−2·v·c, stable
+    cell-index tie-break), the nprobe=4 probe, and the per-cell exact
+    rescore are all value-hash gated. The trained variant stays rows-only
+    (k-means is not standalone-SQL-expressible); this one certifies every
+    moving part around the training."""
+    from ..operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(16).collect()
+    ]
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(
+        queries, e, "vec_id", "embedding", k=5, n_cells=16, nprobe=4,
+        centroids=cents,
+    )
+
+
+def _knn_ivf_fixed_oracle_sql(n_cells: int, nprobe: int, k: int) -> str:
+    # d² = |c|² − 2·v·c (the |v|² term is rank-invariant), tie-break on
+    # cell index — mirrors operators.similarity._nearest_cells_udf
+    d2 = (
+        "list_sum(list_transform(ce, t -> t * t))"
+        " - 2 * list_sum(list_transform(list_zip(e, ce), z -> z[1] * z[2]))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         e AS ce
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {n_cells})
+),
+dist AS (
+  SELECT v.vec_id, c.cell, {d2} AS d2 FROM v CROSS JOIN c
+),
+corpus_cell AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+q_probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist WHERE vec_id % 25 = 0
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, m.vec_id AS neighbor_id
+  FROM q_probe q JOIN corpus_cell m ON q.cell = m.cell
+  WHERE q.vec_id <> m.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, round({_XY_COS}, 6) AS sim
+  FROM cand c JOIN v x ON c.query_id = x.vec_id
+              JOIN v y ON c.neighbor_id = y.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+VEC_KNN_IVF_FIXED_SQL = _knn_ivf_fixed_oracle_sql(16, 4, 5)
+
+
 def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 approximate ANN via IVF (k-means cells + nprobe probing) — the
     second scale path next to LSH, mirroring FAISS IVF semantics.
@@ -576,6 +653,7 @@ QUERIES = {
     "vec_norm_stats": vec_norm_stats,
     "vec_knn_bruteforce": vec_knn_bruteforce,
     "vec_knn_ivf": vec_knn_ivf,
+    "vec_knn_ivf_fixed": vec_knn_ivf_fixed,
     "vec_near_dup_pairs": vec_near_dup_pairs,
     "vec_knn_lsh": vec_knn_lsh,
 }
@@ -592,4 +670,5 @@ ORACLES = {
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
     "vec_knn_lsh": VEC_KNN_LSH_SQL,
+    "vec_knn_ivf_fixed": VEC_KNN_IVF_FIXED_SQL,
 }
