@@ -51,17 +51,26 @@ def main() -> None:
                 )
         t0 = time.time()
         q = stream_cluster_update(spark, d, state, ck)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timed-out query would overlap the next iteration on the
+            # same checkpoint and clamp the measurement — fail loudly
+            q.stop()
+            raise RuntimeError(f"batch {i} exceeded 300s; evidence invalid")
         wall = time.time() - t0
+
+        def _count(path: str) -> int:
+            try:
+                return spark.read.parquet(path).count()
+            except Exception:  # state not created yet (no pairs so far)
+                return 0
+
         print(
             json.dumps(
                 {
                     "batch": i,
-                    "corpus": spark.read.parquet(f"{state}/corpus").count(),
-                    "pairs": spark.read.parquet(f"{state}/pairs").count(),
-                    "clustered": spark.read.parquet(
-                        f"{state}/clusters"
-                    ).count(),
+                    "corpus": _count(f"{state}/corpus"),
+                    "pairs": _count(f"{state}/pairs"),
+                    "clustered": _count(f"{state}/clusters"),
                     "wall_sec": round(wall, 1),
                 }
             ),
