@@ -35,6 +35,7 @@ HEADLINE = [
     "doc_fingerprints",
     "vec_knn_bruteforce",
     "vec_knn_lsh",
+    "vec_knn_ivf_fixed",
     "evt_asof_last_view",
     "doc_decontamination",
     "doc_gopher_report",
