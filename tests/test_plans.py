@@ -407,6 +407,10 @@ def test_zorder_prunes_on_both_clustered_columns(spark, tmp_path):
     )
     assert stats["rows"] == tenx.count()
     assert stats["n_files_after"] > 4  # multiple files, else nothing to skip
+    # content parity: the rewrite reorders rows, never changes them
+    src, dst = spark.read.parquet(raw), spark.read.parquet(zpath)
+    assert dst.exceptAll(src).count() == 0
+    assert src.exceptAll(dst).count() == 0
 
     t = spark.read.parquet(zpath)
     lo = t.agg(
