@@ -275,3 +275,36 @@ def test_hll_merge_is_order_and_split_invariant(spark, keys, cut):
     # a split that duplicates a boundary key can only ADD occurrences of
     # existing keys — registers are occurrence-insensitive, so still equal
     assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=2,
+        max_size=150,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_histogram_quantiles_within_one_bin_width(spark, vals):
+    """Sketch-quantile bound on arbitrary value streams: every decile
+    estimate lands within one bin width of the exact INVERSE-CDF quantile
+    (the definition a cumulative-count estimator targets; numpy's default
+    linear interpolation differs by up to one inter-point gap at tiny n)."""
+    import numpy as np
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        HIST_BINS,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    sk = histogram_sketch(df, "v")
+    qs = [0.1, 0.5, 0.9]
+    est = {r["q"]: r["est"] for r in histogram_quantiles(sk, qs).collect()}
+    arr = np.asarray(vals)
+    width = (arr.max() - arr.min()) / HIST_BINS
+    for q in qs:
+        exact = float(np.quantile(arr, q, method="inverted_cdf"))
+        # + 5e-7: the emitted estimate is rounded to 6 decimals
+        assert abs(est[q] - exact) <= width + 5e-7, (q, est[q], exact, width)
