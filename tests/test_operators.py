@@ -942,3 +942,24 @@ def test_hll_max_rank_register_is_not_dropped(spark):
     terms = sorted(1 << (25 - r) for r in regs.values())
     assert present == sum(terms)
     assert min(terms) == 1
+
+
+def test_histogram_quantiles_rejects_out_of_range_q(spark):
+    """ADVICE r3 (low): q=0 can never satisfy cum_before < target, so it
+    must raise instead of silently returning no row."""
+    import pytest
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    sk = histogram_sketch(df, "v")
+    with pytest.raises(ValueError, match="quantiles must be in"):
+        histogram_quantiles(sk, [0.0, 0.5])
+    with pytest.raises(ValueError, match="quantiles must be in"):
+        histogram_quantiles(sk, [1.5])
+    # valid extremes still work: q=1.0 is the max
+    est = {r["q"]: r["est"] for r in histogram_quantiles(sk, [1.0]).collect()}
+    assert abs(est[1.0] - 9.0) < (9.0 / 64) + 1e-9

@@ -1059,3 +1059,23 @@ def test_rag_chunk_embed_index_search_roundtrip(spark, tmp_path):
     # perfect-similarity hits, not strict top-1 (tie order is an id sort)
     perfect = {h["neighbor_id"] for h in hits if abs(h["sim"] - 1.0) < 1e-6}
     assert f"{probe_row['doc_id']}:{probe_row['chunk_id']}" in perfect, hits
+
+
+def test_read_state_distinguishes_missing_from_corrupt(spark, tmp_path):
+    """ADVICE r3 (medium): a transient/corrupt read of persisted streaming
+    state must ABORT the micro-batch, not silently count as 'first batch'
+    and overwrite accumulated state with only the current delta."""
+    import pytest
+
+    from transcription_lakehouse_spark.streaming.ingest import _read_state
+
+    missing = str(tmp_path / "does_not_exist")
+    assert _read_state(spark, missing) is None
+
+    corrupt_dir = tmp_path / "state"
+    corrupt_dir.mkdir()
+    (corrupt_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as exc:
+        _read_state(spark, str(corrupt_dir))
+    # the failure must surface, not be swallowed into None
+    assert exc.value is not None

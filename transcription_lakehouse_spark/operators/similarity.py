@@ -519,13 +519,15 @@ def _band_buckets_udf(n_bands: int, planes_per_band: int, max_dims: int = 256):
     configs keep the HOF form its DuckDB twin mirrors expression-for-
     expression.
 
-    Cross-engine caveat the oracle gate rests on: the GEMM accumulates in
-    BLAS blocked order while the SQL twin sums left-to-right, so a bucket
-    bit can differ only when |projection| falls within accumulation-order
-    rounding of 0 (~1e-13 · |v|). Measured min margin on the shipped
-    testdata: 1.6e-4 (sf0.01), 1.0e-6 (sf0.1) — zero flips; on corpora
-    with near-degenerate projections prefer the HOF path for oracle-gated
-    queries."""
+    Cross-engine caveat, CLOSED by the margin guard below: the GEMM
+    accumulates in BLAS blocked order while the SQL twin sums strictly
+    left-to-right, so a bucket bit could differ when |projection| falls
+    within accumulation-order rounding of 0 (~1e-13 · Σ|v|). Any projection
+    inside that margin is recomputed with a strict left-to-right scalar
+    loop — bit-identical to the SQL twin's accumulation order — so the
+    oracle gate holds on ANY corpus, not just ones with measured margins
+    (shipped testdata min margin: 1.6e-4 sf0.01, 1.0e-6 sf0.1 — the
+    fallback never fires there)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
@@ -544,7 +546,18 @@ def _band_buckets_udf(n_bands: int, planes_per_band: int, max_dims: int = 256):
             raise ValueError(
                 f"band buckets: vector dims {V.shape[1]} exceed max_dims={max_dims}"
             )
-        proj = V @ S[:, : V.shape[1]].T  # (n, total)
+        d = V.shape[1]
+        proj = V @ S[:, :d].T  # (n, total)
+        # margin guard: entries whose |projection| is within accumulation-
+        # order rounding of 0 get a strict left-to-right recompute (the
+        # order the SQL twin uses), so the sign bit can never diverge
+        margin = 1e-10 * np.maximum(np.abs(V).sum(axis=1, keepdims=True), 1.0)
+        for i, p in np.argwhere(np.abs(proj) < margin):
+            acc = 0.0
+            row, signs = V[i], S[p, :d]
+            for j in range(d):
+                acc = acc + row[j] * signs[j]
+            proj[i, p] = acc
         bits = (proj > 0).astype(np.int64).reshape(len(V), n_bands, planes_per_band)
         out = (bits * weights).sum(axis=2)  # (n, n_bands)
         return pd.Series(list(out))

@@ -345,9 +345,15 @@ def histogram_quantiles(
     whose cumulative count reaches it contributes
     est = lo + width·(bin + (target - cum_before)/cnt). Error ≤ one bin
     width by construction. All arithmetic is fixed-order double ops over
-    exact integer counts — cross-engine reproducible."""
+    exact integer counts — cross-engine reproducible. Quantiles must lie in
+    (0, 1]: q = 0 can never satisfy ``cum_before < target`` (the first bin
+    has cum_before = 0) and would silently return no row, so it is rejected
+    here — ask for the group's ``lo`` (the sketch carries it) instead."""
     from pyspark.sql import Window
 
+    bad = [q for q in quantiles if not 0.0 < q <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles must be in (0, 1], got {bad}")
     group_cols = group_cols or []
     totals = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
     cum_w = totals.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)

@@ -63,6 +63,9 @@ class Assessment:
     status: str  # GREEN / AMBER / RED
     violations: list[Violation] = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
+    # the thresholds the assessor actually evaluated against — carried so
+    # write_report documents the applied thresholds, not a fresh default
+    thresholds: "Thresholds | None" = None
 
 
 def _rag(violations: list[Violation]) -> str:
@@ -190,4 +193,9 @@ def assess(
     if beats is not None:
         metrics["beat_compliance"] = length_compliance(beats, *th.beat_len_range)
 
-    return Assessment(status=_rag(violations), violations=violations, metrics=metrics)
+    return Assessment(
+        status=_rag(violations),
+        violations=violations,
+        metrics=metrics,
+        thresholds=th,
+    )

@@ -338,8 +338,10 @@ def write_report(
 
     ``spans``/``embeddings`` are optional: when provided, the diagnostics
     CSVs (outliers, neighbor samples) are produced at reference column
-    granularity; without them only the metrics tree is written."""
-    th = thresholds or Thresholds()
+    granularity; without them only the metrics tree is written. Thresholds resolve to
+    the ones the assessor actually applied (carried on ``assessment``)
+    unless explicitly overridden."""
+    th = thresholds or assessment.thresholds or Thresholds()
     stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
     rep_dir = os.path.join(out_dir, stamp)
     metrics_dir = os.path.join(rep_dir, "metrics")

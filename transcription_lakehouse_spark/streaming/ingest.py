@@ -34,6 +34,26 @@ __all__ = [
 ]
 
 
+def _read_state(sess: SparkSession, path: str) -> DataFrame | None:
+    """Read persisted micro-batch state, returning None ONLY when the state
+    genuinely does not exist yet (first batch). Any other read failure — a
+    transient FS error, a corrupt footer — re-raises so the micro-batch
+    aborts and Structured Streaming retries it, instead of silently
+    treating accumulated state as absent and overwriting it with just the
+    current batch (permanent state loss / full re-ingest)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = sess.read.parquet(path)
+        df.schema  # force footer/schema resolution now, inside the guard
+        return df
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def stream_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -53,14 +73,14 @@ def stream_ingest(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         valid, _ = split_valid(batch)
         normalized = normalize(valid)
-        try:
-            existing = batch.sparkSession.read.parquet(out_path).select(
-                "utterance_id"
-            )
+        existing = _read_state(batch.sparkSession, out_path)
+        if existing is not None:
             fresh = normalized.join(
-                F.broadcast(existing), "utterance_id", "left_anti"
+                F.broadcast(existing.select("utterance_id")),
+                "utterance_id",
+                "left_anti",
             )
-        except Exception:  # first batch: sink does not exist yet
+        else:  # first batch: sink does not exist yet
             fresh = normalized
         fresh.write.mode("append").parquet(out_path)
 
@@ -186,16 +206,10 @@ def stream_cluster_update(
         .json(input_dir)
     )
 
-    def _read_or_none(sess: SparkSession, path: str) -> DataFrame | None:
-        try:
-            return sess.read.parquet(path)
-        except Exception:  # state not created yet (first batch)
-            return None
-
     def upsert(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         batch = batch.dropDuplicates([id_col])
-        corpus = _read_or_none(sess, corpus_path)
+        corpus = _read_state(sess, corpus_path)
         if corpus is not None:
             fresh = batch.join(
                 F.broadcast(corpus.select(id_col)), id_col, "left_anti"
@@ -209,7 +223,7 @@ def stream_cluster_update(
         new_bands = signature_bands(
             minhash_signature(fresh, id_col, text_col), id_col
         ).localCheckpoint()
-        old_bands = _read_or_none(sess, bands_path)
+        old_bands = _read_state(sess, bands_path)
         all_bands = (
             old_bands.unionByName(new_bands) if old_bands is not None else new_bands
         )
@@ -263,7 +277,7 @@ def stream_cluster_update(
             return  # no cluster structure changed
 
         # CC delta: recompute only components reachable from the new pairs
-        old_clusters = _read_or_none(sess, clusters_path)
+        old_clusters = _read_state(sess, clusters_path)
         touched = (
             new_pairs.select(F.col(f"{id_col}_1").alias("doc_id"))
             .union(new_pairs.select(F.col(f"{id_col}_2").alias("doc_id")))
@@ -347,14 +361,14 @@ def stream_hll_update(
             return
         sess = batch.sparkSession
         delta = hll_registers(batch, key_col, gcols)
-        try:
-            existing = sess.read.parquet(state_path)
+        existing = _read_state(sess, state_path)
+        if existing is not None:
             merged = (
                 existing.unionByName(delta)
                 .groupBy(*gcols, "register")
                 .agg(F.max("max_rank").alias("max_rank"))
             )
-        except Exception:  # first batch
+        else:  # first batch
             merged = delta
         merged = merged.localCheckpoint()  # materialize before self-overwrite
         merged.write.mode("overwrite").parquet(state_path)

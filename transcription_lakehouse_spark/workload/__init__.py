@@ -69,19 +69,23 @@ _PRIORITY = (
     "doc_pii_scrub",
 )
 
-def _driver_green_names() -> set[str]:
-    """Names with a green row in ANY committed driver correctness artifact
-    (CORRECTNESS_r*.json next to the repo root). Green = value-hash match,
-    or a clean rows-only row for non-SQL-expressible queries. Unreadable /
-    absent artifacts contribute nothing — ordering degrades to the static
-    seed, never breaks the registry."""
+def _driver_green_rounds() -> dict[str, int]:
+    """Map each query name to the ROUND NUMBER of its most recent green row
+    across the committed driver correctness artifacts (CORRECTNESS_r*.json
+    next to the repo root). Green = value-hash match, or a clean rows-only
+    row for non-SQL-expressible queries. Unreadable / absent artifacts
+    contribute nothing — ordering degrades to the static seed, never breaks
+    the registry."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__)))
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = _json.load(f)
@@ -95,8 +99,8 @@ def _driver_green_names() -> set[str]:
             if r.get("hash_match") or (
                 r.get("hash_match") is None and r.get("rows_match")
             ):
-                green.add(name)
-    return green
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -110,19 +114,26 @@ for _m in _MODULES:
         if _sql is not None:
             _ALL_ORACLES[_name] = _sql
 
-# never-driver-green first — seed-listed ones in seed order, then the rest
-# in module order (auto-rotates as artifacts land); green queries follow.
-# With no readable artifact _GREEN is empty, so this IS the seed ordering.
-_GREEN = _driver_green_names()
+# Registry order drives the driver's 50-query correctness window, so order
+# by verification staleness: never-driver-green first (seed order, then
+# module order), then green queries ascending by the round of their LATEST
+# green row — the oldest certifications get re-verified against current
+# code before recently-certified ones repeat. With no readable artifact
+# _GREEN is empty and this degrades to the static seed ordering. Stale seed
+# entries (renamed/removed queries) are skipped rather than raising.
+_GREEN = _driver_green_rounds()
 for _name in _PRIORITY:
-    if _name not in _GREEN:
+    if _name in _ALL_QUERIES and _name not in _GREEN:
         QUERIES[_name] = _ALL_QUERIES[_name]
 for _name in _ALL_QUERIES:
     if _name not in _GREEN and _name not in QUERIES:
         QUERIES[_name] = _ALL_QUERIES[_name]
-for _name, _fn in _ALL_QUERIES.items():
-    if _name not in QUERIES:
-        QUERIES[_name] = _fn
+_MODULE_POS = {n: i for i, n in enumerate(_ALL_QUERIES)}
+for _name in sorted(
+    (n for n in _ALL_QUERIES if n not in QUERIES),
+    key=lambda n: (_GREEN.get(n, 0), _MODULE_POS[n]),
+):
+    QUERIES[_name] = _ALL_QUERIES[_name]
 for _name in QUERIES:
     if _name in _ALL_ORACLES:
         ORACLES[_name] = _ALL_ORACLES[_name]
