@@ -963,3 +963,21 @@ def test_histogram_quantiles_rejects_out_of_range_q(spark):
     # valid extremes still work: q=1.0 is the max
     est = {r["q"]: r["est"] for r in histogram_quantiles(sk, [1.0]).collect()}
     assert abs(est[1.0] - 9.0) < (9.0 / 64) + 1e-9
+
+
+def test_train_centroids_reproduces_committed_quantizer(spark):
+    """The trained IVF path is hash-gated by injecting the committed
+    centroid literals (workload/_ivf_quantizer.py) into both the Spark
+    query and its DuckDB twin; this pins the remaining link — that
+    `train_centroids` (tools/train_ivf.py) deterministically reproduces
+    that artifact from the corpus it was trained on."""
+    from transcription_lakehouse_spark.operators.similarity import train_centroids
+    from transcription_lakehouse_spark.workload._ivf_quantizer import (
+        CENTROIDS,
+        N_CELLS,
+        TRAINED_ON,
+    )
+
+    emb = spark.read.parquet(f"/root/testdata/{TRAINED_ON}/embeddings.parquet")
+    got = train_centroids(emb, "vec_id", "embedding", n_cells=N_CELLS)
+    assert got == CENTROIDS  # exact float equality: the path has no RNG

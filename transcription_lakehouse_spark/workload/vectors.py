@@ -307,15 +307,88 @@ VEC_KNN_IVF_FIXED_SQL = _knn_ivf_fixed_oracle_sql(16, 4, 5)
 
 
 def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 approximate ANN via IVF (k-means cells + nprobe probing) — the
-    second scale path next to LSH, mirroring FAISS IVF semantics.
+    """J9 approximate ANN via IVF with the TRAINED k-means coarse quantizer
+    — the second scale path next to LSH, mirroring FAISS IVF semantics:
+    the quantizer is trained ONCE at index-build time (tools/train_ivf.py
+    runs the deterministic `train_centroids` — hash-ordered sample,
+    farthest-point seeding, fixed Lloyd iterations, no RNG — and commits
+    the centroid matrix to `_ivf_quantizer.py`) and every search reuses it,
+    exactly as FAISS separates `train()` from `search()` (reference builds
+    its index once the same way,
+    `/root/reference/src/lakehouse/indexing/faiss_builder.py:30-147`).
 
-    No SQL oracle (approximate operator; driver records rows-only) — the
-    coarse quantizer is trained deterministically so results are stable
-    run-to-run."""
+    FULLY value-hash gated: the DuckDB twin embeds the same centroid
+    literals (repr round-trips float64 exactly), so cell assignment, the
+    nprobe probe, and the per-cell exact rescore all replay in SQL.
+    Training determinism itself is pinned by
+    tests/test_operators.py::test_train_centroids_reproduces_committed_quantizer."""
+    from ._ivf_quantizer import CENTROIDS
+
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 25 == 0)
-    return ivf_topk(queries, e, "vec_id", "embedding", k=5, n_cells=16, nprobe=4)
+    return ivf_topk(
+        queries, e, "vec_id", "embedding", k=5, n_cells=16, nprobe=4,
+        centroids=CENTROIDS,
+    )
+
+
+def _knn_ivf_trained_oracle_sql(nprobe: int, k: int) -> str:
+    """Same probe/rescore structure as the fixed-quantizer twin, with the
+    cell CTE built from the committed trained-centroid literals."""
+    from ._ivf_quantizer import CENTROIDS
+
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(CENTROIDS)
+    )
+    d2 = (
+        "list_sum(list_transform(ce, t -> t * t))"
+        " - 2 * list_sum(list_transform(list_zip(e, ce), z -> z[1] * z[2]))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c(cell, ce) AS (
+  VALUES
+    {rows}
+),
+dist AS (
+  SELECT v.vec_id, c.cell, {d2} AS d2 FROM v CROSS JOIN c
+),
+corpus_cell AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+q_probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist WHERE vec_id % 25 = 0
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, m.vec_id AS neighbor_id
+  FROM q_probe q JOIN corpus_cell m ON q.cell = m.cell
+  WHERE q.vec_id <> m.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, round({_XY_COS}, 6) AS sim
+  FROM cand c JOIN v x ON c.query_id = x.vec_id
+              JOIN v y ON c.neighbor_id = y.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+VEC_KNN_IVF_SQL = _knn_ivf_trained_oracle_sql(4, 5)
 
 
 def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,4 +744,5 @@ ORACLES = {
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
     "vec_knn_lsh": VEC_KNN_LSH_SQL,
     "vec_knn_ivf_fixed": VEC_KNN_IVF_FIXED_SQL,
+    "vec_knn_ivf": VEC_KNN_IVF_SQL,
 }
