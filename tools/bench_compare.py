@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Bench regression gate: diff two BENCH_r{N}.json artifacts and fail on
+any shared query slower than THRESHOLD× the previous round unless the
+regression has a written cause in BENCH_CAUSES.json.
+
+Round-3 verdict prescribed this after an 11-query regression cluster that
+was probably machine load during the driver's bench run but could not be
+ruled noise without a gate. Usage:
+
+    python tools/bench_compare.py BENCH_r03.json BENCH_r04.json
+    python tools/bench_compare.py --latest      # two newest artifacts
+
+Exit 1 on unexplained regressions. BENCH_CAUSES.json (repo root) maps
+query name -> {"round": N, "cause": "..."} entries; a cause only excuses
+the round it names.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+THRESHOLD = 1.3
+# below this absolute wall, ratio noise swamps signal on a shared machine
+MIN_ABS_DELTA_SEC = 0.25
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        d = json.load(f)
+    q = d.get("parsed", d).get("queries")
+    if q is None:
+        raise SystemExit(f"{path}: no queries section")
+    return q
+
+
+def _round_of(path: str) -> int:
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else 0
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if args == ["--latest"] or not args:
+        arts = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_round_of)
+        if len(arts) < 2:
+            print("need two BENCH_r*.json artifacts")
+            return 0
+        prev_path, cur_path = arts[-2], arts[-1]
+    else:
+        prev_path, cur_path = args
+    prev, cur = _queries(prev_path), _queries(cur_path)
+    cur_round = _round_of(cur_path)
+
+    causes = {}
+    causes_path = os.path.join(REPO, "BENCH_CAUSES.json")
+    if os.path.exists(causes_path):
+        with open(causes_path) as f:
+            causes = json.load(f)
+
+    shared = sorted(set(prev) & set(cur))
+    bad = []
+    print(f"{'query':34s} {'prev':>7s} {'cur':>7s} {'ratio':>6s}")
+    for name in shared:
+        p, c = prev[name], cur[name]
+        ratio = c / p if p else float("inf")
+        mark = ""
+        if ratio > THRESHOLD and (c - p) >= MIN_ABS_DELTA_SEC:
+            cause = causes.get(name)
+            if cause and cause.get("round") == cur_round:
+                mark = f"  EXPLAINED: {cause['cause']}"
+            else:
+                mark = "  REGRESSION (no written cause)"
+                bad.append((name, p, c, ratio))
+        if ratio > THRESHOLD or ratio < 1 / THRESHOLD:
+            print(f"{name:34s} {p:7.3f} {c:7.3f} {ratio:5.2f}x{mark}")
+    print(
+        f"\n{len(shared)} shared queries; "
+        f"{len(bad)} unexplained regression(s) > {THRESHOLD}x"
+    )
+    if bad:
+        for name, p, c, r in bad:
+            print(f"  FAIL {name}: {p:.3f}s -> {c:.3f}s ({r:.2f}x)")
+        print(
+            "\nEither fix the regression or add a written cause to "
+            "BENCH_CAUSES.json:\n"
+            f'  {{"<query>": {{"round": {cur_round}, "cause": "<why>"}}}}'
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
