@@ -238,3 +238,58 @@ def test_version_diff_tags_added_removed_changed(spark, tmp_path):
         for r in version_diff(spark, pn1, pn2, ["id"]).collect()
     }
     assert got3 == {None: "changed"}
+
+
+def test_read_as_of_resolves_version_by_timestamp_and_label(spark, tmp_path):
+    """Time-travel reader (SURVEY §1.1 snapshot<->time-travel mapping):
+    write v1/v2, resolve by label, by as_of instant, and latest; a rollback
+    audit composes the resolved paths with version_diff."""
+    from transcription_lakehouse_spark.ingestion import (
+        list_versions,
+        read_as_of,
+        write_versioned,
+    )
+    from transcription_lakehouse_spark.maintenance import version_diff
+
+    base = str(tmp_path)
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, val string")
+    v2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id int, val string")
+    p1 = write_versioned(v1, base, "t", "v1")
+    p2 = write_versioned(v2, base, "t", "v2")
+
+    versions = list_versions(base, "t")
+    assert [v["version"] for v in versions] == ["v1", "v2"]
+    t1, t2 = versions[0]["created_at"], versions[1]["created_at"]
+    assert t1 <= t2
+
+    # label pins; as_of between the writes resolves v1; no as_of -> latest
+    assert read_as_of(spark, base, "t", version="v1").count() == 2
+    assert read_as_of(spark, base, "t", as_of=t1).count() == 2
+    assert read_as_of(spark, base, "t", as_of=t2).count() == 3
+    assert read_as_of(spark, base, "t").count() == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no version"):
+        read_as_of(spark, base, "t", as_of="2000-01-01T00:00:00+00:00")
+
+    # rollback verification: diff of the two resolved versions
+    changes = {
+        (r["id"], r["change"])
+        for r in version_diff(spark, p1, p2, ["id"]).collect()
+    }
+    assert changes == {(2, "changed"), (3, "added")}
+
+
+def test_read_as_of_falls_back_to_mtime_without_sidecar(spark, tmp_path):
+    """Pre-sidecar lakes stay resolvable: mtime fallback."""
+    import os
+
+    from transcription_lakehouse_spark.ingestion import list_versions, write_versioned
+
+    base = str(tmp_path)
+    df = spark.createDataFrame([(1,)], "id int")
+    p = write_versioned(df, base, "t", "v1")
+    os.remove(os.path.join(p, "_version_info.json"))
+    versions = list_versions(base, "t")
+    assert len(versions) == 1 and versions[0]["created_at"]

@@ -22,6 +22,8 @@ __all__ = [
     "normalize",
     "write_versioned",
     "read_versioned",
+    "read_as_of",
+    "list_versions",
     "incremental_filter",
 ]
 
@@ -105,7 +107,23 @@ def write_versioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    _stamp_version(path, version)
     return path
+
+
+def _stamp_version(path: str, version: str) -> None:
+    """Sidecar `_version_info.json` with a UTC creation stamp — the
+    metadata `read_as_of` resolves time-travel reads against. Underscore
+    prefix ⇒ Spark's parquet scan ignores it."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    info = {
+        "version": version,
+        "created_at": datetime.now(timezone.utc).isoformat(),
+    }
+    with open(os.path.join(path, "_version_info.json"), "w") as f:
+        _json.dump(info, f, indent=2, sort_keys=True)
 
 
 def read_versioned(
@@ -118,6 +136,87 @@ def read_versioned(
     """S9: read back with optional column pruning (Catalyst prunes the
     parquet scan automatically)."""
     df = spark.read.parquet(os.path.join(base_dir, artifact, version))
+    return df.select(*columns) if columns else df
+
+
+def list_versions(base_dir: str, artifact: str) -> list[dict]:
+    """All versions of an artifact, ascending by creation time: [{version,
+    created_at, path}]. `created_at` comes from the `_version_info.json`
+    sidecar `write_versioned` stamps; versions written before the sidecar
+    existed fall back to the newest data-file mtime, so old lakes stay
+    resolvable. Driver-side directory I/O only — metadata, not data."""
+    import glob as _glob
+    import json as _json
+    from datetime import datetime, timezone
+
+    art_dir = os.path.join(base_dir, artifact)
+    out = []
+    for vdir in sorted(_glob.glob(os.path.join(art_dir, "*"))):
+        if not os.path.isdir(vdir):
+            continue
+        meta = os.path.join(vdir, "_version_info.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                created = _json.load(f)["created_at"]
+        else:
+            files = _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+            if not files:
+                continue
+            created = datetime.fromtimestamp(
+                max(os.path.getmtime(p) for p in files), tz=timezone.utc
+            ).isoformat()
+        out.append(
+            {
+                "version": os.path.basename(vdir),
+                "created_at": created,
+                "path": vdir,
+            }
+        )
+    out.sort(key=lambda v: v["created_at"])
+    return out
+
+
+def read_as_of(
+    spark: SparkSession,
+    base_dir: str,
+    artifact: str,
+    as_of: str | None = None,
+    version: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Time-travel read over the versioned-dir convention — the analog of
+    Delta's `VERSION AS OF` / `TIMESTAMP AS OF` for this lake (the
+    reference maps its immutable snapshots to the same idea,
+    `src/lakehouse/snapshot/creator.py:99-130`; SURVEY §1.1).
+
+    Resolution: explicit ``version`` label wins; else ``as_of`` (ISO-8601
+    UTC timestamp) picks the newest version created at or before that
+    instant (raises if none existed yet); else the newest version.
+    Compose with `maintenance.version_diff` on the resolved paths to audit
+    what a rollback to the older version would change."""
+    from datetime import datetime, timezone
+
+    def _ts(s: str) -> datetime:
+        dt = datetime.fromisoformat(s)
+        return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+
+    if version is not None:
+        return read_versioned(spark, base_dir, artifact, version, columns)
+    versions = list_versions(base_dir, artifact)
+    if not versions:
+        raise ValueError(f"no versions of {artifact!r} under {base_dir}")
+    if as_of is not None:
+        cutoff = _ts(as_of)
+        eligible = [v for v in versions if _ts(v["created_at"]) <= cutoff]
+        if not eligible:
+            raise ValueError(
+                f"no version of {artifact!r} existed at {as_of} "
+                f"(earliest: {versions[0]['created_at']})"
+            )
+        pick = eligible[-1]
+    else:
+        pick = versions[-1]
+    df = spark.read.parquet(pick["path"])
     return df.select(*columns) if columns else df
 
 
