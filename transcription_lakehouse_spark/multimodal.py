@@ -1,10 +1,13 @@
 """Multimodal column support: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas`` kernels.
 
-The decode step itself is STUBBED (image/audio codecs are not installed in
-this container): ``decode_fn=None`` uses a deterministic fake decoder so the
-Spark-side plumbing — schema, partitioning, UDF signatures, batch shapes —
-is real and tested; swapping in PIL/librosa later is a one-argument change.
+AUDIO decode is REAL: :func:`decode_wav` is a pure-numpy RIFF/PCM codec
+(no external libs), feeding :func:`wav_feature_extractor` and
+:func:`audio_stats` end-to-end. Image/video decode remains STUBBED (no
+codec libs in this container): ``decode_fn=None`` uses a deterministic
+fake decoder so the Spark-side plumbing — schema, partitioning, UDF
+signatures, batch shapes — is real and tested; swapping in PIL/torchvision
+later is a one-argument change.
 
 Design for 100 TB: binary payloads stay columnar in parquet; metadata
 predicates (media_type, width, duration) push down so decode only touches
@@ -38,6 +41,9 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "fake_decode",
+    "decode_wav",
+    "wav_feature_extractor",
+    "audio_stats",
 ]
 
 # typed metadata + opaque payload — the multimodal column convention
@@ -71,6 +77,130 @@ def fake_decode(payload: bytes, dim: int = 32) -> np.ndarray:
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(dim).astype("float32")
     return v / (np.linalg.norm(v) or 1.0)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decode, pure numpy — RIFF/WAVE container parse + PCM
+    payload decode to a mono float64 waveform in [-1, 1]. Returns
+    (sample_rate, samples). Supports PCM u8 / s16 / s32 (format 1) and
+    IEEE float32/64 (format 3); multi-channel is averaged to mono. This
+    closes the audio leg of the multimodal decode seam without external
+    codec libs; image/video remain honest NotImplementedError stubs."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("decode_wav: truncated fmt chunk")
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("decode_wav: missing fmt or data chunk")
+    ch, bits, af = fmt["n_channels"], fmt["bits"], fmt["audio_format"]
+    if ch < 1:
+        raise ValueError("decode_wav: zero channels")
+    if af == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif af == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    elif af == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif af == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif af == 3 and bits == 64:
+        x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    else:
+        raise ValueError(f"decode_wav: unsupported format={af} bits={bits}")
+    if ch > 1:
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return fmt["sample_rate"], x
+
+
+def wav_feature_extractor(dim: int = 32) -> Callable[[bytes], np.ndarray]:
+    """A real `decode_fn` for :func:`extract_features`: fixed-size acoustic
+    feature vector = [duration_sec, rms, zero_crossing_rate] + (dim-3)
+    log-energy bands of the magnitude spectrum (equal-width rFFT pooling —
+    a mel-less filterbank that needs only numpy). Deterministic; silence
+    yields zero energy bands, and a pure tone peaks in the band holding
+    its frequency."""
+    if dim < 4:
+        raise ValueError("wav_feature_extractor: dim must be >= 4")
+
+    def fn(payload: bytes) -> np.ndarray:
+        sr, x = decode_wav(payload)
+        if len(x) == 0:
+            return np.zeros(dim, dtype=np.float64)
+        duration = len(x) / sr
+        rms = float(np.sqrt((x * x).mean()))
+        zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if len(x) > 1 else 0.0
+        mag = np.abs(np.fft.rfft(x))
+        n_bands = dim - 3
+        # pool |spectrum| into equal-width bands; log1p compresses range
+        edges = np.linspace(0, len(mag), n_bands + 1).astype(int)
+        bands = np.array(
+            [
+                np.log1p(mag[a:b].sum()) if b > a else 0.0
+                for a, b in zip(edges[:-1], edges[1:])
+            ]
+        )
+        return np.concatenate(([duration, rms, zcr], bands))
+
+    return fn
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-clip audio quality stats over the binary column — the audio twin
+    of the text quality battery: (media_id, sample_rate, n_samples,
+    duration_sec, rms, peak, clipping_ratio, silence_ratio). Arrow-batched
+    mapInPandas over the real WAV decoder; metadata predicates
+    (media_type = 'audio') prune before any payload is decoded."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, x = decode_wav(payload)
+                n = len(x)
+                ax = np.abs(x)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "duration_sec": n / sr if sr else 0.0,
+                        "rms": float(np.sqrt((x * x).mean())) if n else 0.0,
+                        "peak": float(ax.max()) if n else 0.0,
+                        "clipping_ratio": float((ax >= 0.999).mean()) if n else 0.0,
+                        "silence_ratio": float((ax < 1e-4).mean()) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(
+            kernel,
+            schema=(
+                "media_id string, sample_rate long, n_samples long, "
+                "duration_sec double, rms double, peak double, "
+                "clipping_ratio double, silence_ratio double"
+            ),
+        )
+    )
 
 
 def extract_features(
