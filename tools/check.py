@@ -12,12 +12,21 @@ int64 even when every value is numerically equal. Floats NEVER collapse to
 int strings (the round-1 masking bug): int64 5 and float64 5.0 are distinct.
 
 Usage: python tools/check.py [sf_dir] [query ...]
+       python tools/check.py [sf_dir] --changed-since REF
+
+`--changed-since REF` maps files changed since git REF (plus uncommitted
+changes) onto the registry through a static import graph of the package:
+a query re-runs iff its workload module transitively imports a changed
+module. Changes to gate infra (this file, __spark_entry__.py, session.py,
+workload/__init__.py) trigger the full run — over-approximation only,
+never under.
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -27,9 +36,116 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "transcription_lakehouse_spark"
+
+# a change to any of these invalidates every query's certification
+_GLOBAL_TRIGGERS = {
+    "__spark_entry__.py",
+    "tools/check.py",
+    f"{PKG}/__init__.py",
+    f"{PKG}/session.py",
+    f"{PKG}/workload/__init__.py",
+}
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def _module_of(relpath: str) -> str | None:
+    """'pkg/operators/dedup.py' -> 'pkg.operators.dedup'; __init__.py maps
+    to its package name."""
+    if not relpath.endswith(".py") or not relpath.startswith(PKG + "/"):
+        return None
+    parts = relpath[:-3].split("/")
+    if parts[-1] == "__init__":
+        parts = parts[:-1]
+    return ".".join(parts)
+
+
+def _import_graph() -> dict[str, set[str]]:
+    """Static intra-package import graph: module -> set of package modules
+    it imports directly (ancestor packages included, since importing
+    pkg.a.b executes pkg/__init__ and pkg/a/__init__)."""
+    import ast
+    import glob as _glob
+
+    graph: dict[str, set[str]] = {}
+    files = _glob.glob(os.path.join(REPO, PKG, "**", "*.py"), recursive=True)
+    mods = {
+        m
+        for m in (_module_of(os.path.relpath(p, REPO)) for p in files)
+        if m is not None
+    }
+    for path in files:
+        rel = os.path.relpath(path, REPO)
+        mod = _module_of(rel)
+        if mod is None:
+            continue
+        is_pkg = rel.endswith("__init__.py")
+        pkg_parts = mod.split(".") if is_pkg else mod.split(".")[:-1]
+        deps: set[str] = set()
+        tree = ast.parse(open(path).read(), filename=path)
+        for node in ast.walk(tree):
+            targets: list[str] = []
+            if isinstance(node, ast.Import):
+                targets = [a.name for a in node.names]
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:
+                    anchor = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                    base = ".".join(anchor + ([node.module] if node.module else []))
+                else:
+                    base = node.module or ""
+                targets = [base] + [f"{base}.{a.name}" for a in node.names]
+            for t in targets:
+                if t in mods:  # filters imported *names* vs modules
+                    deps.add(t)
+                    # ancestor package __init__s execute on import
+                    parts = t.split(".")
+                    for i in range(1, len(parts)):
+                        anc = ".".join(parts[:i])
+                        if anc in mods:
+                            deps.add(anc)
+        graph[mod] = deps
+    return graph
+
+
+def _transitive(graph: dict[str, set[str]], start: str) -> set[str]:
+    seen, stack = {start}, [start]
+    while stack:
+        for d in graph.get(stack.pop(), ()):
+            if d not in seen:
+                seen.add(d)
+                stack.append(d)
+    return seen
+
+
+def changed_queries(ref: str, queries: dict) -> set[str] | None:
+    """Query names affected by files changed since git ``ref`` (committed
+    diff + working tree). Returns None to mean 'run everything' (a gate-
+    infra file changed)."""
+    import subprocess
+
+    out = subprocess.check_output(
+        ["git", "diff", "--name-only", ref, "--"], cwd=REPO
+    ).decode()
+    changed = [line for line in out.splitlines() if line]
+    if any(c in _GLOBAL_TRIGGERS for c in changed):
+        return None
+    changed_mods = {m for m in (_module_of(c) for c in changed) if m is not None}
+    if not changed_mods:
+        return set()
+    graph = _import_graph()
+    affected = set()
+    closures: dict[str, set[str]] = {}
+    for name, fn in queries.items():
+        owner = fn.__module__
+        if owner not in closures:
+            closures[owner] = _transitive(graph, owner)
+        if closures[owner] & changed_mods:
+            affected.add(name)
+    return affected
 
 
 def _norm_cell(v) -> str:
@@ -77,10 +193,29 @@ def _dtype_kind(dt) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    since = None
+    if "--changed-since" in args:
+        i = args.index("--changed-since")
+        since = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
+
+    if since is not None:
+        affected = changed_queries(since, entrymod.queries())
+        if affected is None:
+            print(f"gate infra changed since {since}: full run")
+        elif not affected:
+            print(f"no registry-affecting changes since {since}; 0 queries to run")
+            print("\n0 failures")
+            return 0
+        else:
+            print(f"{len(affected)} queries affected since {since}")
+            only = affected if not only else (only & affected)
+
     from transcription_lakehouse_spark.session import get_spark
 
     spark = get_spark()
