@@ -981,3 +981,79 @@ def test_train_centroids_reproduces_committed_quantizer(spark):
     emb = spark.read.parquet(f"/root/testdata/{TRAINED_ON}/embeddings.parquet")
     got = train_centroids(emb, "vec_id", "embedding", n_cells=N_CELLS)
     assert got == CENTROIDS  # exact float equality: the path has no RNG
+
+
+def test_pq_topk_recall_and_exact_degenerate(spark):
+    """PQ ANN (Jégou et al. 2011): recall@5 vs brute force on the real
+    sf0.01 embeddings with the committed codebooks; shortlist = corpus
+    degenerates to exact; and the committed codebook artifact reproduces
+    from its training corpus (same determinism pin as the IVF quantizer)."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        _pytest.skip("driver testdata not present")
+
+    from transcription_lakehouse_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from transcription_lakehouse_spark.workload._pq_codebooks import (
+        CODEBOOKS,
+        K_CODES,
+        M_SUBVECTORS,
+        TRAINED_ON,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+
+    # near-random 64-dim vectors are PQ's hardest case; measured recall
+    # with shortlist=64 of 500 sits well above this floor
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            q, e, "vec_id", "embedding", CODEBOOKS, k=5, shortlist=64
+        ).collect()
+    }
+    assert len(got & want) / len(want) >= 0.5
+
+    # shortlist >= corpus => the ADC stage cannot drop a true neighbor:
+    # exact-equality with brute force
+    n = e.count()
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_topk(
+            q, e, "vec_id", "embedding", CODEBOOKS, k=5, shortlist=n
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+    assert full == exact
+
+    # stored-index path: pre-materialized codes give identical results
+    codes = pq_encode(e, "vec_id", "embedding", CODEBOOKS)
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            q, e, "vec_id", "embedding", CODEBOOKS, k=5, shortlist=64,
+            codes=codes,
+        ).collect()
+    }
+    assert got2 == got
+
+    # artifact determinism
+    emb = spark.read.parquet(f"/root/testdata/{TRAINED_ON}/embeddings.parquet")
+    assert (
+        train_pq_codebooks(emb, "vec_id", "embedding", m=M_SUBVECTORS, k=K_CODES)
+        == CODEBOOKS
+    )

@@ -41,6 +41,9 @@ _BOUNDED_BROADCAST_BNLJ = {
     "vec_contrastive_triplets",  # sampled anchors broadcast, one scored pass
     "vec_hard_negatives",   # sampled queries broadcast, exact scoring IS
                             # the semantics (brute_force_topk shape)
+    "vec_knn_pq",           # sampled queries' ADC LUTs broadcast against
+                            # the compressed codes relation — the PQ scan
+                            # IS one pass over codes by construction
 }
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {

@@ -1,0 +1,246 @@
+"""Product-quantization (PQ) similarity search — the compressed-domain ANN
+path (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; the construction behind FAISS IndexPQ/IVFPQ — the
+reference serves ANN from FAISS, `/root/reference/src/lakehouse/indexing/
+faiss_builder.py:30-147`).
+
+Why this exists at 100 TB: a 64-dim float32 embedding is 256 B; its PQ code
+(m=8 subvectors × 4-bit codes here) is 8 small ints — the corpus scan for a
+search touches ~32× fewer bytes, and the asymmetric-distance computation
+(ADC) is a per-row table lookup + sum, no float vector math. The exact
+rescore then reads full vectors ONLY for the shortlist.
+
+Spark shape:
+- codebooks are trained OFFLINE on a bounded deterministic sample
+  (`train_pq_codebooks`, same discipline as the IVF coarse quantizer:
+  farthest-point seeding + fixed Lloyd iterations, no RNG) and injected as
+  literals — training is an index-build step, not a per-query one.
+- `pq_encode` maps the corpus to codes with one Arrow-batched numpy pass
+  (per-subvector argmin over k centroids).
+- `pq_topk` builds one ADC lookup table per QUERY row (m×k distances —
+  queries are the small side), broadcasts them against the codes relation,
+  sums LUT entries JVM-side (zip_with + aggregate over the codes array —
+  no Python in the corpus-sized hot path), shortlists, then exactly
+  rescores the shortlist by cosine.
+
+Every float decision (subvector distances, argmin tie-breaks, ADC sums)
+uses fixed operand order so a DuckDB twin with the same codebook literals
+replays the search bit-for-bit (workload/vectors.py:vec_knn_pq).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.vector import as_double_array, dot, l2_norm
+
+__all__ = ["train_pq_codebooks", "pq_encode", "pq_topk"]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subvector k-means codebooks: splits each sampled vector into
+    ``m`` contiguous subvectors and trains ``k`` centroids per subspace.
+    Deterministic end-to-end (hash-ordered bounded sample, farthest-point
+    seeding, fixed Lloyd iterations — the same recipe as
+    `similarity.train_centroids`). Returns ``m × k × (d/m)`` floats."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("_h"),
+            as_double_array(vec_col).alias("v"),
+        )
+        .orderBy("_h", id_col)
+        .limit(sample_cap)
+        .select("v")
+        .collect()
+    )
+    pts = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(pts) == 0:
+        raise ValueError("train_pq_codebooks: corpus is empty")
+    d = pts.shape[1]
+    if d % m:
+        raise ValueError(f"train_pq_codebooks: dims {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for mi in range(m):
+        seg = pts[:, mi * sub : (mi + 1) * sub]
+        kk = min(k, len(seg))
+        chosen = [0]
+        min_d2 = ((seg - seg[0]) ** 2).sum(axis=1)
+        while len(chosen) < kk:
+            nxt = int(min_d2.argmax())
+            chosen.append(nxt)
+            min_d2 = np.minimum(min_d2, ((seg - seg[nxt]) ** 2).sum(axis=1))
+        cents = seg[chosen].copy()
+        for _ in range(iters):
+            d2 = ((seg[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                members = seg[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched codes: for each subvector, the index of its nearest
+    codebook centroid (d² = |c|² − 2·x·c per subspace — the |x|² term is
+    argmin-invariant; stable argmin ⇒ smallest index wins ties)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, k, sub = C.shape
+    c2 = (C * C).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        S = V.reshape(len(V), m, sub)  # (n, m, sub)
+        # (n, m, k): d2 up to the constant |x_m|^2
+        d2 = c2[None, :, :] - 2.0 * np.einsum("nms,mks->nmk", S, C)
+        codes = d2.argmin(axis=2).astype("int32")  # stable: first min wins
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, codes array<int> of length m) — the compressed corpus
+    representation a 100 TB deployment materializes once at index-build
+    time next to (or instead of) the raw vectors."""
+    return corpus.select(
+        F.col(id_col),
+        _encode_udf(codebooks)(as_double_array(vec_col)).alias("codes"),
+    )
+
+
+def _lut_udf(codebooks: list[list[list[float]]]):
+    """Per-query ADC lookup table: flat array of m·k doubles where
+    lut[mi*k + j] = ||q_mi − c_mi_j||² summed in ascending dim order
+    (matches the SQL twin's left-to-right accumulation)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = C.shape
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def lut(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        out = []
+        for v in vs:
+            q = np.asarray(v, dtype=np.float64).reshape(m, 1, sub)
+            diff = (q - C) ** 2  # (m, k, sub)
+            # strict ascending-dim accumulation, not pairwise .sum()
+            acc = np.zeros((m, k))
+            for s in range(sub):
+                acc = acc + diff[:, :, s]
+            out.append(acc.reshape(-1))
+        return pd.Series(out)
+
+    return lut
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 64,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate top-k: ADC shortlist in the compressed domain, then
+    exact cosine rescore of the shortlist only.
+
+    The corpus-sized work is one broadcast equi-free pass: each corpus row
+    evaluates Σ_mi lut[mi·k + codes[mi]] via zip_with/aggregate — pure JVM
+    expressions over an int array and the query's broadcast LUT; full
+    vectors are read only for the ``shortlist`` survivors per query
+    (shortlist ≪ corpus ⇒ the rescore join is partition-pruned by the
+    broadcast id set at scale). ``codes`` accepts a pre-materialized
+    `pq_encode` output (the stored-index path)."""
+    import numpy as np  # noqa: F401  (documents the numpy dependency)
+
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    if codes is None:
+        codes = pq_encode(corpus, id_col, vec_col, codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("lut", _lut_udf(codebooks)(F.col("qv")))
+
+    c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    # ADC: positional lookup — aggregate over subvector index mi
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.col("lut"), (mi * kk + F.element_at(F.col("codes"), mi + 1) + 1)
+        ),
+    )
+    pairs = (
+        F.broadcast(q.select("query_id", "lut"))
+        .crossJoin(c)
+        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    short = (
+        pairs.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    x = q.select("query_id", "qv").withColumn("qn", l2_norm(F.col("qv")))
+    y = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    den = F.col("qn") * F.col("cn")
+    scored = (
+        short.join(F.broadcast(x), "query_id")
+        .join(y, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

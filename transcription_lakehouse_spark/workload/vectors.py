@@ -391,6 +391,101 @@ WHERE rank <= {k}
 VEC_KNN_IVF_SQL = _knn_ivf_trained_oracle_sql(4, 5)
 
 
+def vec_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 approximate ANN via PRODUCT QUANTIZATION (Jégou et al. 2011 —
+    the FAISS IndexPQ construction): offline-trained per-subvector
+    codebooks (tools/train_pq.py → `_pq_codebooks.py`, same train/search
+    split as the IVF quantizer), asymmetric-distance shortlist over the
+    8-int compressed codes, exact cosine rescore of the shortlist only.
+    The 100 TB point: the corpus-sized scan touches codes (~32× fewer
+    bytes than raw float32 vectors) and does table-lookup sums JVM-side;
+    full vectors are read only for shortlist survivors.
+
+    FULLY value-hash gated: the DuckDB twin embeds the same codebook
+    literals and replays encode → LUT → ADC → shortlist → rescore with
+    identical operand ordering."""
+    from ..operators.pq import pq_topk
+    from ._pq_codebooks import CODEBOOKS
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return pq_topk(
+        queries, e, "vec_id", "embedding", CODEBOOKS, k=5, shortlist=64
+    )
+
+
+def _knn_pq_oracle_sql(k: int, shortlist: int) -> str:
+    from ._pq_codebooks import CODEBOOKS, K_CODES, M_SUBVECTORS
+
+    sub = len(CODEBOOKS[0][0])
+    rows = ",\n    ".join(
+        f"({mi}, {j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for mi, book in enumerate(CODEBOOKS)
+        for j, c in enumerate(book)
+    )
+    seg = f"e[(cb.mi*{sub}+1):(cb.mi*{sub}+{sub})]"
+    mis = ", ".join(str(i) for i in range(M_SUBVECTORS))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cb(mi, j, ce) AS (
+  VALUES
+    {rows}
+),
+enc_d AS (
+  SELECT v.vec_id, cb.mi, cb.j,
+         list_sum(list_transform(cb.ce, t -> t * t))
+           - 2 * list_sum(list_transform(list_zip({seg}, cb.ce),
+                                         z -> z[1] * z[2])) AS d2
+  FROM v CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, list(j ORDER BY mi) AS codes FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+                ORDER BY d2 ASC, j ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1 GROUP BY vec_id
+),
+lut_d AS (
+  SELECT v.vec_id, cb.mi, cb.j,
+         list_sum(list_transform(list_zip({seg}, cb.ce),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+  FROM v CROSS JOIN cb WHERE v.vec_id % 25 = 0
+),
+lut AS (
+  SELECT vec_id, list(d2 ORDER BY mi, j) AS lut FROM lut_d GROUP BY vec_id
+),
+adc AS (
+  SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform([{mis}],
+           mi -> list_extract(l.lut,
+                   mi * {K_CODES} + list_extract(c.codes, mi + 1) + 1))) AS adc_d2
+  FROM lut l CROSS JOIN codes c WHERE l.vec_id <> c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_d2 ASC, neighbor_id ASC) AS srank
+    FROM adc
+  ) WHERE srank <= {shortlist}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id, round({_XY_COS}, 6) AS sim
+  FROM short s JOIN v x ON s.query_id = x.vec_id
+               JOIN v y ON s.neighbor_id = y.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+VEC_KNN_PQ_SQL = _knn_pq_oracle_sql(5, 64)
+
+
 def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (elementwise mean over the embedding
     column) — posexplode → groupBy(label, pos); at scale this is the partial-
@@ -727,6 +822,7 @@ QUERIES = {
     "vec_knn_bruteforce": vec_knn_bruteforce,
     "vec_knn_ivf": vec_knn_ivf,
     "vec_knn_ivf_fixed": vec_knn_ivf_fixed,
+    "vec_knn_pq": vec_knn_pq,
     "vec_near_dup_pairs": vec_near_dup_pairs,
     "vec_knn_lsh": vec_knn_lsh,
 }
@@ -745,4 +841,5 @@ ORACLES = {
     "vec_knn_lsh": VEC_KNN_LSH_SQL,
     "vec_knn_ivf_fixed": VEC_KNN_IVF_FIXED_SQL,
     "vec_knn_ivf": VEC_KNN_IVF_SQL,
+    "vec_knn_pq": VEC_KNN_PQ_SQL,
 }
