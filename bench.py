@@ -36,6 +36,7 @@ HEADLINE = [
     "vec_knn_bruteforce",
     "vec_knn_lsh",
     "vec_knn_ivf_fixed",
+    "vec_knn_pq",
     "evt_asof_last_view",
     "doc_decontamination",
     "doc_gopher_report",
@@ -117,6 +118,27 @@ def bench_knn_lsh_scaled(spark, sf_dir: str):
     return lsh_topk(queries, big, "vec_id", "embedding", k=5, n_bands=8, planes_per_band=10)
 
 
+def bench_knn_pq_scaled(spark, sf_dir: str):
+    """PQ ANN over 20x embeddings (40k vectors, 1.6k queries): ADC over the
+    8-int compressed codes + shortlist-64 exact rescore — the corpus-sized
+    stage reads ~32x fewer bytes than the raw-vector scan."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.pq import pq_topk
+    from transcription_lakehouse_spark.sources.tables import load_table
+    from transcription_lakehouse_spark.workload._pq_codebooks import CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(20).withColumnRenamed("id", "rep")
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .select((F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    queries = big.filter(F.col("vec_id") % 500 == 0)
+    return pq_topk(queries, big, "vec_id", "embedding", CODEBOOKS, k=5, shortlist=64)
+
+
 def bench_knn_ivf_scaled(spark, sf_dir: str):
     """IVF ANN over 20x embeddings (10k vectors, 400 queries): k-means cell
     assignment + nprobe=4/32 probing — queries touch ~1/8 of the corpus."""
@@ -140,6 +162,7 @@ SCALED = {
     "dedup_minhash_20x": bench_minhash_dedup_scaled,
     "knn_lsh_20x": bench_knn_lsh_scaled,
     "knn_ivf_20x": bench_knn_ivf_scaled,
+    "knn_pq_20x": bench_knn_pq_scaled,
 }
 
 

@@ -293,3 +293,37 @@ def test_read_as_of_falls_back_to_mtime_without_sidecar(spark, tmp_path):
     os.remove(os.path.join(p, "_version_info.json"))
     versions = list_versions(base, "t")
     assert len(versions) == 1 and versions[0]["created_at"]
+
+
+def test_vacuum_retention_keeps_newest_and_respects_cutoff(spark, tmp_path):
+    from transcription_lakehouse_spark.ingestion import (
+        list_versions,
+        read_as_of,
+        write_versioned,
+    )
+    from transcription_lakehouse_spark.maintenance import vacuum
+
+    base = str(tmp_path)
+    df = spark.createDataFrame([(1,)], "id int")
+    for v in ("v1", "v2", "v3"):
+        write_versioned(df, base, "t", v)
+
+    # dry run reports without deleting
+    assert vacuum(base, "t", keep_last=1, dry_run=True) == ["v1", "v2"]
+    assert [v["version"] for v in list_versions(base, "t")] == ["v1", "v2", "v3"]
+
+    # keep_last=2 removes only v1
+    assert vacuum(base, "t", keep_last=2) == ["v1"]
+    assert [v["version"] for v in list_versions(base, "t")] == ["v2", "v3"]
+
+    # newest survives even keep_last=1 + epoch-wide cutoff combination:
+    # older_than before all creations -> nothing qualifies
+    assert vacuum(base, "t", keep_last=1, older_than="2000-01-01T00:00:00+00:00") == []
+
+    # time travel still resolves what remains
+    assert read_as_of(spark, base, "t").count() == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum(base, "t", keep_last=0)

@@ -28,6 +28,7 @@ __all__ = [
     "zorder_value",
     "merge_upsert",
     "version_diff",
+    "vacuum",
 ]
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
@@ -318,3 +319,49 @@ def version_diff(
             "change",
         )
     )
+
+
+def vacuum(
+    base_dir: str,
+    artifact: str,
+    keep_last: int = 2,
+    older_than: str | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention for the versioned-dir convention — the VACUUM that
+    completes the write_versioned / read_as_of / version_diff lifecycle
+    (Delta's VACUUM analog; the reference treats snapshots as the durable
+    copies, `src/lakehouse/snapshot/creator.py:99-130`, so superseded
+    working versions are reclaimable).
+
+    Deletes version directories that are BOTH outside the newest
+    ``keep_last`` (by creation time, the same ordering read_as_of resolves
+    against) AND — when ``older_than`` (ISO-8601) is given — created
+    before that instant. The newest version is never deleted regardless of
+    arguments. Returns the deleted (or would-delete, with dry_run) version
+    labels. Driver-side directory I/O only."""
+    import shutil
+    from datetime import datetime, timezone
+
+    from .ingestion import list_versions
+
+    if keep_last < 1:
+        raise ValueError("vacuum: keep_last must be >= 1")
+    versions = list_versions(base_dir, artifact)
+    candidates = versions[:-keep_last] if keep_last < len(versions) else []
+    if older_than is not None:
+        cutoff = datetime.fromisoformat(older_than)
+        if cutoff.tzinfo is None:
+            cutoff = cutoff.replace(tzinfo=timezone.utc)
+
+        def _ts(s: str) -> datetime:
+            dt = datetime.fromisoformat(s)
+            return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+
+        candidates = [v for v in candidates if _ts(v["created_at"]) < cutoff]
+    removed = []
+    for v in candidates:
+        if not dry_run:
+            shutil.rmtree(v["path"])
+        removed.append(v["version"])
+    return removed
