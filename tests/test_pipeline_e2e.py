@@ -1193,3 +1193,90 @@ def test_wav_decode_end_to_end(spark, tmp_path):
 
     with pytest.raises(Exception, match="RIFF"):
         decode_wav(b"garbage not a wav")
+
+
+def test_click_cli_flag_surface(spark, tmp_path):
+    """Reference CLI flag parity (cli/commands/*.py): ingest --dry-run /
+    --incremental / --update-catalog, materialize --heuristic-beats,
+    catalog --catalog-type/--output-format/--rankings/--statistics,
+    validate exit code, quality --coverage-min recorded in the report,
+    snapshot create+verify, vacuum --dry-run. CliRunner, in-process (the
+    session fixture is reused via getOrCreate)."""
+    import os
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli as cli_group
+
+    runner = CliRunner()
+    data = tmp_path / "data"
+    data.mkdir()
+    _write_jsonl(data, "ep1.jsonl", n=40, episode="LOS - #1 - 2024-01-01 - A")
+    lake = str(tmp_path / "lake")
+
+    def run(*args):
+        r = runner.invoke(cli_group, list(args), catch_exceptions=False)
+        return r
+
+    # dry-run writes nothing
+    r = run("ingest", str(data), "--lakehouse-path", lake, "--dry-run")
+    assert r.exit_code == 0, r.output
+    assert '"dry_run": true' in r.output
+    assert not os.path.isdir(os.path.join(lake, "normalized"))
+
+    # real ingest + catalogs in one shot
+    r = run("ingest", str(data), "--lakehouse-path", lake, "--update-catalog")
+    assert r.exit_code == 0, r.output
+    assert '"valid": 40' in r.output
+
+    # incremental re-ingest of the same corpus adds zero rows
+    _write_jsonl(data, "ep2.jsonl", n=10, episode="LOS - #2 - 2024-01-02 - B")
+    r = run("ingest", str(data), "--lakehouse-path", lake, "--incremental")
+    assert r.exit_code == 0, r.output
+    assert '"valid": 10' in r.output  # only the new episode
+
+    r = run("materialize", "--lakehouse-path", lake, "--heuristic-beats")
+    assert r.exit_code == 0, r.output
+
+    r = run(
+        "catalog", "--lakehouse-path", lake, "--catalog-type", "speakers",
+        "--output-format", "json", "--rankings", "--statistics",
+    )
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    assert out["speaker_stats"]["n_speakers"] == 2
+    times = [s["total_speaking_time"] for s in out["speakers"]]
+    assert times == sorted(times, reverse=True)  # --rankings ordering
+
+    r = run("validate", "--lakehouse-path", lake, "--output-format", "json")
+    assert r.exit_code == 0, r.output
+
+    r = run("quality", "--lakehouse-path", lake, "--coverage-min", "1.0")
+    assert r.exit_code in (0, 1), r.output  # AMBER/GREEN exit 0; RED 1
+    # the override must be recorded in the rendered report
+    import glob as _glob
+
+    g = sorted(_glob.glob(f"{lake}/quality_reports/*/metrics/global.json"))
+    with open(g[-1]) as f:
+        assert json.load(f)["thresholds_used"]["min_coverage_pct"] == 1.0
+
+    r = run("snapshot", "create", "--lakehouse-path", lake,
+            "--version", "v0.1.0")
+    assert r.exit_code == 0, r.output
+    snap_dir = os.path.join(lake, "snapshots", "v0.1.0")
+    r = run("snapshot", "verify", snap_dir)
+    assert r.exit_code == 0, r.output
+
+    # vacuum: second normalized version, then dry-run + real reclaim
+    from transcription_lakehouse_spark.ingestion import read_versioned, write_versioned
+
+    write_versioned(
+        read_versioned(spark, lake, "normalized"), lake, "normalized", "v2"
+    )
+    r = run("vacuum", "normalized", "--lakehouse-path", lake,
+            "--keep-last", "1", "--dry-run")
+    assert r.exit_code == 0 and '"v1"' in r.output, r.output
+    assert os.path.isdir(os.path.join(lake, "normalized", "v1"))
+    r = run("vacuum", "normalized", "--lakehouse-path", lake, "--keep-last", "1")
+    assert r.exit_code == 0, r.output
+    assert not os.path.isdir(os.path.join(lake, "normalized", "v1"))

@@ -1,0 +1,325 @@
+"""Click CLI with reference flag parity (`/root/reference/src/lakehouse/
+cli/commands/*.py`): the same commands, options, and exit-code semantics,
+wrapping the Spark pipeline stages in pipeline.py. The positional
+`python -m transcription_lakehouse_spark.pipeline …` entry remains for
+scripting; this is the human surface.
+
+    python -m transcription_lakehouse_spark.cli ingest DATA --pattern '*.jsonl'
+    python -m transcription_lakehouse_spark.cli materialize --heuristic-beats
+    python -m transcription_lakehouse_spark.cli catalog --catalog-type episodes --output-format json
+    python -m transcription_lakehouse_spark.cli validate --fail-fast
+    python -m transcription_lakehouse_spark.cli quality --coverage-min 75
+    python -m transcription_lakehouse_spark.cli snapshot create --version v1.2.0
+    python -m transcription_lakehouse_spark.cli snapshot verify SNAP_DIR
+    python -m transcription_lakehouse_spark.cli vacuum spans --keep-last 2
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import click
+
+_LAKE_OPT = click.option(
+    "--lakehouse-path",
+    default="./lakehouse",
+    envvar="LAKEHOUSE_PATH",
+    show_default=True,
+    help="Lakehouse root directory (env: LAKEHOUSE_PATH)",
+)
+
+
+def _spark(cmd: str):
+    from .session import get_spark
+
+    return get_spark(app_name=f"lakehouse-{cmd}")
+
+
+def _echo(obj: dict, output_format: str = "json") -> None:
+    if output_format == "json":
+        click.echo(json.dumps(obj, indent=2, sort_keys=True, default=str))
+    else:
+        for k, v in obj.items():
+            click.echo(f"{k}: {v}")
+
+
+@click.group()
+def cli() -> None:
+    """Transcription lakehouse — Spark engine."""
+
+
+@cli.command()
+@click.argument("input_path", type=click.Path(exists=True))
+@_LAKE_OPT
+@click.option("--pattern", default="*.jsonl", show_default=True,
+              help="Glob pattern for matching transcript files")
+@click.option("--version", default="v1", show_default=True,
+              help="Version for output data")
+@click.option("--dry-run", is_flag=True,
+              help="Validate inputs without writing any outputs")
+@click.option("--incremental", is_flag=True,
+              help="Process only new episodes not already in the lakehouse")
+@click.option("--skip-invalid/--fail-on-invalid", default=True,
+              show_default=True,
+              help="Skip invalid utterances vs fail on first error")
+@click.option("--update-catalog", is_flag=True,
+              help="Regenerate episode and speaker catalogs after ingestion")
+def ingest(input_path, lakehouse_path, pattern, version, dry_run,
+           incremental, skip_invalid, update_catalog):
+    """Import transcript files (reference `cli/commands/ingest.py`)."""
+    from .ingestion import ingest as _ingest
+    from .ingestion import read_versioned, split_valid
+    from .sources.transcripts import read_jsonl, with_default_episode_id
+
+    spark = _spark("ingest")
+    glob_path = os.path.join(input_path, pattern) if os.path.isdir(
+        input_path
+    ) else input_path
+    raw = with_default_episode_id(read_jsonl(spark, glob_path))
+
+    existing = None
+    norm_dir = os.path.join(lakehouse_path, "normalized", version)
+    if incremental and os.path.isdir(norm_dir):
+        # materialize before the write: the ingest sink OVERWRITES this
+        # same path, and a lazy self-read would lose its files mid-plan
+        existing = read_versioned(
+            spark, lakehouse_path, "normalized", version
+        ).localCheckpoint()
+
+    if dry_run:
+        valid, invalid = split_valid(raw)
+        out = {
+            "dry_run": True,
+            "valid": valid.count(),
+            "invalid": invalid.count(),
+        }
+        _echo(out)
+        raise SystemExit(0 if (skip_invalid or out["invalid"] == 0) else 1)
+
+    if not skip_invalid:
+        _, invalid = split_valid(raw)
+        n_bad = invalid.count()
+        if n_bad:
+            first = invalid.select("_reasons").head()
+            raise click.ClickException(
+                f"--fail-on-invalid: {n_bad} invalid utterances "
+                f"(first reasons: {first[0] if first else '?'})"
+            )
+    out = _ingest(spark, raw, lakehouse_path, version, existing=existing)
+    if update_catalog:
+        from .pipeline import catalog as _catalog
+
+        out["catalogs"] = _catalog(spark, lakehouse_path)
+    _echo(out)
+
+
+@cli.command()
+@_LAKE_OPT
+@click.option("--version", default="v1", show_default=True)
+@click.option("--use-embeddings/--heuristic-beats", default=False,
+              show_default=True,
+              help="Embedding-boundary beats (needs a model) vs heuristic")
+def materialize(lakehouse_path, version, use_embeddings):
+    """Derive spans, beats, and sections (`cli/commands/materialize.py`;
+    the reference's --spans-only/--beats-only staging collapses here —
+    Spark's lazy plan only computes what the requested sinks need)."""
+    from .pipeline import materialize as _materialize
+
+    spark = _spark("materialize")
+    _echo(_materialize(spark, lakehouse_path, use_embeddings=use_embeddings))
+
+
+@cli.command()
+@_LAKE_OPT
+@click.option("--version", default="v1", show_default=True)
+@click.option("--catalog-type",
+              type=click.Choice(["episodes", "speakers", "all"]),
+              default="all", show_default=True)
+@click.option("--output-format", type=click.Choice(["console", "json"]),
+              default="console", show_default=True)
+@click.option("--save-catalog", is_flag=True, help="Save catalog to files")
+@click.option("--detailed", is_flag=True, help="Show full catalog rows")
+@click.option("--episode-id", default=None,
+              help="Show detailed information for a specific episode")
+@click.option("--speaker-name", default=None,
+              help="Show detailed information for a specific speaker")
+@click.option("--rankings", is_flag=True,
+              help="Show speaker rankings by activity")
+@click.option("--statistics", is_flag=True, help="Show overall statistics")
+def catalog(lakehouse_path, version, catalog_type, output_format,
+            save_catalog, detailed, episode_id, speaker_name, rankings,
+            statistics):
+    """Generate and display episode/speaker catalogs
+    (`cli/commands/catalog.py`)."""
+    import pyspark.sql.functions as F
+
+    from .catalogs.episodes import episode_catalog
+    from .catalogs.speakers import speaker_catalog
+    from .ingestion import read_versioned, write_versioned
+
+    spark = _spark("catalog")
+    utterances = read_versioned(spark, lakehouse_path, "normalized", version)
+    out: dict = {}
+    limit = None if detailed else 20
+
+    if catalog_type in ("episodes", "all"):
+        eps = episode_catalog(utterances)
+        if episode_id:
+            eps = eps.filter(F.col("episode_id") == episode_id)
+        if save_catalog:
+            write_versioned(eps, lakehouse_path, "catalogs/episodes", version)
+        rows = (eps.limit(limit) if limit else eps).collect()
+        out["episodes"] = [r.asDict() for r in rows]
+        if statistics:
+            out["episode_stats"] = {
+                "n_episodes": eps.count(),
+            }
+    if catalog_type in ("speakers", "all"):
+        spk = speaker_catalog(utterances)
+        if speaker_name:
+            spk = spk.filter(F.col("speaker") == speaker_name)
+        if rankings:
+            spk = spk.orderBy(F.desc("total_speaking_time"))
+        if save_catalog:
+            write_versioned(spk, lakehouse_path, "catalogs/speakers", version)
+        rows = (spk.limit(limit) if limit else spk).collect()
+        out["speakers"] = [r.asDict() for r in rows]
+        if statistics:
+            out["speaker_stats"] = {"n_speakers": spk.count()}
+    _echo(out, "json" if output_format == "json" else "console")
+
+
+@cli.command()
+@_LAKE_OPT
+@click.option("--version", default="v1", show_default=True)
+@click.option("--output-format", type=click.Choice(["console", "json"]),
+              default="console", show_default=True)
+@click.option("--fail-fast", is_flag=True,
+              help="Exit nonzero on the first failed check")
+def validate(lakehouse_path, version, output_format, fail_fast):
+    """Integrity battery over materialized artifacts
+    (`cli/commands/validate.py`)."""
+    from .pipeline import validate as _validate
+
+    spark = _spark("validate")
+    out = _validate(spark, lakehouse_path)
+    if fail_fast and not out["ok"]:
+        failed = [k for k, v in out.get("checks", {}).items() if v]
+        out["first_failure"] = failed[0] if failed else None
+    _echo(out, "json" if output_format == "json" else "console")
+    raise SystemExit(0 if out["ok"] else 1)
+
+
+@cli.command()
+@_LAKE_OPT
+@click.option("--version", default="v1", show_default=True)
+@click.option("--output-dir", default=None,
+              help="Report directory (default: <lake>/quality_reports)")
+@click.option("--coverage-min", type=float, default=None,
+              help="Override min coverage %% threshold")
+@click.option("--span-length-min", type=float, default=None)
+@click.option("--span-length-max", type=float, default=None)
+@click.option("--beat-length-min", type=float, default=None)
+@click.option("--beat-length-max", type=float, default=None)
+def quality(lakehouse_path, version, output_dir, coverage_min,
+            span_length_min, span_length_max, beat_length_min,
+            beat_length_max):
+    """7-category quality assessment + report tree
+    (`cli/commands/quality.py`); threshold flags map onto the assessor's
+    Thresholds and are RECORDED in the report (the Assessment carries the
+    applied thresholds)."""
+    from .catalogs.episodes import episode_catalog
+    from .ingestion import read_versioned
+    from .quality.assessor import Thresholds, assess
+    from .quality.reporter import write_report
+
+    spark = _spark("quality")
+    th = Thresholds()
+    if coverage_min is not None:
+        th.min_coverage_pct = coverage_min
+    if span_length_min is not None or span_length_max is not None:
+        th.span_len_range = (
+            span_length_min if span_length_min is not None else th.span_len_range[0],
+            span_length_max if span_length_max is not None else th.span_len_range[1],
+        )
+    if beat_length_min is not None or beat_length_max is not None:
+        th.beat_len_range = (
+            beat_length_min if beat_length_min is not None else th.beat_len_range[0],
+            beat_length_max if beat_length_max is not None else th.beat_len_range[1],
+        )
+    spans = read_versioned(spark, lakehouse_path, "spans", version)
+    utterances = read_versioned(spark, lakehouse_path, "normalized", version)
+    episodes = episode_catalog(utterances)
+    beats_dir = os.path.join(lakehouse_path, "beats", version)
+    beats = (
+        read_versioned(spark, lakehouse_path, "beats", version)
+        if os.path.isdir(beats_dir)
+        else None
+    )
+    a = assess(spans, episodes, beats=beats, thresholds=th)
+    rep = write_report(
+        a, output_dir or f"{lakehouse_path}/quality_reports", spans=spans
+    )
+    _echo({"status": a.status, "n_violations": len(a.violations), "report": rep})
+    raise SystemExit(1 if a.status == "RED" else 0)
+
+
+@cli.group()
+def snapshot() -> None:
+    """Immutable checksum-manifested snapshots
+    (`cli/commands/snapshot.py`)."""
+
+
+@snapshot.command("create")
+@_LAKE_OPT
+@click.option("--snapshot-root", default=None,
+              help="Snapshot root (default: <lake>/snapshots)")
+@click.option("--version", "version_override", default="v1.0.0",
+              show_default=True, help="Snapshot version label")
+@click.option("--lakehouse-version", default="v1", show_default=True,
+              help="Lakehouse artifact version to snapshot")
+@click.option("--allow-red", is_flag=True,
+              help="Force snapshotting a RED lake (manifest stays flagged)")
+def snapshot_create(lakehouse_path, snapshot_root, version_override,
+                    lakehouse_version, allow_red):
+    from .pipeline import snapshot as _snapshot
+
+    spark = _spark("snapshot")
+    out = _snapshot(spark, lakehouse_path, version_override)
+    _echo(out)
+    raise SystemExit(0 if out["verified"] else 1)
+
+
+@snapshot.command("verify")
+@click.argument("snapshot_dir", type=click.Path(exists=True))
+def snapshot_verify(snapshot_dir):
+    from .snapshot import verify_snapshot
+
+    problems = verify_snapshot(snapshot_dir)
+    _echo({"snapshot": snapshot_dir, "verified": not problems,
+           "problems": problems})
+    raise SystemExit(0 if not problems else 1)
+
+
+@cli.command()
+@click.argument("artifact")
+@_LAKE_OPT
+@click.option("--keep-last", type=int, default=2, show_default=True)
+@click.option("--older-than", default=None,
+              help="Only delete versions created before this ISO timestamp")
+@click.option("--dry-run", is_flag=True)
+def vacuum(artifact, lakehouse_path, keep_last, older_than, dry_run):
+    """Reclaim superseded artifact versions (beyond the reference —
+    completes the write/read_as_of/diff lifecycle)."""
+    from .maintenance import vacuum as _vacuum
+
+    removed = _vacuum(
+        lakehouse_path, artifact, keep_last=keep_last,
+        older_than=older_than, dry_run=dry_run,
+    )
+    _echo({"artifact": artifact, "dry_run": dry_run, "removed": removed})
+
+
+if __name__ == "__main__":
+    cli()
