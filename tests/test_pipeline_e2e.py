@@ -1234,6 +1234,13 @@ def test_click_cli_flag_surface(spark, tmp_path):
     r = run("ingest", str(data), "--lakehouse-path", lake, "--incremental")
     assert r.exit_code == 0, r.output
     assert '"valid": 10' in r.output  # only the new episode
+    # and the previously ingested episode is PRESERVED (append, not
+    # overwrite-with-delta): 40 + 10 rows, both episodes present
+    from transcription_lakehouse_spark.ingestion import read_versioned as _rv
+
+    norm = _rv(spark, lake, "normalized")
+    assert norm.count() == 50
+    assert norm.select("episode_id").distinct().count() == 2
 
     r = run("materialize", "--lakehouse-path", lake, "--heuristic-beats")
     assert r.exit_code == 0, r.output
@@ -1280,3 +1287,16 @@ def test_click_cli_flag_surface(spark, tmp_path):
     r = run("vacuum", "normalized", "--lakehouse-path", lake, "--keep-last", "1")
     assert r.exit_code == 0, r.output
     assert not os.path.isdir(os.path.join(lake, "normalized", "v1"))
+
+
+def test_read_state_treats_empty_dir_as_first_batch(spark, tmp_path):
+    """Crash between mkdir and first commit leaves a state dir with only
+    _temporary/ — that is genuinely first-batch (retry-on-raise could never
+    recover); a dir WITH data files that fails schema inference still
+    raises."""
+    from transcription_lakehouse_spark.streaming.ingest import _read_state
+
+    d = tmp_path / "state"
+    (d / "_temporary").mkdir(parents=True)
+    (d / "_SUCCESS").write_bytes(b"")
+    assert _read_state(spark, str(d)) is None

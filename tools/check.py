@@ -214,7 +214,17 @@ def main() -> int:
             return 0
         else:
             print(f"{len(affected)} queries affected since {since}")
-            only = affected if not only else (only & affected)
+            if only:
+                only &= affected
+                if not only:
+                    print(
+                        "requested queries are not affected by the change; "
+                        "0 queries to run"
+                    )
+                    print("\n0 failures")
+                    return 0
+            else:
+                only = affected
 
     from transcription_lakehouse_spark.session import get_spark
 

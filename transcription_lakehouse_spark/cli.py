@@ -69,7 +69,7 @@ def ingest(input_path, lakehouse_path, pattern, version, dry_run,
            incremental, skip_invalid, update_catalog):
     """Import transcript files (reference `cli/commands/ingest.py`)."""
     from .ingestion import ingest as _ingest
-    from .ingestion import read_versioned, split_valid
+    from .ingestion import read_versioned
     from .sources.transcripts import read_jsonl, with_default_episode_id
 
     spark = _spark("ingest")
@@ -81,36 +81,52 @@ def ingest(input_path, lakehouse_path, pattern, version, dry_run,
     existing = None
     norm_dir = os.path.join(lakehouse_path, "normalized", version)
     if incremental and os.path.isdir(norm_dir):
-        # materialize before the write: the ingest sink OVERWRITES this
-        # same path, and a lazy self-read would lose its files mid-plan
+        # materialize the anti-join side before writing to the same path
+        # (incremental ingest APPENDS, but a pinned snapshot of the ids
+        # keeps the plan independent of the sink's file listing)
         existing = read_versioned(
             spark, lakehouse_path, "normalized", version
         ).localCheckpoint()
 
-    if dry_run:
-        valid, invalid = split_valid(raw)
-        out = {
-            "dry_run": True,
-            "valid": valid.count(),
-            "invalid": invalid.count(),
-        }
-        _echo(out)
-        raise SystemExit(0 if (skip_invalid or out["invalid"] == 0) else 1)
+    if dry_run or not skip_invalid:
+        # ONE validation pass (not a count job per side): total, invalid
+        # count, and a sample failure reason from a single aggregate
+        import pyspark.sql.functions as F
 
-    if not skip_invalid:
-        _, invalid = split_valid(raw)
-        n_bad = invalid.count()
+        from .ingestion import validation_errors
+
+        stats = raw.select(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.size(validation_errors(raw)) > 0).cast("long")).alias(
+                "invalid"
+            ),
+            F.first(
+                F.when(
+                    F.size(validation_errors(raw)) > 0,
+                    F.concat_ws("; ", validation_errors(raw)),
+                ),
+                ignorenulls=True,
+            ).alias("first_error"),
+        ).head()
+        n_bad = int(stats["invalid"] or 0)
+        if dry_run:
+            out = {
+                "dry_run": True,
+                "valid": int(stats["total"]) - n_bad,
+                "invalid": n_bad,
+            }
+            _echo(out)
+            raise SystemExit(0 if (skip_invalid or n_bad == 0) else 1)
         if n_bad:
-            first = invalid.select("_reasons").head()
             raise click.ClickException(
                 f"--fail-on-invalid: {n_bad} invalid utterances "
-                f"(first reasons: {first[0] if first else '?'})"
+                f"(first reasons: {stats['first_error']})"
             )
     out = _ingest(spark, raw, lakehouse_path, version, existing=existing)
     if update_catalog:
         from .pipeline import catalog as _catalog
 
-        out["catalogs"] = _catalog(spark, lakehouse_path)
+        out["catalogs"] = _catalog(spark, lakehouse_path, version)
     _echo(out)
 
 
@@ -127,7 +143,12 @@ def materialize(lakehouse_path, version, use_embeddings):
     from .pipeline import materialize as _materialize
 
     spark = _spark("materialize")
-    _echo(_materialize(spark, lakehouse_path, use_embeddings=use_embeddings))
+    _echo(
+        _materialize(
+            spark, lakehouse_path, use_embeddings=use_embeddings,
+            version=version,
+        )
+    )
 
 
 @cli.command()
@@ -203,7 +224,7 @@ def validate(lakehouse_path, version, output_format, fail_fast):
     from .pipeline import validate as _validate
 
     spark = _spark("validate")
-    out = _validate(spark, lakehouse_path)
+    out = _validate(spark, lakehouse_path, version)
     if fail_fast and not out["ok"]:
         failed = [k for k, v in out.get("checks", {}).items() if v]
         out["first_failure"] = failed[0] if failed else None
@@ -286,7 +307,10 @@ def snapshot_create(lakehouse_path, snapshot_root, version_override,
     from .pipeline import snapshot as _snapshot
 
     spark = _spark("snapshot")
-    out = _snapshot(spark, lakehouse_path, version_override)
+    out = _snapshot(
+        spark, lakehouse_path, version_override, allow_red=allow_red,
+        snapshot_root=snapshot_root, lakehouse_version=lakehouse_version,
+    )
     _echo(out)
     raise SystemExit(0 if out["verified"] else 1)
 

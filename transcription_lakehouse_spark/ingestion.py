@@ -260,8 +260,12 @@ def ingest(
         raw = incremental_filter(raw, existing)
     valid, invalid = split_valid(raw)
     normalized = normalize(valid)
+    # incremental mode APPENDS the new episodes — overwrite would replace
+    # the whole table with only the delta, silently deleting every
+    # previously ingested episode
     write_versioned(
-        normalized, base_dir, "normalized", version, mode="overwrite",
+        normalized, base_dir, "normalized", version,
+        mode="append" if existing is not None else "overwrite",
         schema=UTTERANCE_SCHEMA,
     )
     n_valid = normalized.count()

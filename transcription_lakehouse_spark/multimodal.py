@@ -112,6 +112,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     ch, bits, af = fmt["n_channels"], fmt["bits"], fmt["audio_format"]
     if ch < 1:
         raise ValueError("decode_wav: zero channels")
+    if fmt["sample_rate"] < 1:
+        raise ValueError("decode_wav: zero sample rate")
     if af == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif af == 1 and bits == 8:

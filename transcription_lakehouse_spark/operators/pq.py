@@ -113,6 +113,24 @@ def _encode_udf(codebooks: list[list[list[float]]]):
         S = V.reshape(len(V), m, sub)  # (n, m, sub)
         # (n, m, k): d2 up to the constant |x_m|^2
         d2 = c2[None, :, :] - 2.0 * np.einsum("nms,mks->nmk", S, C)
+        # margin guard (same discipline as _band_buckets_udf): when the
+        # best/second-best gap is within accumulation-order rounding, the
+        # BLAS result could argmin differently from the SQL twin's
+        # left-to-right sums — recompute those (row, subvector) slices
+        # with the twin's exact operand order so the code can never diverge
+        best2 = np.partition(d2, 1, axis=2)[:, :, :2]
+        margin = 1e-9 * np.maximum(1.0, np.abs(d2).max(axis=2))
+        for i, mi in np.argwhere(best2[:, :, 1] - best2[:, :, 0] < margin):
+            seg = S[i, mi]
+            for j in range(k):
+                cv = C[mi, j]
+                c2s = 0.0
+                for t in cv:
+                    c2s = c2s + t * t
+                dots = 0.0
+                for a, b in zip(seg, cv):
+                    dots = dots + a * b
+                d2[i, mi, j] = c2s - 2.0 * dots
         codes = d2.argmin(axis=2).astype("int32")  # stable: first min wins
         return pd.Series(list(codes))
 

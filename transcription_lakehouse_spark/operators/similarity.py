@@ -303,6 +303,23 @@ def _nearest_cells_udf(centroids: list[list[float]], nprobe: int):
             return pd.Series([], dtype=object)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         d2 = c2[None, :] - 2.0 * (V @ C.T)
+        # margin guard (same discipline as _band_buckets_udf): an adjacent
+        # pair within accumulation-order rounding could sort differently
+        # from the SQL twin's left-to-right sums — recompute such rows
+        # with the twin's exact operand order so the ranking cannot diverge
+        srt = np.sort(d2, axis=1)
+        margin = 1e-9 * np.maximum(1.0, np.abs(d2).max(axis=1))
+        risky = (np.diff(srt, axis=1).min(axis=1) < margin) if d2.shape[1] > 1 else np.zeros(len(V), bool)
+        for i in np.flatnonzero(risky):
+            for j in range(len(C)):
+                cv = C[j]
+                c2s = 0.0
+                for t in cv:
+                    c2s = c2s + t * t
+                dots = 0.0
+                for a, b in zip(V[i], cv):
+                    dots = dots + a * b
+                d2[i, j] = c2s - 2.0 * dots
         idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype("int32")
         return pd.Series(list(idx))
 

@@ -61,52 +61,55 @@ def materialize(
     lake_dir: str,
     config: SpeakerRoleConfig | None = None,
     use_embeddings: bool = True,
+    version: str = "v1",
 ) -> dict[str, int]:
     config = config or SpeakerRoleConfig()
-    utterances = read_versioned(spark, lake_dir, "normalized")
+    utterances = read_versioned(spark, lake_dir, "normalized", version)
 
     spans = enrich_spans(generate_spans(utterances), config, spark)
-    write_versioned(spans, lake_dir, "spans", schema=SPAN_SCHEMA)
-    spans = read_versioned(spark, lake_dir, "spans")
+    write_versioned(spans, lake_dir, "spans", version, schema=SPAN_SCHEMA)
+    spans = read_versioned(spark, lake_dir, "spans", version)
 
     if use_embeddings:
         span_emb = generate_embeddings(spans, "span_id", "text", "span")
-        write_versioned(span_emb, lake_dir, "embeddings_span")
-        span_emb = read_versioned(spark, lake_dir, "embeddings_span")
+        write_versioned(span_emb, lake_dir, "embeddings_span", version)
+        span_emb = read_versioned(spark, lake_dir, "embeddings_span", version)
         beats = generate_beats_embedding(spans, span_emb)
     else:
         beats = generate_beats_heuristic(spans)
     beats = beat_speaker_metadata(beats, spans).withColumn(
         "topic_label", F.lit(None).cast("string")
     )
-    write_versioned(beats, lake_dir, "beats", schema=BEAT_SCHEMA)
-    beats = read_versioned(spark, lake_dir, "beats")
+    write_versioned(beats, lake_dir, "beats", version, schema=BEAT_SCHEMA)
+    beats = read_versioned(spark, lake_dir, "beats", version)
 
     beat_emb = None
     if use_embeddings:
         beat_emb = generate_embeddings(beats, "beat_id", "text", "beat")
-        write_versioned(beat_emb, lake_dir, "embeddings_beat")
-        beat_emb = read_versioned(spark, lake_dir, "embeddings_beat")
+        write_versioned(beat_emb, lake_dir, "embeddings_beat", version)
+        beat_emb = read_versioned(spark, lake_dir, "embeddings_beat", version)
     sections = generate_sections(beats, beat_emb)
-    write_versioned(sections, lake_dir, "sections", schema=SECTION_SCHEMA)
+    write_versioned(sections, lake_dir, "sections", version, schema=SECTION_SCHEMA)
 
     return {
         "spans": spans.count(),
         "beats": beats.count(),
-        "sections": read_versioned(spark, lake_dir, "sections").count(),
+        "sections": read_versioned(spark, lake_dir, "sections", version).count(),
     }
 
 
-def catalog(spark: SparkSession, lake_dir: str) -> dict[str, int]:
-    utterances = read_versioned(spark, lake_dir, "normalized")
+def catalog(
+    spark: SparkSession, lake_dir: str, version: str = "v1"
+) -> dict[str, int]:
+    utterances = read_versioned(spark, lake_dir, "normalized", version)
     episodes = episode_catalog(utterances)
     speakers = speaker_catalog(utterances)
-    write_versioned(episodes, lake_dir, "catalogs/episodes")
-    write_versioned(speakers, lake_dir, "catalogs/speakers")
+    write_versioned(episodes, lake_dir, "catalogs/episodes", version)
+    write_versioned(speakers, lake_dir, "catalogs/speakers", version)
     return {"episodes": episodes.count(), "speakers": speakers.count()}
 
 
-def quality(spark: SparkSession, lake_dir: str) -> dict:
+def quality(spark: SparkSession, lake_dir: str, version: str = "v1") -> dict:
     """Run the 7-category assessment over the materialized lake and render
     the report tree (reference `lakehouse quality` command)."""
     import os
@@ -114,13 +117,17 @@ def quality(spark: SparkSession, lake_dir: str) -> dict:
     from .quality.assessor import assess
     from .quality.reporter import write_report
 
-    spans = read_versioned(spark, lake_dir, "spans")
-    utterances = read_versioned(spark, lake_dir, "normalized")
+    spans = read_versioned(spark, lake_dir, "spans", version)
+    utterances = read_versioned(spark, lake_dir, "normalized", version)
     episodes = episode_catalog(utterances)
     # beats are optional (materialize may not have run); only a genuinely
     # absent table degrades to None — a corrupt one should surface loudly
-    beats_path = os.path.join(lake_dir, "beats", "v1")
-    beats = read_versioned(spark, lake_dir, "beats") if os.path.isdir(beats_path) else None
+    beats_path = os.path.join(lake_dir, "beats", version)
+    beats = (
+        read_versioned(spark, lake_dir, "beats", version)
+        if os.path.isdir(beats_path)
+        else None
+    )
     a = assess(spans, episodes, beats=beats)
     rep_dir = write_report(a, f"{lake_dir}/quality_reports", spans=spans)
     return {
@@ -130,7 +137,7 @@ def quality(spark: SparkSession, lake_dir: str) -> dict:
     }
 
 
-def validate(spark: SparkSession, lake_dir: str) -> dict:
+def validate(spark: SparkSession, lake_dir: str, version: str = "v1") -> dict:
     """`lakehouse validate` parity (reference `cli/commands/validate.py:66`):
     integrity battery over the materialized artifacts — non-empty tables,
     timestamp quality, text quality, ID uniqueness, referential integrity,
@@ -147,7 +154,7 @@ def validate(spark: SparkSession, lake_dir: str) -> dict:
     checks: dict[str, int] = {}
     tables: dict[str, int] = {}
 
-    utt = read_versioned(spark, lake_dir, "normalized")
+    utt = read_versioned(spark, lake_dir, "normalized", version)
     tables["normalized"] = utt.count()
     checks["normalized_empty"] = int(tables["normalized"] == 0)
     checks["normalized_schema_problems"] = len(
@@ -159,9 +166,9 @@ def validate(spark: SparkSession, lake_dir: str) -> dict:
     for name, d in numeric_anomalies(utt, ["start_time", "end_time"]).items():
         checks[f"normalized_{name}_nan_inf"] = d["nan"] + d["inf"]
 
-    spans_path = os.path.join(lake_dir, "spans", "v1")
+    spans_path = os.path.join(lake_dir, "spans", version)
     if os.path.isdir(spans_path):
-        spans = read_versioned(spark, lake_dir, "spans")
+        spans = read_versioned(spark, lake_dir, "spans", version)
         tables["spans"] = spans.count()
         checks["spans_empty"] = int(tables["spans"] == 0)
         checks["spans_schema_problems"] = len(validate_schema(spans, SPAN_SCHEMA))
@@ -188,7 +195,13 @@ def validate(spark: SparkSession, lake_dir: str) -> dict:
 
 
 def snapshot(
-    spark: SparkSession, lake_dir: str, version: str, qa_status: str | None = None
+    spark: SparkSession,
+    lake_dir: str,
+    version: str,
+    qa_status: str | None = None,
+    allow_red: bool = False,
+    snapshot_root: str | None = None,
+    lakehouse_version: str = "v1",
 ) -> dict:
     """Create an immutable checksum-manifested snapshot (reference
     `lakehouse snapshot create`). Records the latest quality verdict in the
@@ -210,7 +223,10 @@ def snapshot(
                     .get("metadata", {})
                     .get("rag_status", "UNKNOWN")
                 )
-    snap_dir = create_snapshot(spark, lake_dir, version, qa_status=qa_status)
+    snap_dir = create_snapshot(
+        spark, lake_dir, version, qa_status=qa_status, allow_red=allow_red,
+        snapshot_root=snapshot_root, lakehouse_version=lakehouse_version,
+    )
     problems = verify_snapshot(snap_dir)
     return {
         "snapshot": snap_dir,

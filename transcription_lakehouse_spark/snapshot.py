@@ -38,9 +38,13 @@ def create_snapshot(
     artifacts: list[str] = ("normalized", "spans", "beats", "sections"),
     qa_status: str = "UNKNOWN",
     allow_red: bool = False,
+    snapshot_root: str | None = None,
+    lakehouse_version: str = "v1",
 ) -> str:
-    """Copy artifacts into `<lake>/snapshots/<version>/` + manifest. Raises
-    if the version already exists (immutability).
+    """Copy artifacts into `<snapshot_root>/<version>/` (default root
+    `<lake>/snapshots`) + manifest. Raises if the version already exists
+    (immutability). ``lakehouse_version`` selects which artifact version
+    is snapshotted.
 
     QA gating (`creator.py:99-130`): a RED quality verdict refuses the
     snapshot unless `allow_red=True`, in which case the manifest still
@@ -51,7 +55,7 @@ def create_snapshot(
             f"refusing snapshot {version}: quality status is RED "
             "(pass allow_red=True to force; the manifest will be flagged)"
         )
-    snap_dir = os.path.join(lake_dir, "snapshots", version)
+    snap_dir = os.path.join(snapshot_root or os.path.join(lake_dir, "snapshots"), version)
     if os.path.exists(snap_dir):
         raise FileExistsError(f"snapshot {version} already exists (immutable)")
     os.makedirs(snap_dir)
@@ -62,7 +66,7 @@ def create_snapshot(
         "artifacts": {},
     }
     for art in artifacts:
-        src = os.path.join(lake_dir, art, "v1")
+        src = os.path.join(lake_dir, art, lakehouse_version)
         if not os.path.isdir(src):
             continue
         dst = os.path.join(snap_dir, art)

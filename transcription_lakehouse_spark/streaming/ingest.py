@@ -51,7 +51,35 @@ def _read_state(sess: SparkSession, path: str) -> DataFrame | None:
         msg = str(exc)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
             return None
+        if "UNABLE_TO_INFER_SCHEMA" in msg and not _has_data_files(sess, path):
+            # dir exists but holds no committed data files (e.g. a crash
+            # between mkdir and the first commit left only _temporary/) —
+            # genuinely first-batch; retrying a raise could never recover.
+            # A dir WITH data files that still fails inference is corrupt
+            # state and falls through to the raise below.
+            return None
         raise
+
+
+def _has_data_files(sess: SparkSession, path: str) -> bool:
+    """True iff `path` contains >= 1 non-hidden file (recursively), via the
+    Hadoop FS API so any supported filesystem works."""
+    jvm = sess._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sess._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    stack = [hpath]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")):
+                continue  # _temporary, _SUCCESS, hidden
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                return True
+    return False
 
 
 def stream_ingest(
