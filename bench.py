@@ -119,7 +119,7 @@ def bench_knn_lsh_scaled(spark, sf_dir: str):
 
 
 def bench_knn_pq_scaled(spark, sf_dir: str):
-    """PQ ANN over 20x embeddings (40k vectors, 1.6k queries): ADC over the
+    """PQ ANN over 20x embeddings (40k vectors, 400 queries): ADC over the
     8-int compressed codes + shortlist-64 exact rescore — the corpus-sized
     stage reads ~32x fewer bytes than the raw-vector scan."""
     import pyspark.sql.functions as F
@@ -135,7 +135,7 @@ def bench_knn_pq_scaled(spark, sf_dir: str):
         .select((F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"), "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    queries = big.filter(F.col("vec_id") % 500 == 0)
+    queries = big.filter(F.col("vec_id") % 100 == 0)
     return pq_topk(queries, big, "vec_id", "embedding", CODEBOOKS, k=5, shortlist=64)
 
 

@@ -131,6 +131,10 @@ def run(factor: int) -> dict:
         out["shuffle_write_bytes_peak_stage"] = peak
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+        # fresh app per factor: getOrCreate would otherwise reuse the first
+        # session (ignoring extra_conf) and the /stages endpoint would
+        # report CUMULATIVE app-wide shuffle bytes, not this factor's
+        spark.stop()
     return out
 
 

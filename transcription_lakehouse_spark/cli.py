@@ -78,15 +78,24 @@ def ingest(input_path, lakehouse_path, pattern, version, dry_run,
     ) else input_path
     raw = with_default_episode_id(read_jsonl(spark, glob_path))
 
+    from .ingestion import incremental_filter
+
     existing = None
     norm_dir = os.path.join(lakehouse_path, "normalized", version)
     if incremental and os.path.isdir(norm_dir):
-        # materialize the anti-join side before writing to the same path
-        # (incremental ingest APPENDS, but a pinned snapshot of the ids
-        # keeps the plan independent of the sink's file listing)
-        existing = read_versioned(
-            spark, lakehouse_path, "normalized", version
-        ).localCheckpoint()
+        # pin ONLY the distinct episode ids (not the full table) before
+        # writing to the same path: cheap, and the plan stays independent
+        # of the sink's file listing
+        existing = (
+            read_versioned(
+                spark, lakehouse_path, "normalized", version, ["episode_id"]
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # validation/dry-run stats must describe what WOULD be ingested —
+        # the post-filter delta — not episodes already in the lake
+        raw = incremental_filter(raw, existing)
 
     if dry_run or not skip_invalid:
         # ONE validation pass (not a count job per side): total, invalid
@@ -186,10 +195,10 @@ def catalog(lakehouse_path, version, catalog_type, output_format,
 
     if catalog_type in ("episodes", "all"):
         eps = episode_catalog(utterances)
+        if save_catalog:  # persist the FULL catalog; filters shape display only
+            write_versioned(eps, lakehouse_path, "catalogs/episodes", version)
         if episode_id:
             eps = eps.filter(F.col("episode_id") == episode_id)
-        if save_catalog:
-            write_versioned(eps, lakehouse_path, "catalogs/episodes", version)
         rows = (eps.limit(limit) if limit else eps).collect()
         out["episodes"] = [r.asDict() for r in rows]
         if statistics:
@@ -198,12 +207,12 @@ def catalog(lakehouse_path, version, catalog_type, output_format,
             }
     if catalog_type in ("speakers", "all"):
         spk = speaker_catalog(utterances)
+        if save_catalog:  # persist the FULL catalog; filters shape display only
+            write_versioned(spk, lakehouse_path, "catalogs/speakers", version)
         if speaker_name:
             spk = spk.filter(F.col("speaker") == speaker_name)
         if rankings:
             spk = spk.orderBy(F.desc("total_speaking_time"))
-        if save_catalog:
-            write_versioned(spk, lakehouse_path, "catalogs/speakers", version)
         rows = (spk.limit(limit) if limit else spk).collect()
         out["speakers"] = [r.asDict() for r in rows]
         if statistics:
@@ -217,15 +226,15 @@ def catalog(lakehouse_path, version, catalog_type, output_format,
 @click.option("--output-format", type=click.Choice(["console", "json"]),
               default="console", show_default=True)
 @click.option("--fail-fast", is_flag=True,
-              help="Exit nonzero on the first failed check")
+              help="Stop validating after the first artifact with failures")
 def validate(lakehouse_path, version, output_format, fail_fast):
     """Integrity battery over materialized artifacts
     (`cli/commands/validate.py`)."""
     from .pipeline import validate as _validate
 
     spark = _spark("validate")
-    out = _validate(spark, lakehouse_path, version)
-    if fail_fast and not out["ok"]:
+    out = _validate(spark, lakehouse_path, version, fail_fast=fail_fast)
+    if not out["ok"]:
         failed = [k for k, v in out.get("checks", {}).items() if v]
         out["first_failure"] = failed[0] if failed else None
     _echo(out, "json" if output_format == "json" else "console")

@@ -114,15 +114,21 @@ def write_versioned(
 def _stamp_version(path: str, version: str) -> None:
     """Sidecar `_version_info.json` with a UTC creation stamp — the
     metadata `read_as_of` resolves time-travel reads against. Underscore
-    prefix ⇒ Spark's parquet scan ignores it."""
+    prefix ⇒ Spark's parquet scan ignores it. CREATION time, not last
+    write: an append to an existing version must NOT re-stamp, or
+    read_as_of / vacuum ordering would treat the oldest version as the
+    newest."""
     import json as _json
     from datetime import datetime, timezone
 
+    meta = os.path.join(path, "_version_info.json")
+    if os.path.exists(meta):
+        return
     info = {
         "version": version,
         "created_at": datetime.now(timezone.utc).isoformat(),
     }
-    with open(os.path.join(path, "_version_info.json"), "w") as f:
+    with open(meta, "w") as f:
         _json.dump(info, f, indent=2, sort_keys=True)
 
 

@@ -95,6 +95,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         cid = payload[pos : pos + 4]
         csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(
+                f"decode_wav: truncated {cid!r} chunk "
+                f"(declared {csize} bytes, {len(body)} present)"
+            )
         if cid == b"fmt ":
             if csize < 16:
                 raise ValueError("decode_wav: truncated fmt chunk")

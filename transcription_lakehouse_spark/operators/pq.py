@@ -118,6 +118,8 @@ def _encode_udf(codebooks: list[list[list[float]]]):
         # BLAS result could argmin differently from the SQL twin's
         # left-to-right sums — recompute those (row, subvector) slices
         # with the twin's exact operand order so the code can never diverge
+        if k == 1:  # single centroid: every code is 0, nothing to guard
+            return pd.Series(list(d2.argmin(axis=2).astype("int32")))
         best2 = np.partition(d2, 1, axis=2)[:, :, :2]
         margin = 1e-9 * np.maximum(1.0, np.abs(d2).max(axis=2))
         for i, mi in np.argwhere(best2[:, :, 1] - best2[:, :, 0] < margin):

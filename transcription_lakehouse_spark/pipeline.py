@@ -137,7 +137,12 @@ def quality(spark: SparkSession, lake_dir: str, version: str = "v1") -> dict:
     }
 
 
-def validate(spark: SparkSession, lake_dir: str, version: str = "v1") -> dict:
+def validate(
+    spark: SparkSession,
+    lake_dir: str,
+    version: str = "v1",
+    fail_fast: bool = False,
+) -> dict:
     """`lakehouse validate` parity (reference `cli/commands/validate.py:66`):
     integrity battery over the materialized artifacts — non-empty tables,
     timestamp quality, text quality, ID uniqueness, referential integrity,
@@ -145,7 +150,8 @@ def validate(spark: SparkSession, lake_dir: str, version: str = "v1") -> dict:
     distinct-count probes; no per-row driver work.
 
     Returns {"checks": {name: failing_count}, "tables": {name: rows},
-    "ok": bool} — ok iff every failing_count is 0."""
+    "ok": bool} — ok iff every failing_count is 0. ``fail_fast`` skips the
+    remaining artifacts once one artifact has failures (cheap CI gate)."""
     import os
 
     from .quality.metrics import integrity_counts, numeric_anomalies
@@ -165,6 +171,14 @@ def validate(spark: SparkSession, lake_dir: str, version: str = "v1") -> dict:
     ).distinct().count()
     for name, d in numeric_anomalies(utt, ["start_time", "end_time"]).items():
         checks[f"normalized_{name}_nan_inf"] = d["nan"] + d["inf"]
+
+    if fail_fast and any(v for v in checks.values()):
+        return {
+            "checks": checks,
+            "tables": tables,
+            "ok": False,
+            "stopped_early": True,
+        }
 
     spans_path = os.path.join(lake_dir, "spans", version)
     if os.path.isdir(spans_path):

@@ -51,7 +51,10 @@ def _read_state(sess: SparkSession, path: str) -> DataFrame | None:
         msg = str(exc)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
             return None
-        if "UNABLE_TO_INFER_SCHEMA" in msg and not _has_data_files(sess, path):
+        schema_fail = (
+            "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg
+        )
+        if schema_fail and not _has_data_files(sess, path):
             # dir exists but holds no committed data files (e.g. a crash
             # between mkdir and the first commit left only _temporary/) —
             # genuinely first-batch; retrying a raise could never recover.
