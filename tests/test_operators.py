@@ -1057,3 +1057,69 @@ def test_pq_topk_recall_and_exact_degenerate(spark):
         train_pq_codebooks(emb, "vec_id", "embedding", m=M_SUBVECTORS, k=K_CODES)
         == CODEBOOKS
     )
+
+
+def test_ivfpq_topk_recall_and_determinism(spark):
+    """IVF-PQ (FAISS IndexIVFPQ shape): recall@5 vs brute force with the
+    committed artifacts; nprobe=16 (all cells) + shortlist=corpus
+    degenerates to exact; residual codebook training reproduces the
+    committed artifact."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        _pytest.skip("driver testdata not present")
+
+    from transcription_lakehouse_spark.operators.pq import (
+        ivfpq_topk,
+        train_ivfpq_codebooks,
+    )
+    from transcription_lakehouse_spark.workload._ivf_quantizer import CENTROIDS
+    from transcription_lakehouse_spark.workload._ivfpq_codebooks import (
+        CODEBOOKS,
+        K_CODES,
+        M_SUBVECTORS,
+        TRAINED_ON,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            q, e, "vec_id", "embedding", CENTROIDS, CODEBOOKS,
+            k=5, nprobe=4, shortlist=64,
+        ).collect()
+    }
+    # cell pruning (4/16) caps recall below plain PQ; near-random vectors
+    # are the hardest case — floor sits under the measured value
+    assert len(got & want) / len(want) >= 0.3
+
+    n = e.count()
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivfpq_topk(
+            q, e, "vec_id", "embedding", CENTROIDS, CODEBOOKS,
+            k=5, nprobe=len(CENTROIDS), shortlist=n,
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+    assert full == exact
+
+    emb = spark.read.parquet(f"/root/testdata/{TRAINED_ON}/embeddings.parquet")
+    assert (
+        train_ivfpq_codebooks(
+            emb, "vec_id", "embedding", CENTROIDS, m=M_SUBVECTORS, k=K_CODES
+        )
+        == CODEBOOKS
+    )

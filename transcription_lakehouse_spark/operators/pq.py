@@ -36,23 +36,20 @@ from pyspark.sql import DataFrame, Window
 
 from ..functions.vector import as_double_array, dot, l2_norm
 
-__all__ = ["train_pq_codebooks", "pq_encode", "pq_topk"]
+__all__ = [
+    "train_pq_codebooks",
+    "train_ivfpq_codebooks",
+    "pq_encode",
+    "pq_topk",
+    "ivfpq_topk",
+]
 
 
-def train_pq_codebooks(
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    m: int = 8,
-    k: int = 16,
-    sample_cap: int = 4096,
-    iters: int = 10,
-) -> list[list[list[float]]]:
-    """Per-subvector k-means codebooks: splits each sampled vector into
-    ``m`` contiguous subvectors and trains ``k`` centroids per subspace.
-    Deterministic end-to-end (hash-ordered bounded sample, farthest-point
-    seeding, fixed Lloyd iterations — the same recipe as
-    `similarity.train_centroids`). Returns ``m × k × (d/m)`` floats."""
+def _sampled_matrix(
+    corpus: DataFrame, id_col: str, vec_col: str, sample_cap: int
+):
+    """Bounded deterministic sample as a numpy matrix (hash-ordered
+    TakeOrdered — the same discipline as `similarity.train_centroids`)."""
     import numpy as np
 
     rows = (
@@ -67,10 +64,18 @@ def train_pq_codebooks(
     )
     pts = np.array([r["v"] for r in rows], dtype=np.float64)
     if len(pts) == 0:
-        raise ValueError("train_pq_codebooks: corpus is empty")
+        raise ValueError("PQ training: corpus is empty")
+    return pts
+
+
+def _train_books(pts, m: int, k: int, iters: int) -> list[list[list[float]]]:
+    """Per-subvector k-means over a point matrix: farthest-point seeding +
+    fixed Lloyd iterations per subspace. Deterministic (no RNG)."""
+    import numpy as np
+
     d = pts.shape[1]
     if d % m:
-        raise ValueError(f"train_pq_codebooks: dims {d} not divisible by m={m}")
+        raise ValueError(f"PQ training: dims {d} not divisible by m={m}")
     sub = d // m
     books = []
     for mi in range(m):
@@ -92,6 +97,48 @@ def train_pq_codebooks(
                     cents[c] = members.mean(axis=0)
         books.append([[float(x) for x in c] for c in cents])
     return books
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Per-subvector k-means codebooks over RAW vectors: splits each
+    sampled vector into ``m`` contiguous subvectors and trains ``k``
+    centroids per subspace. Deterministic end-to-end. Returns
+    ``m × k × (d/m)`` floats."""
+    return _train_books(
+        _sampled_matrix(corpus, id_col, vec_col, sample_cap), m, k, iters
+    )
+
+
+def train_ivfpq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    m: int = 8,
+    k: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """IVF-PQ residual codebooks (Jégou et al. 2011 §IV; FAISS IndexIVFPQ):
+    assign the sample to its nearest coarse cell, subtract the centroid,
+    and train PQ books on the RESIDUALS — far lower variance than raw
+    vectors, so the same code budget buys more precision. Deterministic
+    given the (offline-trained, committed) coarse quantizer."""
+    import numpy as np
+
+    pts = _sampled_matrix(corpus, id_col, vec_col, sample_cap)
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    assign = (c2[None, :] - 2.0 * (pts @ C.T)).argmin(axis=1)
+    return _train_books(pts - C[assign], m, k, iters)
 
 
 def _encode_udf(codebooks: list[list[list[float]]]):
@@ -180,6 +227,200 @@ def _lut_udf(codebooks: list[list[list[float]]]):
         return pd.Series(out)
 
     return lut
+
+
+def _ivfpq_encode_udf(centroids, codebooks):
+    """Arrow-batched (cell, codes) struct per vector: nearest coarse cell,
+    then per-subvector residual codes — one pass, margin-guarded like
+    `_encode_udf` so near-tie decisions match the SQL twin's left-to-right
+    accumulation."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)  # (ncell, d)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, k, sub = B.shape
+    c2 = (C * C).sum(axis=1)
+    b2 = (B * B).sum(axis=2)
+
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def encode(vs: pd.Series) -> pd.DataFrame:
+        if not len(vs):
+            return pd.DataFrame({"cell": [], "codes": []})
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        dc = c2[None, :] - 2.0 * (V @ C.T)
+        # cell margin guard: near-tie rows recompute sequentially
+        if dc.shape[1] > 1:
+            srt = np.sort(dc, axis=1)
+            margin = 1e-9 * np.maximum(1.0, np.abs(dc).max(axis=1))
+            for i in np.flatnonzero(np.diff(srt, axis=1).min(axis=1) < margin):
+                for j in range(len(C)):
+                    cs = 0.0
+                    for t in C[j]:
+                        cs = cs + t * t
+                    ds = 0.0
+                    for a, b in zip(V[i], C[j]):
+                        ds = ds + a * b
+                    dc[i, j] = cs - 2.0 * ds
+        cell = dc.argmin(axis=1)
+        R = (V - C[cell]).reshape(len(V), m, sub)
+        d2 = b2[None, :, :] - 2.0 * np.einsum("nms,mks->nmk", R, B)
+        if k > 1:
+            best2 = np.partition(d2, 1, axis=2)[:, :, :2]
+            margin = 1e-9 * np.maximum(1.0, np.abs(d2).max(axis=2))
+            for i, mi in np.argwhere(best2[:, :, 1] - best2[:, :, 0] < margin):
+                seg = R[i, mi]
+                for j in range(k):
+                    bv = B[mi, j]
+                    bs = 0.0
+                    for t in bv:
+                        bs = bs + t * t
+                    ds = 0.0
+                    for a, b in zip(seg, bv):
+                        ds = ds + a * b
+                    d2[i, mi, j] = bs - 2.0 * ds
+        codes = d2.argmin(axis=2).astype("int32")
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "codes": list(codes)}
+        )
+
+    return encode
+
+
+def _ivfpq_lut_udf(centroids, codebooks):
+    """Per-(query, probed cell) ADC table over RESIDUAL space: flat m·k
+    doubles where lut[mi*k + j] = ||(q − centroid(cell))_mi − b_mi_j||²,
+    ascending-dim accumulation (matches the SQL twin)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = B.shape
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def lut(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        out = []
+        for v, cell in zip(vs, cells):
+            q = np.asarray(v, dtype=np.float64) - C[int(cell)]
+            diff = (q.reshape(m, 1, sub) - B) ** 2
+            acc = np.zeros((m, k))
+            for s in range(sub):
+                acc = acc + diff[:, :, s]
+            out.append(acc.reshape(-1))
+        return pd.Series(out)
+
+    return lut
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 64,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the canonical 100 TB ANN plan (FAISS
+    IndexIVFPQ; Jégou et al. 2011 §IV): coarse cells prune the corpus to
+    ~nprobe/n_cells, residual-PQ codes shrink what remains ~32×, ADC is a
+    table-lookup sum, and only the shortlist reads full vectors.
+
+    Spark shape: the ADC stage is an EQUI-JOIN on the small int cell id
+    (queries explode to nprobe rows with a per-cell broadcast LUT; the
+    codes relation streams in place, partition-prunable when the store is
+    partitioned by cell), followed by zip_with/aggregate sums JVM-side —
+    no Python touches the corpus-sized path. Value-hash gated end-to-end
+    by the DuckDB twin (workload/vectors.py:vec_knn_ivfpq)."""
+    from .similarity import _nearest_cells_udf
+
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    enc = _ivfpq_encode_udf(centroids, codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        enc(as_double_array(vec_col)).alias("_e"),
+    ).select("neighbor_id", F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes"))
+
+    probe = _nearest_cells_udf(centroids, nprobe)
+    lutf = _ivfpq_lut_udf(centroids, codebooks)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        )
+        .withColumn("cell", F.explode(probe(F.col("qv"))))
+        .withColumn("lut", lutf(F.col("qv"), F.col("cell")))
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.col("lut"), (mi * kk + F.element_at(F.col("codes"), mi + 1) + 1)
+        ),
+    )
+    pairs = (
+        F.broadcast(q.select("query_id", "cell", "lut"))
+        .join(c, "cell")
+        .select("query_id", "neighbor_id", adc.alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    short = (
+        pairs.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    x = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    y = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    den = F.col("qn") * F.col("cn")
+    scored = (
+        short.join(F.broadcast(x), "query_id")
+        .join(y, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
 
 
 def pq_topk(

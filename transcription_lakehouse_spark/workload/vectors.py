@@ -486,6 +486,148 @@ WHERE rank <= {k}
 VEC_KNN_PQ_SQL = _knn_pq_oracle_sql(5, 64)
 
 
+def vec_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 approximate ANN via IVF-PQ — the canonical 100 TB index (FAISS
+    IndexIVFPQ; Jégou et al. 2011 §IV): the committed coarse quantizer
+    prunes to nprobe/16 of the corpus, committed RESIDUAL codebooks
+    (tools/train_ivfpq.py) compress what remains to 8-int codes, ADC runs
+    as an equi-join on the cell id + JVM-side lookup sums, and only the
+    shortlist reads full vectors.
+
+    FULLY value-hash gated: the DuckDB twin replays cell assignment,
+    residual encode, per-(query, cell) LUT, ADC join, shortlist, and
+    rescore from the same two literal artifacts."""
+    from ..operators.pq import ivfpq_topk
+    from ._ivf_quantizer import CENTROIDS
+    from ._ivfpq_codebooks import CODEBOOKS
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return ivfpq_topk(
+        queries, e, "vec_id", "embedding", CENTROIDS, CODEBOOKS,
+        k=5, nprobe=4, shortlist=64,
+    )
+
+
+def _knn_ivfpq_oracle_sql(nprobe: int, k: int, shortlist: int) -> str:
+    from ._ivf_quantizer import CENTROIDS
+    from ._ivfpq_codebooks import CODEBOOKS, K_CODES, M_SUBVECTORS
+
+    sub = len(CODEBOOKS[0][0])
+    cent_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(CENTROIDS)
+    )
+    book_rows = ",\n    ".join(
+        f"({mi}, {j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for mi, book in enumerate(CODEBOOKS)
+        for j, c in enumerate(book)
+    )
+    # cell distance: same |c|²−2·v·c form as the IVF twins
+    dcell = (
+        "list_sum(list_transform(ce, t -> t * t))"
+        " - 2 * list_sum(list_transform(list_zip(e, ce), z -> z[1] * z[2]))"
+    )
+    res_seg = f"r[(rb.mi*{sub}+1):(rb.mi*{sub}+{sub})]"
+    mis = ", ".join(str(i) for i in range(M_SUBVECTORS))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c(cell, ce) AS (
+  VALUES
+    {cent_rows}
+),
+rb(mi, j, ce) AS (
+  VALUES
+    {book_rows}
+),
+cell_d AS (
+  SELECT v.vec_id, c.cell, {dcell} AS d2 FROM v CROSS JOIN c
+),
+vcell AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cell ASC) AS rn
+    FROM cell_d
+  ) WHERE rn = 1
+),
+-- residual = v − centroid(cell), exact elementwise
+vres AS (
+  SELECT v.vec_id, vc.cell,
+         list_transform(list_zip(v.e, c.ce), z -> z[1] - z[2]) AS r
+  FROM v JOIN vcell vc ON v.vec_id = vc.vec_id JOIN c ON vc.cell = c.cell
+),
+enc_d AS (
+  SELECT vr.vec_id, rb.mi, rb.j,
+         list_sum(list_transform(rb.ce, t -> t * t))
+           - 2 * list_sum(list_transform(list_zip({res_seg}, rb.ce),
+                                         z -> z[1] * z[2])) AS d2
+  FROM vres vr CROSS JOIN rb
+),
+codes AS (
+  SELECT vec_id, list(j ORDER BY mi) AS codes FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+                ORDER BY d2 ASC, j ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1 GROUP BY vec_id
+),
+q_probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cell ASC) AS rn
+    FROM cell_d WHERE vec_id % 25 = 0
+  ) WHERE rn <= {nprobe}
+),
+-- per-(query, probed cell) residual against THAT cell's centroid
+qres AS (
+  SELECT q.vec_id, q.cell,
+         list_transform(list_zip(v.e, c.ce), z -> z[1] - z[2]) AS r
+  FROM q_probe q JOIN v ON q.vec_id = v.vec_id JOIN c ON q.cell = c.cell
+),
+lut_d AS (
+  SELECT qr.vec_id, qr.cell, rb.mi, rb.j,
+         list_sum(list_transform(list_zip({res_seg}, rb.ce),
+                                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+  FROM qres qr CROSS JOIN rb
+),
+lut AS (
+  SELECT vec_id, cell, list(d2 ORDER BY mi, j) AS lut
+  FROM lut_d GROUP BY vec_id, cell
+),
+adc AS (
+  SELECT l.vec_id AS query_id, m.vec_id AS neighbor_id,
+         list_sum(list_transform([{mis}],
+           mi -> list_extract(l.lut,
+                   mi * {K_CODES} + list_extract(cd.codes, mi + 1) + 1))) AS adc_d2
+  FROM lut l
+  JOIN vcell m ON l.cell = m.cell
+  JOIN codes cd ON m.vec_id = cd.vec_id
+  WHERE l.vec_id <> m.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_d2 ASC, neighbor_id ASC) AS srank
+    FROM adc
+  ) WHERE srank <= {shortlist}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id, round({_XY_COS}, 6) AS sim
+  FROM short s JOIN v x ON s.query_id = x.vec_id
+               JOIN v y ON s.neighbor_id = y.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+VEC_KNN_IVFPQ_SQL = _knn_ivfpq_oracle_sql(4, 5, 64)
+
+
 def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (elementwise mean over the embedding
     column) — posexplode → groupBy(label, pos); at scale this is the partial-
@@ -823,6 +965,7 @@ QUERIES = {
     "vec_knn_ivf": vec_knn_ivf,
     "vec_knn_ivf_fixed": vec_knn_ivf_fixed,
     "vec_knn_pq": vec_knn_pq,
+    "vec_knn_ivfpq": vec_knn_ivfpq,
     "vec_near_dup_pairs": vec_near_dup_pairs,
     "vec_knn_lsh": vec_knn_lsh,
 }
@@ -842,4 +985,5 @@ ORACLES = {
     "vec_knn_ivf_fixed": VEC_KNN_IVF_FIXED_SQL,
     "vec_knn_ivf": VEC_KNN_IVF_SQL,
     "vec_knn_pq": VEC_KNN_PQ_SQL,
+    "vec_knn_ivfpq": VEC_KNN_IVFPQ_SQL,
 }
