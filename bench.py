@@ -37,6 +37,7 @@ HEADLINE = [
     "vec_knn_lsh",
     "vec_knn_ivf_fixed",
     "vec_knn_pq",
+    "vec_knn_ivfpq",
     "evt_asof_last_view",
     "doc_decontamination",
     "doc_gopher_report",
