@@ -965,6 +965,104 @@ def test_histogram_quantiles_rejects_out_of_range_q(spark):
     assert abs(est[1.0] - 9.0) < (9.0 / 64) + 1e-9
 
 
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    """Bloom invariants: EVERY inserted key probes positive (one-sided
+    error — the property that makes it safe for decontamination), the
+    observed false-positive rate on disjoint keys stays near the analytic
+    (1-e^(-kn/m))^k, and filters of disjoint halves MERGE by bit_or into
+    exactly the full-set filter (map-side combinable)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        bloom_build,
+        bloom_fpr,
+        bloom_probe,
+    )
+
+    n = 4000
+    members = spark.range(n).select(F.concat(F.lit("in-"), F.col("id")).alias("k"))
+    others = spark.range(n).select(F.concat(F.lit("out-"), F.col("id")).alias("k"))
+    bloom = bloom_build(members, "k")
+
+    # no false negatives
+    probed = bloom_probe(members, bloom, "k", keep=[])
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+    # false-positive rate within 3x the analytic expectation (+ slack for
+    # small-sample noise)
+    fp = bloom_probe(others, bloom, "k", keep=[]).filter(F.col("bloom_member")).count()
+    expected = bloom_fpr(n)
+    assert fp / n <= 3 * expected + 0.01, (fp / n, expected)
+
+    # merge by bit_or equals the filter of the union
+    h1 = members.filter(F.col("k") < "in-2")  # string-prefix split
+    h2 = members.exceptAll(h1)
+    merged = (
+        bloom_build(h1, "k")
+        .unionByName(bloom_build(h2, "k"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    full = bloom_build(members, "k")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+    # NULL keys are never members
+    nulls = spark.range(1).select(F.lit(None).cast("string").alias("k"))
+    row = bloom_probe(nulls, bloom, "k", keep=[]).collect()[0]
+    assert row["bloom_member"] is False
+
+
+def test_kmv_intersection_error_bound_and_merge(spark):
+    """KMV invariants: the pairwise intersection estimate lands within a
+    few sigma of the truth (RSE ~ 1/sqrt(k)), a group smaller than k is
+    estimated EXACTLY (theta = 2^32 covers the whole set), and sketches
+    merge by keeping the k smallest of the union."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        KMV_K,
+        kmv_intersection,
+        kmv_sketch,
+    )
+
+    # groups A and B over integer keys: A = 0..3999, B = 2000..5999
+    # → |A ∩ B| = 2000
+    a = spark.range(0, 4000).select(F.lit("A").alias("g"), F.col("id").alias("k"))
+    b = spark.range(2000, 6000).select(F.lit("B").alias("g"), F.col("id").alias("k"))
+    sk = kmv_sketch(a.unionByName(b), "k", ["g"], k=KMV_K)
+    est = kmv_intersection(sk, "g", k=KMV_K).collect()[0]
+    true_common = 2000
+    rse = 1.0 / (KMV_K**0.5)
+    assert abs(est["est_common"] - true_common) / true_common <= 4 * rse, est
+
+    # small group (< k distinct): sketch is the whole set, estimate exact
+    c = spark.range(0, 50).select(F.lit("C").alias("g"), F.col("id").alias("k"))
+    d = spark.range(25, 75).select(F.lit("D").alias("g"), F.col("id").alias("k"))
+    sk_small = kmv_sketch(c.unionByName(d), "k", ["g"], k=KMV_K)
+    row = kmv_intersection(sk_small, "g", k=KMV_K).collect()[0]
+    assert row["theta_scaled"] == 1 << 32
+    assert row["n_common"] == 25
+    assert row["est_common"] == 25.0
+
+    # merge: k smallest of (sketch(h1) ∪ sketch(h2)) == sketch(full)
+    from pyspark.sql import Window
+
+    full = kmv_sketch(a, "k", ["g"], k=KMV_K)
+    h1 = a.filter(F.col("k") % 2 == 0)
+    h2 = a.filter(F.col("k") % 2 == 1)
+    win = Window.partitionBy("g").orderBy("h")
+    merged = (
+        kmv_sketch(h1, "k", ["g"], k=KMV_K)
+        .unionByName(kmv_sketch(h2, "k", ["g"], k=KMV_K))
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= KMV_K)
+        .drop("_rn")
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
 def test_train_centroids_reproduces_committed_quantizer(spark):
     """The trained IVF path is hash-gated by injecting the committed
     centroid literals (workload/_ivf_quantizer.py) into both the Spark

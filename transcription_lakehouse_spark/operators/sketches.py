@@ -40,10 +40,18 @@ __all__ = [
     "hll_estimate_from_registers",
     "histogram_sketch",
     "histogram_quantiles",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_fpr",
+    "kmv_sketch",
+    "kmv_intersection",
     "HIST_BINS",
     "CMS_DEPTH",
     "CMS_WIDTH",
     "HLL_B",
+    "BLOOM_BITS",
+    "BLOOM_K",
+    "KMV_K",
 ]
 
 CMS_DEPTH = 4  # hash rows (failure prob e^-4 ≈ 1.8%)
@@ -297,6 +305,193 @@ def hll_estimate_from_registers(
 def hll_error_bound(confidence_sigmas: float = 3.0) -> float:
     """Relative error bound for the configured register count."""
     return confidence_sigmas * 1.04 / math.sqrt(_HLL_M)
+
+
+BLOOM_BITS = 1 << 16  # 65536 bits = 2048 32-bit words (8 KiB broadcast)
+BLOOM_K = 5  # hash probes per key
+
+
+def _bit_word_mask(bit: Column) -> tuple[Column, Column]:
+    """(word index, in-word mask) for a bit position, packed 32 bits/word.
+    32-bit words in BIGINT keep every shift/or in safe positive range on
+    BOTH engines (bit 63 of a signed 64-bit word would overflow DuckDB's
+    BIGINT shift). The mask is pow(2, bit%32) cast to long — exact for
+    exponents <= 31 and identical to DuckDB's CAST(power(2, ...) AS
+    BIGINT)."""
+    word = F.shiftrightunsigned(bit, 5)
+    mask = F.pow(F.lit(2.0), (bit % 32).cast("int")).cast("long")
+    return word, mask
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(word, bits): a Bloom filter over the distinct keys of ``df`` as
+    <= m/32 rows of 32-bit words (packed in longs), mergeable by bit_or
+    across partitions/days — map-side combine assembles it in one pass.
+
+    The 100 TB use: a membership summary of a side too big to broadcast
+    exactly. Broadcasting raw benchmark n-grams (the `ngram_contamination`
+    recipe) stops working when the denylist has billions of entries; the
+    Bloom filter pins the broadcast at m/8 bytes regardless of denylist
+    size, with one-sided error (false positives only — safe for
+    decontamination, where a false positive merely over-removes, and
+    correct as a pre-filter before an exact confirm join).
+
+    Bit positions come from the same Carter-Wegman md5 family as the CMS
+    (h_i = (a + i·b) mod p mod m), so the filter state is exact integer
+    arithmetic that replays bit-for-bit in the DuckDB oracle.
+    """
+    pre = _with_cw_words(df, F.col(key_col).cast("string"), [])
+    bits = pre.select(
+        F.explode(
+            F.array(*[_cw_bucket(i, m_bits) for i in range(k)])
+        ).alias("bit")
+    )
+    word, mask = _bit_word_mask(F.col("bit"))
+    return (
+        bits.select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    keep: list[str],
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership test for every row of ``df``: (keep..., key_col,
+    bloom_member). A key is a member iff ALL k probed bits are set.
+
+    Plan shape: k-way probe explode → broadcast equi-join on the word index
+    (the filter relation is <= m/32 rows) → per-key count of matched
+    probes. The big side is never shuffled on the key; NULL keys probe
+    NULL words and come back non-member.
+    """
+    pre = _with_cw_words(
+        df,
+        F.col(key_col).cast("string"),
+        [F.col(c) for c in keep] + [F.col(key_col)],
+    )
+    probes = pre.select(
+        *keep,
+        key_col,
+        F.explode(
+            F.array(*[_cw_bucket(i, m_bits) for i in range(k)])
+        ).alias("bit"),
+    )
+    word, mask = _bit_word_mask(F.col("bit"))
+    probed = probes.select(
+        *keep, key_col, word.alias("word"), mask.alias("mask")
+    ).join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+    ).cast("int")
+    return probed.groupBy(*keep, key_col).agg(
+        (F.sum(hit) == F.lit(k)).alias("bloom_member")
+    )
+
+
+def bloom_fpr(n_keys: int, m_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> float:
+    """Expected false-positive rate (1 - e^(-kn/m))^k for n inserted keys."""
+    return (1.0 - math.exp(-k * n_keys / m_bits)) ** k
+
+
+KMV_K = 256  # retained minima → relative std error ~ 1/sqrt(k) = 6.25%
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group..., h): the K-minimum-values / theta sketch (Bar-Yossef et
+    al. 2002; Beyer et al. 2007) — the k smallest distinct 32-bit md5
+    hashes per group. Fixed k longs of state per group; sketches merge by
+    keeping the k smallest of the union.
+
+    This is the sketch family that answers what HLL cannot: SET-EXPRESSION
+    cardinalities. Two groups' sketches intersect/union directly (see
+    `kmv_intersection`), so "how many users did both A and B" needs one
+    pass and k longs per group instead of a full distinct-key shuffle.
+
+    Distinctness is taken on the HASH (not the raw key), so the retained
+    set is a pure function of the data — identical under any partitioning
+    and replayed exactly by a DuckDB ROW_NUMBER twin.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    h = (
+        df.select(*group_cols, _md5_long(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    win = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    ).orderBy("h")
+    return (
+        h.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_intersection(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Pairwise intersection-cardinality estimates between every two groups
+    of a KMV sketch relation: (g_a, g_b, theta_scaled, n_common,
+    est_common) with g_a < g_b.
+
+    theta = min over both groups of the sketch threshold — the k-th
+    smallest hash when the group retained k values, else 2^32 (the sketch
+    holds the whole group and is exact below that). Every retained hash
+    < theta is a uniform sample of the group's hash space scaled by
+    theta/2^32, so |common hashes < theta| · 2^32 / theta estimates the
+    intersection size (the standard multi-KMV estimator). All integer
+    arithmetic plus ONE double division (rounded) — hash-gated
+    cross-engine like the other sketches.
+    """
+    hspace = float(1 << 32)
+    per = sketch.groupBy(group_col).agg(
+        F.max("h").alias("_hk"), F.count(F.lit(1)).alias("_sz")
+    )
+    theta_g = F.when(F.col("_sz") < k, F.lit(1 << 32)).otherwise(F.col("_hk"))
+    per = per.select(group_col, theta_g.alias("_theta"))
+    a = sketch.select(
+        F.col(group_col).alias("g_a"), F.col("h")
+    )
+    b = sketch.select(F.col(group_col).alias("g_b"), F.col("h"))
+    common = a.join(b, "h").filter(F.col("g_a") < F.col("g_b"))
+    ta = per.select(F.col(group_col).alias("g_a"), F.col("_theta").alias("_ta"))
+    tb = per.select(F.col(group_col).alias("g_b"), F.col("_theta").alias("_tb"))
+    joined = common.join(F.broadcast(ta), "g_a").join(F.broadcast(tb), "g_b")
+    theta = F.least(F.col("_ta"), F.col("_tb"))
+    agg = (
+        joined.select("g_a", "g_b", theta.alias("_theta"), "h")
+        .groupBy("g_a", "g_b", "_theta")
+        .agg(F.sum((F.col("h") < F.col("_theta")).cast("int")).alias("n_common"))
+    )
+    return agg.select(
+        "g_a",
+        "g_b",
+        F.col("_theta").alias("theta_scaled"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(
+            F.col("n_common") * F.lit(hspace) / F.col("_theta"), 4
+        ).alias("est_common"),
+    )
 
 
 HIST_BINS = 64  # quantile error <= 1 bin width = (max-min)/64

@@ -1528,6 +1528,84 @@ ORDER BY event_type, q
 EVT_QUANTILE_SKETCH_SQL = _quantile_sketch_sql(64)
 
 
+def evt_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch set-intersection cardinality (Bar-Yossef 2002;
+    Beyer 2007): estimated number of users shared by every PAIR of event
+    types, from k=256 retained hash minima per type — the set-expression
+    question HLL cannot answer (HLL unions but never intersects). At
+    100 TB: one pass + k longs per group replaces a distinct-users
+    self-join across types. The retained set is a pure function of the
+    data (k smallest md5 values), so the DuckDB twin replays the sketch
+    exactly; the exact overlap rides along to show the error."""
+    from ..operators.sketches import KMV_K, kmv_intersection, kmv_sketch
+
+    ev = _events(spark, sf_dir)
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k=KMV_K)
+    est = kmv_intersection(sk, "event_type", k=KMV_K)
+    u = ev.select("event_type", "user_id").distinct()
+    exact = (
+        u.select(F.col("event_type").alias("g_a"), "user_id")
+        .join(u.select(F.col("event_type").alias("g_b"), "user_id"), "user_id")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return (
+        est.join(exact, ["g_a", "g_b"])
+        .select(
+            "g_a", "g_b", "theta_scaled", "n_common", "est_common", "exact_common"
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+def _kmv_sql(k: int) -> str:
+    return f"""
+WITH u AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uk FROM events
+), h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(uk), 1, 8)) AS BIGINT) AS h
+  FROM u
+), rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, h FROM rk WHERE rn <= {k}
+), per AS (
+  SELECT event_type,
+         CASE WHEN count(*) < {k} THEN 4294967296 ELSE max(h) END AS theta
+  FROM sk GROUP BY event_type
+), common AS (
+  SELECT a.event_type AS g_a, b.event_type AS g_b, a.h
+  FROM sk a JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+), agg AS (
+  SELECT g_a, g_b, least(pa.theta, pb.theta) AS theta,
+         sum(CASE WHEN h < least(pa.theta, pb.theta) THEN 1 ELSE 0 END)
+           AS n_common
+  FROM common
+  JOIN per pa ON pa.event_type = g_a
+  JOIN per pb ON pb.event_type = g_b
+  GROUP BY g_a, g_b, least(pa.theta, pb.theta)
+), exact AS (
+  SELECT ua.event_type AS g_a, ub.event_type AS g_b, count(*) AS exact_common
+  FROM u ua JOIN u ub ON ua.uk = ub.uk AND ua.event_type < ub.event_type
+  GROUP BY 1, 2
+)
+SELECT a.g_a, a.g_b,
+       CAST(a.theta AS BIGINT) AS theta_scaled,
+       CAST(a.n_common AS BIGINT) AS n_common,
+       round(a.n_common * 4294967296.0 / a.theta, 4) AS est_common,
+       e.exact_common
+FROM agg a JOIN exact e USING (g_a, g_b)
+ORDER BY g_a, g_b
+"""
+
+
+EVT_KMV_OVERLAP_SQL = _kmv_sql(256)
+
+
 def evt_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew diagnosis (the decision input for salting / AQE
     tuning): the 10 hottest user keys with row share and cumulative share.
@@ -1559,6 +1637,7 @@ QUERIES = {
     "evt_cms_heavy_hitters": evt_cms_heavy_hitters,
     "evt_hll_cardinality": evt_hll_cardinality,
     "evt_quantile_sketch": evt_quantile_sketch,
+    "evt_kmv_overlap": evt_kmv_overlap,
     "evt_key_skew": evt_key_skew,
     "evt_stickiness": evt_stickiness,
     "evt_top_paths": evt_top_paths,
@@ -1598,6 +1677,7 @@ ORACLES = {
     "evt_cms_heavy_hitters": EVT_CMS_SQL,
     "evt_hll_cardinality": EVT_HLL_SQL,
     "evt_quantile_sketch": EVT_QUANTILE_SKETCH_SQL,
+    "evt_kmv_overlap": EVT_KMV_OVERLAP_SQL,
     "evt_key_skew": EVT_KEY_SKEW_SQL,
     "evt_stickiness": EVT_STICKINESS_SQL,
     "evt_top_paths": EVT_TOP_PATHS_SQL,

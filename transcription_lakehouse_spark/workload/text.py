@@ -1033,6 +1033,119 @@ FROM corpus c LEFT JOIN hits h USING (doc_id)
 """
 
 
+def doc_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the scale path for `doc_decontamination`
+    when the benchmark gram set is too big to broadcast exactly. The filter
+    is m/8 bytes REGARDLESS of denylist size (here 8 KiB for ~4k grams),
+    with one-sided error: ``n_bloom_hit >= n_hit`` per doc, so a positive
+    Bloom verdict over-removes (safe) or gates an exact confirm join. The
+    exact hit count rides along to expose the false-positive margin.
+
+    One corpus pass: grams explode once, the exact broadcast join and the
+    k-probe Bloom lookup share the exploded rows, then one per-doc
+    collapse. Filter state is Carter-Wegman md5 bit arithmetic — the DuckDB
+    twin rebuilds the identical 2048-word filter, so the query is
+    hash-gated, not error-band-gated."""
+    from ..operators.decontam import benchmark_ngrams
+    from ..operators.dedup import shingles_from_tokens
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = benchmark_ngrams(bench, "text", 3)
+    bloom = bloom_build(grams, "gram")
+    exact = F.broadcast(grams.withColumn("_hit", F.lit(1)))
+
+    toked = corpus.select("doc_id", tokens("text").alias("_toks"))
+    sh = toked.select(
+        "doc_id", shingles_from_tokens(F.col("_toks"), 3).alias("_grams")
+    )
+    ex = sh.select(
+        "doc_id",
+        F.size("_grams").alias("n_grams"),
+        F.explode_outer("_grams").alias("gram"),
+    ).join(exact, "gram", "left")
+    per_gram = bloom_probe(ex, bloom, "gram", keep=["doc_id", "n_grams", "_hit"])
+    doc = per_gram.groupBy("doc_id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.sum(
+            (F.col("gram").isNotNull() & F.col("bloom_member")).cast("int")
+        ).cast("long").alias("n_bloom_hit"),
+    )
+    return doc.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        "n_bloom_hit",
+        (F.col("n_bloom_hit") > 0).alias("bloom_flagged"),
+    )
+
+
+def _bloom_sql(m_bits: int, k: int) -> str:
+    mask = "CAST(power(2, bit % 32) AS BIGINT)"
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+         ELSE [] END AS grams
+  FROM tk
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 23 = 0
+), bab AS (
+  SELECT CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS a,
+         CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS b
+  FROM bench
+), bbits AS (
+  SELECT ((a + i * b) % 2147483647) % {m_bits} AS bit
+  FROM bab, generate_series(0, {k - 1}) AS t(i)
+), bloom AS (
+  SELECT bit // 32 AS word, bit_or({mask}) AS bits FROM bbits GROUP BY 1
+), corpus AS (
+  SELECT doc_id, grams FROM sh WHERE doc_id % 23 <> 0
+), cg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM corpus
+), pprobe AS (
+  SELECT doc_id, gram,
+         ((CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+           + i * CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT))
+          % 2147483647) % {m_bits} AS bit
+  FROM cg, generate_series(0, {k - 1}) AS t(i)
+), pj AS (
+  SELECT p.doc_id, p.gram,
+         CASE WHEN bl.bits IS NOT NULL AND (bl.bits & {mask}) = {mask}
+              THEN 1 ELSE 0 END AS probe_hit
+  FROM (SELECT doc_id, gram, bit, bit // 32 AS word FROM pprobe) p
+  LEFT JOIN bloom bl USING (word)
+), gp AS (
+  SELECT doc_id, gram,
+         CASE WHEN sum(probe_hit) = {k} THEN 1 ELSE 0 END AS member
+  FROM pj GROUP BY doc_id, gram
+), exact_hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM cg JOIN bench USING (gram) GROUP BY doc_id
+), bloom_hits AS (
+  SELECT doc_id, sum(member) AS n_bloom_hit FROM gp GROUP BY doc_id
+)
+SELECT c.doc_id, len(c.grams) AS n_grams,
+       CAST(coalesce(e.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(b.n_bloom_hit, 0) AS BIGINT) AS n_bloom_hit,
+       coalesce(b.n_bloom_hit, 0) > 0 AS bloom_flagged
+FROM corpus c
+LEFT JOIN exact_hits e USING (doc_id)
+LEFT JOIN bloom_hits b USING (doc_id)
+"""
+
+
+DOC_BLOOM_DECONTAM_SQL = _bloom_sql(1 << 16, 5)
+
+
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SA1 oracle: `quality.sampling.stratified_sample` with the
     content-hash ordering (sha2(id|seed)) — a pure function of the data, so
@@ -1823,6 +1936,7 @@ QUERIES = {
     "doc_repetition_metrics": doc_repetition_metrics,
     "doc_gopher_report": doc_gopher_report,
     "doc_decontamination": doc_decontamination,
+    "doc_bloom_decontam": doc_bloom_decontam,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_boilerplate": doc_boilerplate,
     "doc_pii_scrub": doc_pii_scrub,
@@ -1842,6 +1956,7 @@ ORACLES = {
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_decontamination": DOC_DECONTAM_SQL,
+    "doc_bloom_decontam": DOC_BLOOM_DECONTAM_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_boilerplate": DOC_BOILERPLATE_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
