@@ -1195,6 +1195,141 @@ def test_wav_decode_end_to_end(spark, tmp_path):
         decode_wav(b"garbage not a wav")
 
 
+def test_bmp_decode_end_to_end(spark, tmp_path):
+    """Real image decode path (no codec libs needed): generated BMP corpus
+    → binary media table (parquet round-trip) → decode → feature column →
+    quality stats → REAL resize. Pins physical correctness: a solid image
+    has zero contrast/edges, a checkerboard has maximal edge density, a
+    half-black/half-white split lands its mean between them, 8-bit palette
+    and 32-bit BGRA variants decode identically to the 24-bit truth, and
+    encode→decode round-trips exactly."""
+    import numpy as np
+    import pytest
+
+    from transcription_lakehouse_spark.ingestion import write_versioned
+    from transcription_lakehouse_spark.multimodal import (
+        bmp_resize_fn,
+        decode_bmp,
+        encode_bmp,
+        extract_features,
+        image_feature_extractor,
+        image_stats,
+        media_table,
+        resize_media,
+    )
+
+    def solid(w, h, rgb):
+        return np.full((h, w, 3), rgb, dtype=np.uint8)
+
+    checker = np.zeros((16, 16, 3), dtype=np.uint8)
+    checker[(np.indices((16, 16)).sum(axis=0) % 2) == 1] = 255
+    half = np.zeros((16, 16, 3), dtype=np.uint8)
+    half[:, 8:] = 255
+    # width 15 exercises the 4-byte row-padding path (15*3 = 45 → stride 48)
+    images = [
+        ("white", solid(15, 9, (255, 255, 255))),
+        ("black", solid(15, 9, (0, 0, 0))),
+        ("red", solid(16, 16, (255, 0, 0))),
+        ("checker", checker),
+        ("half", half),
+    ]
+    rows = [
+        (mid, "image", encode_bmp(px), px.shape[1], px.shape[0], None, "bmp")
+        for mid, px in images
+    ]
+    media = media_table(
+        spark.createDataFrame(
+            rows,
+            "media_id string, media_type string, payload binary, "
+            "width long, height long, duration_sec double, codec string",
+        )
+    )
+    path = write_versioned(media, str(tmp_path), "media", "v1")
+    media = spark.read.parquet(path)
+
+    # exact encode→decode round-trip (incl. the padded-width image)
+    for _, px in images:
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    stats = {r["media_id"]: r for r in image_stats(media).collect()}
+    assert stats["white"]["mean_luma"] == pytest.approx(1.0)
+    assert stats["white"]["std_luma"] < 1e-12
+    assert stats["white"]["edge_density"] < 1e-12
+    assert stats["black"]["dark_ratio"] == 1.0
+    assert stats["white"]["bright_ratio"] == 1.0
+    assert stats["half"]["mean_luma"] == pytest.approx(0.5, abs=0.01)
+    assert stats["checker"]["edge_density"] > stats["half"]["edge_density"] > 0
+    assert stats["white"]["width"] == 15 and stats["white"]["height"] == 9
+    # Rec.601: red is darker than white but not black
+    assert 0.2 < stats["red"]["mean_luma"] < 0.4
+
+    dim = 16
+    feats = {
+        r["media_id"]: np.array(r["features"])
+        for r in extract_features(
+            media, decode_fn=image_feature_extractor(dim), dim=dim
+        ).collect()
+    }
+    # layout: [w, h, aspect, mean, std, edges, hist...]
+    assert feats["white"][0] == 15 and feats["white"][1] == 9
+    hist_white = feats["white"][6:]
+    assert hist_white[-1] == pytest.approx(1.0)  # all mass in the top bin
+    assert feats["checker"][5] > feats["white"][5]
+
+    # REAL resize: checkerboard 16x16 → 8x8 via nearest neighbor stays a
+    # checkerboard sampled at even indices (all-black under this phase)
+    resized = {
+        r["media_id"]: r
+        for r in resize_media(media, 8, 8, resize_fn=bmp_resize_fn).collect()
+    }
+    small = decode_bmp(bytes(resized["checker"]["payload"]))
+    assert small.shape == (8, 8, 3)
+    assert np.array_equal(small, decode_bmp(encode_bmp(checker))[::2, ::2])
+    assert resized["white"]["width"] == 8 and resized["white"]["height"] == 8
+
+    # 32-bit BGRA and 8-bit palette variants decode to the 24-bit truth
+    px = images[3][1]  # checker
+    h, w = px.shape[:2]
+    bgra = np.dstack([px[:, :, ::-1], np.full((h, w, 1), 255, np.uint8)])
+    hdr = bytearray(encode_bmp(px)[:54])
+    hdr[28:30] = (32).to_bytes(2, "little")
+    payload32 = bytes(hdr) + bgra[::-1].tobytes()  # 32bpp rows need no pad
+    assert np.array_equal(decode_bmp(payload32), px)
+
+    pal = np.array([[0, 0, 0, 0], [255, 255, 255, 0]], dtype=np.uint8)[:, [2, 1, 0, 3]]
+    idx = (px[:, :, 0] > 0).astype(np.uint8)
+    stride8 = (w + 3) & ~3
+    rows8 = np.zeros((h, stride8), dtype=np.uint8)
+    rows8[:, :w] = idx[::-1]
+    data_off = 14 + 40 + 8
+    body = rows8.tobytes()
+    hdr8 = (
+        b"BM"
+        + (data_off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (2).to_bytes(4, "little")  # n_colors
+        + (0).to_bytes(4, "little")
+    )
+    assert np.array_equal(decode_bmp(hdr8 + pal.tobytes() + body), px)
+
+    # corrupt / unsupported payloads fail loudly
+    with pytest.raises(Exception, match="BMP"):
+        decode_bmp(b"garbage not a bmp")
+    rle = bytearray(encode_bmp(px))
+    rle[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(Exception, match="BI_RGB"):
+        decode_bmp(bytes(rle))
+
+
 def test_click_cli_flag_surface(spark, tmp_path):
     """Reference CLI flag parity (cli/commands/*.py): ingest --dry-run /
     --incremental / --update-catalog, materialize --heuristic-beats,

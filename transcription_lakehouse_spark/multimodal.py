@@ -3,11 +3,14 @@ with typed metadata, processed via Arrow-batched ``mapInPandas`` kernels.
 
 AUDIO decode is REAL: :func:`decode_wav` is a pure-numpy RIFF/PCM codec
 (no external libs), feeding :func:`wav_feature_extractor` and
-:func:`audio_stats` end-to-end. Image/video decode remains STUBBED (no
-codec libs in this container): ``decode_fn=None`` uses a deterministic
-fake decoder so the Spark-side plumbing — schema, partitioning, UDF
-signatures, batch shapes — is real and tested; swapping in PIL/torchvision
-later is a one-argument change.
+:func:`audio_stats` end-to-end. IMAGE decode is REAL too:
+:func:`decode_bmp`/:func:`encode_bmp` are a pure-numpy BMP (BI_RGB)
+codec feeding :func:`image_feature_extractor`, :func:`image_stats` and a
+real ``resize_fn`` for :func:`resize_media`. Only VIDEO decode remains
+STUBBED (no container parser in this environment): ``decode_fn=None``
+uses a deterministic fake decoder so the Spark-side plumbing — schema,
+partitioning, UDF signatures, batch shapes — is real and tested;
+swapping in PIL/torchvision/ffmpeg later is a one-argument change.
 
 Design for 100 TB: binary payloads stay columnar in parquet; metadata
 predicates (media_type, width, duration) push down so decode only touches
@@ -44,6 +47,11 @@ __all__ = [
     "decode_wav",
     "wav_feature_extractor",
     "audio_stats",
+    "decode_bmp",
+    "encode_bmp",
+    "bmp_resize_fn",
+    "image_feature_extractor",
+    "image_stats",
 ]
 
 # typed metadata + opaque payload — the multimodal column convention
@@ -168,6 +176,143 @@ def wav_feature_extractor(dim: int = 32) -> Callable[[bytes], np.ndarray]:
     return fn
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode, pure numpy — Windows BMP (BI_RGB, uncompressed)
+    to an (H, W, 3) uint8 RGB array. Supports 24-bit BGR, 32-bit BGRA
+    (alpha dropped), and 8-bit paletted payloads; bottom-up (positive
+    height) and top-down (negative height) row order; 4-byte row padding.
+    This closes the image leg of the multimodal decode seam without
+    external codec libs; only video remains a stub."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("decode_bmp: not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"decode_bmp: unsupported DIB header size {hdr_size}")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"decode_bmp: only BI_RGB supported, got {compression}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"decode_bmp: bad dimensions {width}x{height}")
+    top_down = height < 0
+    h = abs(height)
+    row_bytes = (width * bpp + 7) // 8
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    end = data_off + stride * h
+    if end > len(payload):
+        raise ValueError("decode_bmp: truncated pixel array")
+    rows = np.frombuffer(payload[data_off:end], dtype="u1").reshape(h, stride)
+    if bpp == 24:
+        px = rows[:, : width * 3].reshape(h, width, 3)[:, :, ::-1]  # BGR→RGB
+    elif bpp == 32:
+        px = rows[:, : width * 4].reshape(h, width, 4)[:, :, 2::-1]  # BGRA→RGB
+    elif bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_colors], dtype="u1"
+        ).reshape(-1, 4)[:, 2::-1]  # BGRX→RGB
+        idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("decode_bmp: palette index out of range")
+        px = pal[idx]
+    else:
+        raise ValueError(f"decode_bmp: unsupported bpp {bpp}")
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """24-bit BI_RGB BMP writer (bottom-up, rows padded to 4 bytes) — the
+    inverse of :func:`decode_bmp` for round-trip tests and for re-encoding
+    after a real in-container resize."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp: expected (H, W, 3) uint8")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    pixel_bytes = rows.tobytes()
+    data_off = 14 + 40
+    file_size = data_off + len(pixel_bytes)
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_bytes).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")  # 72 DPI
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + pixel_bytes
+
+
+def bmp_resize_fn(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """A REAL ``resize_fn`` for :func:`resize_media`: decode → nearest-
+    neighbor index resize (pure numpy, deterministic) → re-encode 24-bit.
+    Nearest-neighbor keeps the transform exactly reproducible across
+    platforms (no float filter kernels)."""
+    px = decode_bmp(payload)
+    h, w = px.shape[:2]
+    yi = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+    xi = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+    return encode_bmp(px[yi][:, xi])
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    """Rec.601 luminance in [0, 1] from (H, W, 3) uint8."""
+    x = px.astype(np.float64) / 255.0
+    return 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+
+
+def image_feature_extractor(dim: int = 32) -> Callable[[bytes], np.ndarray]:
+    """A real ``decode_fn`` for :func:`extract_features`: fixed-size image
+    feature vector = [width, height, aspect, mean_luma, std_luma,
+    edge_density] + (dim-6)-bin luminance histogram (mass-normalized).
+    Deterministic physics: a solid-color image has zero std/edges and all
+    histogram mass in one bin; a half-black/half-white image splits it."""
+    if dim < 8:
+        raise ValueError("image_feature_extractor: dim must be >= 8")
+
+    def fn(payload: bytes) -> np.ndarray:
+        px = decode_bmp(payload)
+        h, w = px.shape[:2]
+        y = _luma(px)
+        gy = np.abs(np.diff(y, axis=0)).mean() if h > 1 else 0.0
+        gx = np.abs(np.diff(y, axis=1)).mean() if w > 1 else 0.0
+        n_bins = dim - 6
+        hist, _ = np.histogram(y, bins=n_bins, range=(0.0, 1.0))
+        hist = hist / max(y.size, 1)
+        return np.concatenate(
+            (
+                [
+                    float(w),
+                    float(h),
+                    w / h,
+                    float(y.mean()),
+                    float(y.std()),
+                    float(gy + gx),
+                ],
+                hist,
+            )
+        )
+
+    return fn
+
+
 def audio_stats(media: DataFrame) -> DataFrame:
     """Per-clip audio quality stats over the binary column — the audio twin
     of the text quality battery: (media_id, sample_rate, n_samples,
@@ -210,6 +355,51 @@ def audio_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image quality stats over the binary column — the image twin of
+    the text/audio quality batteries: (media_id, width, height, n_pixels,
+    mean_luma, std_luma, dark_ratio, bright_ratio, edge_density).
+    Arrow-batched mapInPandas over the real BMP decoder; metadata
+    predicates (media_type = 'image') prune before any payload decodes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(payload)
+                h, w = px.shape[:2]
+                y = _luma(px)
+                gy = np.abs(np.diff(y, axis=0)).mean() if h > 1 else 0.0
+                gx = np.abs(np.diff(y, axis=1)).mean() if w > 1 else 0.0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": h * w,
+                        "mean_luma": float(y.mean()),
+                        "std_luma": float(y.std()),
+                        "dark_ratio": float((y < 0.1).mean()),
+                        "bright_ratio": float((y > 0.9).mean()),
+                        "edge_density": float(gy + gx),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(
+            kernel,
+            schema=(
+                "media_id string, width long, height long, n_pixels long, "
+                "mean_luma double, std_luma double, dark_ratio double, "
+                "bright_ratio double, edge_density double"
+            ),
+        )
+    )
+
+
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes], np.ndarray] | None = None,
@@ -245,20 +435,20 @@ def resize_media(
     target_h: int = 224,
     resize_fn: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
-    """Arrow-batched image resize plumbing: (media_id, payload, width,
-    height) with payload resized to (target_w, target_h).
+    """Arrow-batched image resize: (media_id, payload, width, height) with
+    payload resized to (target_w, target_h).
 
-    The pixel transform is STUBBED (no codec libs in-container):
-    ``resize_fn=None`` raises NotImplementedError per batch — the schema,
-    batching and metadata rewrite are the real, tested part; a PIL-backed
-    ``resize_fn`` drops in unchanged."""
+    Pass :func:`bmp_resize_fn` for the REAL in-container path (pure-numpy
+    BMP decode → nearest-neighbor → re-encode). ``resize_fn=None`` still
+    raises NotImplementedError per batch for non-BMP corpora — a
+    PIL-backed ``resize_fn`` drops in unchanged."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if resize_fn is None:
                 raise NotImplementedError(
-                    "resize_media: no image codec in this container; pass "
-                    "resize_fn=(payload, w, h) -> payload"
+                    "resize_media: pass resize_fn=(payload, w, h) -> payload "
+                    "(bmp_resize_fn for BMP corpora; PIL for everything else)"
                 )
             yield pd.DataFrame(
                 {
