@@ -53,6 +53,8 @@ HEADLINE = [
     "evt_overlap_join",
     "evt_cms_heavy_hitters",
     "evt_hll_cardinality",
+    "evt_kmv_overlap",
+    "doc_bloom_decontam",
     "q9_product_profit",
     "q21_waiting_suppliers",
 ]
@@ -159,11 +161,40 @@ def bench_knn_ivf_scaled(spark, sf_dir: str):
     return ivf_topk(queries, big, "vec_id", "embedding", k=5, n_cells=32, nprobe=4)
 
 
+def bench_knn_ivfpq_scaled(spark, sf_dir: str):
+    """IVF-PQ ANN over 20x embeddings (40k vectors, 400 queries): coarse
+    cells prune to nprobe/n_cells of the corpus BEFORE the ADC stage, so
+    the per-query ranking shuffle shrinks ~8x vs flat PQ — the composed
+    index is the 100 TB plan, flat PQ the small-corpus baseline."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.pq import ivfpq_topk
+    from transcription_lakehouse_spark.sources.tables import load_table
+    from transcription_lakehouse_spark.workload._ivf_quantizer import CENTROIDS
+    from transcription_lakehouse_spark.workload._ivfpq_codebooks import (
+        CODEBOOKS as RESIDUAL_BOOKS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(20).withColumnRenamed("id", "rep")
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .select((F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    queries = big.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(
+        queries, big, "vec_id", "embedding", CENTROIDS, RESIDUAL_BOOKS,
+        k=5, nprobe=4, shortlist=64,
+    )
+
+
 SCALED = {
     "dedup_minhash_20x": bench_minhash_dedup_scaled,
     "knn_lsh_20x": bench_knn_lsh_scaled,
     "knn_ivf_20x": bench_knn_ivf_scaled,
     "knn_pq_20x": bench_knn_pq_scaled,
+    "knn_ivfpq_20x": bench_knn_ivfpq_scaled,
 }
 
 

@@ -124,6 +124,19 @@ def run(factor: int) -> dict:
     hll_cardinality(ev, "user_id", ["event_type"]).collect()
     out["hll_sec"] = round(time.time() - t0, 2)
 
+    from transcription_lakehouse_spark.operators.sketches import (
+        kmv_intersection,
+        kmv_sketch,
+    )
+
+    # KMV: retained state is k=256 longs per group no matter how many
+    # distinct users flow through — wall should track the distinct pass
+    t0 = time.time()
+    kmv_intersection(
+        kmv_sketch(ev, "user_id", ["event_type"]), "event_type"
+    ).collect()
+    out["kmv_sec"] = round(time.time() - t0, 2)
+
     ev.unpersist()
 
     from transcription_lakehouse_spark.operators.dedup import (
@@ -159,6 +172,27 @@ def run(factor: int) -> dict:
         F.sum("dup_tokens")
     ).collect()
     out["dup_spans_sec"] = round(time.time() - t0, 2)
+
+    # bloom decontamination: the filter is a FIXED 2048-word broadcast no
+    # matter the factor; probe cost should track the corpus gram volume
+    from transcription_lakehouse_spark.functions.text import tokens as _tokens
+    from transcription_lakehouse_spark.operators.decontam import benchmark_ngrams
+    from transcription_lakehouse_spark.operators.dedup import shingles_from_tokens
+    from transcription_lakehouse_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    bench_docs = docs.filter(F.col("doc_id") % 23 == 0)
+    t0 = time.time()
+    bloom = bloom_build(benchmark_ngrams(bench_docs, "text", 3), "gram")
+    ex = (
+        docs.filter(F.col("doc_id") % 23 != 0)
+        .select("doc_id", shingles_from_tokens(_tokens("text"), 3).alias("_g"))
+        .select("doc_id", F.explode_outer("_g").alias("gram"))
+    )
+    bloom_probe(ex, bloom, "gram", keep=["doc_id"]).groupBy().count().collect()
+    out["bloom_decontam_sec"] = round(time.time() - t0, 2)
     docs.unpersist()
 
     emb = scaled_embeddings(spark, factor).cache()

@@ -952,8 +952,85 @@ FROM ex GROUP BY dim ORDER BY dim
 """
 
 
+def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift — the vector twin of `doc_drift_psi`: compare
+    a reference slice (even vec_ids) against a current slice (odd) per
+    dimension — mean shift, pooled variance, and a standardized drift
+    score |Δmean|/σ_pooled. The production use: yesterday's embedding
+    batch vs today's, catching encoder regressions / silent model swaps
+    before they poison an index. One posexplode pass with conditional
+    aggregation — both populations reduce in the SAME map-side-combined
+    groupBy (no second scan, no join); d output rows regardless of corpus
+    size. DECIMAL(28,12) sums keep the accumulation exact cross-engine
+    (the vec_dim_stats convention)."""
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(as_double_array("embedding")).alias("dim", "x"),
+    )
+    ref, cur = F.col("grp") == 0, F.col("grp") == 1
+
+    def _s(cond, expr):
+        return F.sum(F.when(cond, expr).cast("decimal(28,12)"))
+
+    agg = ex.groupBy("dim").agg(
+        F.sum(ref.cast("long")).alias("n_ref"),
+        F.sum(cur.cast("long")).alias("n_cur"),
+        _s(ref, F.col("x")).alias("_s1r"),
+        _s(ref, F.col("x") * F.col("x")).alias("_s2r"),
+        _s(cur, F.col("x")).alias("_s1c"),
+        _s(cur, F.col("x") * F.col("x")).alias("_s2c"),
+    )
+    mr = F.col("_s1r").cast("double") / F.col("n_ref")
+    mc = F.col("_s1c").cast("double") / F.col("n_cur")
+    vr = F.col("_s2r").cast("double") / F.col("n_ref") - mr * mr
+    vc = F.col("_s2c").cast("double") / F.col("n_cur") - mc * mc
+    pooled = (vr + vc) / 2
+    score = F.abs(mc - mr) / F.sqrt(pooled + F.lit(1e-12))
+    return agg.select(
+        "dim",
+        "n_ref",
+        "n_cur",
+        F.round(mr, 6).alias("mean_ref"),
+        F.round(mc, 6).alias("mean_cur"),
+        F.round(mc - mr, 6).alias("mean_shift"),
+        F.round(pooled, 6).alias("var_pooled"),
+        F.round(score, 4).alias("drift_score"),
+    ).orderBy("dim")
+
+
+VEC_EMBEDDING_DRIFT_SQL = """
+WITH ex AS (
+  SELECT vec_id % 2 AS grp, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+), agg AS (
+  SELECT dim,
+         count(*) FILTER (grp = 0) AS n_ref,
+         count(*) FILTER (grp = 1) AS n_cur,
+         CAST(sum(CAST(x AS DECIMAL(28,12))) FILTER (grp = 0) AS DOUBLE) AS s1r,
+         CAST(sum(CAST(x * x AS DECIMAL(28,12))) FILTER (grp = 0) AS DOUBLE) AS s2r,
+         CAST(sum(CAST(x AS DECIMAL(28,12))) FILTER (grp = 1) AS DOUBLE) AS s1c,
+         CAST(sum(CAST(x * x AS DECIMAL(28,12))) FILTER (grp = 1) AS DOUBLE) AS s2c
+  FROM ex GROUP BY dim
+)
+SELECT dim, n_ref, n_cur,
+       round(s1r / n_ref, 6) AS mean_ref,
+       round(s1c / n_cur, 6) AS mean_cur,
+       round(s1c / n_cur - s1r / n_ref, 6) AS mean_shift,
+       round(((s2r / n_ref - (s1r / n_ref) * (s1r / n_ref))
+              + (s2c / n_cur - (s1c / n_cur) * (s1c / n_cur))) / 2, 6)
+         AS var_pooled,
+       round(abs(s1c / n_cur - s1r / n_ref)
+             / sqrt(((s2r / n_ref - (s1r / n_ref) * (s1r / n_ref))
+                     + (s2c / n_cur - (s1c / n_cur) * (s1c / n_cur))) / 2
+                    + 1e-12), 4) AS drift_score
+FROM agg ORDER BY dim
+"""
+
+
 QUERIES = {
     "vec_dim_stats": vec_dim_stats,
+    "vec_embedding_drift": vec_embedding_drift,
     "vec_hard_negatives": vec_hard_negatives,
     "vec_contrastive_triplets": vec_contrastive_triplets,
     "vec_semantic_dedup": vec_semantic_dedup,
@@ -972,6 +1049,7 @@ QUERIES = {
 
 ORACLES = {
     "vec_dim_stats": VEC_DIM_STATS_SQL,
+    "vec_embedding_drift": VEC_EMBEDDING_DRIFT_SQL,
     "vec_hard_negatives": VEC_HARD_NEGATIVES_SQL,
     "vec_contrastive_triplets": VEC_CONTRASTIVE_SQL,
     "vec_semantic_dedup": VEC_SEMANTIC_DEDUP_SQL,
