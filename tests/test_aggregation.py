@@ -194,3 +194,48 @@ def test_approx_sketches_track_exact_aggregates(spark):
     # the value gap at that rank tolerance stays small
     assert abs(approx["p50"] - exact["p50"]) <= max(0.5, 0.02 * exact["p50"])
     assert abs(approx["p95"] - exact["p95"]) <= max(0.5, 0.02 * exact["p95"])
+
+
+def _beats_with_sparse_embeddings(spark, keep_every: int):
+    """Long-episode beats + embeddings for only every `keep_every`-th beat."""
+    rows = []
+    t = 0.0
+    for i in range(360):
+        speaker = "A" if (i // 12) % 2 == 0 else "B"
+        rows.append(("EP - #9 - 2024-05-01 - Long", t, t + 5.0, speaker, f"utt {i}"))
+        t += 5.0
+    utts = spark.createDataFrame(
+        rows, "episode_id string, start double, end double, speaker string, text string"
+    )
+    beats = generate_beats_heuristic(generate_spans(normalize(utts)))
+    ids = [r["beat_id"] for r in beats.orderBy("start_time").collect()]
+    emb = spark.createDataFrame(
+        [(bid, [1.0, 0.0]) for i, bid in enumerate(ids) if i % keep_every == 0],
+        "artifact_id string, embedding array<float>",
+    )
+    return beats, emb
+
+
+def test_sections_coverage_guard_is_lazy_and_fires(spark):
+    """The <80%-coverage refusal is an IN-PLAN raise_error (no eager job at
+    build time — the old `.first()` pre-flight re-executed the whole beats
+    lineage), surfacing when the plan is first executed."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    beats, emb = _beats_with_sparse_embeddings(spark, keep_every=5)  # 20% cov
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    sections = generate_sections(beats, emb)  # must NOT run a job
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "generate_sections ran an eager job"
+    with pytest.raises((PySparkException, Py4JJavaError)) as ei:
+        sections.collect()
+    assert "Insufficient embedding coverage" in str(ei.value)
+
+
+def test_sections_coverage_guard_passes_above_threshold(spark):
+    beats, emb = _beats_with_sparse_embeddings(spark, keep_every=1)  # 100%
+    sections = generate_sections(beats, emb)
+    assert sections.count() >= 1

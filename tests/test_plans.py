@@ -44,6 +44,9 @@ _BOUNDED_BROADCAST_BNLJ = {
     "vec_knn_pq",           # sampled queries' ADC LUTs broadcast against
                             # the compressed codes relation — the PQ scan
                             # IS one pass over codes by construction
+    "trn_section_semantic_catalog",  # one-row embedding-coverage guard
+                            # broadcast (generate_sections' in-plan
+                            # raise_error refusal — replaces an eager job)
 }
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {
@@ -68,6 +71,8 @@ _GLOBAL_SCALAR_OK = {
                                  # (bounded by calendar days, not rows)
     "evt_key_skew",              # cum-share window over the top-10-row
                                  # relation + one-row total broadcast
+    "trn_section_semantic_catalog",  # one-row coverage-guard aggregate
+                                 # (counts only — bounded by construction)
 }
 
 

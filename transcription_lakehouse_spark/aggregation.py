@@ -19,6 +19,8 @@ beat_ids) and a deterministic content-hash ID (ids.py).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
@@ -239,12 +241,12 @@ def generate_sections(
     Guardrail (`sections.py:455-462`): when embeddings ARE provided and
     `require_embeddings` (reference default), materialization fails if <80%
     of beats have an embedding — a mostly-missing embeddings table must not
-    silently degrade section quality.
+    silently degrade section quality. The check is an in-plan raise_error
+    (1-row broadcast guard), so it costs zero extra jobs and surfaces on
+    first execution of the returned plan, not at build time.
 
     Inherently sequential per episode → applyInPandas grouped-map kernel
     (per-episode beat counts are bounded by the duration guardrails)."""
-    import numpy as np
-
     src = beats.select("beat_id", "episode_id", "start_time", "end_time", "text")
     semantic_mode = beat_embeddings is not None
     if semantic_mode:
@@ -256,18 +258,46 @@ def generate_sections(
             "left",
         )
         if require_embeddings:
-            cov = src.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count("_emb").alias("n_emb"),
-            ).first()
-            pct = 100.0 * cov["n_emb"] / cov["n"] if cov["n"] else 100.0
-            if pct < SECTION_MIN_COVERAGE_PCT:
-                raise ValueError(
-                    f"Insufficient embedding coverage for semantic sections: "
-                    f"{pct:.1f}% < {SECTION_MIN_COVERAGE_PCT}% "
-                    f"({cov['n_emb']}/{cov['n']} beats). Generate embeddings "
-                    "for all beats or pass require_embeddings=False."
+            # In-plan guard (zero extra jobs): a 1-row aggregate joined back
+            # on a condition that READS the guarded value — the join predicate
+            # reference keeps Catalyst from pruning the raise_error away, and
+            # the eager `.first()` pre-flight this replaces re-executed the
+            # whole beats⋈embeddings lineage as a separate job (same pattern
+            # as operators/dedup.py:signature_bands).
+            pct = F.when(
+                F.col("_cov_n") > 0,
+                100.0 * F.col("_cov_n_emb") / F.col("_cov_n"),
+            ).otherwise(F.lit(100.0))
+            guard = src.agg(
+                F.count(F.lit(1)).alias("_cov_n"),
+                F.count("_emb").alias("_cov_n_emb"),
+            ).select(
+                F.when(
+                    pct < SECTION_MIN_COVERAGE_PCT,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "Insufficient embedding coverage for semantic "
+                                "sections: "
+                            ),
+                            F.round(pct, 1).cast("string"),
+                            F.lit(f"% < {SECTION_MIN_COVERAGE_PCT}% ("),
+                            F.col("_cov_n_emb").cast("string"),
+                            F.lit("/"),
+                            F.col("_cov_n").cast("string"),
+                            F.lit(
+                                " beats). Generate embeddings for all beats "
+                                "or pass require_embeddings=False."
+                            ),
+                        )
+                    ).cast("int"),
                 )
+                .otherwise(F.lit(0))
+                .alias("_cov_ok")
+            )
+            src = src.join(
+                F.broadcast(guard), F.col("_cov_ok") == F.lit(0)
+            ).drop("_cov_ok")
     else:
         src = src.withColumn("_emb", F.lit(None).cast("array<float>"))
 
@@ -278,15 +308,28 @@ def generate_sections(
 
     def cos(a, b) -> float | None:
         """None when either embedding is missing (no semantic signal —
-        reference `_has_semantic_boundary` returns False, `sections.py:290`)."""
+        reference `_has_semantic_boundary` returns False, `sections.py:290`).
+
+        Strict left-to-right double accumulation (not np.dot/BLAS, whose
+        pairwise/unrolled summation rounds differently) so the kernel is
+        bitwise-identical to functions/vector.py's JVM fold and DuckDB's
+        list_sum — the trn_section_semantic_catalog oracle depends on it.
+        Per-transition cost at dim<=1536 is negligible next to Arrow I/O."""
         if a is None or b is None:
             return None
-        a = np.asarray(a, dtype="float64")
-        b = np.asarray(b, dtype="float64")
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        if na == 0 or nb == 0:
+        num = 0.0
+        na2 = 0.0
+        nb2 = 0.0
+        for x, y in zip(a, b):
+            x = float(x)
+            y = float(y)
+            num += x * y
+            na2 += x * x
+            nb2 += y * y
+        den = math.sqrt(na2) * math.sqrt(nb2)
+        if den == 0:
             return 0.0
-        return float(np.dot(a, b) / (na * nb))
+        return num / den
 
     min_s = SECTION_MIN_MIN * 60
     max_s = SECTION_MAX_MIN * 60

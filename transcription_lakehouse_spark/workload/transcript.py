@@ -32,9 +32,10 @@ The oracle side reproduces:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..aggregation import (
+    generate_beats_embedding,
     generate_beats_heuristic,
     generate_sections,
     generate_spans,
@@ -84,9 +85,12 @@ def _agg_id_sql(prefix: str, ids_col: str, pos_col: str) -> str:
 
 
 # spans as produced by generate_spans, before output projection — shared by
-# the span query and as the base of the beat/section recursions
-_SPANS_SQL = f"""
-utt AS ({_UTTERANCES_SQL}),
+# the span query and as the base of the beat/section recursions.
+# Parameterized over the utterance derivation so the semantic gates (which
+# need longer durations / topic-tagged text) reuse the identical span twin.
+def _spans_sql_over(utt_sql: str) -> str:
+    return f"""
+utt AS ({utt_sql}),
 flagged AS (
   SELECT *, CASE WHEN lag(end_t) OVER w IS NULL
                    OR start - lag(end_t) OVER w > 0.5
@@ -122,6 +126,9 @@ spans AS (
   FROM sfiltered
 )
 """
+
+
+_SPANS_SQL = _spans_sql_over(_UTTERANCES_SQL)
 
 
 def trn_span_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,11 +728,361 @@ ORDER BY a.episode_id
 """
 
 
+# --- semantic (embedding-driven) beat → section path (W7 + W9 semantic) ----
+#
+# The production hash-embedding provider draws PCG64 Gaussians (not SQL-
+# replicable), so these gates derive span/beat embeddings from the SAME
+# md5→uniform family used by the LSH/sketch oracles: component j of a text's
+# vector is md5(text || '|j')'s first 32 bits scaled to [-1, 1) — every step
+# (power-of-two scaling, one add, one exact 0.25 multiply) is bitwise-
+# identical across engines.
+#
+# The default derived utterances are useless for this gate (episode wall
+# ≈ 32 s compressed — the section decision tree never reaches its 5-min
+# minimum, and adjacent spans essentially never cohere: 2 merges in 8 015
+# beats measured). The semantic derivation therefore differs on purpose:
+# - every utterance text is prefixed with a TOPIC token that advances every
+#   7 utterances, and span vectors are topic-dominated (topic + 0.25·text),
+#   so same-topic adjacency coheres (cosine ≈ 0.9 → merge) and topic
+#   changes break — BOTH branches of `generate_beats_embedding` fire
+#   (reference `aggregation/beats.py:126-217`);
+# - durations are 40–138 s at 5e9 µs/s compression, so per-episode summed
+#   beat duration reaches ~20 min and every tier of the section decision
+#   tree (strong/plain boundary, overflow, >30 s gap) actually executes.
+# 1/16 of spans (md5(text) starting '0') and of beats (starting 'f') get NO
+# embedding, exercising the null-boundary path and the ≥80% coverage guard.
+
+_SEM_DIM = 8
+_SEM_SPAN_NULL_HEX = "0"  # spans with md5(text)[0] == this get no embedding
+_SEM_BEAT_NULL_HEX = "f"
+_SEM_TIME_SCALE = 5e9  # µs → seconds at 5 000× compression (20× the default)
+_SEM_TOPIC_EVERY = 7  # utterances per topic block
+
+
+def _sem_utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wep = Window.partitionBy("user_id")
+    word = wep.orderBy("ts_us", "event_id")
+    rel = F.col("ts_us") - F.min("ts_us").over(wep)
+    s0 = rel / F.lit(_SEM_TIME_SCALE)
+    # insert a 240 s dead zone after every 120 s of compressed time so the
+    # section tree's >30 s gap tier fires (otherwise 40-138 s utterance
+    # durations overlap every natural gap); monotonic, exact in doubles
+    start = s0 + F.lit(240.0) * F.floor(s0 / F.lit(120.0))
+    rn = F.row_number().over(word)
+    topic = F.concat(
+        F.lit("T"),
+        F.floor((rn - F.lit(1)) / F.lit(_SEM_TOPIC_EVERY)).cast("string"),
+    )
+    return ev.select(
+        F.col("user_id").cast("string").alias("episode_id"),
+        F.col("event_id").cast("string").alias("utterance_id"),
+        F.col("event_type").alias("speaker"),
+        start.alias("start"),
+        (start + F.lit(40.0) + F.col("value") / F.lit(5.0)).alias("end"),
+        F.concat(
+            topic, F.lit(" "), F.col("event_type"), F.lit(" "), F.col("event_id")
+        ).alias("text"),
+    )
+
+
+_SEM_UTTERANCES_SQL = f"""
+  SELECT CAST(user_id AS VARCHAR) AS episode_id,
+         CAST(event_id AS VARCHAR) AS utterance_id,
+         event_type AS speaker,
+         rel / {_SEM_TIME_SCALE!r}
+           + 240.0 * floor(rel / {_SEM_TIME_SCALE!r} / 120.0) AS start,
+         rel / {_SEM_TIME_SCALE!r}
+           + 240.0 * floor(rel / {_SEM_TIME_SCALE!r} / 120.0)
+           + 40.0 + value / 5.0 AS end_t,
+         concat('T', CAST(CAST(floor((rn - 1) / {_SEM_TOPIC_EVERY}) AS BIGINT) AS VARCHAR),
+                ' ', event_type, ' ', event_id) AS text
+  FROM (
+    SELECT *,
+           epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS rel,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events
+  )
+"""
+
+
+def _md5_unit(col: Column, j: int) -> Column:
+    """Deterministic double in [-1, 1): first 32 md5 bits of ``col || '|j'``
+    scaled by the exact power-of-two 2^-31 then shifted — bitwise-portable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"|{j}"))), 1, 8), 16, 10
+    ).cast("long")
+    return h / F.lit(2147483648.0) - F.lit(1.0)
+
+
+def _md5_unit_sql(expr: str, j: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5({expr} || '|{j}'), 1, 8)) AS BIGINT)"
+        " / 2147483648.0 - 1.0)"
+    )
+
+
+def _span_sem_embeddings(spans: DataFrame) -> DataFrame:
+    """Topic-dominated span vectors: the span text's leading topic token
+    anchors the direction, the full text adds 0.25-scaled noise — adjacent
+    same-topic spans land at cosine ≈ 0.9 (merge), topic changes at ~random
+    cosine (break)."""
+    topic = F.regexp_extract(F.col("text"), r"^\S+", 0)
+    comps = [
+        _md5_unit(topic, j) + F.lit(0.25) * _md5_unit(F.col("text"), j)
+        for j in range(_SEM_DIM)
+    ]
+    return spans.filter(
+        F.substring(F.md5("text"), 1, 1) != _SEM_SPAN_NULL_HEX
+    ).select(F.col("span_id").alias("artifact_id"), F.array(*comps).alias("embedding"))
+
+
+def _span_emb_list_sql() -> str:
+    topic = "regexp_extract(text, '^\\S+')"
+    comps = ", ".join(
+        f"({_md5_unit_sql(topic, j)} + 0.25 * {_md5_unit_sql('text', j)})"
+        for j in range(_SEM_DIM)
+    )
+    return f"[{comps}]"
+
+
+def _beat_sem_embeddings(beats: DataFrame) -> DataFrame:
+    comps = [_md5_unit(F.col("text"), j) for j in range(_SEM_DIM)]
+    return beats.filter(
+        F.substring(F.md5("text"), 1, 1) != _SEM_BEAT_NULL_HEX
+    ).select(F.col("beat_id").alias("artifact_id"), F.array(*comps).alias("embedding"))
+
+
+def _beat_emb_list_sql() -> str:
+    return "[" + ", ".join(_md5_unit_sql("text", j) for j in range(_SEM_DIM)) + "]"
+
+
+def _clipped_cos_sql(a: str, b: str) -> str:
+    """Twin of functions/vector.py cosine_clipped: left-to-right list_sum
+    mirrors the JVM zip_with+aggregate fold; clip to [0, 1]."""
+    num = f"list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+    na = f"sqrt(list_sum(list_transform({a}, t -> t * t)))"
+    nb = f"sqrt(list_sum(list_transform({b}, t -> t * t)))"
+    return (
+        f"greatest(0.0, least(1.0, CASE WHEN {na} * {nb} > 0 "
+        f"THEN {num} / ({na} * {nb}) ELSE 0.0 END))"
+    )
+
+
+def _raw_cos_sql(a: str, b: str) -> str:
+    """Twin of the section kernel's cos(): UNclipped, same fold order."""
+    num = f"list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]))"
+    na = f"sqrt(list_sum(list_transform({a}, t -> t * t)))"
+    nb = f"sqrt(list_sum(list_transform({b}, t -> t * t)))"
+    return (
+        f"(CASE WHEN {na} * {nb} > 0 THEN {num} / ({na} * {nb}) ELSE 0.0 END)"
+    )
+
+
+# semantic beats: lag → cosine-threshold break flag → cumsum — plain window
+# SQL (generate_beats_embedding is NOT carried state, unlike the heuristic
+# kernel), over the semantic utterance derivation's spans
+_SEM_BEATS_SQL = f"""
+{_spans_sql_over(_SEM_UTTERANCES_SQL)},
+sord AS (
+  SELECT episode_id, speaker, start_time, end_time, text,
+         {_agg_id_sql("spn", "utterance_ids", "pos")} AS span_id
+  FROM spans
+),
+semb AS (
+  SELECT *, CASE WHEN substr(md5(text), 1, 1) = '{_SEM_SPAN_NULL_HEX}' THEN NULL
+                 ELSE {_span_emb_list_sql()} END AS e
+  FROM sord
+),
+slag AS (
+  SELECT *, lag(e) OVER (PARTITION BY episode_id
+                         ORDER BY start_time, span_id) AS pe
+  FROM semb
+),
+sflag AS (
+  SELECT *, CASE WHEN pe IS NULL OR e IS NULL
+                   OR {_clipped_cos_sql("pe", "e")} < 0.7
+                 THEN 1 ELSE 0 END AS is_new
+  FROM slag
+),
+snum AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY episode_id
+                              ORDER BY start_time, span_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+  FROM sflag
+),
+sgrp AS (
+  SELECT episode_id, grp,
+         min(start_time) AS start_time,
+         max(end_time) AS end_time,
+         string_agg(text, ' ' ORDER BY start_time, span_id) AS text,
+         list(span_id ORDER BY start_time, span_id) AS span_ids
+  FROM snum GROUP BY episode_id, grp
+),
+sbf AS (
+  SELECT *, round(end_time - start_time, 6) AS duration
+  FROM sgrp
+  WHERE round(end_time - start_time, 6) <= 360.0
+),
+sembeats AS (
+  SELECT *, row_number() OVER (PARTITION BY episode_id
+                               ORDER BY start_time, end_time, span_ids[1]) - 1 AS pos
+  FROM sbf
+)
+"""
+
+
+def trn_beat_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7+W10 oracle: EMBEDDING-mode beats — boundary where cosine(prev span
+    vector, curr) < 0.7 (`generate_beats_embedding`, reference
+    `aggregation/beats.py:126-217`), over md5-derived engine-portable span
+    embeddings (topic-dominated so both merge and break branches fire;
+    1/16 of spans embedding-less so the null-boundary path fires too)."""
+    spans = generate_spans(_sem_utterances(spark, sf_dir))
+    beats = generate_beats_embedding(spans, _span_sem_embeddings(spans))
+    return beats.select(
+        "episode_id",
+        "beat_id",
+        F.round("start_time", 6).alias("start_sec"),
+        F.round("end_time", 6).alias("end_sec"),
+        "duration",
+        F.size("span_ids").alias("n_spans"),
+        F.concat_ws(",", "span_ids").alias("span_csv"),
+        "text",
+    )
+
+
+TRN_BEAT_SEMANTIC_CATALOG_SQL = f"""
+WITH {_SEM_BEATS_SQL}
+SELECT episode_id,
+       {_agg_id_sql("bet", "span_ids", "pos")} AS beat_id,
+       round(start_time, 6) AS start_sec,
+       round(end_time, 6)   AS end_sec,
+       duration,
+       CAST(len(span_ids) AS INTEGER) AS n_spans,
+       array_to_string(span_ids, ',') AS span_csv,
+       text
+FROM sembeats
+"""
+
+
+def trn_section_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 semantic oracle: the reference's flagship materialization mode —
+    semantic beats packed into sections with the full `_should_break_section`
+    decision tree (reference `aggregation/sections.py:144-272`): two-tier
+    boundary preference (strong sim<0.3 from 7.5 min, plain sim<0.5 from
+    6.4 min), semantic-overflow above 12 min, >30 s gap rule, nothing under
+    5 min — carried state recomputed by the DuckDB twin as a recursive CTE
+    over the same md5-derived beat embeddings. Also exercises the in-plan
+    ≥80% coverage guard on its green path (93.75% of beats embedded)."""
+    spans = generate_spans(_sem_utterances(spark, sf_dir))
+    beats = generate_beats_embedding(spans, _span_sem_embeddings(spans))
+    sections = generate_sections(beats, beat_embeddings=_beat_sem_embeddings(beats))
+    return sections.select(
+        "episode_id",
+        "section_id",
+        "title",
+        F.round("start_time", 6).alias("start_sec"),
+        F.round("end_time", 6).alias("end_sec"),
+        "duration_minutes",
+        F.size("beat_ids").alias("n_beats"),
+        F.concat_ws(",", "beat_ids").alias("beat_csv"),
+        "text",
+    )
+
+
+def _section_semantic_sql() -> str:
+    from ..aggregation import (
+        SECTION_BOUNDARY_SIM,
+        SECTION_GAP_SEC,
+        SECTION_MAX_MIN,
+        SECTION_MIN_MIN,
+        SECTION_SEMANTIC_CHECK_MULT,
+        SECTION_STRONG_FACTOR,
+        SECTION_TARGET_MIN,
+    )
+
+    # inject the kernel's EXACT float thresholds (repr round-trip): e.g.
+    # target_s * 0.8 is NOT 384.0 in doubles — writing the rounded literal
+    # would flip breaks that land between the two values
+    min_s = repr(SECTION_MIN_MIN * 60)
+    max_s = repr(SECTION_MAX_MIN * 60)
+    strong_from = repr((SECTION_MIN_MIN * 60) * SECTION_SEMANTIC_CHECK_MULT)
+    plain_from = repr((SECTION_TARGET_MIN * 60) * 0.8)
+    sim_t = repr(SECTION_BOUNDARY_SIM)
+    strong_t = repr(SECTION_BOUNDARY_SIM * SECTION_STRONG_FACTOR)
+    gap_t = repr(SECTION_GAP_SEC)
+    cosv = _raw_cos_sql("w.e", "b.e")
+    semantic = f"(w.e IS NOT NULL AND b.e IS NOT NULL AND {cosv} < {sim_t})"
+    strong = f"(w.e IS NOT NULL AND b.e IS NOT NULL AND {cosv} < {strong_t})"
+    dur = "(b.end_time - b.start_time)"
+    brk = f"""(w.acc >= {min_s} AND (
+      CASE WHEN w.acc + {dur} > {max_s} THEN {semantic}
+           WHEN w.acc >= {strong_from} AND {strong} THEN TRUE
+           WHEN w.acc >= {plain_from} AND {semantic} THEN TRUE
+           WHEN b.start_time - w.end_time > {gap_t} THEN TRUE
+           ELSE FALSE END))"""
+    return f"""
+WITH RECURSIVE {_SEM_BEATS_SQL},
+bsem AS (
+  SELECT episode_id, start_time, end_time, text,
+         {_agg_id_sql("bet", "span_ids", "pos")} AS beat_id,
+         CASE WHEN substr(md5(text), 1, 1) = '{_SEM_BEAT_NULL_HEX}' THEN NULL
+              ELSE {_beat_emb_list_sql()} END AS e
+  FROM sembeats
+),
+bnum AS (
+  SELECT *, row_number() OVER (PARTITION BY episode_id
+                               ORDER BY start_time, beat_id) AS rn
+  FROM bsem
+),
+swalk AS (
+  -- carried state: (grp, acc) plus the previous row's (end_time, e) come in
+  -- through w — exactly the kernel's (section idx, summed dur, last beat)
+  SELECT episode_id, rn, start_time, end_time, text, beat_id, e,
+         CAST(0 AS BIGINT) AS grp,
+         end_time - start_time AS acc
+  FROM bnum WHERE rn = 1
+  UNION ALL
+  SELECT b.episode_id, b.rn, b.start_time, b.end_time, b.text, b.beat_id, b.e,
+         CASE WHEN {brk} THEN w.grp + 1 ELSE w.grp END,
+         CASE WHEN {brk} THEN b.end_time - b.start_time
+              ELSE w.acc + (b.end_time - b.start_time) END
+  FROM bnum b JOIN swalk w
+    ON b.episode_id = w.episode_id AND b.rn = w.rn + 1
+),
+packed AS (
+  SELECT episode_id, grp AS pos,
+         min(start_time) AS start_time,
+         arg_max(end_time, rn) AS end_time,
+         string_agg(text, ' ' ORDER BY rn) AS text,
+         list(beat_id ORDER BY rn) AS beat_ids
+  FROM swalk GROUP BY episode_id, grp
+)
+SELECT episode_id,
+       {_agg_id_sql("sec", "beat_ids", "pos")} AS section_id,
+       concat('Section ', pos + 1) AS title,
+       round(start_time, 6) AS start_sec,
+       round(end_time, 6)   AS end_sec,
+       round((end_time - start_time) / 60.0, 6) AS duration_minutes,
+       CAST(len(beat_ids) AS INTEGER) AS n_beats,
+       array_to_string(beat_ids, ',') AS beat_csv,
+       text
+FROM packed
+"""
+
+
+TRN_SECTION_SEMANTIC_CATALOG_SQL = _section_semantic_sql()
+
+
 QUERIES = {
     "trn_crosstalk": trn_crosstalk,
     "trn_span_catalog": trn_span_catalog,
     "trn_beat_catalog": trn_beat_catalog,
     "trn_section_catalog": trn_section_catalog,
+    "trn_beat_semantic_catalog": trn_beat_semantic_catalog,
+    "trn_section_semantic_catalog": trn_section_semantic_catalog,
     "trn_duration_stats": trn_duration_stats,
     "trn_duration_histogram": trn_duration_histogram,
     "trn_speaker_balance": trn_speaker_balance,
@@ -744,6 +1101,8 @@ ORACLES = {
     "trn_span_catalog": TRN_SPAN_CATALOG_SQL,
     "trn_beat_catalog": TRN_BEAT_CATALOG_SQL,
     "trn_section_catalog": TRN_SECTION_CATALOG_SQL,
+    "trn_beat_semantic_catalog": TRN_BEAT_SEMANTIC_CATALOG_SQL,
+    "trn_section_semantic_catalog": TRN_SECTION_SEMANTIC_CATALOG_SQL,
     "trn_duration_stats": TRN_DURATION_STATS_SQL,
     "trn_duration_histogram": TRN_DURATION_HISTOGRAM_SQL,
     "trn_speaker_balance": TRN_SPEAKER_BALANCE_SQL,
