@@ -1435,3 +1435,116 @@ def test_read_state_treats_empty_dir_as_first_batch(spark, tmp_path):
     (d / "_temporary").mkdir(parents=True)
     (d / "_SUCCESS").write_bytes(b"")
     assert _read_state(spark, str(d)) is None
+
+
+def test_avi_decode_end_to_end(spark, tmp_path):
+    """Real video decode path (no codec libs): generated uncompressed-AVI
+    corpus → binary media table (parquet round-trip) → per-clip stats →
+    frame sampling with REAL BMP frame payloads → image features reused per
+    frame. Pins physics: a static clip has zero motion and zero cuts, a
+    black/white blink clip has ~max motion and a cut at every transition, a
+    drifting bar sits strictly between; encode→decode round-trips exactly;
+    sampled frames are pixel-exact; compressed/truncated payloads refuse."""
+    import numpy as np
+    import pytest
+
+    from transcription_lakehouse_spark.ingestion import write_versioned
+    from transcription_lakehouse_spark.multimodal import (
+        decode_avi,
+        decode_bmp,
+        encode_avi,
+        media_table,
+        sample_frames,
+        video_frame_features,
+        video_stats,
+    )
+
+    # width 15 exercises the 4-byte row padding path (15*3 = 45 → stride 48)
+    def solid_clip(n, rgb, w=15, h=9):
+        return np.full((n, h, w, 3), rgb, dtype=np.uint8)
+
+    static = solid_clip(10, (0, 255, 0))
+    blink = np.zeros((8, 9, 15, 3), dtype=np.uint8)
+    blink[1::2] = 255
+    drift = np.zeros((10, 9, 15, 3), dtype=np.uint8)
+    for i in range(10):
+        drift[i, :, i % 15] = 255  # one white column marching right
+    clips = [("static", static, 5.0), ("blink", blink, 4.0), ("drift", drift, 2.0)]
+
+    # exact encode→decode round-trip (frames AND fps), incl. padded width
+    for _, fr, fps in clips:
+        rfps, rfr = decode_avi(encode_avi(fr, fps))
+        assert rfps == pytest.approx(fps)
+        assert np.array_equal(rfr, fr)
+
+    rows = [
+        (mid, "video", encode_avi(fr, fps), fr.shape[2], fr.shape[1],
+         fr.shape[0] / fps, "rawvideo")
+        for mid, fr, fps in clips
+    ]
+    media = media_table(
+        spark.createDataFrame(
+            rows,
+            "media_id string, media_type string, payload binary, "
+            "width long, height long, duration_sec double, codec string",
+        )
+    )
+    path = write_versioned(media, str(tmp_path), "media", "v1")
+    media = spark.read.parquet(path)
+
+    stats = {r["media_id"]: r for r in video_stats(media).collect()}
+    assert stats["static"]["n_frames"] == 10
+    assert stats["static"]["fps"] == pytest.approx(5.0)
+    assert stats["static"]["duration_sec"] == pytest.approx(2.0)
+    assert stats["static"]["width"] == 15 and stats["static"]["height"] == 9
+    assert stats["static"]["motion"] == 0.0
+    assert stats["static"]["n_scene_cuts"] == 0
+    # every blink transition is a full-range luma flip => a cut per pair
+    assert stats["blink"]["motion"] == pytest.approx(1.0)
+    assert stats["blink"]["n_scene_cuts"] == 7
+    # the drifting bar moves 2 of 15 columns' worth of luma per step
+    assert 0.0 < stats["drift"]["motion"] < stats["blink"]["motion"]
+    assert stats["drift"]["n_scene_cuts"] == 0
+
+    # sampled frames carry REAL pixel-exact BMP payloads at floor(t*fps)
+    sampled = sample_frames(media, every_sec=0.5, attach_frames=True)
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in sampled.collect()
+    }
+    # drift: 10 frames at 2 fps = 5 s → t = 0.0, 0.5, ..., 4.5 → idx 0..9
+    drift_rows = [k for k in got if k[0] == "drift"]
+    assert len(drift_rows) == 10
+    for (_, idx), r in got.items():
+        if r["media_id"] != "drift":
+            continue
+        assert np.array_equal(decode_bmp(bytes(r["frame_payload"])), drift[idx])
+    # static at 5 fps for 2 s, every 0.5 s → idx = floor(k·0.5·5) = 0,2,5,7
+    static_idx = sorted(idx for mid, idx in got if mid == "static")
+    assert static_idx == [0, 2, 5, 7]
+
+    # metadata-only plan (attach_frames=False) still needs no payload
+    plan = sample_frames(media, every_sec=1.0)
+    assert plan.filter(F.col("media_id") == "static").count() == 3  # t=0,1,2
+
+    # image features compose over sampled video frames unchanged
+    feats = {r["media_id"]: np.array(r["features"])
+             for r in video_frame_features(media, every_sec=1.0, dim=16).collect()}
+    f0 = feats["blink#0"]
+    assert f0[0] == 15 and f0[1] == 9  # [w, h, ...] from the image extractor
+    assert f0[3] == pytest.approx(0.0)  # black frame luma (even idx = black)
+    assert feats["blink#4"][3] == pytest.approx(0.0)
+    # drift frames: one white column of 15 → mean luma = 1/15
+    assert feats["drift#2"][3] == pytest.approx(1.0 / 15.0)
+
+    # honesty: compressed or truncated payloads refuse loudly
+    good = encode_avi(static, 5.0)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi(b"RIFF????MP4 ")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(good[: len(good) // 2])
+    bad = bytearray(good)
+    strf_at = good.find(b"strf")
+    bad[strf_at + 8 + 16 : strf_at + 8 + 20] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(ValueError, match="only BI_RGB"):
+        decode_avi(bytes(bad))

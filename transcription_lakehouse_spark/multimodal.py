@@ -1,16 +1,19 @@
 """Multimodal column support: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas`` kernels.
 
-AUDIO decode is REAL: :func:`decode_wav` is a pure-numpy RIFF/PCM codec
-(no external libs), feeding :func:`wav_feature_extractor` and
-:func:`audio_stats` end-to-end. IMAGE decode is REAL too:
-:func:`decode_bmp`/:func:`encode_bmp` are a pure-numpy BMP (BI_RGB)
-codec feeding :func:`image_feature_extractor`, :func:`image_stats` and a
-real ``resize_fn`` for :func:`resize_media`. Only VIDEO decode remains
-STUBBED (no container parser in this environment): ``decode_fn=None``
-uses a deterministic fake decoder so the Spark-side plumbing — schema,
-partitioning, UDF signatures, batch shapes — is real and tested;
-swapping in PIL/torchvision/ffmpeg later is a one-argument change.
+All three decode legs are REAL, pure numpy, no codec libs:
+:func:`decode_wav` (RIFF/PCM audio) feeds :func:`wav_feature_extractor`
+and :func:`audio_stats`; :func:`decode_bmp`/:func:`encode_bmp` (BI_RGB
+BMP) feed :func:`image_feature_extractor`, :func:`image_stats` and a
+real ``resize_fn`` for :func:`resize_media`; and
+:func:`decode_avi`/:func:`encode_avi` (uncompressed RIFF/AVI, 24-bit DIB
+frames) feed :func:`video_stats`, frame sampling with REAL frame payloads
+(:func:`sample_frames` with ``attach_frames=True``) and
+:func:`video_frame_features`, which reuses the image extractor over
+sampled frames. Compressed containers (MP4/H.264, JPEG, MP3) fail loudly
+— swapping in PIL/torchvision/ffmpeg outside this container is a
+one-argument ``decode_fn``/``resize_fn`` change; :func:`fake_decode`
+remains the deterministic plumbing-test double.
 
 Design for 100 TB: binary payloads stay columnar in parquet; metadata
 predicates (media_type, width, duration) push down so decode only touches
@@ -52,6 +55,10 @@ __all__ = [
     "bmp_resize_fn",
     "image_feature_extractor",
     "image_stats",
+    "encode_avi",
+    "decode_avi",
+    "video_stats",
+    "video_frame_features",
 ]
 
 # typed metadata + opaque payload — the multimodal column convention
@@ -93,7 +100,7 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     (sample_rate, samples). Supports PCM u8 / s16 / s32 (format 1) and
     IEEE float32/64 (format 3); multi-channel is averaged to mono. This
     closes the audio leg of the multimodal decode seam without external
-    codec libs; image/video remain honest NotImplementedError stubs."""
+    codec libs (the image and video legs close in decode_bmp/decode_avi)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("decode_wav: not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
@@ -182,7 +189,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     (alpha dropped), and 8-bit paletted payloads; bottom-up (positive
     height) and top-down (negative height) row order; 4-byte row padding.
     This closes the image leg of the multimodal decode seam without
-    external codec libs; only video remains a stub."""
+    external codec libs (the video leg closes in decode_avi)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("decode_bmp: not a BMP payload")
     data_off = int.from_bytes(payload[10:14], "little")
@@ -471,19 +478,275 @@ def resize_media(
     )
 
 
-def sample_frames(
-    media: DataFrame, every_sec: float = 1.0
-) -> DataFrame:
-    """Video frame-sampling plan: one row per sampled frame timestamp
-    (decode stubbed — emits frame offsets; a real decoder would attach the
-    frame image bytes). Pure column math, no UDF."""
-    frames = media.filter(F.col("media_type") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.floor(F.col("duration_sec") / every_sec).cast("long"),
-            )
-        ).alias("frame_idx"),
+def encode_avi(frames: np.ndarray, fps: float = 25.0) -> bytes:
+    """REAL video encode, pure numpy — uncompressed RIFF/AVI ('vids'/'DIB '
+    stream, 24-bit BI_RGB '00db' frames, bottom-up BGR rows padded to 4
+    bytes, exactly the BMP pixel-array layout). The inverse of
+    :func:`decode_avi` for round-trip tests and corpus generation — the
+    video twin of :func:`encode_bmp`/the WAV generator."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3 or arr.shape[0] == 0:
+        raise ValueError("encode_avi: expected (N, H, W, 3) uint8 with N >= 1")
+    if fps <= 0:
+        raise ValueError("encode_avi: fps must be positive")
+    n, h, w = arr.shape[:3]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((n, h, stride), dtype=np.uint8)
+    rows[:, :, : w * 3] = arr[:, ::-1, :, ::-1].reshape(n, h, w * 3)  # RGB→BGR, bottom-up
+    frame_bytes = [rows[i].tobytes() for i in range(n)]
+    frame_size = stride * h
+    scale, rate = 1000, int(round(fps * 1000))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    def u32(x: int) -> bytes:
+        return int(x).to_bytes(4, "little")
+
+    avih = b"".join(
+        [
+            u32(round(1_000_000 * scale / rate)),  # dwMicroSecPerFrame
+            u32(frame_size * rate // scale),  # dwMaxBytesPerSec
+            u32(0),  # dwPaddingGranularity
+            u32(0),  # dwFlags
+            u32(n),  # dwTotalFrames
+            u32(0),  # dwInitialFrames
+            u32(1),  # dwStreams
+            u32(frame_size),  # dwSuggestedBufferSize
+            u32(w),
+            u32(h),
+            u32(0) * 4,  # dwReserved
+        ]
     )
-    return frames.withColumn("frame_time_sec", F.col("frame_idx") * every_sec)
+    strh = b"".join(
+        [
+            b"vids",
+            b"DIB ",
+            u32(0),  # dwFlags
+            (0).to_bytes(2, "little") * 2,  # wPriority, wLanguage
+            u32(0),  # dwInitialFrames
+            u32(scale),
+            u32(rate),
+            u32(0),  # dwStart
+            u32(n),  # dwLength (frames)
+            u32(frame_size),  # dwSuggestedBufferSize
+            u32(0),  # dwQuality
+            u32(0),  # dwSampleSize
+            (0).to_bytes(2, "little") * 2  # rcFrame left, top
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little"),
+        ]
+    )
+    strf = b"".join(
+        [
+            u32(40), u32(w), u32(h),
+            (1).to_bytes(2, "little"), (24).to_bytes(2, "little"),
+            u32(0),  # BI_RGB
+            u32(frame_size),
+            u32(2835), u32(2835), u32(0), u32(0),
+        ]
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[float, np.ndarray]:
+    """REAL video decode, pure numpy — uncompressed RIFF/AVI to
+    (fps, (N, H, W, 3) uint8 RGB). Supports the 'vids' stream with BI_RGB
+    24-bit '00db'/'00dc' frames (bottom-up BGR padded rows — the BMP pixel
+    layout); anything compressed fails loudly. This closes the video leg of
+    the multimodal decode seam (the last decode stub): the same honesty
+    standard as :func:`decode_wav`/:func:`decode_bmp` — no codec libs, and
+    no pretending about compressed formats."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("decode_avi: not a RIFF/AVI payload")
+    scale = rate = None
+    w = h = bpp = None
+    compression = 0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal scale, rate, w, h, bpp, compression
+        pos, n = 0, len(buf)
+        while pos + 8 <= n:
+            cid = buf[pos : pos + 4]
+            csize = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + csize]
+            if len(body) < csize:
+                raise ValueError(
+                    f"decode_avi: truncated {cid!r} chunk "
+                    f"(declared {csize} bytes, {len(body)} present)"
+                )
+            if cid == b"LIST":
+                walk(body[4:])  # skip the 4-byte list kind
+            elif cid == b"strh":
+                if body[:4] == b"vids":
+                    scale = int.from_bytes(body[20:24], "little")
+                    rate = int.from_bytes(body[24:28], "little")
+            elif cid == b"strf" and w is None:
+                w = int.from_bytes(body[4:8], "little", signed=True)
+                h = int.from_bytes(body[8:12], "little", signed=True)
+                bpp = int.from_bytes(body[14:16], "little")
+                compression = int.from_bytes(body[16:20], "little")
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames.append(body)
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+
+    walk(payload[12:])
+    if scale in (None, 0) or not rate:
+        raise ValueError("decode_avi: missing or zero-rate 'vids' stream header")
+    if w is None or w <= 0 or h is None or h == 0:
+        raise ValueError(f"decode_avi: bad dimensions {w}x{h}")
+    if compression != 0:
+        raise ValueError(f"decode_avi: only BI_RGB supported, got {compression}")
+    if bpp != 24:
+        raise ValueError(f"decode_avi: unsupported bpp {bpp}")
+    if not frames:
+        raise ValueError("decode_avi: no frame chunks in movi list")
+    top_down = h < 0
+    hh = abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), hh, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) < stride * hh:
+            raise ValueError(f"decode_avi: frame {i} truncated")
+        rows = np.frombuffer(fb[: stride * hh], dtype="u1").reshape(hh, stride)
+        px = rows[:, : w * 3].reshape(hh, w, 3)[:, :, ::-1]  # BGR→RGB
+        out[i] = px if top_down else px[::-1]
+    return rate / scale, out
+
+
+def video_stats(media: DataFrame) -> DataFrame:
+    """Per-clip video quality stats over the binary column — the video twin
+    of the audio/image batteries: (media_id, n_frames, fps, duration_sec,
+    width, height, mean_luma, motion, n_scene_cuts). ``motion`` is the mean
+    absolute luma delta between consecutive frames (0 for a static clip);
+    a scene cut is a frame pair whose mean luma delta exceeds 0.3.
+    Arrow-batched mapInPandas over the real AVI decoder; metadata
+    predicates (media_type = 'video') prune before any payload decodes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fps, fr = decode_avi(payload)
+                n, h, w = fr.shape[:3]
+                lum = (
+                    0.299 * fr[:, :, :, 0].astype(np.float64)
+                    + 0.587 * fr[:, :, :, 1]
+                    + 0.114 * fr[:, :, :, 2]
+                ) / 255.0
+                deltas = (
+                    np.abs(np.diff(lum, axis=0)).mean(axis=(1, 2))
+                    if n > 1
+                    else np.zeros(0)
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_frames": n,
+                        "fps": fps,
+                        "duration_sec": n / fps,
+                        "width": w,
+                        "height": h,
+                        "mean_luma": float(lum.mean()),
+                        "motion": float(deltas.mean()) if len(deltas) else 0.0,
+                        "n_scene_cuts": int((deltas > 0.3).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            kernel,
+            schema=(
+                "media_id string, n_frames long, fps double, "
+                "duration_sec double, width long, height long, "
+                "mean_luma double, motion double, n_scene_cuts long"
+            ),
+        )
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_sec: float = 1.0, attach_frames: bool = False
+) -> DataFrame:
+    """Video frame sampling: one row per sampled timestamp.
+
+    Default (``attach_frames=False``): the pure-column-math PLAN — frame
+    indices from metadata ``duration_sec``, no payload touched (the cheap
+    path when downstream only needs timestamps).
+
+    ``attach_frames=True``: Arrow-batched decode of the AVI payload; each
+    sampled row carries the REAL frame re-encoded as a standalone BMP
+    (``frame_payload``), so every image operator (:func:`image_stats`,
+    :func:`image_feature_extractor`, :func:`bmp_resize_fn`) composes
+    directly over video frames. Sampled index = floor(t·fps) clamped to the
+    last frame; duration comes from the decoded stream, not metadata."""
+    if every_sec <= 0:
+        raise ValueError("sample_frames: every_sec must be positive")
+    vids = media.filter(F.col("media_type") == "video")
+    if not attach_frames:
+        frames = vids.select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(F.col("duration_sec") / every_sec).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+        return frames.withColumn("frame_time_sec", F.col("frame_idx") * every_sec)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "frame_time_sec": [],
+                "frame_payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fps, fr = decode_avi(payload)
+                n = fr.shape[0]
+                duration = n / fps
+                k = 0
+                while k * every_sec < duration:
+                    idx = min(int(k * every_sec * fps), n - 1)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_time_sec"].append(k * every_sec)
+                    out["frame_payload"].append(encode_bmp(fr[idx]))
+                    k += 1
+            yield pd.DataFrame(out)
+
+    return vids.select("media_id", "payload").mapInPandas(
+        kernel,
+        schema=(
+            "media_id string, frame_idx long, frame_time_sec double, "
+            "frame_payload binary"
+        ),
+    )
+
+
+def video_frame_features(
+    media: DataFrame, every_sec: float = 1.0, dim: int = 32
+) -> DataFrame:
+    """Per-sampled-frame image features for video corpora: sample real
+    frames (:func:`sample_frames` with payloads attached), then reuse the
+    image leg's :func:`image_feature_extractor` unchanged over the BMP
+    frame payloads — one composed Arrow pipeline, no new kernel logic."""
+    frames = sample_frames(media, every_sec, attach_frames=True)
+    as_media = frames.select(
+        F.concat_ws("#", "media_id", F.col("frame_idx").cast("string")).alias(
+            "media_id"
+        ),
+        F.lit("image").alias("media_type"),
+        F.col("frame_payload").alias("payload"),
+    )
+    return extract_features(as_media, decode_fn=image_feature_extractor(dim), dim=dim)
