@@ -44,6 +44,8 @@ HEADLINE = [
     "trn_span_catalog",
     "trn_beat_catalog",
     "trn_section_catalog",
+    "trn_beat_semantic_catalog",
+    "trn_section_semantic_catalog",
     "doc_curation_funnel",
     "doc_dup_clusters",
     "doc_dup_spans",

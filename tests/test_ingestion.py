@@ -293,6 +293,50 @@ def test_read_as_of_falls_back_to_mtime_without_sidecar(spark, tmp_path):
     os.remove(os.path.join(p, "_version_info.json"))
     versions = list_versions(base, "t")
     assert len(versions) == 1 and versions[0]["created_at"]
+    # the fallback lazily stamps a sidecar so ordering is persisted once
+    assert os.path.exists(os.path.join(p, "_version_info.json"))
+
+
+def test_list_versions_survives_old_version_file_rewrite(spark, tmp_path):
+    """An old version whose parquet files get rewritten (mtime newer than a
+    younger version's creation stamp) must NOT sort as newest: creation
+    order comes from sidecars — lazily stamped from the EARLIEST file mtime
+    for pre-sidecar versions — so read_as_of latest-resolution and vacuum
+    keep_last retention stay correct."""
+    import json
+    import os
+    import time
+
+    from transcription_lakehouse_spark.ingestion import (
+        list_versions,
+        read_as_of,
+        write_versioned,
+    )
+
+    base = str(tmp_path)
+    p1 = write_versioned(spark.createDataFrame([(1,)], "id int"), base, "t", "v1")
+    # v1 written before the sidecar era
+    os.remove(os.path.join(p1, "_version_info.json"))
+    time.sleep(0.05)
+    write_versioned(spark.createDataFrame([(2,)], "id int"), base, "t", "v2")
+    # stamp v1's sidecar from its (early) file mtimes BEFORE any rewrite
+    assert [v["version"] for v in list_versions(base, "t")] == ["v1", "v2"]
+    # now REWRITE v1's data files — mtimes jump past v2's creation stamp
+    time.sleep(0.05)
+    for f in os.listdir(p1):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(p1, f))
+    assert [v["version"] for v in list_versions(base, "t")] == ["v1", "v2"]
+    assert read_as_of(spark, base, "t").collect()[0]["id"] == 2
+    # equal-timestamp tiebreak is the version label (stable ordering)
+    for v in ("v1", "v2"):
+        meta = os.path.join(base, "t", v, "_version_info.json")
+        with open(meta) as fh:
+            info = json.load(fh)
+        info["created_at"] = "2024-01-01T00:00:00+00:00"
+        with open(meta, "w") as fh:
+            json.dump(info, fh)
+    assert [v["version"] for v in list_versions(base, "t")] == ["v1", "v2"]
 
 
 def test_vacuum_retention_keeps_newest_and_respects_cutoff(spark, tmp_path):
@@ -327,3 +371,33 @@ def test_vacuum_retention_keeps_newest_and_respects_cutoff(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_last"):
         vacuum(base, "t", keep_last=0)
+
+
+def test_normalize_preserves_extra_metadata_columns(spark, tmp_path):
+    """Reference tolerates extra columns at validation (`schemas.py:159-163`)
+    and preserves additional metadata fields through normalization
+    (`normalizer.py:70-73`): a `confidence`/`language` column must survive
+    ingest end-to-end — through normalize AND the schema-enforced versioned
+    write — not be silently dropped."""
+    extra = raw_utterances(spark).withColumn(
+        "confidence", F.col("start") / 1000.0
+    ).withColumn("language", F.lit("en"))
+    valid, invalid = split_valid(extra)
+    assert invalid.count() == 0  # extras don't affect validation
+    norm = normalize(valid)
+    # canonical columns lead, extras follow, values ride through untouched
+    assert norm.columns[:7] == [
+        "utterance_id", "episode_id", "start", "end", "duration", "speaker", "text",
+    ]
+    assert set(norm.columns[7:]) == {"confidence", "language"}
+    r = norm.filter(F.col("episode_id") == EP1).orderBy("start").first()
+    assert r["language"] == "en" and abs(r["confidence"] - r["start"] / 1000.0) < 1e-12
+    # schema-enforced write keeps the extras too
+    write_versioned(norm, str(tmp_path), "normalized", schema=UTTERANCE_SCHEMA)
+    back = read_versioned(spark, str(tmp_path), "normalized")
+    assert {"confidence", "language"} <= set(back.columns)
+    assert validate_schema(back, UTTERANCE_SCHEMA) == []
+    # opt-out still hard-selects the canonical seven
+    assert normalize(extra, keep_extra=False).columns == [
+        "utterance_id", "episode_id", "start", "end", "duration", "speaker", "text",
+    ]

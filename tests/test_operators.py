@@ -1063,6 +1063,54 @@ def test_kmv_intersection_error_bound_and_merge(spark):
     assert full.exceptAll(merged).count() == 0
 
 
+def test_kmv_intersection_domain_is_complete(spark):
+    """Disjoint (or disjoint-at-sketch-resolution) group pairs must emit an
+    explicit n_common=0 / est_common=0.0 row, not vanish — consumers
+    iterating pairs would otherwise silently miss them. 3 groups → all 3
+    pairs present, including the two involving the disjoint group."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        KMV_K,
+        kmv_intersection,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 100).select(F.lit("A").alias("g"), F.col("id").alias("k"))
+    b = spark.range(50, 150).select(F.lit("B").alias("g"), F.col("id").alias("k"))
+    z = spark.range(10_000, 10_100).select(
+        F.lit("Z").alias("g"), F.col("id").alias("k")
+    )
+    sk = kmv_sketch(a.unionByName(b).unionByName(z), "k", ["g"], k=KMV_K)
+    rows = {(r["g_a"], r["g_b"]): r for r in kmv_intersection(sk, "g", k=KMV_K).collect()}
+    assert set(rows) == {("A", "B"), ("A", "Z"), ("B", "Z")}
+    assert rows[("A", "B")]["n_common"] == 50  # < k ⇒ exact
+    for pair in [("A", "Z"), ("B", "Z")]:
+        assert rows[pair]["n_common"] == 0
+        assert rows[pair]["est_common"] == 0.0
+        assert rows[pair]["theta_scaled"] == 1 << 32
+
+
+def test_bloom_probe_preserves_duplicate_rows(spark):
+    """bloom_probe answers for EVERY input row: duplicate (keep..., key)
+    rows each get their own membership row (cardinality in == out)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([("x",), ("y",)], "k string")
+    bloom = bloom_build(members, "k")
+    dup = spark.createDataFrame(
+        [("x",), ("x",), ("x",), ("zz",), ("zz",)], "k string"
+    )
+    probed = bloom_probe(dup, bloom, "k", keep=[])
+    assert probed.count() == 5
+    assert probed.filter(F.col("k") == "x").filter(F.col("bloom_member")).count() == 3
+
+
 def test_train_centroids_reproduces_committed_quantizer(spark):
     """The trained IVF path is hash-gated by injecting the committed
     centroid literals (workload/_ivf_quantizer.py) into both the Spark

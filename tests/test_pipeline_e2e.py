@@ -1390,6 +1390,28 @@ def test_click_cli_flag_surface(spark, tmp_path):
     times = [s["total_speaking_time"] for s in out["speakers"]]
     assert times == sorted(times, reverse=True)  # --rankings ordering
 
+    # --statistics reflects the UNFILTERED catalog even with a display
+    # filter, and --detailed display collects are capped by --limit
+    r = run(
+        "catalog", "--lakehouse-path", lake, "--catalog-type", "episodes",
+        "--output-format", "json", "--statistics", "--detailed", "--limit", "1",
+        "--episode-id", "LOS - #1 - 2024-01-01 - A",
+    )
+    assert r.exit_code == 0, r.output
+    out = json.loads(r.output)
+    assert out["episode_stats"]["n_episodes"] == 2  # not 1 (filter is display-only)
+    assert len(out["episodes"]) == 1  # the filtered row, under the cap
+    r = run(
+        "catalog", "--lakehouse-path", lake, "--catalog-type", "episodes",
+        "--output-format", "json", "--detailed", "--limit", "1",
+    )
+    assert len(json.loads(r.output)["episodes"]) == 1  # cap applies
+    r = run(
+        "catalog", "--lakehouse-path", lake, "--catalog-type", "episodes",
+        "--output-format", "json", "--detailed", "--limit", "1", "--all",
+    )
+    assert len(json.loads(r.output)["episodes"]) == 2  # --all lifts the cap
+
     r = run("validate", "--lakehouse-path", lake, "--output-format", "json")
     assert r.exit_code == 0, r.output
 

@@ -47,6 +47,9 @@ _BOUNDED_BROADCAST_BNLJ = {
     "trn_section_semantic_catalog",  # one-row embedding-coverage guard
                             # broadcast (generate_sections' in-plan
                             # raise_error refusal — replaces an eager job)
+    "evt_kmv_overlap",      # group-pair cross of the per-group theta
+                            # relation (#groups rows) so disjoint pairs
+                            # emit n_common=0 — bounded by construction
 }
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {

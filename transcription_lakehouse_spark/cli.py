@@ -177,11 +177,19 @@ def materialize(lakehouse_path, version, use_embeddings):
 @click.option("--rankings", is_flag=True,
               help="Show speaker rankings by activity")
 @click.option("--statistics", is_flag=True, help="Show overall statistics")
+@click.option("--limit", "row_limit", type=int, default=100, show_default=True,
+              help="Max rows collected for display with --detailed")
+@click.option("--all", "all_rows", is_flag=True,
+              help="Collect every catalog row to the driver (no display cap)")
 def catalog(lakehouse_path, version, catalog_type, output_format,
             save_catalog, detailed, episode_id, speaker_name, rankings,
-            statistics):
+            statistics, row_limit, all_rows):
     """Generate and display episode/speaker catalogs
-    (`cli/commands/catalog.py`)."""
+    (`cli/commands/catalog.py`). Display collects are CAPPED by default
+    (20 rows; --detailed raises the cap to --limit, default 100) so a
+    100×-scale catalog can't be collected to the driver by accident —
+    pass --all to deliberately lift the cap. --save-catalog always
+    persists the FULL catalog regardless of the display cap."""
     import pyspark.sql.functions as F
 
     from .catalogs.episodes import episode_catalog
@@ -191,32 +199,32 @@ def catalog(lakehouse_path, version, catalog_type, output_format,
     spark = _spark("catalog")
     utterances = read_versioned(spark, lakehouse_path, "normalized", version)
     out: dict = {}
-    limit = None if detailed else 20
+    limit = None if all_rows else (row_limit if detailed else 20)
 
     if catalog_type in ("episodes", "all"):
         eps = episode_catalog(utterances)
         if save_catalog:  # persist the FULL catalog; filters shape display only
             write_versioned(eps, lakehouse_path, "catalogs/episodes", version)
+        if statistics:
+            # overall statistics come from the UNFILTERED catalog — an
+            # --episode-id display filter must not shrink n_episodes to 1
+            out["episode_stats"] = {"n_episodes": eps.count()}
         if episode_id:
             eps = eps.filter(F.col("episode_id") == episode_id)
         rows = (eps.limit(limit) if limit else eps).collect()
         out["episodes"] = [r.asDict() for r in rows]
-        if statistics:
-            out["episode_stats"] = {
-                "n_episodes": eps.count(),
-            }
     if catalog_type in ("speakers", "all"):
         spk = speaker_catalog(utterances)
         if save_catalog:  # persist the FULL catalog; filters shape display only
             write_versioned(spk, lakehouse_path, "catalogs/speakers", version)
+        if statistics:
+            out["speaker_stats"] = {"n_speakers": spk.count()}
         if speaker_name:
             spk = spk.filter(F.col("speaker") == speaker_name)
         if rankings:
             spk = spk.orderBy(F.desc("total_speaking_time"))
         rows = (spk.limit(limit) if limit else spk).collect()
         out["speakers"] = [r.asDict() for r in rows]
-        if statistics:
-            out["speaker_stats"] = {"n_speakers": spk.count()}
     _echo(out, "json" if output_format == "json" else "console")
 
 

@@ -64,11 +64,25 @@ def split_valid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, invalid
 
 
-def normalize(df: DataFrame) -> DataFrame:
+_CANONICAL_UTTERANCE_COLS = [
+    "utterance_id", "episode_id", "start", "end", "duration", "speaker", "text",
+]
+
+
+def normalize(df: DataFrame, keep_extra: bool = True) -> DataFrame:
     """W1 + deterministic IDs: sort within episode, assign 0-based position,
     compute duration, derive utterance_id (`ingestion/normalizer.py:141-162,
     46-57`). Tie-break on (start, end, speaker, text) for determinism under
-    parallelism (SURVEY §7.4)."""
+    parallelism (SURVEY §7.4).
+
+    ``keep_extra`` (reference default, `normalizer.py:70-73`): additional
+    metadata columns beyond the canonical seven (e.g. ``confidence``,
+    ``language``) ride through unchanged, ordered after the canonical set —
+    validation tolerates them (`schemas.py:159-163`) and the versioned
+    writer enforces only the canonical subset, so user metadata survives
+    ingest instead of being silently dropped. The canonical names
+    themselves are reserved (``duration``/``utterance_id`` inputs are
+    recomputed, not preserved)."""
     w = Window.partitionBy("episode_id").orderBy("start", "end", "speaker", "text")
     pos = F.row_number().over(w) - 1
     out = (
@@ -79,9 +93,12 @@ def normalize(df: DataFrame) -> DataFrame:
             utterance_id("episode_id", F.col("_position"), "text", "speaker", "start", "end"),
         )
     )
-    return out.select(
-        "utterance_id", "episode_id", "start", "end", "duration", "speaker", "text"
+    extras = (
+        [c for c in df.columns if c not in _CANONICAL_UTTERANCE_COLS]
+        if keep_extra
+        else []
     )
+    return out.select(*_CANONICAL_UTTERANCE_COLS, *extras)
 
 
 def write_versioned(
@@ -101,7 +118,12 @@ def write_versioned(
         problems = validate_schema(df, schema)
         if problems:
             raise ValueError(f"schema enforcement failed for {artifact}: {problems}")
-        df = df.select(*[f.name for f in schema.fields])
+        # enforce the canonical subset, preserve extra metadata columns
+        # after it (reference tolerates extras, `schemas.py:159-163`, and
+        # preserves them through normalize, `normalizer.py:70-73`)
+        canonical = [f.name for f in schema.fields]
+        extras = [c for c in df.columns if c not in canonical]
+        df = df.select(*canonical, *extras)
     path = os.path.join(base_dir, artifact, version)
     writer = df.write.mode(mode)
     if partition_by:
@@ -168,9 +190,22 @@ def list_versions(base_dir: str, artifact: str) -> list[dict]:
             files = _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
             if not files:
                 continue
+            # EARLIEST file mtime approximates CREATION time (max would let
+            # a later rewrite of an old version's files sort it as newest,
+            # misdirecting read_as_of latest-resolution and vacuum
+            # retention); stamp the sidecar lazily so the ordering is
+            # persisted once and never drifts with further rewrites
             created = datetime.fromtimestamp(
-                max(os.path.getmtime(p) for p in files), tz=timezone.utc
+                min(os.path.getmtime(p) for p in files), tz=timezone.utc
             ).isoformat()
+            try:
+                with open(meta, "w") as f:
+                    _json.dump(
+                        {"version": os.path.basename(vdir), "created_at": created},
+                        f, indent=2, sort_keys=True,
+                    )
+            except OSError:
+                pass  # read-only lake: ordering still computed, just not cached
         out.append(
             {
                 "version": os.path.basename(vdir),
@@ -178,7 +213,9 @@ def list_versions(base_dir: str, artifact: str) -> list[dict]:
                 "path": vdir,
             }
         )
-    out.sort(key=lambda v: v["created_at"])
+    # stable tiebreak: equal timestamps (coarse filesystems, batch writes)
+    # must not make latest-resolution order-of-listing dependent
+    out.sort(key=lambda v: (v["created_at"], v["version"]))
     return out
 
 

@@ -442,7 +442,14 @@ def pq_topk(
     vectors are read only for the ``shortlist`` survivors per query
     (shortlist ≪ corpus ⇒ the rescore join is partition-pruned by the
     broadcast id set at scale). ``codes`` accepts a pre-materialized
-    `pq_encode` output (the stored-index path)."""
+    `pq_encode` output (the stored-index path).
+
+    SELECTION RULE — this is FAISS IndexPQ semantics: an EXHAUSTIVE
+    compressed-domain scan of every code row per query. That is the right
+    tool up to ~10⁶ codes (32× smaller than raw vectors, one codegen
+    pass); above that, use :func:`ivfpq_topk`, which prunes the scan to
+    nprobe coarse cells and is the only variant whose per-query cost stays
+    flat as the corpus grows."""
     import numpy as np  # noqa: F401  (documents the numpy dependency)
 
     m = len(codebooks)

@@ -367,20 +367,23 @@ def bloom_probe(
     m_bits: int = BLOOM_BITS,
     k: int = BLOOM_K,
 ) -> DataFrame:
-    """Membership test for every row of ``df``: (keep..., key_col,
+    """Membership test for EVERY row of ``df``: (keep..., key_col,
     bloom_member). A key is a member iff ALL k probed bits are set.
 
     Plan shape: k-way probe explode → broadcast equi-join on the word index
-    (the filter relation is <= m/32 rows) → per-key count of matched
-    probes. The big side is never shuffled on the key; NULL keys probe
-    NULL words and come back non-member.
+    (the filter relation is <= m/32 rows) → per-ROW count of matched
+    probes, re-grouped on a row id carried through the explode so duplicate
+    (keep..., key) input rows each come back as their own output row
+    (cardinality in == cardinality out). The big side is never shuffled on
+    the key; NULL keys probe NULL words and come back non-member.
     """
     pre = _with_cw_words(
-        df,
+        df.withColumn("_row_id", F.monotonically_increasing_id()),
         F.col(key_col).cast("string"),
-        [F.col(c) for c in keep] + [F.col(key_col)],
+        [F.col("_row_id")] + [F.col(c) for c in keep] + [F.col(key_col)],
     )
     probes = pre.select(
+        "_row_id",
         *keep,
         key_col,
         F.explode(
@@ -389,14 +392,16 @@ def bloom_probe(
     )
     word, mask = _bit_word_mask(F.col("bit"))
     probed = probes.select(
-        *keep, key_col, word.alias("word"), mask.alias("mask")
+        "_row_id", *keep, key_col, word.alias("word"), mask.alias("mask")
     ).join(F.broadcast(bloom), "word", "left")
     hit = (
         F.col("bits").isNotNull()
         & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
     ).cast("int")
-    return probed.groupBy(*keep, key_col).agg(
-        (F.sum(hit) == F.lit(k)).alias("bloom_member")
+    return (
+        probed.groupBy("_row_id", *keep, key_col)
+        .agg((F.sum(hit) == F.lit(k)).alias("bloom_member"))
+        .drop("_row_id")
     )
 
 
@@ -462,6 +467,12 @@ def kmv_intersection(
     intersection size (the standard multi-KMV estimator). All integer
     arithmetic plus ONE double division (rounded) — hash-gated
     cross-engine like the other sketches.
+
+    The estimator's domain is COMPLETE: every group pair gets a row, and a
+    pair with no common retained hash comes back as n_common=0 /
+    est_common=0.0 (disjoint-at-sketch-resolution, not absent) — the pair
+    universe is a bounded broadcast cross of the per-group theta relation
+    (#groups rows), never of the sketch rows.
     """
     hspace = float(1 << 32)
     per = sketch.groupBy(group_col).agg(
@@ -469,28 +480,30 @@ def kmv_intersection(
     )
     theta_g = F.when(F.col("_sz") < k, F.lit(1 << 32)).otherwise(F.col("_hk"))
     per = per.select(group_col, theta_g.alias("_theta"))
-    a = sketch.select(
-        F.col(group_col).alias("g_a"), F.col("h")
-    )
-    b = sketch.select(F.col(group_col).alias("g_b"), F.col("h"))
-    common = a.join(b, "h").filter(F.col("g_a") < F.col("g_b"))
     ta = per.select(F.col(group_col).alias("g_a"), F.col("_theta").alias("_ta"))
     tb = per.select(F.col(group_col).alias("g_b"), F.col("_theta").alias("_tb"))
-    joined = common.join(F.broadcast(ta), "g_a").join(F.broadcast(tb), "g_b")
-    theta = F.least(F.col("_ta"), F.col("_tb"))
-    agg = (
-        joined.select("g_a", "g_b", theta.alias("_theta"), "h")
-        .groupBy("g_a", "g_b", "_theta")
-        .agg(F.sum((F.col("h") < F.col("_theta")).cast("int")).alias("n_common"))
+    pairs = ta.crossJoin(F.broadcast(tb)).filter(F.col("g_a") < F.col("g_b"))
+    a = sketch.select(F.col(group_col).alias("g_a"), F.col("h"))
+    b = sketch.select(F.col(group_col).alias("g_b"), F.col("h"))
+    common = a.join(b, "h").filter(F.col("g_a") < F.col("g_b"))
+    counts = (
+        common.join(F.broadcast(ta), "g_a")
+        .join(F.broadcast(tb), "g_b")
+        .select(
+            "g_a", "g_b",
+            F.least(F.col("_ta"), F.col("_tb")).alias("_theta"), "h",
+        )
+        .groupBy("g_a", "g_b")
+        .agg(F.sum((F.col("h") < F.col("_theta")).cast("int")).alias("_nc"))
     )
-    return agg.select(
+    theta = F.least(F.col("_ta"), F.col("_tb"))
+    n_common = F.coalesce(F.col("_nc"), F.lit(0))
+    return pairs.join(counts, ["g_a", "g_b"], "left").select(
         "g_a",
         "g_b",
-        F.col("_theta").alias("theta_scaled"),
-        F.col("n_common").cast("long").alias("n_common"),
-        F.round(
-            F.col("n_common") * F.lit(hspace) / F.col("_theta"), 4
-        ).alias("est_common"),
+        theta.alias("theta_scaled"),
+        n_common.cast("long").alias("n_common"),
+        F.round(n_common * F.lit(hspace) / theta, 4).alias("est_common"),
     )
 
 

@@ -1551,9 +1551,14 @@ def evt_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_common"))
     )
     return (
-        est.join(exact, ["g_a", "g_b"])
+        est.join(exact, ["g_a", "g_b"], "left")
         .select(
-            "g_a", "g_b", "theta_scaled", "n_common", "est_common", "exact_common"
+            "g_a", "g_b", "theta_scaled", "n_common", "est_common",
+            # a pair the estimator calls disjoint still gets its row —
+            # mirror that completeness for the exact count
+            F.coalesce(F.col("exact_common"), F.lit(0)).cast("long").alias(
+                "exact_common"
+            ),
         )
         .orderBy("g_a", "g_b")
     )
@@ -1577,17 +1582,26 @@ WITH u AS (
   SELECT event_type,
          CASE WHEN count(*) < {k} THEN 4294967296 ELSE max(h) END AS theta
   FROM sk GROUP BY event_type
+), allpairs AS (
+  -- complete pair universe from the per-group theta relation: disjoint
+  -- pairs surface as n_common=0 rows instead of vanishing
+  SELECT pa.event_type AS g_a, pb.event_type AS g_b,
+         least(pa.theta, pb.theta) AS theta
+  FROM per pa JOIN per pb ON pa.event_type < pb.event_type
 ), common AS (
   SELECT a.event_type AS g_a, b.event_type AS g_b, a.h
   FROM sk a JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
-), agg AS (
-  SELECT g_a, g_b, least(pa.theta, pb.theta) AS theta,
+), counts AS (
+  SELECT g_a, g_b,
          sum(CASE WHEN h < least(pa.theta, pb.theta) THEN 1 ELSE 0 END)
            AS n_common
   FROM common
   JOIN per pa ON pa.event_type = g_a
   JOIN per pb ON pb.event_type = g_b
-  GROUP BY g_a, g_b, least(pa.theta, pb.theta)
+  GROUP BY g_a, g_b
+), agg AS (
+  SELECT ap.g_a, ap.g_b, ap.theta, COALESCE(ct.n_common, 0) AS n_common
+  FROM allpairs ap LEFT JOIN counts ct USING (g_a, g_b)
 ), exact AS (
   SELECT ua.event_type AS g_a, ub.event_type AS g_b, count(*) AS exact_common
   FROM u ua JOIN u ub ON ua.uk = ub.uk AND ua.event_type < ub.event_type
@@ -1597,8 +1611,8 @@ SELECT a.g_a, a.g_b,
        CAST(a.theta AS BIGINT) AS theta_scaled,
        CAST(a.n_common AS BIGINT) AS n_common,
        round(a.n_common * 4294967296.0 / a.theta, 4) AS est_common,
-       e.exact_common
-FROM agg a JOIN exact e USING (g_a, g_b)
+       CAST(COALESCE(e.exact_common, 0) AS BIGINT) AS exact_common
+FROM agg a LEFT JOIN exact e USING (g_a, g_b)
 ORDER BY g_a, g_b
 """
 

@@ -1000,9 +1000,16 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VEC_EMBEDDING_DRIFT_SQL = """
-WITH ex AS (
-  SELECT vec_id % 2 AS grp, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, generate_series(1, 64) AS t(i)
+WITH exu AS (
+  -- a true posexplode (indexed list_transform + unnest) over the row's
+  -- ACTUAL array — the Spark side posexplodes whatever is there, so a
+  -- corpus with a different embedding dimensionality must not silently
+  -- truncate/NULL-pad the twin (a fixed generate_series(1, 64) would)
+  SELECT vec_id % 2 AS grp,
+         unnest(list_transform(embedding, (v, i) -> {'i': i, 'v': v})) AS u
+  FROM embeddings
+), ex AS (
+  SELECT grp, u.i - 1 AS dim, CAST(u.v AS DOUBLE) AS x FROM exu
 ), agg AS (
   SELECT dim,
          count(*) FILTER (grp = 0) AS n_ref,
