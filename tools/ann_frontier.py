@@ -1,0 +1,106 @@
+"""ANN recall-vs-wall frontier: recall@5 vs brute force for every ANN
+variant (banded LSH, IVF at several nprobe, PQ, IVFPQ) on the REAL
+unreplicated embeddings corpus — the data-driven input for choosing an
+index at scale, paired with the 20x walls bench.py already records
+(knn_*_20x entries in BENCH_r{N}.json).
+
+Recall is measured on the UNREPLICATED corpus on purpose: the 20x bench
+fixture replicates vectors verbatim, so its ground-truth top-k is mostly
+exact duplicates that any bucketing scheme trivially co-locates — recall
+there reads ~1.0 and says nothing. Real distinct vectors are the honest
+recall case; the replicated corpus is the honest WALL case. The frontier
+table joins the two.
+
+Usage: python tools/ann_frontier.py [sf_dir]   (default /root/testdata/sf0.1)
+Prints one JSON line per variant: {"variant", "recall_at_5", "params"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from transcription_lakehouse_spark.operators.pq import ivfpq_topk, pq_topk  # noqa: E402
+from transcription_lakehouse_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from transcription_lakehouse_spark.session import get_spark  # noqa: E402
+from transcription_lakehouse_spark.sources.tables import load_table  # noqa: E402
+from transcription_lakehouse_spark.workload._ivf_quantizer import (  # noqa: E402
+    CENTROIDS,
+)
+from transcription_lakehouse_spark.workload._ivfpq_codebooks import (  # noqa: E402
+    CODEBOOKS as RESIDUAL_BOOKS,
+)
+from transcription_lakehouse_spark.workload._pq_codebooks import (  # noqa: E402
+    CODEBOOKS,
+)
+
+K = 5
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="ann-frontier")
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    nq = queries.count()
+    print(f"# corpus {n} vectors, {nq} queries, k={K}", file=sys.stderr)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(queries, emb, "vec_id", "embedding", k=K).collect()
+    }
+
+    variants = [
+        ("lsh_8x4", lambda: lsh_topk(
+            queries, emb, "vec_id", "embedding", k=K, n_bands=8, planes_per_band=4
+        ), {"n_bands": 8, "planes_per_band": 4}),
+        ("lsh_8x10", lambda: lsh_topk(
+            queries, emb, "vec_id", "embedding", k=K, n_bands=8, planes_per_band=10
+        ), {"n_bands": 8, "planes_per_band": 10}),
+        ("ivf_np2", lambda: ivf_topk(
+            queries, emb, "vec_id", "embedding", k=K, n_cells=32, nprobe=2
+        ), {"n_cells": 32, "nprobe": 2}),
+        ("ivf_np4", lambda: ivf_topk(
+            queries, emb, "vec_id", "embedding", k=K, n_cells=32, nprobe=4
+        ), {"n_cells": 32, "nprobe": 4}),
+        ("ivf_np8", lambda: ivf_topk(
+            queries, emb, "vec_id", "embedding", k=K, n_cells=32, nprobe=8
+        ), {"n_cells": 32, "nprobe": 8}),
+        ("pq_sl64", lambda: pq_topk(
+            queries, emb, "vec_id", "embedding", CODEBOOKS, k=K, shortlist=64
+        ), {"shortlist": 64}),
+        ("ivfpq_np4_sl64", lambda: ivfpq_topk(
+            queries, emb, "vec_id", "embedding", CENTROIDS, RESIDUAL_BOOKS,
+            k=K, nprobe=4, shortlist=64,
+        ), {"nprobe": 4, "shortlist": 64}),
+        ("ivfpq_np8_sl64", lambda: ivfpq_topk(
+            queries, emb, "vec_id", "embedding", CENTROIDS, RESIDUAL_BOOKS,
+            k=K, nprobe=8, shortlist=64,
+        ), {"nprobe": 8, "shortlist": 64}),
+    ]
+    for name, fn, params in variants:
+        t0 = time.time()
+        got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
+        wall = round(time.time() - t0, 2)
+        recall = round(len(got & truth) / len(truth), 4)
+        print(json.dumps({
+            "variant": name,
+            "recall_at_5": recall,
+            "wall_sf_sec": wall,
+            "params": params,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
