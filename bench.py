@@ -51,6 +51,8 @@ HEADLINE = [
     "doc_dup_spans",
     "doc_cut_dup_spans",
     "vec_semantic_dedup_p95",
+    "vec_semdedup_kmeans",
+    "vec_pca_coords",
     "doc_unigram_logprob",
     "evt_overlap_join",
     "evt_cms_heavy_hitters",

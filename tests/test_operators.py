@@ -1269,3 +1269,96 @@ def test_ivfpq_topk_recall_and_determinism(spark):
         )
         == CODEBOOKS
     )
+
+
+def test_train_pca_reproduces_committed_basis(spark):
+    """Same determinism pin as the IVF quantizer: `train_pca`
+    (tools/train_pca.py) must reproduce the committed basis artifact
+    exactly from the corpus it was trained on — no RNG anywhere."""
+    from transcription_lakehouse_spark.operators.pca import train_pca
+    from transcription_lakehouse_spark.workload._pca_basis import (
+        COMPONENTS,
+        EIGENVALUES,
+        MEAN,
+        N_COMPONENTS,
+        TRAINED_ON,
+    )
+
+    emb = spark.read.parquet(f"/root/testdata/{TRAINED_ON}/embeddings.parquet")
+    mean, comps, eigs = train_pca(
+        emb, "vec_id", "embedding", n_components=N_COMPONENTS
+    )
+    assert mean == MEAN
+    assert comps == COMPONENTS
+    assert eigs == EIGENVALUES
+
+
+def test_pca_basis_orthonormal_and_project_centers(spark):
+    """Linear-algebra sanity of the committed basis plus the projection
+    operator: components are unit-norm and pairwise orthogonal; projecting
+    the training mean itself yields the zero coordinate vector; whitening
+    rescales coords by 1/sqrt(eigenvalue)."""
+    import numpy as np
+
+    from transcription_lakehouse_spark.operators.pca import (
+        pca_project,
+        pca_whiten,
+    )
+    from transcription_lakehouse_spark.workload._pca_basis import (
+        COMPONENTS,
+        EIGENVALUES,
+        MEAN,
+    )
+
+    C = np.array(COMPONENTS)
+    gram = C @ C.T
+    assert np.allclose(gram, np.eye(len(COMPONENTS)), atol=1e-9)
+    # eigenvalues descend
+    top = EIGENVALUES[: len(COMPONENTS)]
+    assert top == sorted(top, reverse=True)
+
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in MEAN])], "id INT, embedding ARRAY<DOUBLE>"
+    )
+    row = pca_project(df, "embedding", MEAN, COMPONENTS).collect()[0]
+    assert all(abs(c) < 1e-12 for c in row["pca"])
+
+    off = spark.createDataFrame(
+        [(1, [float(x) + float(c) for x, c in zip(MEAN, COMPONENTS[0])])],
+        "id INT, embedding ARRAY<DOUBLE>",
+    )
+    p = pca_project(off, "embedding", MEAN, COMPONENTS)
+    got = p.collect()[0]["pca"]
+    assert abs(got[0] - 1.0) < 1e-9  # unit step along component 0
+    w = pca_whiten(p, "pca", EIGENVALUES[: len(COMPONENTS)]).collect()[0]
+    assert abs(w["whitened"][0] - 1.0 / EIGENVALUES[0] ** 0.5) < 1e-6
+
+
+def test_semdedup_kmeans_keeper_rule(spark):
+    """Canonical SemDeDup keeper policy: within a duplicate group the
+    member LEAST similar to its cluster centroid is kept (paper's
+    diversity rule), and cross-cell near-dups are (by construction) not
+    paired — the documented blind spot vs the LSH variant."""
+    from transcription_lakehouse_spark.operators.similarity import (
+        semdedup_kmeans,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        # cell 0: three mutual near-dups with distinct centroid cosines
+        (1, [1.0, 0.01, 0.0]),
+        (2, [1.0, 0.10, 0.0]),   # least centroid-similar of the trio
+        (3, [1.0, 0.05, 0.0]),
+        # cell 1: singleton (never emitted)
+        (4, [0.0, 1.0, 0.0]),
+        # cell 0 vs cell 1: a cross-cell near-dup pair is NOT paired
+        (5, [0.8, 0.75, 0.0]),   # cell 0 (cos to c0 > c1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = semdedup_kmeans(df, "vec_id", "embedding", cents, threshold=0.99)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(r["cell"] == 0 for r in got.values())
+    assert all(r["component_id"] == 1 for r in got.values())
+    keepers = [v for v, r in got.items() if r["is_keeper"]]
+    assert keepers == [2]

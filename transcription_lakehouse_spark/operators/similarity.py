@@ -30,6 +30,7 @@ __all__ = [
     "lsh_near_dup_pairs",
     "train_centroids",
     "ivf_topk",
+    "semdedup_kmeans",
 ]
 
 
@@ -634,3 +635,80 @@ def lsh_topk(
     qv = q.withColumn("qn", l2_norm(F.col("qv")))
     cv = c.withColumn("cn", l2_norm(F.col("cv")))
     return _score_topk(cand.join(qv, "query_id").join(cv, "neighbor_id"), k)
+
+
+def semdedup_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Canonical-form SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    bucket every vector to its nearest k-means centroid, detect duplicate
+    groups by pairwise cosine >= `threshold` WITHIN each cluster only, fold
+    pairs into transitive groups, and keep from each group the member LEAST
+    similar to its cluster centroid — the paper's diversity-preserving
+    keeper rule (it retains the most atypical exemplar). Complements the
+    LSH-banded variant (`lsh_near_dup_pairs` + `dup_clusters`): identical
+    output contract, different candidate generator — k-means cells give the
+    paper's exact semantics; LSH bands avoid the centroid artifact.
+
+    Scale: the pairwise comparison is an equi-join on the cell id — never
+    all-pairs. Growing n_cells ~ sqrt(N) keeps expected cell population
+    bounded, which is the paper's own cost model (50k clusters for
+    LAION-440M). The centroid set is an offline-trained committed artifact
+    (tools/train_ivf.py discipline), so a run is a single scan + one
+    cell-keyed shuffle; no training job in the query path.
+
+    Returns (vec_id, cell, component_id, is_keeper) for clustered vectors;
+    absent vectors are singletons and always kept.
+    """
+    from .graph import dup_clusters
+
+    spark = df.sparkSession
+    assign1 = _nearest_cells_udf(centroids, 1)
+    base = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(vec_col).alias("v"),
+        )
+        .withColumn("cell", F.element_at(assign1(F.col("v")), 1))
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_1"), F.col("v").alias("v1"), "cell"
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_2"), F.col("v").alias("v2"), "cell"
+    )
+    num = dot(F.col("v1"), F.col("v2"))
+    den = l2_norm(F.col("v1")) * l2_norm(F.col("v2"))
+    cos = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_1") < F.col("id_2"))
+        .where(F.round(cos, 6) >= threshold)
+        .select("id_1", "id_2")
+    )
+    comps = dup_clusters(pairs, "id_1", "id_2").select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell INT, cv ARRAY<DOUBLE>",
+    )
+    cnum = dot(F.col("v"), F.col("cv"))
+    cden = l2_norm(F.col("v")) * l2_norm(F.col("cv"))
+    ccos = F.when(cden > 0, cnum / cden).otherwise(F.lit(0.0))
+    scored = (
+        comps.join(base, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .withColumn("cent_cos", F.round(ccos, 6))
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("cent_cos").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("is_keeper", F.row_number().over(w) == 1)
+        .select("vec_id", "cell", "component_id", "is_keeper")
+    )

@@ -1035,6 +1035,242 @@ FROM agg ORDER BY dim
 """
 
 
+# ---------------------------------------------------------------------------
+# PCA pre-transform + canonical SemDeDup (committed-artifact discipline:
+# tools/train_pca.py -> _pca_basis.py; the k-means cells reuse the IVF
+# quantizer from tools/train_ivf.py -> _ivf_quantizer.py)
+# ---------------------------------------------------------------------------
+
+
+def _dlist(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+def vec_pca_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every 10th vector onto the offline-trained basis
+    (`operators/pca.py`, FAISS-PCAMatrix-style train/apply split) — the
+    dimensionality-reduction pre-step a 100 TB embedding pipeline runs
+    before clustering/semantic dedup. Pure JVM-side map (zip_with +
+    aggregate; no Python, no shuffle); row-level value-hash gated: the
+    DuckDB twin centers and projects with the SAME float64 literals and
+    the same left-to-right accumulation."""
+    from ..operators.pca import pca_project
+    from ._pca_basis import COMPONENTS, MEAN
+
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    p = pca_project(e, "embedding", MEAN, COMPONENTS)
+    return p.select(
+        "vec_id", F.posexplode("pca").alias("component", "c")
+    ).select(
+        "vec_id",
+        "component",
+        F.round("c", 6).alias("coord"),
+    )
+
+
+def _pca_coords_oracle_sql() -> str:
+    from ._pca_basis import COMPONENTS, MEAN
+
+    rows = ",\n    ".join(
+        f"({j}, {_dlist(c)})" for j, c in enumerate(COMPONENTS)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+cent AS (
+  SELECT vec_id,
+         list_transform(list_zip(e, {_dlist(MEAN)}), p -> p[1] - p[2]) AS ce
+  FROM v
+),
+c(component, carr) AS (
+  VALUES
+    {rows}
+)
+SELECT vec_id, component,
+       round(list_sum(list_transform(list_zip(ce, carr),
+                                     p -> p[1] * p[2])), 6) AS coord
+FROM cent CROSS JOIN c
+"""
+
+
+VEC_PCA_COORDS_SQL = _pca_coords_oracle_sql()
+
+
+def vec_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component variance audit of the PCA projection over the FULL
+    corpus: sample-trained eigenvalues vs corpus-projected variance (a
+    drifted corpus shows up as var_coord pulling away from the trained
+    eigenvalue — the monitoring twin of `vec_embedding_drift` in the
+    reduced space). Eigenvalue/ratio columns are artifact literals shared
+    verbatim with the twin; mean/var are cross-engine aggregations."""
+    from ..operators.pca import pca_project
+    from ._pca_basis import COMPONENTS, EIGENVALUES, MEAN
+
+    total = sum(EIGENVALUES)
+    lits = [
+        (j, round(EIGENVALUES[j], 6), round(EIGENVALUES[j] / total, 6))
+        for j in range(len(COMPONENTS))
+    ]
+    e = pca_project(_emb(spark, sf_dir), "embedding", MEAN, COMPONENTS)
+    coords = e.select(F.posexplode("pca").alias("component", "c"))
+    stats = coords.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        # + 0.0 collapses IEEE -0.0 (a 6-dp round of a tiny negative
+        # mean) to +0.0 on both engines so the value hash can't split
+        (F.round(F.avg("c"), 6) + F.lit(0.0)).alias("mean_coord"),
+        (F.round(
+            F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c"), 6
+        ) + F.lit(0.0)).alias("var_coord"),
+    )
+    ev = spark.createDataFrame(
+        lits, "component INT, eigenvalue DOUBLE, explained_ratio DOUBLE"
+    )
+    return stats.join(F.broadcast(ev), "component").select(
+        "component", "n_vectors", "mean_coord", "var_coord",
+        "eigenvalue", "explained_ratio",
+    )
+
+
+def _pca_variance_oracle_sql() -> str:
+    from ._pca_basis import COMPONENTS, EIGENVALUES, MEAN
+
+    total = sum(EIGENVALUES)
+    crows = ",\n    ".join(
+        f"({j}, {_dlist(c)})" for j, c in enumerate(COMPONENTS)
+    )
+    erows = ",\n    ".join(
+        f"({j}, {round(EIGENVALUES[j], 6)!r}, "
+        f"{round(EIGENVALUES[j] / total, 6)!r})"
+        for j in range(len(COMPONENTS))
+    )
+    return f"""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (
+  SELECT list_transform(list_zip(e, {_dlist(MEAN)}), p -> p[1] - p[2]) AS ce
+  FROM v
+),
+c(component, carr) AS (
+  VALUES
+    {crows}
+),
+proj AS (
+  SELECT component,
+         list_sum(list_transform(list_zip(ce, carr), p -> p[1] * p[2])) AS coord
+  FROM cent CROSS JOIN c
+),
+ev(component, eigenvalue, explained_ratio) AS (
+  VALUES
+    {erows}
+)
+SELECT p.component, count(*) AS n_vectors,
+       round(avg(coord), 6) + 0.0 AS mean_coord,
+       round(avg(coord * coord) - avg(coord) * avg(coord), 6) + 0.0 AS var_coord,
+       ev.eigenvalue, ev.explained_ratio
+FROM proj p JOIN ev ON p.component = ev.component
+GROUP BY p.component, ev.eigenvalue, ev.explained_ratio
+"""
+
+
+VEC_PCA_VARIANCE_SQL = _pca_variance_oracle_sql()
+
+
+def vec_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form SemDeDup (Abbas et al. 2023): k-means-cell-confined
+    pairwise cosine >= the corpus-calibrated near-dup threshold (the same
+    0.35 point `vec_semantic_dedup` gates at — the synthetic corpus plants
+    its near-dups there; production would run 0.95), transitive duplicate
+    groups, keeper = member
+    LEAST similar to its cluster centroid (the paper's
+    diversity-preserving rule). Reuses the TRAINED committed IVF quantizer
+    — no training job in the query path. The DuckDB twin replays cell
+    assignment, within-cell pairing, the recursive-CTE closure, and the
+    centroid-cosine keeper ranking from the same centroid literals."""
+    from ..operators.similarity import semdedup_kmeans
+    from ._ivf_quantizer import CENTROIDS
+
+    return semdedup_kmeans(
+        _emb(spark, sf_dir), "vec_id", "embedding", CENTROIDS,
+        threshold=_NEAR_DUP_THRESHOLD,
+    ).orderBy("component_id", "vec_id")
+
+
+def _semdedup_kmeans_oracle_sql(threshold: float) -> str:
+    from ._ivf_quantizer import CENTROIDS
+
+    rows = ",\n    ".join(
+        f"({i}, {_dlist(c)})" for i, c in enumerate(CENTROIDS)
+    )
+    d2 = (
+        "list_sum(list_transform(ce, t -> t * t))"
+        " - 2 * list_sum(list_transform(list_zip(e, ce), z -> z[1] * z[2]))"
+    )
+    cent_cos = (
+        "CASE WHEN sqrt(list_sum(list_transform(m.e, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(c.ce, t -> t * t))) > 0"
+        " THEN list_sum(list_transform(list_zip(m.e, c.ce), z -> z[1] * z[2]))"
+        " / (sqrt(list_sum(list_transform(m.e, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(c.ce, t -> t * t))))"
+        " ELSE 0.0 END"
+    )
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c(cell, ce) AS (
+  VALUES
+    {rows}
+),
+dist AS (
+  SELECT v.vec_id, c.cell, {d2} AS d2 FROM v CROSS JOIN c
+),
+m AS (
+  SELECT d.vec_id, d.cell, v.e
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cell ASC) AS rn
+    FROM dist
+  ) d JOIN v ON d.vec_id = v.vec_id
+  WHERE d.rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS id_1, y.vec_id AS id_2
+  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round({_XY_COS}, 6) >= {threshold}
+),
+sym AS (
+  SELECT id_1 AS s, id_2 AS d FROM pairs
+  UNION
+  SELECT id_2, id_1 FROM pairs
+),
+reach(n, r) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON reach.n = sym.s
+),
+comp AS (
+  SELECT n AS vec_id, min(r) AS component_id FROM reach GROUP BY n
+),
+scored AS (
+  SELECT comp.vec_id, m.cell, comp.component_id,
+         round({cent_cos}, 6) AS cent_cos
+  FROM comp JOIN m ON comp.vec_id = m.vec_id
+            JOIN c ON m.cell = c.cell
+)
+SELECT vec_id, cell, component_id, (rn = 1) AS is_keeper
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY component_id
+              ORDER BY cent_cos ASC, vec_id ASC) AS rn
+  FROM scored
+)
+ORDER BY component_id, vec_id
+"""
+
+
+VEC_SEMDEDUP_KMEANS_SQL = _semdedup_kmeans_oracle_sql(_NEAR_DUP_THRESHOLD)
+
+
 QUERIES = {
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
@@ -1052,6 +1288,9 @@ QUERIES = {
     "vec_knn_ivfpq": vec_knn_ivfpq,
     "vec_near_dup_pairs": vec_near_dup_pairs,
     "vec_knn_lsh": vec_knn_lsh,
+    "vec_pca_coords": vec_pca_coords,
+    "vec_pca_variance": vec_pca_variance,
+    "vec_semdedup_kmeans": vec_semdedup_kmeans,
 }
 
 ORACLES = {
@@ -1071,4 +1310,7 @@ ORACLES = {
     "vec_knn_ivf": VEC_KNN_IVF_SQL,
     "vec_knn_pq": VEC_KNN_PQ_SQL,
     "vec_knn_ivfpq": VEC_KNN_IVFPQ_SQL,
+    "vec_pca_coords": VEC_PCA_COORDS_SQL,
+    "vec_pca_variance": VEC_PCA_VARIANCE_SQL,
+    "vec_semdedup_kmeans": VEC_SEMDEDUP_KMEANS_SQL,
 }
