@@ -47,6 +47,9 @@ _BOUNDED_BROADCAST_BNLJ = {
     "trn_section_semantic_catalog",  # one-row embedding-coverage guard
                             # broadcast (generate_sections' in-plan
                             # raise_error refusal — replaces an eager job)
+    "vec_knn_pca",          # sampled queries' reduced coords broadcast
+                            # against the 8-dim projected corpus — the
+                            # coarse scan IS one narrow pass by design
     "evt_kmv_overlap",      # group-pair cross of the per-group theta
                             # relation (#groups rows) so disjoint pairs
                             # emit n_common=0 — bounded by construction

@@ -42,6 +42,11 @@ from transcription_lakehouse_spark.workload._ivfpq_codebooks import (  # noqa: E
 from transcription_lakehouse_spark.workload._pq_codebooks import (  # noqa: E402
     CODEBOOKS,
 )
+from transcription_lakehouse_spark.operators.pca import pca_topk  # noqa: E402
+from transcription_lakehouse_spark.workload._pca_basis import (  # noqa: E402
+    COMPONENTS as PCA_COMPONENTS,
+    MEAN as PCA_MEAN,
+)
 
 K = 5
 
@@ -87,6 +92,14 @@ def main() -> int:
             queries, emb, "vec_id", "embedding", CENTROIDS, RESIDUAL_BOOKS,
             k=K, nprobe=8, shortlist=64,
         ), {"nprobe": 8, "shortlist": 64}),
+        ("pca8_sl64", lambda: pca_topk(
+            queries, emb, "vec_id", "embedding", PCA_MEAN, PCA_COMPONENTS,
+            k=K, shortlist=64,
+        ), {"n_components": 8, "shortlist": 64}),
+        ("pca8_sl256", lambda: pca_topk(
+            queries, emb, "vec_id", "embedding", PCA_MEAN, PCA_COMPONENTS,
+            k=K, shortlist=256,
+        ), {"n_components": 8, "shortlist": 256}),
     ]
     for name, fn, params in variants:
         t0 = time.time()

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 
 from ..functions.vector import as_double_array, dot
 
-__all__ = ["train_pca", "pca_project", "pca_whiten"]
+__all__ = ["train_pca", "pca_project", "pca_whiten", "pca_topk"]
 
 
 def train_pca(
@@ -119,4 +119,84 @@ def pca_whiten(
     )
     return df.withColumn(
         out_col, F.zip_with(F.col(pca_col), scales, lambda x, s: x * s)
+    )
+
+
+def pca_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean: list[float],
+    components: list[list[float]],
+    k: int = 5,
+    shortlist: int = 40,
+) -> DataFrame:
+    """Approximate top-k cosine via PCA coarse ranking: both sides are
+    projected onto the trained basis, candidates are ranked by squared
+    Euclidean distance in the k'-dim reduced space (k' ≪ d, so the
+    corpus-sized scan touches k' doubles per row instead of d floats),
+    the per-query `shortlist` survivors are exactly rescored in the
+    original space. The same accelerate-then-rescore shape as
+    `operators/pq.py:pq_topk`, with a linear projection instead of
+    codebook ADC — FAISS's ``PCAMatrix,Flat`` index factory string.
+
+    At 100 TB the corpus projection is precomputed once at index-build
+    time into the stored table (it is a pure column map), so a search
+    scans only the k'-dim coords; queries broadcast; nothing shuffles the
+    corpus. Every arithmetic step (center, project, reduced d², exact
+    cosine) is strict left-to-right double accumulation, so the DuckDB
+    twin replays it bit-identically — no margin guard needed.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine, l2_norm  # noqa: F401
+
+    q = pca_project(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        ),
+        "qv", mean, components, out_col="qp",
+    )
+    c = pca_project(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cv"),
+        ),
+        "cv", mean, components, out_col="cp",
+    )
+    red_d2 = F.aggregate(
+        F.zip_with(F.col("qp"), F.col("cp"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        F.broadcast(q.select("query_id", "qp"))
+        .crossJoin(c.select("neighbor_id", "cp"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("red_d2", red_d2)
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("red_d2").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("srank", F.row_number().over(sw))
+        .where(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        short.join(q.select("query_id", "qv"), "query_id")
+        .join(c.select("neighbor_id", "cv"), "neighbor_id")
+        .withColumn(
+            "sim", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
     )

@@ -1271,6 +1271,78 @@ ORDER BY component_id, vec_id
 VEC_SEMDEDUP_KMEANS_SQL = _semdedup_kmeans_oracle_sql(_NEAR_DUP_THRESHOLD)
 
 
+def vec_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 approximate ANN via PCA coarse ranking (`operators/pca.py:
+    pca_topk` — FAISS's ``PCAMatrix,Flat``): rank in the 8-dim reduced
+    space (an 8x narrower corpus scan than the 64-float exact path), then
+    exact-rescore the per-query shortlist. FULLY value-hash gated: every
+    arithmetic step is strict left-to-right double accumulation, so the
+    DuckDB twin replays projection, reduced d², and the rescore
+    bit-identically from the same committed basis literals."""
+    from ..operators.pca import pca_topk
+    from ._pca_basis import COMPONENTS, MEAN
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return pca_topk(
+        queries, e, "vec_id", "embedding", MEAN, COMPONENTS,
+        k=5, shortlist=64,
+    )
+
+
+def _knn_pca_oracle_sql(k: int, shortlist: int) -> str:
+    from ._pca_basis import COMPONENTS, MEAN
+
+    coord_exprs = ",\n      ".join(
+        "list_sum(list_transform(list_zip(ce, "
+        + _dlist(c)
+        + "), p -> p[1] * p[2]))"
+        for c in COMPONENTS
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (
+  SELECT vec_id, e,
+         list_transform(list_zip(e, {_dlist(MEAN)}), p -> p[1] - p[2]) AS ce
+  FROM v
+),
+proj AS (
+  SELECT vec_id, e,
+    [{coord_exprs}] AS p
+  FROM cent
+),
+red AS (
+  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.p, m.p),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS red_d2
+  FROM proj q JOIN proj m ON q.vec_id <> m.vec_id
+  WHERE q.vec_id % 25 = 0
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY red_d2 ASC, neighbor_id ASC) AS srank
+    FROM red
+  ) WHERE srank <= {shortlist}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id, round({_XY_COS}, 6) AS sim
+  FROM short s JOIN v x ON s.query_id = x.vec_id
+               JOIN v y ON s.neighbor_id = y.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+VEC_KNN_PCA_SQL = _knn_pca_oracle_sql(5, 64)
+
+
 QUERIES = {
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
@@ -1291,6 +1363,7 @@ QUERIES = {
     "vec_pca_coords": vec_pca_coords,
     "vec_pca_variance": vec_pca_variance,
     "vec_semdedup_kmeans": vec_semdedup_kmeans,
+    "vec_knn_pca": vec_knn_pca,
 }
 
 ORACLES = {
@@ -1313,4 +1386,5 @@ ORACLES = {
     "vec_pca_coords": VEC_PCA_COORDS_SQL,
     "vec_pca_variance": VEC_PCA_VARIANCE_SQL,
     "vec_semdedup_kmeans": VEC_SEMDEDUP_KMEANS_SQL,
+    "vec_knn_pca": VEC_KNN_PCA_SQL,
 }
