@@ -308,3 +308,116 @@ def test_histogram_quantiles_within_one_bin_width(spark, vals):
         exact = float(np.quantile(arr, q, method="inverted_cdf"))
         # + 5e-7: the emitted estimate is rounded to 6 decimals
         assert abs(est[q] - exact) <= width + 5e-7, (q, est[q], exact, width)
+
+
+# --- round 5: PCA projection + canonical SemDeDup ------------------------
+
+_vec_sets = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-4.0, max_value=4.0,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=4, max_size=4,
+    ),
+    min_size=2, max_size=10,
+    unique_by=tuple,
+)
+
+
+@given(_vec_sets)
+@settings(max_examples=8, deadline=None)
+def test_pca_project_matches_numpy(spark, vecs):
+    """`pca_project` (zip_with+aggregate column map) must agree with the
+    straightforward numpy (v - mean) @ C.T on arbitrary vectors."""
+    import numpy as np
+
+    from transcription_lakehouse_spark.operators.pca import pca_project
+
+    mean = [0.5, -0.25, 1.0, 0.0]
+    comps = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.6, 0.8, 0.0],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "id INT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["id"]: list(r["pca"])
+        for r in pca_project(df, "embedding", mean, comps).collect()
+    }
+    X = np.array(vecs, dtype=np.float64)
+    want = (X - np.array(mean)) @ np.array(comps).T
+    for i in range(len(vecs)):
+        assert np.allclose(got[i], want[i], atol=1e-9), (got[i], want[i])
+
+
+@given(_vec_sets)
+@settings(max_examples=8, deadline=None)
+def test_semdedup_kmeans_matches_naive(spark, vecs):
+    """`semdedup_kmeans` (GEMM cell pairs → transitive closure → keeper
+    ranking) must agree with a single-machine oracle: argmin-d² cell
+    assignment (tie → lower cell), within-cell pairwise round(cos,6) ≥ t,
+    union-find closure, keeper = least centroid-cosine (tie → lower id)."""
+    import math
+
+    from transcription_lakehouse_spark.operators.similarity import (
+        semdedup_kmeans,
+    )
+
+    cents = [[2.0, 0.0, 0.0, 0.0], [0.0, 2.0, 0.0, 0.0], [-1.0, -1.0, 0.0, 0.0]]
+    t = 0.8
+
+    def d2(v, c):
+        return sum((x - y) ** 2 for x, y in zip(v, c))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den if den > 0 else 0.0
+
+    cell = {
+        i: min(range(len(cents)), key=lambda c: (d2(v, cents[c]), c))
+        for i, v in enumerate(vecs)
+    }
+    parent = {i: i for i in range(len(vecs))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if cell[i] == cell[j] and round(cos(vecs[i], vecs[j]), 6) >= t:
+                edges.add((i, j))
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    in_graph = {n for e in edges for n in e}
+    want = {}
+    for comp in {find(n) for n in in_graph}:
+        members = sorted(n for n in in_graph if find(n) == comp)
+        keeper = min(
+            members,
+            key=lambda n: (round(cos(vecs[n], cents[cell[n]]), 6), n),
+        )
+        for n in members:
+            want[n] = (cell[n], comp, n == keeper)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["component_id"], r["is_keeper"])
+        for r in semdedup_kmeans(
+            df, "vec_id", "embedding", cents, threshold=t
+        ).collect()
+    }
+    assert got == want
