@@ -38,6 +38,7 @@ HEADLINE = [
     "vec_knn_ivf_fixed",
     "vec_knn_pq",
     "vec_knn_ivfpq",
+    "vec_knn_graph",
     "evt_asof_last_view",
     "doc_decontamination",
     "doc_gopher_report",

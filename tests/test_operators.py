@@ -1412,3 +1412,61 @@ def test_pca_topk_recall_and_exact_degenerate(spark):
         for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
     }
     assert full == exact
+
+
+def test_graph_ann_beam_validates_and_walk_is_deterministic(spark):
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        build_knn_graph,
+        graph_topk,
+    )
+
+    rows = _clustered_vectors(n_per_cluster=10)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = build_knn_graph(df, "vec_id", "embedding", k_graph=4)
+    q = df.filter(F.col("vec_id") % 5 == 0)
+    try:
+        graph_topk(q, df, g, "vec_id", "embedding", k=5, beam=3)
+        raise AssertionError("beam < k must raise")
+    except ValueError:
+        pass
+    a = graph_topk(q, df, g, "vec_id", "embedding", k=3, beam=6, hops=2)
+    b = graph_topk(q, df, g, "vec_id", "embedding", k=3, beam=6, hops=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_graph_ann_recall_gate_on_driver_testdata(spark):
+    """Graph-class ANN (the reference's HNSW slot): on the REAL sf0.01
+    embeddings the 2-of-8-band seed alone is deliberately weak; two hops
+    over the 8-band-built k-NN graph must repair recall@5 both above a
+    floor and strictly above the seed-only baseline — proving the graph
+    walk does the work, not the seed."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        build_knn_graph,
+        graph_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+    g = build_knn_graph(e, "vec_id", "embedding", k_graph=16)
+    seed_only = graph_topk(
+        q, e, g, "vec_id", "embedding", k=5, beam=16, hops=0, seed_bands=2
+    )
+    walked = graph_topk(
+        q, e, g, "vec_id", "embedding", k=5, beam=16, hops=2, seed_bands=2
+    )
+    r0 = len({(r[0], r[1]) for r in seed_only.collect()} & want) / len(want)
+    r2 = len({(r[0], r[1]) for r in walked.collect()} & want) / len(want)
+    # measured: r0 0.20, r2 0.82 — the walk, not the seed, does the work
+    assert r2 >= r0 + 0.3, (r0, r2)
+    assert r2 >= 0.7, (r0, r2)

@@ -1,0 +1,176 @@
+"""Graph-based ANN: k-NN-graph build + beam-search query (M2 family).
+
+The reference's ANN index is a FAISS HNSW graph
+(`/root/reference/src/lakehouse/indexing/faiss_builder.py:30-147`): build
+walks the corpus inserting each vector into a layered neighbor graph;
+search greedily walks edges toward the query. This module is the
+Spark-shaped equivalent of that *class* of index — a navigable neighbor
+graph built once, then traversed at query time — expressed entirely as
+equi-joins and window ranks so it distributes and (unlike HNSW's
+insertion-order-dependent layers) stays deterministic enough to
+value-hash-gate against a DuckDB twin:
+
+- **build** (:func:`build_knn_graph`): the directed k-NN graph whose edges
+  are each node's top-``k_graph`` neighbors among banded-LSH candidates —
+  exactly ``lsh_topk(corpus, corpus)``. One bucket equi-join, no O(n²)
+  pair relation; at 100 TB this is the one-time index build (store the
+  edge list partitioned by ``src``).
+- **search** (:func:`graph_topk`): fixed-round greedy beam search. Seeds
+  come from a NARROW slice of the same LSH family (``seed_bands`` of the
+  build's ``n_bands`` — cheap, low-recall); each hop joins the current
+  beam against the edge list, rescores the union of visited candidates,
+  and keeps the top-``beam`` per query. The graph repairs the recall the
+  narrow seed misses (recall floor pinned in tests/test_operators.py) —
+  the same role HNSW's upper layers play for its greedy descent.
+
+Every step is deterministic: md5-derived hyperplanes, cosines rounded to
+6 digits, ties broken by neighbor id — so the DuckDB oracle
+(`workload/vectors.py:VEC_KNN_GRAPH_SQL`) replays build + search
+CTE-for-CTE and the driver hash-gates the whole index, not just row
+counts.
+
+Scale anatomy (100 TB): the edge list is O(N·k_graph) two-int rows; the
+per-hop frontier is O(|Q|·beam) rows — broadcast side of every join; the
+corpus never shuffles (vectors are fetched by id equi-join). Search cost
+is independent of corpus size given the graph, which is the point of a
+graph index.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions.vector import as_double_array, dot, l2_norm
+from .similarity import _banded_buckets, lsh_topk
+
+__all__ = ["build_knn_graph", "graph_topk"]
+
+
+def build_knn_graph(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_graph: int = 8,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Directed k-NN graph ``(src, dst, sim)``: each node's top-``k_graph``
+    cosine neighbors among its banded-LSH candidates (OR of ``n_bands``
+    bands, AND of ``planes_per_band`` planes — the family `lsh_topk`
+    documents). Self-edges excluded; ties broken by dst id."""
+    edges = lsh_topk(
+        corpus,
+        corpus,
+        id_col,
+        vec_col,
+        k=k_graph,
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+    )
+    return edges.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), "sim"
+    )
+
+
+def _score(cand: DataFrame, q: DataFrame, c: DataFrame) -> DataFrame:
+    """Exact guarded cosine for (query_id, node_id) candidate pairs —
+    the same rounded-6 arithmetic as similarity._score_topk so graph
+    ranks can never diverge from the other ANN paths' ranks."""
+    den = F.col("qn") * F.col("cn")
+    return (
+        cand.join(q, "query_id")
+        .join(c, "node_id")
+        .select(
+            "query_id",
+            "node_id",
+            F.round(
+                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+
+
+def _top_beam(scored: DataFrame, beam: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("node_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= beam)
+        .select("query_id", "node_id", "sim")
+    )
+
+
+def graph_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    graph: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    beam: int = 10,
+    hops: int = 2,
+    seed_bands: int = 2,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Greedy beam search over a prebuilt k-NN graph:
+    ``(query_id, neighbor_id, rank, sim)``.
+
+    Round 0 seeds each query with the corpus rows sharing any of the first
+    ``seed_bands`` bands' buckets (the same md5 plane family the graph was
+    built with, so seeds need no extra hashing state). Each of ``hops``
+    rounds then expands the beam one edge along ``graph``, rescores the
+    visited set exactly, and keeps the top-``beam``; the final beam is
+    ranked to top-``k``. ``beam >= k`` is required — the beam retains
+    every node the final ranking can need.
+
+    Queries with zero seed candidates produce no rows (same contract as
+    `lsh_topk` when no bucket collides).
+    """
+    if beam < k:
+        raise ValueError(f"graph_topk: beam={beam} must be >= k={k}")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("node_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+
+    qb = _banded_buckets(
+        q.select("query_id", "qv"), "qv", seed_bands, planes_per_band
+    )
+    cb = _banded_buckets(
+        c.select("node_id", "cv"), "cv", seed_bands, planes_per_band
+    )
+    seeds = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("node_id"))
+        .select("query_id", "node_id")
+        .distinct()
+    )
+    beam_df = _top_beam(_score(seeds, q, c), beam)
+
+    for _ in range(hops):
+        frontier = (
+            beam_df.select("query_id", F.col("node_id").alias("src"))
+            .join(graph.select("src", "dst"), "src")
+            .filter(F.col("query_id") != F.col("dst"))
+            .select("query_id", F.col("dst").alias("node_id"))
+        )
+        visited = (
+            beam_df.select("query_id", "node_id").union(frontier).distinct()
+        )
+        beam_df = _top_beam(_score(visited, q, c), beam)
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node_id"))
+    return (
+        beam_df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("node_id").alias("neighbor_id"), "rank", "sim"
+        )
+    )

@@ -1343,6 +1343,132 @@ WHERE rank <= {k}
 VEC_KNN_PCA_SQL = _knn_pca_oracle_sql(5, 64)
 
 
+_GRAPH_K = 5
+_GRAPH_KG = 16
+_GRAPH_BEAM = 16
+_GRAPH_HOPS = 2
+_GRAPH_SEED_BANDS = 2
+_GRAPH_BANDS = 8
+_GRAPH_PPB = 4
+
+
+def vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 graph-class ANN (the reference's HNSW slot,
+    `indexing/faiss_builder.py:30-147`): k-NN graph built from banded-LSH
+    candidates, then fixed-round greedy beam search seeded from a NARROW
+    2-of-8-band slice of the same plane family. The graph hops recover the
+    recall the cheap seed misses: measured recall@5 on sf0.01 is 0.16
+    seed-only vs 0.82 after 2 hops (k_graph=16, beam=16) — above the
+    8-band LSH path's 0.66 (floor pinned in tests/test_operators.py).
+
+    FULLY oracle-gated despite being an approximate graph index: build
+    and search are both deterministic (md5 planes, rounded cosines, id
+    tiebreaks), so the DuckDB twin replays graph construction AND the
+    beam walk CTE-for-CTE — the hash gate certifies the traversal itself."""
+    from ..operators.graph_ann import build_knn_graph, graph_topk
+
+    e = _emb(spark, sf_dir)
+    graph = build_knn_graph(
+        e,
+        "vec_id",
+        "embedding",
+        k_graph=_GRAPH_KG,
+        n_bands=_GRAPH_BANDS,
+        planes_per_band=_GRAPH_PPB,
+    )
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return graph_topk(
+        queries,
+        e,
+        graph,
+        "vec_id",
+        "embedding",
+        k=_GRAPH_K,
+        beam=_GRAPH_BEAM,
+        hops=_GRAPH_HOPS,
+        seed_bands=_GRAPH_SEED_BANDS,
+        planes_per_band=_GRAPH_PPB,
+    )
+
+
+def _knn_graph_oracle_sql(
+    k: int,
+    k_graph: int,
+    beam: int,
+    hops: int,
+    seed_bands: int,
+    n_bands: int,
+    planes_per_band: int,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of operators.graph_ann: graph build (LSH candidates →
+    per-src top-k_graph) plus the unrolled beam-search rounds. Each sN CTE
+    mirrors graph_ann._top_beam(_score(...)); each vN CTE mirrors the
+    beam ∪ one-hop-frontier visited set."""
+
+    def scored(pairs: str) -> str:
+        return (
+            f"SELECT p.query_id, p.node_id, round({_XY_COS}, 6) AS sim"
+            f" FROM {pairs} p JOIN v x ON p.query_id = x.vec_id"
+            f" JOIN v y ON p.node_id = y.vec_id"
+        )
+
+    def top_beam(scored_sql: str) -> str:
+        return (
+            "SELECT query_id, node_id, sim FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id"
+            " ORDER BY sim DESC, node_id ASC) AS rk"
+            f" FROM ({scored_sql})) WHERE rk <= {beam}"
+        )
+
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "q AS (SELECT * FROM v WHERE vec_id % 25 = 0)",
+        f"gb AS ({_bucket_union_sql('v', n_bands, planes_per_band, dims)})",
+        "gcand AS (SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst"
+        " FROM gb a JOIN gb b2 ON a.band = b2.band AND a.bucket = b2.bucket"
+        " WHERE a.vec_id <> b2.vec_id)",
+        f"gscored AS (SELECT c.src, c.dst, round({_XY_COS}, 6) AS sim"
+        " FROM gcand c JOIN v x ON c.src = x.vec_id"
+        " JOIN v y ON c.dst = y.vec_id)",
+        "graph AS (SELECT src, dst FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk FROM gscored)"
+        f" WHERE rk <= {k_graph})",
+        f"sb AS ({_bucket_union_sql('q', seed_bands, planes_per_band, dims)})",
+        f"vb AS ({_bucket_union_sql('v', seed_bands, planes_per_band, dims)})",
+        "seeds AS (SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS node_id"
+        " FROM sb a JOIN vb b2 ON a.band = b2.band AND a.bucket = b2.bucket"
+        " WHERE a.vec_id <> b2.vec_id)",
+        f"s0 AS ({top_beam(scored('seeds'))})",
+    ]
+    for h in range(1, hops + 1):
+        prev = f"s{h - 1}"
+        ctes.append(
+            f"v{h} AS (SELECT query_id, node_id FROM {prev}"
+            f" UNION SELECT s.query_id, g.dst AS node_id FROM {prev} s"
+            " JOIN graph g ON s.node_id = g.src WHERE g.dst <> s.query_id)"
+        )
+        ctes.append(f"s{h} AS ({top_beam(scored(f'v{h}'))})")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, node_id AS neighbor_id, rank, sim FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY sim DESC, node_id ASC) AS INTEGER) AS rank"
+        f" FROM s{hops}) WHERE rank <= {k}"
+    )
+
+
+VEC_KNN_GRAPH_SQL = _knn_graph_oracle_sql(
+    _GRAPH_K,
+    _GRAPH_KG,
+    _GRAPH_BEAM,
+    _GRAPH_HOPS,
+    _GRAPH_SEED_BANDS,
+    _GRAPH_BANDS,
+    _GRAPH_PPB,
+)
+
+
 QUERIES = {
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
@@ -1364,6 +1490,7 @@ QUERIES = {
     "vec_pca_variance": vec_pca_variance,
     "vec_semdedup_kmeans": vec_semdedup_kmeans,
     "vec_knn_pca": vec_knn_pca,
+    "vec_knn_graph": vec_knn_graph,
 }
 
 ORACLES = {
@@ -1387,4 +1514,5 @@ ORACLES = {
     "vec_pca_variance": VEC_PCA_VARIANCE_SQL,
     "vec_semdedup_kmeans": VEC_SEMDEDUP_KMEANS_SQL,
     "vec_knn_pca": VEC_KNN_PCA_SQL,
+    "vec_knn_graph": VEC_KNN_GRAPH_SQL,
 }
