@@ -42,6 +42,10 @@ from transcription_lakehouse_spark.workload._ivfpq_codebooks import (  # noqa: E
 from transcription_lakehouse_spark.workload._pq_codebooks import (  # noqa: E402
     CODEBOOKS,
 )
+from transcription_lakehouse_spark.operators.graph_ann import (  # noqa: E402
+    build_knn_graph,
+    graph_topk,
+)
 from transcription_lakehouse_spark.operators.pca import pca_topk  # noqa: E402
 from transcription_lakehouse_spark.workload._pca_basis import (  # noqa: E402
     COMPONENTS as PCA_COMPONENTS,
@@ -101,6 +105,32 @@ def main() -> int:
             k=K, shortlist=256,
         ), {"n_components": 8, "shortlist": 256}),
     ]
+
+    # graph index: build once (the one-time index step — wall reported on
+    # its own line), then measure walks of increasing hop count over the
+    # SAME cached edge list, the deployment shape.
+    t0 = time.time()
+    graph = build_knn_graph(
+        emb, "vec_id", "embedding", k_graph=16, n_bands=8, planes_per_band=4
+    ).cache()
+    n_edges = graph.count()
+    print(json.dumps({
+        "variant": "graph_build_kg16",
+        "recall_at_5": None,
+        "wall_sf_sec": round(time.time() - t0, 2),
+        "params": {"k_graph": 16, "n_bands": 8, "planes_per_band": 4,
+                   "n_edges": n_edges},
+    }))
+    for hops in (0, 1, 2):
+        variants.append((
+            f"graph_kg16_h{hops}",
+            lambda hops=hops: graph_topk(
+                queries, emb, graph, "vec_id", "embedding",
+                k=K, beam=16, hops=hops, seed_bands=2, planes_per_band=4,
+            ),
+            {"k_graph": 16, "beam": 16, "hops": hops, "seed_bands": 2},
+        ))
+
     for name, fn, params in variants:
         t0 = time.time()
         got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
