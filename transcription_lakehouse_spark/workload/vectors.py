@@ -641,11 +641,18 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VEC_LABEL_CENTROIDS_SQL = """
--- testdata embeddings are fixed 64-dim (DuckDB's generate_series cannot be
--- lateral over len(embedding))
-SELECT label, i - 1 AS pos,
-       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val
-FROM embeddings, generate_series(1, 64) AS t(i)
+-- dimension-agnostic posexplode twin (indexed list_transform + unnest),
+-- the VEC_EMBEDDING_DRIFT_SQL convention: explodes each row's ACTUAL
+-- array so a corpus with a different dimensionality cannot silently
+-- truncate/NULL-pad the twin
+WITH exu AS (
+  SELECT label,
+         unnest(list_transform(embedding, (v, i) -> {'i': i, 'v': v})) AS u
+  FROM embeddings
+)
+SELECT label, u.i - 1 AS pos,
+       round(avg(CAST(u.v AS DOUBLE)), 6) AS avg_val
+FROM exu
 GROUP BY label, pos
 """
 
@@ -938,9 +945,12 @@ def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VEC_DIM_STATS_SQL = """
-WITH ex AS (
-  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, generate_series(1, 64) AS t(i)
+WITH exu AS (
+  -- dimension-agnostic posexplode twin (VEC_EMBEDDING_DRIFT_SQL convention)
+  SELECT unnest(list_transform(embedding, (v, i) -> {'i': i, 'v': v})) AS u
+  FROM embeddings
+), ex AS (
+  SELECT u.i - 1 AS dim, CAST(u.v AS DOUBLE) AS x FROM exu
 )
 SELECT dim, count(*) AS n,
        round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean,
