@@ -1470,3 +1470,63 @@ def test_graph_ann_recall_gate_on_driver_testdata(spark):
     # measured: r0 0.20, r2 0.82 — the walk, not the seed, does the work
     assert r2 >= r0 + 0.3, (r0, r2)
     assert r2 >= 0.7, (r0, r2)
+
+
+def test_semantic_decontam_flags_planted_paraphrase(spark):
+    """A corpus vector near an eval vector is flagged with the right
+    argmax/hit-count; orthogonal corpus vectors are not flagged."""
+    from transcription_lakehouse_spark.operators.decontam import (
+        semantic_decontam,
+    )
+
+    dim = 16
+    eval_rows = [
+        (1000, [1.0] * dim),
+        (1001, [1.0, -1.0] * (dim // 2)),
+    ]
+    corpus_rows = [
+        (1, [1.0] * dim),                     # exact leak of eval 1000
+        (2, [0.9] * (dim - 1) + [1.2]),       # near leak of eval 1000
+        (3, [1.0, -1.0, 0.0, 0.0] * (dim // 4)),  # partial of 1001
+        (4, [0.0] * (dim - 1) + [1.0]),       # ~orthogonal to both? no:
+        # cos(e4, eval1000) = 1/4 = 0.25 < 0.9 threshold below
+    ]
+    ev = spark.createDataFrame(eval_rows, "vec_id long, embedding array<float>")
+    co = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    got = {
+        r["corpus_id"]: (r["matched_eval_id"], r["max_sim"], r["n_eval_hits"])
+        for r in semantic_decontam(
+            co, ev, "vec_id", "embedding", threshold=0.9,
+            n_bands=8, planes_per_band=2,
+        ).collect()
+    }
+    assert 1 in got and got[1][0] == 1000 and got[1][1] == 1.0
+    assert 2 in got and got[2][0] == 1000 and got[2][1] >= 0.9
+    assert 4 not in got
+    # every flagged row's hit count matches its >=threshold eval matches
+    assert all(v[2] >= 1 for v in got.values())
+
+
+def test_semantic_decontam_hit_count_multiple_evals(spark):
+    """n_eval_hits counts ALL eval vectors at/above threshold, while
+    matched_eval_id is the argmax (ties broken by eval id)."""
+    from transcription_lakehouse_spark.operators.decontam import (
+        semantic_decontam,
+    )
+
+    dim = 8
+    ev = spark.createDataFrame(
+        [(10, [1.0] * dim), (11, [1.0] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    co = spark.createDataFrame(
+        [(1, [1.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    rows = semantic_decontam(
+        co, ev, "vec_id", "embedding", threshold=0.5,
+        n_bands=8, planes_per_band=2,
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["matched_eval_id"] == 10  # tie -> min eval id
+    assert r["n_eval_hits"] == 2

@@ -16,12 +16,18 @@ MB-scale benchmarks this is a single scan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.text import tokens
+from ..functions.vector import as_double_array, dot, l2_norm
 from .dedup import shingles_from_tokens
 
-__all__ = ["benchmark_ngrams", "ngram_contamination", "boilerplate_fraction"]
+__all__ = [
+    "benchmark_ngrams",
+    "ngram_contamination",
+    "semantic_decontam",
+    "boilerplate_fraction",
+]
 
 
 def benchmark_ngrams(
@@ -88,6 +94,86 @@ def ngram_contamination(
         F.col("n_hit").cast("long").alias("n_hit"),
         F.round(ratio, 6).alias("contamination_ratio"),
         (ratio > F.lit(flag_threshold)).alias("is_contaminated"),
+    )
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Embedding-level decontamination: flag corpus vectors whose cosine
+    to ANY eval-set vector reaches ``threshold`` — the paraphrase-robust
+    complement of :func:`ngram_contamination` (verbatim 13-gram overlap
+    misses reworded benchmark leakage; embedding similarity catches it —
+    the screen the phi/Minerva-style dataset reports describe).
+
+    Returns one row per CONTAMINATED corpus vector:
+    ``(corpus_id, matched_eval_id, max_sim, n_eval_hits)`` where
+    ``matched_eval_id`` is the highest-cosine eval vector (ties broken by
+    eval id) and ``n_eval_hits`` counts eval vectors at/above threshold.
+
+    Scale design — the same asymmetric shape as the n-gram pass: the eval
+    side is SMALL (eval suites are thousands of rows), so its banded
+    buckets broadcast; the corpus streams through one banded-LSH bucket
+    equi-join (candidates only within shared buckets — never all-pairs),
+    one exact rescore of candidates, and one map-side-combinable
+    groupBy(corpus_id). Corpus recall follows the OR-of-bands curve
+    `lsh_topk` documents; banding + rounded-6 cosine are md5-deterministic,
+    so the whole screen value-hash-gates against a DuckDB twin
+    (`workload/vectors.py:VEC_SEMANTIC_DECONTAM_SQL`).
+    """
+    from .similarity import _banded_buckets
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    e = evalset.select(
+        F.col(id_col).alias("eval_id"), as_double_array(vec_col).alias("ev")
+    ).withColumn("en", l2_norm(F.col("ev")))
+    cb = _banded_buckets(
+        c.select("corpus_id", "cv"), "cv", n_bands, planes_per_band
+    )
+    eb = _banded_buckets(
+        e.select("eval_id", "ev"), "ev", n_bands, planes_per_band
+    )
+    cand = (
+        cb.join(F.broadcast(eb), ["band", "bucket"])
+        .select("corpus_id", "eval_id")
+        .distinct()
+    )
+    den = F.col("cn") * F.col("en")
+    scored = (
+        cand.join(c, "corpus_id")
+        .join(F.broadcast(e), "eval_id")
+        .select(
+            "corpus_id",
+            "eval_id",
+            F.round(
+                F.when(den > 0, dot(F.col("cv"), F.col("ev")) / den).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("corpus_id").orderBy(F.desc("sim"), F.asc("eval_id"))
+    hits = F.count(F.lit(1)).over(Window.partitionBy("corpus_id"))
+    return (
+        scored.withColumn("n_eval_hits", hits)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "corpus_id",
+            F.col("eval_id").alias("matched_eval_id"),
+            F.col("sim").alias("max_sim"),
+            "n_eval_hits",
+        )
     )
 
 

@@ -1479,6 +1479,63 @@ VEC_KNN_GRAPH_SQL = _knn_graph_oracle_sql(
 )
 
 
+_DECON_THRESHOLD = 0.35
+_DECON_BANDS = 8
+_DECON_PPB = 4
+_DECON_EVAL_MOD = 20
+
+
+def vec_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination (the paraphrase-robust
+    complement of `doc_decontamination`'s verbatim 13-gram screen): corpus
+    vectors whose cosine to any held-out eval vector (vec_id % 20 == 0,
+    the eval-suite stand-in) reaches 0.35. Asymmetric banded-LSH shape —
+    eval buckets broadcast, corpus streams through one bucket equi-join +
+    exact rescore; no all-pairs. Deterministic end-to-end, so the DuckDB
+    twin replays banding, rescore, and the per-corpus argmax/hit-count."""
+    from ..operators.decontam import semantic_decontam
+
+    e = _emb(spark, sf_dir)
+    evalset = e.filter(F.col("vec_id") % _DECON_EVAL_MOD == 0)
+    corpus = e.filter(F.col("vec_id") % _DECON_EVAL_MOD != 0)
+    return semantic_decontam(
+        corpus,
+        evalset,
+        "vec_id",
+        "embedding",
+        threshold=_DECON_THRESHOLD,
+        n_bands=_DECON_BANDS,
+        planes_per_band=_DECON_PPB,
+    )
+
+
+VEC_SEMANTIC_DECONTAM_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ev AS (SELECT * FROM v WHERE vec_id % {_DECON_EVAL_MOD} = 0),
+co AS (SELECT * FROM v WHERE vec_id % {_DECON_EVAL_MOD} <> 0),
+cb AS ({_bucket_union_sql('co', _DECON_BANDS, _DECON_PPB)}),
+eb AS ({_bucket_union_sql('ev', _DECON_BANDS, _DECON_PPB)}),
+cand AS (
+  SELECT DISTINCT c.vec_id AS corpus_id, b2.vec_id AS eval_id
+  FROM cb c JOIN eb b2 ON c.band = b2.band AND c.bucket = b2.bucket
+),
+scored AS (
+  SELECT cand.corpus_id, cand.eval_id, round({_XY_COS}, 6) AS sim
+  FROM cand JOIN v x ON cand.corpus_id = x.vec_id
+            JOIN v y ON cand.eval_id = y.vec_id
+),
+hits AS (SELECT * FROM scored WHERE sim >= {_DECON_THRESHOLD})
+SELECT corpus_id, eval_id AS matched_eval_id, sim AS max_sim, n_eval_hits
+FROM (
+  SELECT *,
+         count(*) OVER (PARTITION BY corpus_id) AS n_eval_hits,
+         row_number() OVER (PARTITION BY corpus_id
+                            ORDER BY sim DESC, eval_id ASC) AS rk
+  FROM hits
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
@@ -1501,6 +1558,7 @@ QUERIES = {
     "vec_semdedup_kmeans": vec_semdedup_kmeans,
     "vec_knn_pca": vec_knn_pca,
     "vec_knn_graph": vec_knn_graph,
+    "vec_semantic_decontam": vec_semantic_decontam,
 }
 
 ORACLES = {
@@ -1525,4 +1583,5 @@ ORACLES = {
     "vec_semdedup_kmeans": VEC_SEMDEDUP_KMEANS_SQL,
     "vec_knn_pca": VEC_KNN_PCA_SQL,
     "vec_knn_graph": VEC_KNN_GRAPH_SQL,
+    "vec_semantic_decontam": VEC_SEMANTIC_DECONTAM_SQL,
 }
