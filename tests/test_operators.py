@@ -1530,3 +1530,46 @@ def test_semantic_decontam_hit_count_multiple_evals(spark):
     r = rows[0]
     assert r["matched_eval_id"] == 10  # tie -> min eval id
     assert r["n_eval_hits"] == 2
+
+
+def test_training_order_deterministic_and_seed_reshuffles(spark):
+    from transcription_lakehouse_spark.operators.ordering import (
+        training_order,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(50)], "doc_id long, source string"
+    )
+    a = training_order(df, "doc_id", keep_cols=["source"], n_shards=4)
+    b = training_order(df, "doc_id", keep_cols=["source"], n_shards=4)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))  # resumability contract
+    c = training_order(
+        df, "doc_id", keep_cols=["source"], n_shards=4, seed="epoch1"
+    )
+    assert ra != sorted(map(tuple, c.collect()))  # new seed reshuffles
+    # shard positions are contiguous 1..n within every shard
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for doc_id, source, rep, shard, pos in ra:
+        by_shard[shard].append(pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_training_order_repeats_expand_each_copy_placed_independently(spark):
+    from transcription_lakehouse_spark.operators.ordering import (
+        training_order,
+    )
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1)], "doc_id long, n_rep long"
+    )
+    rows = training_order(
+        df, "doc_id", repeats=SF.col("n_rep"), n_shards=2
+    ).collect()
+    assert len(rows) == 4
+    reps = sorted(r["rep"] for r in rows if r["doc_id"] == 1)
+    assert reps == [0, 1, 2]

@@ -1,0 +1,76 @@
+"""Deterministic training-data ordering: mixture expansion + salted
+shuffle + shard assignment — the step between a curated corpus and the
+trainer's data loader.
+
+The reference stops at materializing catalogs; a training pipeline still
+has to fix the ORDER examples are seen in, reproducibly: upsampled
+domains repeat (the mixture plan's sampling factors made concrete),
+every copy lands at an independent pseudo-random position, and the
+result is written as N shard files whose within-shard order is part of
+the run's provenance. Doing this with `rand()` breaks reproducibility
+and resumability; the standard fix (e.g. T5/GPT-3-style deterministic
+data pipelines) is a salted-hash order: position follows
+``md5(seed : repeat : id)``, so any worker can recompute any shard
+independently.
+
+Scale design: zero global sorts and zero driver state. Repetition is a
+row-local ``explode(sequence(...))``; the shard id is a hash mod; the
+within-shard position is a window partitioned BY SHARD — n_shards-way
+parallel (pick n_shards ~ cluster write parallelism at 100 TB; each
+shard's window sorts only its own slice, the same per-file order a
+loader needs). Everything is md5-deterministic, so the whole assignment
+value-hash-gates against a DuckDB twin
+(`workload/text.py:DOC_TRAINING_ORDER_SQL`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+__all__ = ["training_order"]
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    keep_cols: list[str] | None = None,
+    repeats: Column | int = 1,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Assign every (repeated) row a deterministic ``(shard, shard_pos)``.
+
+    ``repeats`` — an int or a per-row Column (e.g. the mixture plan's
+    ceil(sampling_factor)): each row is emitted ``repeats`` times with
+    ``rep`` = 0..repeats-1, every copy independently placed. Output
+    columns: ``id_col, *keep_cols, rep, shard, shard_pos``.
+
+    Placement key: ``md5(seed:rep:id)`` — shard is the key's first 8 hex
+    digits mod ``n_shards``; ``shard_pos`` is the 1-based rank of the key
+    within the shard (ties broken by id then rep, though md5 collisions
+    are not expected). Changing ``seed`` reshuffles everything (the
+    between-epoch reshuffle); changing nothing reproduces the exact
+    order (the resumability contract).
+    """
+    reps = repeats if isinstance(repeats, Column) else F.lit(int(repeats))
+    out = df.select(
+        id_col, *(keep_cols or []),
+        F.explode(F.sequence(F.lit(0).cast("long"), reps.cast("long") - 1))
+        .alias("rep"),
+    )
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col("rep"), F.col(id_col))
+    )
+    out = out.withColumn("_key", key).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("_key"), 1, 8), 16, 10).cast("long")
+         % F.lit(n_shards)).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.asc("_key"), F.asc(id_col), F.asc("rep")
+    )
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w))
+        .select(id_col, *(keep_cols or []), "rep", "shard", "shard_pos")
+    )

@@ -1568,6 +1568,82 @@ ORDER BY source
 """
 
 
+_ORDER_SHARDS = 8
+_ORDER_SEED = "epoch0"
+_ORDER_MAX_REPEATS = 3
+
+
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order: the mixture plan made CONCRETE.
+    Per-source repetition = ceil(uniform-target sampling factor) capped at
+    3 (the `doc_mixture_plan` read-out applied as epochs-per-source), then
+    every copy is placed by `operators/ordering.py:training_order` —
+    salted-md5 shuffle, 8 shards, within-shard 1-based position. The
+    data-loader manifest a trainer consumes: reproducible (same seed ⇒
+    bit-same order), resumable (any shard recomputable independently),
+    no global sort (per-shard windows only)."""
+    from ..operators.ordering import training_order
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_n_src")
+    )
+    factor = (F.lit(1.0) / F.col("_n_src")) / (
+        F.col("n_tokens") / F.col("_tot").cast("double")
+    )
+    reps = per_src.join(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.ceil(factor), F.lit(_ORDER_MAX_REPEATS).cast("long")
+        ).alias("_repeats"),
+    )
+    expanded = d.select("doc_id", "source").join(F.broadcast(reps), "source")
+    return training_order(
+        expanded,
+        "doc_id",
+        keep_cols=["source"],
+        repeats=F.col("_repeats"),
+        n_shards=_ORDER_SHARDS,
+        seed=_ORDER_SEED,
+    )
+
+
+DOC_TRAINING_ORDER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOK}) AS n_tok FROM documents
+), per_src AS (
+  SELECT source, sum(n_tok) AS n_tokens FROM d GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tot, count(*) AS n_src FROM per_src
+), rep AS (
+  SELECT source,
+         LEAST(CAST(ceil((1.0 / n_src) / (n_tokens / CAST(tot AS DOUBLE)))
+                    AS BIGINT), {_ORDER_MAX_REPEATS}) AS repeats
+  FROM per_src CROSS JOIN tot
+), ex AS (
+  SELECT d.doc_id, d.source, unnest(range(rep.repeats)) AS rep
+  FROM d JOIN rep ON d.source = rep.source
+), keyed AS (
+  SELECT doc_id, source, rep,
+         md5(concat_ws(':', '{_ORDER_SEED}', rep, doc_id)) AS k
+  FROM ex
+), sharded AS (
+  SELECT doc_id, source, rep, k,
+         CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % {_ORDER_SHARDS}
+              AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT doc_id, source, rep, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY k ASC, doc_id ASC, rep ASC)
+            AS INTEGER) AS shard_pos
+FROM sharded
+"""
+
+
 def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction by pointwise mutual information: top-20
     adjacent token pairs with n_ab >= 5, ranked by
@@ -1912,6 +1988,7 @@ QUERIES = {
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_collocations": doc_collocations,
     "doc_mixture_plan": doc_mixture_plan,
+    "doc_training_order": doc_training_order,
     "doc_sequence_packing": doc_sequence_packing,
     "doc_dup_spans": doc_dup_spans,
     "doc_drift_psi": doc_drift_psi,
@@ -1950,6 +2027,7 @@ ORACLES = {
     "doc_tfidf_topk": DOC_TFIDF_SQL,
     "doc_collocations": DOC_COLLOCATIONS_SQL,
     "doc_mixture_plan": DOC_MIXTURE_PLAN_SQL,
+    "doc_training_order": DOC_TRAINING_ORDER_SQL,
     "doc_sequence_packing": DOC_SEQUENCE_PACKING_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "doc_drift_psi": DOC_DRIFT_PSI_SQL,
