@@ -33,6 +33,8 @@ _BOUNDED_BROADCAST_BNLJ = {
     "doc_unigram_logprob",  # one-row corpus-total broadcast into ln()
     "doc_drift_psi",        # one-row slice-total broadcast into shares
     "doc_mixture_plan",     # one-row corpus-total broadcast into shares
+    "doc_training_order",   # inherits doc_mixture_plan's one-row total
+                            # (repeats = ceil(sampling factor) join)
     "doc_collocations",     # two one-row totals broadcast into the PMI
     "doc_tfidf_topk",       # one-row doc-count broadcast into the idf
     "doc_curation_v3",      # inherits doc_unigram_logprob's one-row total
@@ -68,6 +70,8 @@ _GLOBAL_SCALAR_OK = {
     "doc_unigram_logprob",       # one-row corpus-total aggregate
     "doc_drift_psi",             # one-row slice-total aggregate
     "doc_mixture_plan",          # one-row corpus-total aggregate
+    "doc_training_order",        # inherits the one-row corpus total;
+                                 # placement windows partition by shard
     "doc_collocations",          # two one-row total aggregates
     "q_referential_integrity",   # union of one-row orphan counts
     "doc_tfidf_topk",            # one-row doc-count aggregate
