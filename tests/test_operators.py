@@ -1573,3 +1573,80 @@ def test_training_order_repeats_expand_each_copy_placed_independently(spark):
     assert len(rows) == 4
     reps = sorted(r["rep"] for r in rows if r["doc_id"] == 1)
     assert reps == [0, 1, 2]
+
+
+def test_train_logreg_learns_separable_data_and_apply_matches(spark):
+    """The training half of the quality-model seam: on linearly separable
+    data the deterministic logistic regression must reach accuracy 1.0,
+    and the in-plan apply path must reproduce the driver-side scores."""
+    import math
+
+    from transcription_lakehouse_spark.operators.quality_model import (
+        FEATURE_ORDER,
+        quality_classifier,
+        quality_features,
+        train_logreg,
+    )
+
+    # separable toy: long fluent docs vs one-word spam
+    good = [(i, "the quick brown fox jumps over the lazy dog " * 5)
+            for i in range(20)]
+    bad = [(100 + i, "spam " * 40) for i in range(20)]
+    df = spark.createDataFrame(good + bad, "doc_id long, text string")
+    feats = {
+        r["doc_id"]: [float(r[f]) for f in FEATURE_ORDER]
+        for r in quality_features(df, "doc_id", "text").collect()
+    }
+    x = [feats[i] for i, _ in good + bad]
+    y = [1] * 20 + [0] * 20
+    w, b = train_logreg(x, y)
+    preds = [
+        1.0 / (1.0 + math.exp(-(b + sum(wj * xj for wj, xj in zip(w, xi)))))
+        >= 0.5
+        for xi in x
+    ]
+    assert preds == [bool(v) for v in y]  # accuracy 1.0 on separable data
+
+    weights = dict(zip(FEATURE_ORDER, w))
+    applied = {
+        r["doc_id"]: r["quality_pass"]
+        for r in quality_classifier(df, "doc_id", "text", weights, b).collect()
+    }
+    assert all(applied[i] for i, _ in good)
+    assert not any(applied[i] for i, _ in bad)
+
+
+def test_train_quality_artifact_reproducible(spark):
+    """Retraining on the committed training slice reproduces the committed
+    weights bit-for-bit (the no-RNG determinism contract of every offline
+    artifact in this repo)."""
+    import os
+
+    from transcription_lakehouse_spark.operators.quality_model import (
+        FEATURE_ORDER,
+        quality_features,
+        train_logreg,
+    )
+    from transcription_lakehouse_spark.operators.quality_rules import (
+        gopher_flags,
+    )
+    from transcription_lakehouse_spark.workload import _quality_model as QM
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = quality_features(docs, "doc_id", "text")
+    labels = gopher_flags(docs, "doc_id", "text").select(
+        "doc_id", "gopher_pass"
+    )
+    rows = feats.join(labels, "doc_id").orderBy("doc_id").collect()
+    x = [[float(r[f]) for f in FEATURE_ORDER] for r in rows]
+    y = [1 if r["gopher_pass"] else 0 for r in rows]
+    w, b = train_logreg(x, y)
+    assert b == QM.BIAS
+    assert [w[i] for i in range(len(FEATURE_ORDER))] == [
+        QM.WEIGHTS[f] for f in FEATURE_ORDER
+    ]

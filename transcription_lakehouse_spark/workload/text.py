@@ -737,6 +737,62 @@ LEFT JOIN runs r USING (doc_id)
 """
 
 
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the DCLM/fastText-classifier stage):
+    apply the COMMITTED linear model (`tools/train_quality.py` →
+    `workload/_quality_model.py`, the offline-train / online-apply split
+    of the IVF/PQ/PCA artifacts) in-plan — scan → project, zero shuffles
+    in the scoring path, zero Python. Features round at 6 decimals before
+    the dot product, the weights are repr() double literals on both
+    engines, and the linear combination accumulates in FEATURE_ORDER —
+    so score and pass bit (sigmoid ≥ 0.5) hash-gate cross-engine.
+
+    Honesty note (recorded in the artifact): the synthetic corpus is
+    stylistically homogeneous, so the Gopher-distilled labels are 98.4%
+    positive and the model's training accuracy equals the prior — the
+    gate certifies the train→commit→apply seam, not label quality; real
+    labels drop in without touching the plumbing (the pytest trains the
+    same code on separable data to accuracy 1.0)."""
+    from ..operators.quality_model import quality_classifier
+    from ._quality_model import BIAS, WEIGHTS
+
+    return quality_classifier(
+        _docs(spark, sf_dir), "doc_id", "text", WEIGHTS, BIAS
+    )
+
+
+def _quality_classifier_sql() -> str:
+    from ..operators.quality_model import FEATURE_ORDER
+    from ._quality_model import BIAS, WEIGHTS
+
+    z = " + ".join([repr(BIAS)] + [
+        f"{WEIGHTS[f]!r} * {f}" for f in FEATURE_ORDER
+    ])
+    cols = ", ".join(FEATURE_ORDER)
+    return f"""
+WITH m AS ({DOC_REPETITION_SQL}),
+ex AS (
+  SELECT doc_id, round(ln(1 + len({_TOK})), 6) AS log_tokens,
+         CASE WHEN len({_TOK}) > 0
+              THEN round(len(list_filter({_TOK}, x -> list_contains({_STOP}, x)))
+                         / CAST(len({_TOK}) AS DOUBLE), 6)
+              ELSE 0.0 END AS stopword_ratio
+  FROM documents
+), f AS (
+  SELECT m.doc_id, ex.log_tokens, m.mean_word_len, m.distinct_ratio,
+         m.top_unigram_share, m.alpha_word_ratio, m.symbol_ratio,
+         ex.stopword_ratio
+  FROM m JOIN ex USING (doc_id)
+), s AS (
+  SELECT doc_id, {cols},
+         round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_score
+  FROM f
+)
+SELECT doc_id, {cols}, quality_score, quality_score >= 0.5 AS quality_pass
+FROM s
+"""
+
+
 def doc_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-curation rollup of the Gopher rule battery per (lang, source):
     how many documents fail each rule and the overall pass rate. One narrow
@@ -2012,6 +2068,7 @@ QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_metrics": doc_repetition_metrics,
     "doc_gopher_report": doc_gopher_report,
+    "doc_quality_classifier": doc_quality_classifier,
     "doc_decontamination": doc_decontamination,
     "doc_bloom_decontam": doc_bloom_decontam,
     "doc_weighted_sample": doc_weighted_sample,
@@ -2041,6 +2098,7 @@ ORACLES = {
     "doc_curation_v2": DOC_CURATION_V2_SQL,
     "doc_repetition_metrics": DOC_REPETITION_SQL,
     "doc_gopher_report": DOC_GOPHER_REPORT_SQL,
+    "doc_quality_classifier": _quality_classifier_sql(),
     "doc_curation_funnel": DOC_CURATION_SQL,
     "doc_curated_ids": DOC_CURATED_IDS_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
