@@ -60,6 +60,9 @@ HEADLINE = [
     "evt_hll_cardinality",
     "evt_kmv_overlap",
     "doc_bloom_decontam",
+    "vec_semantic_decontam",
+    "doc_quality_classifier",
+    "doc_training_order",
     "q9_product_profit",
     "q21_waiting_suppliers",
 ]
