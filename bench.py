@@ -197,8 +197,34 @@ def bench_knn_ivfpq_scaled(spark, sf_dir: str):
     )
 
 
+def bench_semantic_decontam_scaled(spark, sf_dir: str):
+    """Semantic decontamination of a 20x corpus (40k vectors) against a
+    fixed ~100-vector eval slice: the asymmetric production shape — eval
+    buckets broadcast, wall tracks the corpus scan, never corpus x eval."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.decontam import (
+        semantic_decontam,
+    )
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(20).withColumnRenamed("id", "rep")
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .select((F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"), "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    evalset = emb.filter(F.col("vec_id") % 20 == 0)
+    return semantic_decontam(
+        big, evalset, "vec_id", "embedding",
+        threshold=0.35, n_bands=8, planes_per_band=4,
+    )
+
+
 SCALED = {
     "dedup_minhash_20x": bench_minhash_dedup_scaled,
+    "decontam_semantic_20x": bench_semantic_decontam_scaled,
     "knn_lsh_20x": bench_knn_lsh_scaled,
     "knn_ivf_20x": bench_knn_ivf_scaled,
     "knn_pq_20x": bench_knn_pq_scaled,

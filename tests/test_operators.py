@@ -1650,3 +1650,16 @@ def test_train_quality_artifact_reproducible(spark):
     assert [w[i] for i in range(len(FEATURE_ORDER))] == [
         QM.WEIGHTS[f] for f in FEATURE_ORDER
     ]
+
+
+def test_training_order_clamps_nonpositive_repeats(spark):
+    """repeats < 1 must mean 'emit once', not Spark's descending
+    sequence(0, -1) = [0, -1] phantom-copy foot-gun."""
+    from transcription_lakehouse_spark.operators.ordering import (
+        training_order,
+    )
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame([(1, 0), (2, -3)], "doc_id long, n_rep long")
+    rows = training_order(df, "doc_id", repeats=SF.col("n_rep")).collect()
+    assert sorted((r["doc_id"], r["rep"]) for r in rows) == [(1, 0), (2, 0)]

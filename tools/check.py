@@ -253,6 +253,7 @@ def main() -> int:
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(spdf)} rows, {spark_t:.1f}s)")
             continue
+        t1 = time.time()
         try:
             res = con.execute(oracles[name])
             # surface risky oracle types BEFORE they reach pandas: HUGEINT
@@ -267,6 +268,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
+        duck_t = time.time() - t1
         problems = []
         if risky:
             problems.append(
@@ -300,7 +302,13 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)
         else:
-            print(f"PASS {name} ({len(spdf)} rows, {spark_t:.1f}s)")
+            # oracle wall printed too: a silently-slow DuckDB twin (e.g. a
+            # recursive CTE re-evaluating its upstream per iteration before
+            # the MATERIALIZED fences) must be visible, not absorbed
+            print(
+                f"PASS {name} ({len(spdf)} rows, {spark_t:.1f}s,"
+                f" oracle {duck_t:.1f}s)"
+            )
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

@@ -54,10 +54,13 @@ def training_order(
     order (the resumability contract).
     """
     reps = repeats if isinstance(repeats, Column) else F.lit(int(repeats))
+    # clamp to >= 1: Spark's sequence(0, stop) flips to a DESCENDING range
+    # when stop < 0 (sequence(0, -1) = [0, -1]), which would emit phantom
+    # copies for a zero/negative repeat instead of one
+    reps = F.greatest(F.lit(1).cast("long"), reps.cast("long"))
     out = df.select(
         id_col, *(keep_cols or []),
-        F.explode(F.sequence(F.lit(0).cast("long"), reps.cast("long") - 1))
-        .alias("rep"),
+        F.explode(F.sequence(F.lit(0).cast("long"), reps - 1)).alias("rep"),
     )
     key = F.md5(
         F.concat_ws(":", F.lit(seed), F.col("rep"), F.col(id_col))

@@ -1289,7 +1289,7 @@ _CLUSTER_CTES = """scored AS (
   WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
         / (len(s1.shingles) + len(s2.shingles)
            - len(list_intersect(s1.shingles, s2.shingles))) >= 0.5
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT doc_id_1 AS s, doc_id_2 AS d FROM scored
   UNION
   SELECT doc_id_2, doc_id_1 FROM scored

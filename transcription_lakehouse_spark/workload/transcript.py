@@ -172,7 +172,7 @@ ordered AS (
          {_agg_id_sql("spn", "utterance_ids", "pos")} AS span_id
   FROM spans
 ),
-seq AS (
+seq AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY episode_id
                                ORDER BY start_time, span_id) AS rn
   FROM ordered
@@ -271,12 +271,12 @@ def trn_section_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRN_SECTION_CATALOG_SQL = f"""
 WITH RECURSIVE {_BEATS_SQL},
-bseq AS (
+bseq AS MATERIALIZED (
   SELECT episode_id, start_time, end_time, text,
          {_agg_id_sql("bet", "span_ids", "pos")} AS beat_id
   FROM beats
 ),
-bnum AS (
+bnum AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY episode_id
                                ORDER BY start_time, beat_id) AS rn
   FROM bseq
@@ -1032,7 +1032,7 @@ bsem AS (
               ELSE {_beat_emb_list_sql()} END AS e
   FROM sembeats
 ),
-bnum AS (
+bnum AS MATERIALIZED (
   SELECT *, row_number() OVER (PARTITION BY episode_id
                                ORDER BY start_time, beat_id) AS rn
   FROM bsem

@@ -780,7 +780,7 @@ pairs AS (
   FROM cand c JOIN v x ON c.id_1 = x.vec_id JOIN v y ON c.id_2 = y.vec_id
   WHERE round({_XY_COS}, 6) >= {threshold}
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT id_1 AS s, id_2 AS d FROM pairs
   UNION
   SELECT id_2, id_1 FROM pairs
@@ -1249,7 +1249,7 @@ pairs AS (
   FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
   WHERE round({_XY_COS}, 6) >= {threshold}
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT id_1 AS s, id_2 AS d FROM pairs
   UNION
   SELECT id_2, id_1 FROM pairs
