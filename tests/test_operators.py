@@ -1630,7 +1630,7 @@ def test_train_quality_artifact_reproducible(spark):
     from transcription_lakehouse_spark.operators.quality_rules import (
         gopher_flags,
     )
-    from transcription_lakehouse_spark.workload import _quality_model as QM
+    from transcription_lakehouse_spark import _quality_model as QM
 
     sf_dir = "/root/testdata/sf0.01"
     if not os.path.exists(f"{sf_dir}/documents.parquet"):

@@ -9,7 +9,7 @@ in human or LLM labels; the plumbing is identical). Features: the
 FEATURE_ORDER vector from operators/quality_model.py, rounded 6 — exactly
 what the apply path computes. Training: deterministic full-batch logistic
 regression (no RNG), so re-running this script reproduces
-`transcription_lakehouse_spark/workload/_quality_model.py` bit-for-bit.
+`transcription_lakehouse_spark/_quality_model.py` bit-for-bit.
 
 Usage: python tools/train_quality.py [sf_dir]  (default /root/testdata/sf0.01)
 """
@@ -69,7 +69,7 @@ def main() -> None:
     print(f"n={len(y)} pos_rate={pos_rate:.3f} train_acc={acc:.3f}")
 
     out = os.path.join(
-        REPO, "transcription_lakehouse_spark", "workload", "_quality_model.py"
+        REPO, "transcription_lakehouse_spark", "_quality_model.py"
     )
     with open(out, "w") as f:
         f.write(

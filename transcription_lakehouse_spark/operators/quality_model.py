@@ -7,7 +7,7 @@ pipelines additionally want a SMOOTH, rankable quality score (to take the
 top-X% of a 100 TB crawl, not just drop failures). The standard shape is a
 cheap linear model over handcrafted features, trained offline and applied
 at scan speed. This module follows the repo's committed-artifact
-discipline (`tools/train_quality.py` -> `workload/_quality_model.py`, the
+discipline (`tools/train_quality.py` -> `_quality_model.py`, the
 same offline-train / online-apply split as the IVF quantizer, PQ codebooks,
 and PCA basis): training is a deterministic full-batch logistic regression
 in numpy; application is pure JVM column arithmetic — zero Python in the

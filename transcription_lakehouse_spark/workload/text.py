@@ -740,7 +740,7 @@ LEFT JOIN runs r USING (doc_id)
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (the DCLM/fastText-classifier stage):
     apply the COMMITTED linear model (`tools/train_quality.py` →
-    `workload/_quality_model.py`, the offline-train / online-apply split
+    `_quality_model.py`, the offline-train / online-apply split
     of the IVF/PQ/PCA artifacts) in-plan — scan → project, zero shuffles
     in the scoring path, zero Python. Features round at 6 decimals before
     the dot product, the weights are repr() double literals on both
@@ -754,7 +754,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels drop in without touching the plumbing (the pytest trains the
     same code on separable data to accuracy 1.0)."""
     from ..operators.quality_model import quality_classifier
-    from ._quality_model import BIAS, WEIGHTS
+    from .._quality_model import BIAS, WEIGHTS
 
     return quality_classifier(
         _docs(spark, sf_dir), "doc_id", "text", WEIGHTS, BIAS
@@ -763,7 +763,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_classifier_sql() -> str:
     from ..operators.quality_model import FEATURE_ORDER
-    from ._quality_model import BIAS, WEIGHTS
+    from .._quality_model import BIAS, WEIGHTS
 
     z = " + ".join([repr(BIAS)] + [
         f"{WEIGHTS[f]!r} * {f}" for f in FEATURE_ORDER
