@@ -1570,3 +1570,52 @@ def test_avi_decode_end_to_end(spark, tmp_path):
     bad[strf_at + 8 + 16 : strf_at + 8 + 20] = (1).to_bytes(4, "little")  # BI_RLE8
     with pytest.raises(ValueError, match="only BI_RGB"):
         decode_avi(bytes(bad))
+
+
+def test_streaming_quality_classifier_scores_microbatches(spark, tmp_path):
+    """The committed quality model applies unchanged to a stream: the
+    scoring path is a stateless scan->project (no windows, no state), so
+    the same quality_classifier transform runs per micro-batch. Scores
+    must match the batch run row-for-row — the batch/stream parity
+    contract for the curation funnel's model stage."""
+    import json as _json
+
+    from transcription_lakehouse_spark._quality_model import BIAS, WEIGHTS
+    from transcription_lakehouse_spark.operators.quality_model import (
+        quality_classifier,
+    )
+
+    d = tmp_path / "qc_in"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "spam " * 30},
+        {"doc_id": 3, "text": "a longer fluent paragraph with varied words and the usual stopword density of natural prose"},
+    ]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    q = (
+        quality_classifier(stream, "doc_id", "text", WEIGHTS, BIAS)
+        .writeStream.format("memory")
+        .queryName("stream_qc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["quality_score"], r["quality_pass"])
+        for r in spark.sql(
+            "SELECT doc_id, quality_score, quality_pass FROM stream_qc"
+        ).collect()
+    }
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["quality_score"], r["quality_pass"])
+        for r in quality_classifier(
+            batch, "doc_id", "text", WEIGHTS, BIAS
+        ).collect()
+    }
+    assert got == want
