@@ -1663,3 +1663,36 @@ def test_training_order_clamps_nonpositive_repeats(spark):
     df = spark.createDataFrame([(1, 0), (2, -3)], "doc_id long, n_rep long")
     rows = training_order(df, "doc_id", repeats=SF.col("n_rep")).collect()
     assert sorted((r["doc_id"], r["rep"]) for r in rows) == [(1, 0), (2, 0)]
+
+
+def test_write_training_shards_preserves_in_file_order(spark, tmp_path):
+    """The physical sink contract: each shard=K directory reads back in
+    exactly shard_pos order with no sort at read time (parquet preserves
+    write order; the loader consumes files sequentially)."""
+    import glob
+
+    from transcription_lakehouse_spark.operators.ordering import (
+        training_order,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(200)], "doc_id long, source string"
+    )
+    ordered = training_order(df, "doc_id", keep_cols=["source"], n_shards=4)
+    out = str(tmp_path / "shards")
+    write_training_shards(ordered, out, n_shards=4)
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 4
+    assert ordered.select("shard").distinct().count() == 4
+    for d in dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        got = [r["doc_id"] for r in spark.read.parquet(d).collect()]
+        exp = [
+            r["doc_id"]
+            for r in sorted(
+                ordered.filter(F.col("shard") == shard).collect(),
+                key=lambda r: r["shard_pos"],
+            )
+        ]
+        assert got == exp, f"shard {shard} order broken"

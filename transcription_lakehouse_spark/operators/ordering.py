@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-__all__ = ["training_order"]
+__all__ = ["training_order", "write_training_shards"]
 
 
 def training_order(
@@ -76,4 +76,30 @@ def training_order(
     return (
         out.withColumn("shard_pos", F.row_number().over(w))
         .select(id_col, *(keep_cols or []), "rep", "shard", "shard_pos")
+    )
+
+
+def write_training_shards(
+    ordered: DataFrame, path: str, n_shards: int
+) -> None:
+    """Materialize a :func:`training_order` assignment as the physical
+    layout a data loader consumes: ``path/shard=K/`` directories, each
+    holding ONE parquet file whose row order IS the shard's
+    ``shard_pos`` order (parquet preserves write order; loaders read
+    sequentially, no sort at read time).
+
+    ``repartition(n_shards, shard)`` routes each shard to one task and
+    ``sortWithinPartitions`` fixes the in-file order — hash collisions may
+    co-locate two shards in one task, but ``partitionBy`` still splits
+    them into separate directories and the (shard, shard_pos) sort keeps
+    each directory's file internally ordered. One shuffle total, no
+    global sort, no driver collect — at 100 TB pick n_shards ~ the write
+    parallelism you want (thousands), exactly the training_order contract.
+    """
+    (
+        ordered.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
     )
