@@ -1467,7 +1467,7 @@ def test_graph_ann_recall_gate_on_driver_testdata(spark):
     )
     r0 = len({(r[0], r[1]) for r in seed_only.collect()} & want) / len(want)
     r2 = len({(r[0], r[1]) for r in walked.collect()} & want) / len(want)
-    # measured: r0 0.20, r2 0.82 — the walk, not the seed, does the work
+    # measured: r0 0.16, r2 0.82 — the walk, not the seed, does the work
     assert r2 >= r0 + 0.3, (r0, r2)
     assert r2 >= 0.7, (r0, r2)
 

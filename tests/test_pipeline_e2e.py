@@ -1602,7 +1602,7 @@ def test_streaming_quality_classifier_scores_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming quality-classifier timed out"
     got = {
         r["doc_id"]: (r["quality_score"], r["quality_pass"])
         for r in spark.sql(

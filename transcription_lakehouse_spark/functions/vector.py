@@ -17,7 +17,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-__all__ = ["as_double_array", "dot", "l2_norm", "cosine", "cosine_clipped"]
+__all__ = [
+    "as_double_array",
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_clipped",
+    "guarded_cosine",
+]
 
 
 def as_double_array(col: Column | str) -> Column:
@@ -35,6 +42,21 @@ def dot(a: Column, b: Column) -> Column:
 
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def guarded_cosine(
+    a: Column, b: Column, a_norm: Column, b_norm: Column, digits: int = 6
+) -> Column:
+    """THE rounded guarded cosine every ANN/dedup/decontam rank path
+    shares: ``round(when(an*bn > 0, dot(a,b)/(an*bn)).otherwise(0.0), d)``
+    from PRECOMPUTED norms, default 6 digits. One definition on purpose —
+    the DuckDB twins (`workload/vectors.py:_XY_COS`) replay this exact
+    operand order, and graph/beam ranks can only match the other ANN
+    paths' ranks if the arithmetic is literally the same expression."""
+    den = a_norm * b_norm
+    return F.round(
+        F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0)), digits
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

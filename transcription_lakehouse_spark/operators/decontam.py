@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.text import tokens
-from ..functions.vector import as_double_array, dot, l2_norm
+from ..functions.vector import as_double_array, guarded_cosine, l2_norm
 from .dedup import shingles_from_tokens
 
 __all__ = [
@@ -146,18 +146,14 @@ def semantic_decontam(
         .select("corpus_id", "eval_id")
         .distinct()
     )
-    den = F.col("cn") * F.col("en")
     scored = (
         cand.join(c, "corpus_id")
         .join(F.broadcast(e), "eval_id")
         .select(
             "corpus_id",
             "eval_id",
-            F.round(
-                F.when(den > 0, dot(F.col("cv"), F.col("ev")) / den).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
+            guarded_cosine(
+                F.col("cv"), F.col("ev"), F.col("cn"), F.col("en")
             ).alias("sim"),
         )
         .filter(F.col("sim") >= F.lit(threshold))

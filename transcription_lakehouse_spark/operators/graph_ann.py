@@ -41,7 +41,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.vector import as_double_array, dot, l2_norm
+from ..functions.vector import as_double_array, guarded_cosine, l2_norm
 from .similarity import _banded_buckets, lsh_topk
 
 __all__ = ["build_knn_graph", "graph_topk"]
@@ -74,21 +74,17 @@ def build_knn_graph(
 
 
 def _score(cand: DataFrame, q: DataFrame, c: DataFrame) -> DataFrame:
-    """Exact guarded cosine for (query_id, node_id) candidate pairs —
-    the same rounded-6 arithmetic as similarity._score_topk so graph
-    ranks can never diverge from the other ANN paths' ranks."""
-    den = F.col("qn") * F.col("cn")
+    """Exact cosine for (query_id, node_id) candidate pairs — the SHARED
+    `guarded_cosine` expression (functions/vector.py), so graph ranks can
+    never diverge from the other ANN paths' ranks."""
     return (
         cand.join(q, "query_id")
         .join(c, "node_id")
         .select(
             "query_id",
             "node_id",
-            F.round(
-                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
+            guarded_cosine(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
             ).alias("sim"),
         )
     )
@@ -155,16 +151,25 @@ def graph_topk(
     beam_df = _top_beam(_score(seeds, q, c), beam)
 
     for _ in range(hops):
+        # rescore only the NEW frontier — the beam's sims are already exact
+        # (pure functions of the pair), so re-fetching those vectors every
+        # hop would be wasted corpus reads; anti-join keeps a node from
+        # occupying two beam slots
         frontier = (
             beam_df.select("query_id", F.col("node_id").alias("src"))
             .join(graph.select("src", "dst"), "src")
             .filter(F.col("query_id") != F.col("dst"))
             .select("query_id", F.col("dst").alias("node_id"))
+            .distinct()
+            .join(
+                beam_df.select("query_id", "node_id"),
+                ["query_id", "node_id"],
+                "left_anti",
+            )
         )
-        visited = (
-            beam_df.select("query_id", "node_id").union(frontier).distinct()
+        beam_df = _top_beam(
+            _score(frontier, q, c).unionByName(beam_df), beam
         )
-        beam_df = _top_beam(_score(visited, q, c), beam)
 
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node_id"))
     return (

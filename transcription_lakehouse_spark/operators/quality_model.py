@@ -27,7 +27,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions.text import STOPWORDS, tokens
+from ..functions.text import STOPWORDS
 from .quality_rules import repetition_metrics
 
 __all__ = [
@@ -50,11 +50,10 @@ FEATURE_ORDER = [
 ]
 
 
-def _stopword_ratio(text_col: str) -> Column:
-    t = tokens(text_col)
+def _stopword_ratio(toks: Column) -> Column:
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    n = F.size(t)
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
     return F.round(
         F.when(n > 0, n_stop / n.cast("double")).otherwise(F.lit(0.0)), 6
     )
@@ -69,12 +68,11 @@ def quality_features(
     repetition battery for the shape features; adds log-token mass and
     stopword density (fluent natural text has a characteristic stopword
     rate; keyword spam and boilerplate sit far below it)."""
-    # carry the raw text through the metric pass as an extra column so the
-    # stopword feature is one more projection — NOT a join back (scoring
-    # stays scan -> project, zero shuffles)
-    m = repetition_metrics(
-        df, id_col, text_col, [*(extra_cols or []), text_col]
-    )
+    # keep_tokens carries the already-tokenized array through the metric
+    # pass, so the stopword feature is one more projection over _toks —
+    # no second tokenizer run, no join back (scoring stays scan -> project,
+    # zero shuffles, one regexp tokenization per document)
+    m = repetition_metrics(df, id_col, text_col, extra_cols, keep_tokens=True)
     return m.select(
         id_col,
         *(extra_cols or []),
@@ -84,7 +82,7 @@ def quality_features(
         "top_unigram_share",
         "alpha_word_ratio",
         "symbol_ratio",
-        _stopword_ratio(text_col).alias("stopword_ratio"),
+        _stopword_ratio(F.col("_toks")).alias("stopword_ratio"),
     )
 
 

@@ -68,13 +68,17 @@ def _bigrams(t: Column) -> Column:
 
 
 def repetition_metrics(
-    df: DataFrame, id_col: str, text_col: str, extra_cols: list[str] | None = None
+    df: DataFrame, id_col: str, text_col: str,
+    extra_cols: list[str] | None = None,
+    keep_tokens: bool = False,
 ) -> DataFrame:
     """Per-document repetition + shape metrics (row-parallel, shuffle-free).
 
     Columns: n_tokens, distinct_ratio (unique/total), top_unigram_share,
     top_bigram_share, max_token_run (consecutive), mean_word_len,
-    alpha_word_ratio, symbol_ratio.
+    alpha_word_ratio, symbol_ratio. ``keep_tokens`` additionally carries
+    the ``_toks`` array through, so a caller layering more token-derived
+    features (quality_model) doesn't re-run the tokenizer per row.
     """
     toked = df.select(
         id_col, *(extra_cols or []), F.col(text_col).alias("_text"),
@@ -90,6 +94,7 @@ def repetition_metrics(
     return toked.select(
         id_col,
         *(extra_cols or []),
+        *(["_toks"] if keep_tokens else []),
         n.alias("n_tokens"),
         F.round(F.when(n > 0, F.size(F.array_distinct(t)) / nd).otherwise(0.0), 6)
         .alias("distinct_ratio"),

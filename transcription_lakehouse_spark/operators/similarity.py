@@ -20,7 +20,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions.vector import as_double_array, dot, l2_norm
+from ..functions.vector import (
+    as_double_array,
+    dot,
+    guarded_cosine,
+    l2_norm,
+)
 
 __all__ = [
     "brute_force_topk",
@@ -39,15 +44,11 @@ def _score_topk(
 ) -> DataFrame:
     """Shared scoring tail for exact and LSH top-k: guarded cosine from
     precomputed norms, rank on the ROUNDED similarity with id tiebreak."""
-    den = F.col("qn") * F.col("cn")
     scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
-                F.lit(0.0)
-            ),
-            round_digits,
+        guarded_cosine(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), round_digits
         ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -142,7 +143,6 @@ def contrastive_triplets(
         F.col(label_col).alias("c_label"),
         as_double_array(vec_col).alias("cv"),
     ).withColumn("cn", l2_norm(F.col("cv")))
-    den = F.col("qn") * F.col("cn")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -153,10 +153,8 @@ def contrastive_triplets(
             .otherwise(F.lit("neg"))
             .alias("role"),
             "other_id",
-            F.round(
-                F.when(den > 0, dot(F.col("qv"), F.col("cv")) / den).otherwise(
-                    F.lit(0.0)
-                ),
+            guarded_cosine(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"),
                 round_digits,
             ).alias("sim"),
         )
