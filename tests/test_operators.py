@@ -1696,3 +1696,21 @@ def test_write_training_shards_preserves_in_file_order(spark, tmp_path):
             )
         ]
         assert got == exp, f"shard {shard} order broken"
+
+
+def test_training_order_is_partitioning_invariant(spark):
+    """The placement contract cannot depend on physical layout: the same
+    input under different partitionings must produce the identical
+    (shard, shard_pos) assignment — at cluster scale the input arrives
+    in arbitrary splits."""
+    from transcription_lakehouse_spark.operators.ordering import (
+        training_order,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(300)],
+        "doc_id long, source string",
+    )
+    a = training_order(df.coalesce(1), "doc_id", keep_cols=["source"])
+    b = training_order(df.repartition(7), "doc_id", keep_cols=["source"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
