@@ -362,5 +362,72 @@ def vacuum(artifact, lakehouse_path, keep_last, older_than, dry_run):
     _echo({"artifact": artifact, "dry_run": dry_run, "removed": removed})
 
 
+@cli.command()
+@click.argument("documents_path", type=click.Path(exists=True))
+@click.argument("output_dir", type=click.Path())
+@click.option("--shards", type=int, default=8, show_default=True,
+              help="Shard count (pick ~ the loader's read parallelism)")
+@click.option("--seed", default="epoch0", show_default=True,
+              help="Placement salt; change per epoch to reshuffle")
+@click.option("--max-repeats", type=int, default=3, show_default=True,
+              help="Cap on per-source upsampling repeats")
+@click.option("--min-quality", type=float, default=0.5, show_default=True,
+              help="quality_score floor from the committed linear model")
+def curate(documents_path, output_dir, shards, seed, max_repeats,
+           min_quality):
+    """Curate a documents table into trainer-ready ordered shards (beyond
+    the reference — the round-5 training-pipeline stages composed):
+    committed-model quality gate → per-source mixture repeats →
+    deterministic salted placement → ordered shard parquet write."""
+    import pyspark.sql.functions as F
+
+    from ._quality_model import BIAS, WEIGHTS
+    from .operators.ordering import training_order, write_training_shards
+    from .operators.quality_model import quality_classifier
+    from .functions.text import token_count
+
+    spark = _spark("curate")
+    docs = spark.read.parquet(documents_path)
+    scored = quality_classifier(
+        docs, "doc_id", "text", WEIGHTS, BIAS, extra_cols=["source"]
+    )
+    kept = scored.filter(F.col("quality_score") >= min_quality).select(
+        "doc_id", "source"
+    )
+    toks = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    ).join(kept.select("doc_id"), "doc_id")
+    per_src = toks.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_n_src")
+    )
+    factor = (F.lit(1.0) / F.col("_n_src")) / (
+        F.col("n_tokens") / F.col("_tot").cast("double")
+    )
+    reps = per_src.join(F.broadcast(tot)).select(
+        "source",
+        F.least(F.ceil(factor), F.lit(max_repeats).cast("long"))
+        .alias("_repeats"),
+    )
+    ordered = training_order(
+        kept.join(F.broadcast(reps), "source"),
+        "doc_id",
+        keep_cols=["source"],
+        repeats=F.col("_repeats"),
+        n_shards=shards,
+        seed=seed,
+    )
+    write_training_shards(ordered, output_dir, n_shards=shards)
+    placed = spark.read.parquet(output_dir)
+    _echo({
+        "n_documents": docs.count(),
+        "n_kept": kept.count(),
+        "n_placed": placed.count(),
+        "n_shards": placed.select("shard").distinct().count(),
+        "output_dir": output_dir,
+        "seed": seed,
+    })
+
+
 if __name__ == "__main__":
     cli()
