@@ -1616,19 +1616,30 @@ def test_train_logreg_learns_separable_data_and_apply_matches(spark):
     assert not any(applied[i] for i, _ in bad)
 
 
+def _load_train_quality_tool():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "train_quality.py",
+    )
+    spec = importlib.util.spec_from_file_location("train_quality", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_train_quality_artifact_reproducible(spark):
-    """Retraining on the committed training slice reproduces the committed
-    weights bit-for-bit (the no-RNG determinism contract of every offline
-    artifact in this repo)."""
+    """Retraining on the committed mixed training slice (sf docs + planted
+    low-quality docs, md5-strided holdout) reproduces the committed weights
+    bit-for-bit (the no-RNG determinism contract of every offline artifact
+    in this repo)."""
     import os
 
     from transcription_lakehouse_spark.operators.quality_model import (
         FEATURE_ORDER,
-        quality_features,
         train_logreg,
-    )
-    from transcription_lakehouse_spark.operators.quality_rules import (
-        gopher_flags,
     )
     from transcription_lakehouse_spark import _quality_model as QM
 
@@ -1637,19 +1648,66 @@ def test_train_quality_artifact_reproducible(spark):
         import pytest as _pytest
 
         _pytest.skip("driver testdata not present")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    feats = quality_features(docs, "doc_id", "text")
-    labels = gopher_flags(docs, "doc_id", "text").select(
-        "doc_id", "gopher_pass"
-    )
-    rows = feats.join(labels, "doc_id").orderBy("doc_id").collect()
-    x = [[float(r[f]) for f in FEATURE_ORDER] for r in rows]
-    y = [1 if r["gopher_pass"] else 0 for r in rows]
-    w, b = train_logreg(x, y)
+    tq = _load_train_quality_tool()
+    keys, x, y = tq.build_slice(spark, sf_dir)
+    tr_x, tr_y, ho_x, ho_y = tq.split_slice(keys, x, y)
+    w, b = train_logreg(tr_x, tr_y, iters=tq.TRAIN_ITERS)
     assert b == QM.BIAS
     assert [w[i] for i in range(len(FEATURE_ORDER))] == [
         QM.WEIGHTS[f] for f in FEATURE_ORDER
     ]
+    assert len(tr_y) == QM.N_TRAIN and len(ho_y) == QM.N_HOLDOUT
+    assert tq.accuracy(w, b, ho_x, ho_y) == QM.HOLDOUT_ACCURACY
+
+
+def test_quality_model_artifact_discriminates():
+    """The committed artifact must be a real classifier, not the majority-
+    class prior: mixed labels (prior well under the round-5 degenerate
+    0.984) and holdout accuracy at least 0.1 above always-say-majority."""
+    from transcription_lakehouse_spark import _quality_model as QM
+
+    assert QM.LABEL_POS_RATE < 0.9, "training labels degenerate again"
+    majority = max(QM.HOLDOUT_POS_RATE, 1.0 - QM.HOLDOUT_POS_RATE)
+    assert QM.HOLDOUT_ACCURACY >= majority + 0.1, (
+        f"holdout {QM.HOLDOUT_ACCURACY} vs majority baseline {majority}"
+    )
+    # every feature carried signal on the mixed slice — no zero weights,
+    # no bias aliasing a constant feature (both round-5 degeneracies)
+    assert all(w != 0.0 for w in QM.WEIGHTS.values())
+    assert QM.BIAS not in QM.WEIGHTS.values()
+
+
+def test_quality_model_rejects_planted_junk_accepts_fluent(spark):
+    """Behavioral pin on the committed weights: fluent stopword-bearing
+    prose scores above the curate default gate (0.5); symbol spam,
+    one-token repetition, and keyword stuffing score below it."""
+    from transcription_lakehouse_spark._quality_model import BIAS, WEIGHTS
+    from transcription_lakehouse_spark.operators.quality_model import (
+        quality_classifier,
+    )
+
+    fluent = (
+        "the committee reviewed the updated proposal and agreed that "
+        "the schedule for the next quarter was realistic given the "
+        "available budget and the feedback from the field teams"
+    )
+    rows = quality_classifier(
+        spark.createDataFrame(
+            [
+                (1, fluent),
+                (2, "#sale @now *deal ^top ~win |buy " * 6),
+                (3, ("click " * 50).strip()),
+                (4, " ".join(["cheap", "deal", "offer"][j % 3]
+                             for j in range(60))),
+            ],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", WEIGHTS, BIAS,
+    ).collect()
+    score = {r["doc_id"]: r["quality_score"] for r in rows}
+    assert score[1] >= 0.5, f"fluent doc rejected: {score[1]}"
+    for did in (2, 3, 4):
+        assert score[did] < 0.5, f"junk doc {did} passed: {score[did]}"
 
 
 def test_training_order_clamps_nonpositive_repeats(spark):

@@ -1630,11 +1630,22 @@ def test_cli_curate_writes_ordered_shards(spark, tmp_path):
 
     from transcription_lakehouse_spark.cli import cli
 
+    good = [
+        (i, "the quick brown fox jumps over the lazy dog number %d ok" % i,
+         "src%d" % (i % 2))
+        for i in range(40)
+    ]
+    junk = [
+        (100 + i,
+         ["#sale @now *deal ^top ~win |buy " * 6,
+          ("click " * 50).strip(),
+          " ".join(["cheap", "deal", "offer"][j % 3] for j in range(60)),
+          ][i % 3],
+         "spam")
+        for i in range(20)
+    ]
     docs = spark.createDataFrame(
-        [(i, "the quick brown fox jumps over the lazy dog number %d ok" % i,
-          "src%d" % (i % 2))
-         for i in range(40)],
-        "doc_id long, text string, source string",
+        good + junk, "doc_id long, text string, source string"
     )
     src = str(tmp_path / "docs.parquet")
     docs.write.parquet(src)
@@ -1645,9 +1656,15 @@ def test_cli_curate_writes_ordered_shards(spark, tmp_path):
     assert payload["n_kept"] > 0
     assert payload["n_placed"] >= payload["n_kept"]
     assert payload["n_shards"] == 4
+    # the committed-model gate actually gates: every junk doc rejected,
+    # every fluent doc kept (a non-trivial 1/3 of the corpus dropped)
+    assert payload["n_documents"] == 60
+    assert payload["n_kept"] == 40
     back = spark.read.parquet(out)
     assert {c for c in back.columns} >= {"doc_id", "source", "rep",
                                          "shard_pos", "shard"}
+    assert {r["source"] for r in back.select("source").distinct()
+            .collect()} == {"src0", "src1"}  # spam never reaches a shard
     # deterministic: a second run into a fresh dir places identically
     out2 = str(tmp_path / "shards2")
     r2 = CliRunner().invoke(cli, ["curate", src, out2, "--shards", "4"])

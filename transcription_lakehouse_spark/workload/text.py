@@ -747,12 +747,13 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and the linear combination accumulates in FEATURE_ORDER —
     so score and pass bit (sigmoid ≥ 0.5) hash-gate cross-engine.
 
-    Honesty note (recorded in the artifact): the synthetic corpus is
-    stylistically homogeneous, so the Gopher-distilled labels are 98.4%
-    positive and the model's training accuracy equals the prior — the
-    gate certifies the train→commit→apply seam, not label quality; real
-    labels drop in without touching the plumbing (the pytest trains the
-    same code on separable data to accuracy 1.0)."""
+    The committed artifact is trained on a MIXED slice — the sf documents
+    plus planted low-quality docs (symbol spam, repetition, boilerplate,
+    stubs, numeric spam, gibberish, keyword stuffing), one generator per
+    Gopher rule family — with an md5-strided ~25% holdout never seen by
+    the optimizer. Recorded in the artifact and pinned by tests:
+    label prior 0.64, holdout accuracy 1.0 (round 5's degenerate
+    98.4%-prior artifact is retired)."""
     from ..operators.quality_model import quality_classifier
     from .._quality_model import BIAS, WEIGHTS
 
