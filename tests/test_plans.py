@@ -454,3 +454,34 @@ def test_zorder_prunes_on_both_clustered_columns(spark, tmp_path):
     # both dimensions prune: each 5% slice reads well under its full scan
     assert by_ts < full_ts * 0.7, (by_ts, full_ts)
     assert by_uid < full_uid * 0.7, (by_uid, full_uid)
+
+
+def test_curate_quality_gate_single_scan_no_join(spark, tmp_path):
+    # curate's mixture weights reuse the quality scorer's tokenization
+    # (quality_classifier with_n_tokens) — the corpus must be scanned ONCE
+    # and never self-joined (the round-5 shape ran a second tokenizing
+    # scan and joined it back: two passes over 100 TB where one suffices)
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark._quality_model import BIAS, WEIGHTS
+    from transcription_lakehouse_spark.operators.quality_model import (
+        quality_classifier,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "the quick brown fox %d" % i, "s") for i in range(10)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    scored = quality_classifier(
+        docs, "doc_id", "text", WEIGHTS, BIAS, extra_cols=["source"],
+        with_n_tokens=True,
+    )
+    kept = scored.filter(F.col("quality_score") >= 0.5).select(
+        "doc_id", "source", "n_tokens"
+    )
+    per_src = kept.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    plan = per_src._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan

@@ -384,20 +384,19 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
     from ._quality_model import BIAS, WEIGHTS
     from .operators.ordering import training_order, write_training_shards
     from .operators.quality_model import quality_classifier
-    from .functions.text import token_count
 
     spark = _spark("curate")
     docs = spark.read.parquet(documents_path)
+    # with_n_tokens reuses the scorer's tokenization for the mixture
+    # weights — one regexp-tokenizing projection over the corpus, not two
     scored = quality_classifier(
-        docs, "doc_id", "text", WEIGHTS, BIAS, extra_cols=["source"]
+        docs, "doc_id", "text", WEIGHTS, BIAS, extra_cols=["source"],
+        with_n_tokens=True,
     )
     kept = scored.filter(F.col("quality_score") >= min_quality).select(
-        "doc_id", "source"
+        "doc_id", "source", "n_tokens"
     )
-    toks = docs.select(
-        "doc_id", "source", token_count("text").alias("n_tok")
-    ).join(kept.select("doc_id"), "doc_id")
-    per_src = toks.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    per_src = kept.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
     tot = per_src.agg(
         F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_n_src")
     )

@@ -62,12 +62,17 @@ def _stopword_ratio(toks: Column) -> Column:
 def quality_features(
     df: DataFrame, id_col: str, text_col: str,
     extra_cols: list[str] | None = None,
+    with_n_tokens: bool = False,
 ) -> DataFrame:
     """Per-document feature vector (FEATURE_ORDER columns, each rounded to
     6 decimals — the cross-engine determinism boundary). Reuses the
     repetition battery for the shape features; adds log-token mass and
     stopword density (fluent natural text has a characteristic stopword
-    rate; keyword spam and boilerplate sit far below it)."""
+    rate; keyword spam and boilerplate sit far below it).
+
+    ``with_n_tokens`` additionally exposes the raw token count, so a
+    downstream stage that needs token mass (curate's mixture weights)
+    reuses THIS pass's tokenization instead of running a second one."""
     # keep_tokens carries the already-tokenized array through the metric
     # pass, so the stopword feature is one more projection over _toks —
     # no second tokenizer run, no join back (scoring stays scan -> project,
@@ -76,6 +81,7 @@ def quality_features(
     return m.select(
         id_col,
         *(extra_cols or []),
+        *(["n_tokens"] if with_n_tokens else []),
         F.round(F.log1p(F.col("n_tokens")), 6).alias("log_tokens"),
         "mean_word_len",
         "distinct_ratio",
@@ -93,13 +99,17 @@ def quality_classifier(
     weights: dict[str, float],
     bias: float,
     extra_cols: list[str] | None = None,
+    with_n_tokens: bool = False,
 ) -> DataFrame:
     """Apply a committed linear quality model in-plan:
     ``quality_score = sigmoid(bias + Σ w_f · x_f)`` (rounded 6),
     ``quality_pass`` = score >= 0.5. The linear combination accumulates
     left-to-right in FEATURE_ORDER — the same operand order the SQL twin
-    spells out, so the float64 result is bit-identical cross-engine."""
-    feats = quality_features(df, id_col, text_col, extra_cols)
+    spells out, so the float64 result is bit-identical cross-engine.
+    ``with_n_tokens`` passes the raw token count through (see
+    :func:`quality_features`)."""
+    feats = quality_features(df, id_col, text_col, extra_cols,
+                             with_n_tokens=with_n_tokens)
     z = F.lit(float(bias))
     for name in FEATURE_ORDER:
         z = z + F.lit(float(weights[name])) * F.col(name)
@@ -107,6 +117,7 @@ def quality_classifier(
     return feats.select(
         id_col,
         *(extra_cols or []),
+        *(["n_tokens"] if with_n_tokens else []),
         *FEATURE_ORDER,
         score.alias("quality_score"),
         (score >= 0.5).alias("quality_pass"),
