@@ -1772,3 +1772,68 @@ def test_training_order_is_partitioning_invariant(spark):
     a = training_order(df.coalesce(1), "doc_id", keep_cols=["source"])
     b = training_order(df.repartition(7), "doc_id", keep_cols=["source"])
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semdedup_kmeans_string_ids(spark):
+    """The pair schema follows the id column's type (ADVICE r5: it was
+    hard-coded LONG, so the repo's string doc_id convention crashed)."""
+    from transcription_lakehouse_spark.operators.similarity import (
+        semdedup_kmeans,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        ("doc-a", [1.0, 0.01]),
+        ("doc-b", [1.0, 0.02]),
+        ("doc-c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, embedding ARRAY<DOUBLE>")
+    out = semdedup_kmeans(df, "doc_id", "embedding", cents, threshold=0.99)
+    got = {r["vec_id"]: r["is_keeper"] for r in out.collect()}
+    assert set(got) == {"doc-a", "doc-b"}
+    assert sum(got.values()) == 1  # exactly one keeper in the dup group
+
+
+def test_round6_half_away_matches_spark_and_duckdb():
+    """The semdedup kernel's rounding must be half-AWAY-from-zero like
+    F.round and DuckDB round(), not numpy/Python half-to-even (ADVICE r5:
+    a cosine on an exact 6-dp half boundary was decided differently)."""
+    import duckdb
+    import numpy as np
+
+    from transcription_lakehouse_spark.operators.similarity import (
+        _round6_half_away,
+    )
+
+    vals = [0.9999995, 0.1234565, -0.1234565, 0.0000005, -0.0000005,
+            0.5, -0.5, 0.95, 0.12345649, 0.12345651]
+    ours = _round6_half_away(np.array(vals))
+    # CAST AS DOUBLE: a bare literal parses as DECIMAL in DuckDB, and the
+    # kernel's inputs are float64 cosines
+    duck = [
+        duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+        for v in vals
+    ]
+    assert list(ours) == duck
+    # and numpy's default would disagree on the half-boundary cases,
+    # proving the fix is load-bearing
+    assert list(np.round(np.array(vals), 6)) != duck
+
+
+def test_pca_whiten_full_spectrum_slices_short_raises(spark):
+    """pca_whiten accepts the artifact's FULL eigenvalue spectrum (sliced
+    in-plan to the projected width) and refuses a spectrum SHORTER than
+    the coords instead of zip_with's silent null-padding (ADVICE r5)."""
+    import pytest as _pytest
+
+    from transcription_lakehouse_spark.operators.pca import pca_whiten
+
+    df = spark.createDataFrame([(1, [2.0, 3.0])], "id INT, pca ARRAY<DOUBLE>")
+    # full spectrum longer than coords: extra eigenvalues ignored
+    out = pca_whiten(df, "pca", [4.0, 9.0, 16.0, 25.0]).collect()[0]
+    assert len(out["whitened"]) == 2
+    assert abs(out["whitened"][0] - 1.0) < 1e-6   # 2 / sqrt(4)
+    assert abs(out["whitened"][1] - 1.0) < 1e-6   # 3 / sqrt(9)
+    # shorter spectrum: raises, never null-pads
+    with _pytest.raises(Exception, match="eigenvalues shorter"):
+        pca_whiten(df, "pca", [4.0]).collect()

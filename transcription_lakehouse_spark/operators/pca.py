@@ -113,12 +113,26 @@ def pca_whiten(
     """Scale projected coords to unit variance (``coord / sqrt(λ)``) — the
     whitening transform that makes Euclidean distance in the reduced space
     Mahalanobis in the original, which is what cosine-threshold dedup over
-    reduced vectors wants."""
-    scales = _lit_array(
-        [1.0 / (abs(w) + eps) ** 0.5 for w in eigenvalues]
+    reduced vectors wants.
+
+    ``eigenvalues`` may be the artifact's FULL spectrum (the committed
+    basis stores all 64 λ while COMPONENTS keeps 8): it is sliced to the
+    projected width in-plan, and a SHORTER list raises instead of
+    zip_with's silent null-padding (ADVICE r5)."""
+    scales_full = [1.0 / (abs(w) + eps) ** 0.5 for w in eigenvalues]
+    width = F.size(F.col(pca_col))
+    guard = F.when(
+        width <= F.lit(len(scales_full)), F.col(pca_col)
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("pca_whiten: eigenvalues shorter than projected coords ("),
+            F.lit(str(len(scales_full))), F.lit(" < "),
+            width.cast("string"), F.lit(")"),
+        ))
     )
+    scales = F.slice(_lit_array(scales_full), 1, width)
     return df.withColumn(
-        out_col, F.zip_with(F.col(pca_col), scales, lambda x, s: x * s)
+        out_col, F.zip_with(guard, scales, lambda x, s: x * s)
     )
 
 

@@ -39,6 +39,17 @@ __all__ = [
 ]
 
 
+def _round6_half_away(c):
+    """Round-half-AWAY-from-zero at 6 decimals for numpy arrays/scalars —
+    the rounding F.round (HALF_UP on BigDecimal) and DuckDB's round() both
+    use. np.round / Python round are half-to-EVEN, so a cosine landing
+    exactly on a 6-dp half boundary would be decided differently here than
+    in the SQL twin (ADVICE r5)."""
+    import numpy as np
+
+    return np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+
+
 def _score_topk(
     pairs: DataFrame, k: int, round_digits: int = 6
 ) -> DataFrame:
@@ -696,8 +707,9 @@ def semdedup_kmeans(
 
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        empty = pdf["vec_id"].iloc[:0]
         if n < 2:
-            return pd.DataFrame({"id_1": [], "id_2": []}).astype("int64")
+            return pd.DataFrame({"id_1": empty, "id_2": empty})
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         ids = pdf["vec_id"].to_numpy()
         norms = np.sqrt((V * V).sum(axis=1))
@@ -706,7 +718,7 @@ def semdedup_kmeans(
             cos = np.where(den > 0, (V @ V.T) / den, 0.0)
         iu, ju = np.triu_indices(n, 1)
         c = cos[iu, ju]
-        keep = np.round(c, 6) >= thr
+        keep = _round6_half_away(c) >= thr
         risky = np.abs(c - cut) < 1e-9 * np.maximum(1.0, np.abs(c))
         for t_idx in np.flatnonzero(risky):
             i, j = int(iu[t_idx]), int(ju[t_idx])
@@ -721,14 +733,24 @@ def semdedup_kmeans(
                 nb = nb + y * y
             den_e = math.sqrt(na) * math.sqrt(nb)
             ce = num_e / den_e if den_e > 0 else 0.0
-            keep[t_idx] = round(ce, 6) >= thr
-        sel = np.flatnonzero(keep)
-        lo = np.minimum(ids[iu[sel]], ids[ju[sel]])
-        hi = np.maximum(ids[iu[sel]], ids[ju[sel]])
-        return pd.DataFrame({"id_1": lo, "id_2": hi})
+            keep[t_idx] = float(_round6_half_away(ce)) >= thr
+        lo, hi = [], []
+        for t_idx in np.flatnonzero(keep):
+            a, b = ids[iu[t_idx]], ids[ju[t_idx]]
+            if b < a:
+                a, b = b, a
+            lo.append(a)
+            hi.append(b)
+        return pd.DataFrame({
+            "id_1": pd.Series(lo, dtype=empty.dtype),
+            "id_2": pd.Series(hi, dtype=empty.dtype),
+        })
 
+    # pair schema follows the input id column's type (string doc ids work,
+    # not just the embeddings table's longs — ADVICE r5)
+    id_ddl = df.schema[id_col].dataType.simpleString()
     pairs = base.groupBy("cell").applyInPandas(
-        _cell_pairs, "id_1 LONG, id_2 LONG"
+        _cell_pairs, f"id_1 {id_ddl}, id_2 {id_ddl}"
     )
     comps = dup_clusters(pairs, "id_1", "id_2").select(
         F.col("doc_id").alias("vec_id"), "component_id"

@@ -1125,13 +1125,21 @@ def vec_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     e = pca_project(_emb(spark, sf_dir), "embedding", MEAN, COMPONENTS)
     coords = e.select(F.posexplode("pca").alias("component", "c"))
+    # DECIMAL(28,12) sums keep the accumulation exact, so Spark's partial
+    # aggregation (partition-order reassociation) and DuckDB's sequential
+    # sum cannot diverge at a round-6 boundary — the vec_dim_stats
+    # convention (ADVICE r5: plain avg() here was layout-sensitive)
+    s1 = F.sum(F.col("c").cast("decimal(28,12)"))
+    s2 = F.sum((F.col("c") * F.col("c")).cast("decimal(28,12)"))
+    n = F.count(F.lit(1))
+    mean = s1.cast("double") / n
     stats = coords.groupBy("component").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
+        n.alias("n_vectors"),
         # + 0.0 collapses IEEE -0.0 (a 6-dp round of a tiny negative
         # mean) to +0.0 on both engines so the value hash can't split
-        (F.round(F.avg("c"), 6) + F.lit(0.0)).alias("mean_coord"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_coord"),
         (F.round(
-            F.avg(F.col("c") * F.col("c")) - F.avg("c") * F.avg("c"), 6
+            s2.cast("double") / n - mean * mean, 6
         ) + F.lit(0.0)).alias("var_coord"),
     )
     ev = spark.createDataFrame(
@@ -1175,8 +1183,12 @@ ev(component, eigenvalue, explained_ratio) AS (
     {erows}
 )
 SELECT p.component, count(*) AS n_vectors,
-       round(avg(coord), 6) + 0.0 AS mean_coord,
-       round(avg(coord * coord) - avg(coord) * avg(coord), 6) + 0.0 AS var_coord,
+       round(CAST(sum(CAST(coord AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         + 0.0 AS mean_coord,
+       round(CAST(sum(CAST(coord * coord AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(coord AS DECIMAL(28,12))) AS DOUBLE) / count(*))
+               * (CAST(sum(CAST(coord AS DECIMAL(28,12))) AS DOUBLE) / count(*)),
+             6) + 0.0 AS var_coord,
        ev.eigenvalue, ev.explained_ratio
 FROM proj p JOIN ev ON p.component = ev.component
 GROUP BY p.component, ev.eigenvalue, ev.explained_ratio
