@@ -256,6 +256,18 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    # Host-speed calibration: median of 3 runs of a pinned pure scan+agg
+    # query whose code changes rarely. bench_compare normalizes per-query
+    # ratios by the calibration ratio between two artifacts, so "the whole
+    # suite is 1.3x because the driver box was loaded" is arithmetic, not
+    # prose adjudication (round-5 verdict ask).
+    cal_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+        cal_walls.append(time.time() - t0)
+    calibration = round(sorted(cal_walls)[1], 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = best_of(QUERIES[name])
@@ -270,6 +282,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calibration,
+                "calibration_query": "q1_pricing_summary_median3",
             }
         )
     )

@@ -85,3 +85,38 @@ def test_bench_compare_flags_unexplained_regressions(tmp_path):
         sys, "argv", ["bench_compare.py", str(p1), str(p2)]
     ):
         assert bc.main() == 0
+
+
+def test_bench_compare_normalizes_by_calibration(tmp_path):
+    """A uniform host slowdown captured by the calibration scalar must not
+    demand written causes; a residual per-query regression beyond the host
+    ratio still fails (round-5 verdict: make host-delta adjudication
+    arithmetic, not prose)."""
+    bc = _load("bench_compare")
+    prev = {"parsed": {"queries": {"a": 1.0, "b": 1.0},
+                       "calibration_sec": 1.0}}
+    # host 1.4x slower: a scales exactly with the host (fine); b regresses
+    # 2.8x raw = 2.0x normalized (fails without a cause)
+    cur = {"parsed": {"queries": {"a": 1.4, "b": 2.8},
+                      "calibration_sec": 1.4}}
+    p1, p2 = tmp_path / "BENCH_r01.json", tmp_path / "BENCH_r02.json"
+    p1.write_text(json.dumps(prev))
+    p2.write_text(json.dumps(cur))
+    import sys
+    from unittest import mock
+
+    with mock.patch.object(bc, "REPO", str(tmp_path)), mock.patch.object(
+        sys, "argv", ["bench_compare.py", str(p1), str(p2)]
+    ):
+        rc = bc.main()
+    assert rc == 1  # only b, the residual regression
+
+    # same artifacts WITHOUT calibration: both a and b over threshold raw
+    prev2 = {"parsed": {"queries": {"a": 1.0, "b": 1.0}}}
+    p3, p4 = tmp_path / "BENCH_r03.json", tmp_path / "BENCH_r04.json"
+    p3.write_text(json.dumps(prev2))
+    p4.write_text(json.dumps(cur))
+    with mock.patch.object(bc, "REPO", str(tmp_path)), mock.patch.object(
+        sys, "argv", ["bench_compare.py", str(p3), str(p4)]
+    ):
+        assert bc.main() == 1

@@ -29,10 +29,14 @@ MIN_ABS_DELTA_SEC = 0.25
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _queries(path: str) -> dict[str, float]:
+def _artifact(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    q = d.get("parsed", d).get("queries")
+    return d.get("parsed", d)
+
+
+def _queries(path: str) -> dict[str, float]:
+    q = _artifact(path).get("queries")
     if q is None:
         raise SystemExit(f"{path}: no queries section")
     return q
@@ -56,6 +60,23 @@ def main() -> int:
     prev, cur = _queries(prev_path), _queries(cur_path)
     cur_round = _round_of(cur_path)
 
+    # host-speed normalization: both artifacts carry a pinned-query
+    # calibration scalar (bench.py q1 median-of-3). Ratios are divided by
+    # cal_ratio before the threshold test, so a uniformly slower bench box
+    # explains itself mechanically; only residual per-query regressions
+    # need a written cause.
+    cal_prev = _artifact(prev_path).get("calibration_sec")
+    cal_cur = _artifact(cur_path).get("calibration_sec")
+    cal_ratio = 1.0
+    if cal_prev and cal_cur:
+        cal_ratio = cal_cur / cal_prev
+        print(
+            f"calibration: prev {cal_prev:.3f}s cur {cal_cur:.3f}s "
+            f"-> host ratio {cal_ratio:.2f}x (per-query ratios normalized)"
+        )
+    else:
+        print("calibration: absent from one artifact; raw ratios used")
+
     causes = {}
     causes_path = os.path.join(REPO, "BENCH_CAUSES.json")
     if os.path.exists(causes_path):
@@ -64,23 +85,29 @@ def main() -> int:
 
     shared = sorted(set(prev) & set(cur))
     bad = []
-    print(f"{'query':34s} {'prev':>7s} {'cur':>7s} {'ratio':>6s}")
+    print(f"{'query':34s} {'prev':>7s} {'cur':>7s} {'ratio':>6s} {'norm':>6s}")
     for name in shared:
         p, c = prev[name], cur[name]
         ratio = c / p if p else float("inf")
+        norm = ratio / cal_ratio
         mark = ""
-        if ratio > THRESHOLD and (c - p) >= MIN_ABS_DELTA_SEC:
+        # the absolute floor is host-normalized too: compare cur against
+        # what prev would cost on the current host
+        if norm > THRESHOLD and (c - p * cal_ratio) >= MIN_ABS_DELTA_SEC:
             cause = causes.get(name)
             if cause and cause.get("round") == cur_round:
                 mark = f"  EXPLAINED: {cause['cause']}"
             else:
                 mark = "  REGRESSION (no written cause)"
-                bad.append((name, p, c, ratio))
-        if ratio > THRESHOLD or ratio < 1 / THRESHOLD:
-            print(f"{name:34s} {p:7.3f} {c:7.3f} {ratio:5.2f}x{mark}")
+                bad.append((name, p, c, norm))
+        if norm > THRESHOLD or norm < 1 / THRESHOLD:
+            print(
+                f"{name:34s} {p:7.3f} {c:7.3f} {ratio:5.2f}x "
+                f"{norm:5.2f}x{mark}"
+            )
     print(
         f"\n{len(shared)} shared queries; "
-        f"{len(bad)} unexplained regression(s) > {THRESHOLD}x"
+        f"{len(bad)} unexplained regression(s) > {THRESHOLD}x (normalized)"
     )
     if bad:
         for name, p, c, r in bad:
