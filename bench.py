@@ -222,6 +222,117 @@ def bench_semantic_decontam_scaled(spark, sf_dir: str):
     )
 
 
+def _replicated_embeddings(spark, sf_dir: str, factor: int = 20):
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    return (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+# Graph-ANN build vs search, timed separately (round-5 verdict: the
+# monolithic vec_knn_graph entry charged the one-time O(N*k_graph) index
+# build to every query). Build = construct + STORE the edge list (what a
+# 100 TB deployment does once); search = beam walk over the stored edges.
+_GRAPH_STORE = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "bench_graph_edges"
+)
+
+
+def bench_graph_build(spark, sf_dir: str):
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        build_knn_graph,
+    )
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = build_knn_graph(
+        e, "vec_id", "embedding", k_graph=16, n_bands=8, planes_per_band=4
+    )
+    g.write.mode("overwrite").parquet(_GRAPH_STORE + "_1x")
+    return spark.read.parquet(_GRAPH_STORE + "_1x").groupBy().count()
+
+
+def bench_graph_search(spark, sf_dir: str):
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.graph_ann import graph_topk
+    from transcription_lakehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = spark.read.parquet(_GRAPH_STORE + "_1x")
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return graph_topk(
+        queries, e, g, "vec_id", "embedding",
+        k=5, beam=16, hops=2, seed_bands=2, planes_per_band=4,
+    )
+
+
+def bench_graph_search_coarse(spark, sf_dir: str):
+    """Two-layer descent over the same stored graph: committed-IVF coarse
+    seed (nprobe=4) + beam-24 walk — higher recall than the LSH seed
+    (0.865 vs 0.705 on the sf0.1 frontier corpus) from the same index."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        graph_topk_coarse,
+    )
+    from transcription_lakehouse_spark.sources.tables import load_table
+    from transcription_lakehouse_spark.workload._ivf_quantizer import (
+        CENTROIDS,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = spark.read.parquet(_GRAPH_STORE + "_1x")
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return graph_topk_coarse(
+        queries, e, g, "vec_id", "embedding", CENTROIDS,
+        k=5, beam=24, hops=2, nprobe=4,
+    )
+
+
+def bench_graph_build_20x(spark, sf_dir: str):
+    """Index build over the 20x corpus. planes_per_band scales to 10 (the
+    knn_lsh_20x rule: finer buckets bound per-bucket candidate sets as the
+    corpus grows — the build's bucket self-join is the quadratic risk)."""
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        build_knn_graph,
+    )
+
+    big = _replicated_embeddings(spark, sf_dir)
+    g = build_knn_graph(
+        big, "vec_id", "embedding", k_graph=16, n_bands=8, planes_per_band=10
+    )
+    g.write.mode("overwrite").parquet(_GRAPH_STORE + "_20x")
+    return spark.read.parquet(_GRAPH_STORE + "_20x").groupBy().count()
+
+
+def bench_graph_search_20x(spark, sf_dir: str):
+    """Search over the stored 20x graph: the walk stage's cost is
+    O(|Q| * beam * k_graph) — independent of corpus size; only the seed
+    stage scans bucket members (bounded by the finer 10-plane buckets)."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.graph_ann import graph_topk
+
+    big = _replicated_embeddings(spark, sf_dir)
+    g = spark.read.parquet(_GRAPH_STORE + "_20x")
+    queries = big.filter(F.col("vec_id") % 500 == 0)
+    return graph_topk(
+        queries, big, g, "vec_id", "embedding",
+        k=5, beam=16, hops=2, seed_bands=2, planes_per_band=10,
+    )
+
+
 SCALED = {
     "dedup_minhash_20x": bench_minhash_dedup_scaled,
     "decontam_semantic_20x": bench_semantic_decontam_scaled,
@@ -229,6 +340,12 @@ SCALED = {
     "knn_ivf_20x": bench_knn_ivf_scaled,
     "knn_pq_20x": bench_knn_pq_scaled,
     "knn_ivfpq_20x": bench_knn_ivfpq_scaled,
+    # build MUST precede the searches that read its stored edge list
+    "graph_build": bench_graph_build,
+    "graph_search": bench_graph_search,
+    "graph_search_coarse": bench_graph_search_coarse,
+    "graph_build_20x": bench_graph_build_20x,
+    "graph_search_20x": bench_graph_search_20x,
 }
 
 

