@@ -1672,3 +1672,84 @@ def test_cli_curate_writes_ordered_shards(spark, tmp_path):
     a = sorted(map(tuple, back.collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_cli_curate_append_incremental(spark, tmp_path):
+    """`curate --append` (the reference's incremental anti-join + index
+    append, recomposed): batch 2 places only NEW docs as NEW shard files,
+    batch-1 files stay byte-identical, shard_pos continues each shard's
+    order, and re-running on unchanged input is a no-op."""
+    import glob
+    import hashlib
+    import json as _json
+    import os
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli
+
+    def _mk(ids):
+        return spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog number %d ok"
+              % i, "src%d" % (i % 2)) for i in ids],
+            "doc_id long, text string, source string",
+        )
+
+    out = str(tmp_path / "shards")
+    src1 = str(tmp_path / "b1.parquet")
+    _mk(range(30)).write.parquet(src1)
+    r1 = CliRunner().invoke(cli, ["curate", src1, out, "--shards", "4"])
+    assert r1.exit_code == 0, r1.output
+
+    def _file_hashes():
+        return {
+            p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+            for p in sorted(glob.glob(out + "/shard=*/*.parquet"))
+        }
+
+    h1 = _file_hashes()
+    batch1 = spark.read.parquet(out).collect()
+    max_pos = {}
+    for r in batch1:
+        max_pos[r["shard"]] = max(max_pos.get(r["shard"], 0), r["shard_pos"])
+
+    # batch 2: 30 old docs + 20 new — only the new ones are placed
+    src2 = str(tmp_path / "b2.parquet")
+    _mk(range(50)).write.parquet(src2)
+    r2 = CliRunner().invoke(
+        cli, ["curate", src2, out, "--shards", "4", "--append",
+              "--seed", "epoch1"],
+    )
+    assert r2.exit_code == 0, r2.output
+    payload = _json.loads(r2.output)
+    assert payload["append"] is True
+    assert payload["n_documents"] == 20  # anti-joined batch
+    assert payload["n_placed"] == len(batch1) + payload["n_placed_batch"]
+
+    # batch-1 files byte-identical; batch 2 added new files only
+    h2 = _file_hashes()
+    assert all(h2[p] == h for p, h in h1.items()), "batch-1 files rewritten"
+    assert len(h2) > len(h1)
+
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    new_rows = [r for r in rows if r["doc_id"] >= 30]
+    assert {r["doc_id"] for r in new_rows} == set(range(30, 50))
+    # shard_pos continues past each shard's previous max, no collisions
+    seen = {}
+    for r in rows:
+        key = (r["shard"], r["shard_pos"])
+        assert key not in seen, f"duplicate position {key}"
+        seen[key] = r["doc_id"]
+    for r in new_rows:
+        assert r["shard_pos"] > max_pos.get(r["shard"], 0)
+
+    # idempotence: re-running --append on the same input places nothing
+    r3 = CliRunner().invoke(
+        cli, ["curate", src2, out, "--shards", "4", "--append",
+              "--seed", "epoch1"],
+    )
+    assert r3.exit_code == 0, r3.output
+    p3 = _json.loads(r3.output)
+    assert p3["n_placed_batch"] == 0
+    assert _file_hashes() == h2

@@ -373,12 +373,27 @@ def vacuum(artifact, lakehouse_path, keep_last, older_than, dry_run):
               help="Cap on per-source upsampling repeats")
 @click.option("--min-quality", type=float, default=0.5, show_default=True,
               help="quality_score floor from the committed linear model")
+@click.option("--append", is_flag=True,
+              help="Incremental epoch: anti-join doc ids already placed in "
+                   "OUTPUT_DIR, curate only the new documents, and add them "
+                   "as NEW shard files (prior batches' files are never "
+                   "rewritten; shard_pos continues past each shard's max). "
+                   "Re-running on unchanged input is a no-op. Vary --seed "
+                   "per epoch to reshuffle new batches.")
 def curate(documents_path, output_dir, shards, seed, max_repeats,
-           min_quality):
+           min_quality, append):
     """Curate a documents table into trainer-ready ordered shards (beyond
     the reference — the round-5 training-pipeline stages composed):
     committed-model quality gate → per-source mixture repeats →
-    deterministic salted placement → ordered shard parquet write."""
+    deterministic salted placement → ordered shard parquet write.
+
+    ``--append`` is the incremental form (the reference's new-episodes
+    anti-join + index-append semantics,
+    `src/lakehouse/cli/commands/ingest.py:278-307`,
+    `src/lakehouse/indexing/incremental.py:200-276`, recomposed for
+    training shards)."""
+    import os as _os
+
     import pyspark.sql.functions as F
 
     from ._quality_model import BIAS, WEIGHTS
@@ -387,6 +402,22 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
 
     spark = _spark("curate")
     docs = spark.read.parquet(documents_path)
+    base = None
+    has_prior = append and _os.path.isdir(output_dir) and any(
+        n.startswith("shard=") for n in _os.listdir(output_dir)
+    )
+    if has_prior:
+        existing = spark.read.parquet(output_dir)
+        # left-anti on placed ids: only genuinely new docs are scored,
+        # repeated, and placed — the incremental contract
+        docs = docs.join(
+            existing.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        # per-shard position offsets (n_shards rows — broadcast) so the
+        # appended batch's shard_pos continues the existing order
+        base = existing.groupBy("shard").agg(
+            F.max("shard_pos").alias("_base")
+        )
     # with_n_tokens reuses the scorer's tokenization for the mixture
     # weights — one regexp-tokenizing projection over the corpus, not two
     scored = quality_classifier(
@@ -416,15 +447,29 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
         n_shards=shards,
         seed=seed,
     )
-    write_training_shards(ordered, output_dir, n_shards=shards)
+    if base is not None:
+        ordered = (
+            ordered.join(F.broadcast(base), "shard", "left")
+            .withColumn(
+                "shard_pos",
+                F.col("shard_pos") + F.coalesce(F.col("_base"), F.lit(0)),
+            )
+            .select("doc_id", "source", "rep", "shard", "shard_pos")
+        )
+    write_training_shards(
+        ordered, output_dir, n_shards=shards,
+        mode="append" if has_prior else "overwrite",
+    )
     placed = spark.read.parquet(output_dir)
     _echo({
         "n_documents": docs.count(),
         "n_kept": kept.count(),
+        "n_placed_batch": ordered.count(),
         "n_placed": placed.count(),
         "n_shards": placed.select("shard").distinct().count(),
         "output_dir": output_dir,
         "seed": seed,
+        "append": bool(has_prior),
     })
 
 

@@ -80,7 +80,7 @@ def training_order(
 
 
 def write_training_shards(
-    ordered: DataFrame, path: str, n_shards: int
+    ordered: DataFrame, path: str, n_shards: int, mode: str = "overwrite"
 ) -> None:
     """Materialize a :func:`training_order` assignment as the physical
     layout a data loader consumes: ``path/shard=K/`` directories, each
@@ -95,11 +95,16 @@ def write_training_shards(
     each directory's file internally ordered. One shuffle total, no
     global sort, no driver collect — at 100 TB pick n_shards ~ the write
     parallelism you want (thousands), exactly the training_order contract.
+
+    ``mode="append"`` adds the batch as NEW files inside the existing
+    ``shard=K`` directories — prior batches' files are never rewritten
+    (the incremental-curate contract; callers offset ``shard_pos`` past
+    the per-shard max so the global order stays addressable).
     """
     (
         ordered.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "shard_pos")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
     )
