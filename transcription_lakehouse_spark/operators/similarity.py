@@ -408,7 +408,7 @@ def ivf_topk(
         den = qn @ cn.T
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = np.where(den > 0, (Q @ C.T) / den, 0.0)
-        sims = np.round(sims, 6)
+        sims = _round6_half_away(sims)  # same mode as F.round/DuckDB
         nid = right["neighbor_id"].to_numpy()
         # self-pairs excluded, same contract as _score_topk
         mask_self = left["query_id"].to_numpy()[:, None] == nid[None, :]
