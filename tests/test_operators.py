@@ -1888,3 +1888,40 @@ def test_graph_ann_coarse_recall_beats_lsh_seed(spark):
         raise AssertionError("beam < k must raise")
     except ValueError:
         pass
+
+
+def test_append_knn_graph_equals_full_rebuild(spark):
+    """Incremental graph maintenance contract: folding a batch into an
+    existing edge list reproduces the full rebuild EXACTLY (top-k of a
+    union = top-k of retained-top-k plus the new candidates), row for
+    row — and srcs with no bucket collision pass through unrescored."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        append_knn_graph,
+        build_knn_graph,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)
+    g0 = build_knn_graph(old, "vec_id", "embedding", k_graph=16)
+    appended = append_knn_graph(
+        g0, old, batch, "vec_id", "embedding", k_graph=16
+    )
+    full = build_knn_graph(e, "vec_id", "embedding", k_graph=16)
+    a = sorted(map(tuple, appended.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+    # an empty batch is the identity (every src untouched)
+    ident = append_knn_graph(
+        g0, old, batch.limit(0), "vec_id", "embedding", k_graph=16
+    )
+    assert sorted(map(tuple, ident.collect())) == sorted(
+        map(tuple, g0.collect())
+    )

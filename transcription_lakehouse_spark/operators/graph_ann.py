@@ -44,7 +44,12 @@ from pyspark.sql import DataFrame, Window
 from ..functions.vector import as_double_array, guarded_cosine, l2_norm
 from .similarity import _banded_buckets, _nearest_cells_udf, lsh_topk
 
-__all__ = ["build_knn_graph", "graph_topk", "graph_topk_coarse"]
+__all__ = [
+    "build_knn_graph",
+    "append_knn_graph",
+    "graph_topk",
+    "graph_topk_coarse",
+]
 
 
 def build_knn_graph(
@@ -71,6 +76,95 @@ def build_knn_graph(
     return edges.select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), "sim"
     )
+
+
+def append_knn_graph(
+    graph: DataFrame,
+    old_corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_graph: int = 8,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Incremental graph-index maintenance (the M3 incremental semantics —
+    reference shape `src/lakehouse/indexing/incremental.py:200-276` —
+    applied to the graph index): fold a batch of NEW vectors into an
+    existing k-NN edge list WITHOUT rebuilding it, and produce EXACTLY the
+    graph a full rebuild over ``old_corpus ∪ batch`` would produce.
+
+    Exactness argument (the contract the pytest pins row-for-row): an
+    edge list row is "top-``k_graph`` among banded-LSH candidates of its
+    src". Bucket membership is corpus-independent (fixed md5 hyperplanes),
+    so appending a batch changes each EXISTING src's candidate set only by
+    adding batch members sharing a bucket — and ``top-k(old_cands ∪ new) =
+    top-k(top-k(old_cands) ∪ new)`` because anything outside the old top-k
+    is dominated by k retained candidates. New srcs are scored against the
+    full corpus directly. Hence three disjoint pieces:
+
+    - untouched existing srcs (no bucket collision with the batch): edges
+      pass through verbatim — at 100 TB this is almost the whole stored,
+      src-partitioned edge list, read and written without rescoring;
+    - touched existing srcs: one banded old×batch equi-join, exact-rescore
+      of just the new candidates, re-rank against the src's stored edges;
+    - batch srcs: one ``lsh_topk(batch, full)`` — the build semantics.
+
+    Cost: O(|batch| · bucket population) joins + O(touched · k_graph)
+    re-ranks; the old corpus is never self-joined again."""
+    full = old_corpus.unionByName(batch)
+    # batch srcs: exactly the build path, scoped to the new rows
+    new_src_edges = lsh_topk(
+        batch, full, id_col, vec_col,
+        k=k_graph, n_bands=n_bands, planes_per_band=planes_per_band,
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "sim",
+    )
+
+    o = old_corpus.select(
+        F.col(id_col).alias("src"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    b = batch.select(
+        F.col(id_col).alias("dst"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    ob = _banded_buckets(
+        o.select(F.col("src").alias("query_id"), F.col("qv")),
+        "qv", n_bands, planes_per_band,
+    ).select(F.col("query_id").alias("src"), "band", "bucket")
+    nb = _banded_buckets(
+        b.select(F.col("dst").alias("node_id"), F.col("cv")),
+        "cv", n_bands, planes_per_band,
+    ).select(F.col("node_id").alias("dst"), "band", "bucket")
+    cand = (
+        ob.join(nb, ["band", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    scored_new = (
+        cand.join(o, "src")
+        .join(b, "dst")
+        .select(
+            "src", "dst",
+            guarded_cosine(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("sim"),
+        )
+    )
+    touched = scored_new.select("src").distinct()
+    untouched = graph.join(touched, "src", "left_anti")
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    re_ranked = (
+        graph.join(touched, "src")
+        .select("src", "dst", "sim")
+        .unionByName(scored_new)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_graph)
+        .select("src", "dst", "sim")
+    )
+    return untouched.unionByName(re_ranked).unionByName(new_src_edges)
 
 
 def _score(cand: DataFrame, q: DataFrame, c: DataFrame) -> DataFrame:

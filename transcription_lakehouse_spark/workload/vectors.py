@@ -1517,6 +1517,62 @@ _GRAPH_COARSE_NPROBE = 4
 _GRAPH_COARSE_BEAM = 24
 
 
+def vec_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 incremental maintenance for the graph index (reference shape:
+    `indexing/incremental.py:200-276` — its FAISS index re-adds new
+    vectors without retraining): build the k-NN edge list on 2/3 of the
+    corpus, then fold the remaining 1/3 in via `append_knn_graph` —
+    untouched srcs pass through unrescored, bucket-touched srcs re-rank
+    stored edges against just the new candidates, batch srcs score once
+    against the full corpus. The result is EXACTLY the full rebuild
+    (top-k(old ∪ new) = top-k(top-k(old) ∪ new) per src), so the DuckDB
+    twin is the plain full-corpus build — the hash gate certifies the
+    incremental path reproduces the rebuild bit-for-bit."""
+    from ..operators.graph_ann import append_knn_graph, build_knn_graph
+
+    e = _emb(spark, sf_dir)
+    old = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)
+    g0 = build_knn_graph(
+        old, "vec_id", "embedding",
+        k_graph=_GRAPH_KG, n_bands=_GRAPH_BANDS, planes_per_band=_GRAPH_PPB,
+    )
+    return append_knn_graph(
+        g0, old, batch, "vec_id", "embedding",
+        k_graph=_GRAPH_KG, n_bands=_GRAPH_BANDS, planes_per_band=_GRAPH_PPB,
+    )
+
+
+def _graph_append_oracle_sql(
+    k_graph: int, n_bands: int, planes_per_band: int, dims: int = 64
+) -> str:
+    """Full-corpus graph build — the append path's contract is exact
+    equality with the rebuild, so the rebuild IS the twin."""
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+gb AS ({_bucket_union_sql('v', n_bands, planes_per_band, dims)}),
+gcand AS (
+  SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+  FROM gb a JOIN gb b2 ON a.band = b2.band AND a.bucket = b2.bucket
+  WHERE a.vec_id <> b2.vec_id
+),
+gscored AS (
+  SELECT c.src, c.dst, round({_XY_COS}, 6) AS sim
+  FROM gcand c JOIN v x ON c.src = x.vec_id JOIN v y ON c.dst = y.vec_id
+)
+SELECT src, dst, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY sim DESC, dst ASC) AS rk
+  FROM gscored
+) WHERE rk <= {k_graph}
+"""
+
+
+VEC_KNN_GRAPH_APPEND_SQL = _graph_append_oracle_sql(
+    _GRAPH_KG, _GRAPH_BANDS, _GRAPH_PPB
+)
+
+
 def vec_knn_graph_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 graph ANN with the COARSE layer the reference's HNSW actually
     has (`indexing/faiss_builder.py:30-147`, the layered descent): seeds
@@ -1690,6 +1746,7 @@ QUERIES = {
     "vec_knn_pca": vec_knn_pca,
     "vec_knn_graph": vec_knn_graph,
     "vec_knn_graph_coarse": vec_knn_graph_coarse,
+    "vec_knn_graph_append": vec_knn_graph_append,
     "vec_semantic_decontam": vec_semantic_decontam,
 }
 
@@ -1716,5 +1773,6 @@ ORACLES = {
     "vec_knn_pca": VEC_KNN_PCA_SQL,
     "vec_knn_graph": VEC_KNN_GRAPH_SQL,
     "vec_knn_graph_coarse": VEC_KNN_GRAPH_COARSE_SQL,
+    "vec_knn_graph_append": VEC_KNN_GRAPH_APPEND_SQL,
     "vec_semantic_decontam": VEC_SEMANTIC_DECONTAM_SQL,
 }
