@@ -1753,3 +1753,60 @@ def test_cli_curate_append_incremental(spark, tmp_path):
     p3 = _json.loads(r3.output)
     assert p3["n_placed_batch"] == 0
     assert _file_hashes() == h2
+
+
+def test_stream_graph_update_matches_batch_rebuild(spark, tmp_path):
+    """Streaming k-NN-graph maintenance: three micro-batches fold into the
+    persisted edge list via append_knn_graph; the final streamed graph
+    must equal a batch build over the accumulated corpus EXACTLY (the
+    append==rebuild contract carried through foreachBatch), and a
+    crash-window replay (fresh checkpoint, same files) changes nothing."""
+    import json as _json
+
+    from tests.test_operators import _clustered_vectors
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        build_knn_graph,
+    )
+    from transcription_lakehouse_spark.streaming.ingest import (
+        stream_graph_update,
+    )
+
+    rows = _clustered_vectors(n_per_cluster=8)[:24]
+    d = tmp_path / "graph_in"
+    d.mkdir()
+    st = str(tmp_path / "graph_state")
+    for b in range(3):
+        (d / f"b{b}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"vec_id": vid, "embedding": emb})
+                for vid, emb in rows[b * 8:(b + 1) * 8]
+            )
+        )
+    q = stream_graph_update(
+        spark, str(d), st, str(tmp_path / "ck1"), k_graph=4
+    )
+    q.awaitTermination(180)
+
+    state = spark.read.parquet(st)
+    nodes = state.filter(F.col("dst").isNull())
+    edges = state.filter(F.col("dst").isNotNull()).select(
+        F.col("vec_id").alias("src"), "dst", "sim"
+    )
+    assert nodes.count() == 24
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = sorted(
+        map(tuple, build_knn_graph(
+            full, "vec_id", "embedding", k_graph=4
+        ).collect())
+    )
+    assert sorted(map(tuple, edges.collect())) == want
+
+    # replay every file through a FRESH checkpoint: anti-join makes the
+    # whole stream a no-op on existing state
+    before = sorted(map(tuple, state.collect()), key=repr)
+    q = stream_graph_update(
+        spark, str(d), st, str(tmp_path / "ck2"), k_graph=4
+    )
+    q.awaitTermination(180)
+    state2 = spark.read.parquet(st)
+    assert sorted(map(tuple, state2.collect()), key=repr) == before

@@ -31,6 +31,7 @@ __all__ = [
     "stream_index_update",
     "stream_cluster_update",
     "stream_hll_update",
+    "stream_graph_update",
 ]
 
 
@@ -403,6 +404,106 @@ def stream_hll_update(
             merged = delta
         merged = merged.localCheckpoint()  # materialize before self-overwrite
         merged.write.mode("overwrite").parquet(state_path)
+
+    writer = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_graph_update(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_graph: int = 8,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Live k-NN-GRAPH maintenance (the graph-index sibling of
+    `stream_index_update`): each micro-batch of new vectors folds into the
+    persisted edge list via `append_knn_graph`, whose contract is EXACT
+    equality with a full rebuild — so the streamed graph never drifts from
+    what batch construction over the accumulated corpus would produce
+    (pinned by the parity e2e).
+
+    State is ONE self-describing parquet (the single-store discipline of
+    `stream_hll_update` — one localCheckpoint + overwrite per batch, so a
+    replayed batch sees either the old or the new state, never half):
+    node rows carry ``(id, vector, dst=NULL, sim=NULL)`` membership +
+    the fold's vector inputs; edge rows carry ``(src, NULL, dst, sim)``.
+    Replays are no-ops: ids already in the node set anti-join away and an
+    empty batch is append_knn_graph's identity."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.graph_ann import append_knn_graph, build_knn_graph
+
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField(vec_col, ArrayType(DoubleType()), True),
+    ])
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+
+    def _pack(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+        n = nodes.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("long").alias("dst"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+        e = edges.select(
+            F.col("src").alias(id_col),
+            F.lit(None).cast("array<double>").alias(vec_col),
+            F.col("dst"),
+            F.col("sim"),
+        )
+        return n.unionByName(e)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        state = _read_state(sess, state_path)
+        if state is None:
+            new = batch
+            nodes1 = new
+            g1 = build_knn_graph(
+                new, id_col, vec_col,
+                k_graph=k_graph, n_bands=n_bands,
+                planes_per_band=planes_per_band,
+            )
+        else:
+            nodes = state.filter(F.col("dst").isNull()).select(
+                id_col, vec_col
+            )
+            edges = state.filter(F.col("dst").isNotNull()).select(
+                F.col(id_col).alias("src"), "dst", "sim"
+            )
+            new = batch.join(nodes.select(id_col), id_col, "left_anti")
+            nodes1 = nodes.unionByName(new)
+            g1 = append_knn_graph(
+                edges, nodes, new, id_col, vec_col,
+                k_graph=k_graph, n_bands=n_bands,
+                planes_per_band=planes_per_band,
+            )
+        packed = _pack(nodes1, g1).localCheckpoint()  # before self-overwrite
+        packed.write.mode("overwrite").parquet(state_path)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
