@@ -95,9 +95,22 @@ def run(factor: int) -> dict:
         quality,
     )
 
+    conf = {
+        "spark.ui.enabled": "true",
+        "spark.ui.showConsoleProgress": "false",
+    }
+    if factor >= 800:
+        # at 800x a BroadcastExchange fed through a Python-runner stage
+        # deadlocked local mode (both JVM reader and python worker blocked
+        # at <10% CPU for 45+ min on one straggler task; thread dump showed
+        # the broadcast future stuck in PythonRunner ReaderInputStream).
+        # Sort-merge joins sidestep the shared-thread-pool stall. Applied
+        # ONLY at >=800x so lower factors stay plan-comparable with the
+        # committed curve; footnoted honestly in SCALING.md.
+        conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"
     spark = get_spark(
         app_name=f"pipeline-scaling-{factor}x",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.showConsoleProgress": "false"},
+        extra_conf=conf,
     )
     lake = tempfile.mkdtemp(prefix=f"pipescale_{factor}x_")
     out: dict = {"factor": factor}
