@@ -1925,3 +1925,48 @@ def test_append_knn_graph_equals_full_rebuild(spark):
     assert sorted(map(tuple, ident.collect())) == sorted(
         map(tuple, g0.collect())
     )
+
+
+def test_curriculum_order_tiers_and_determinism(spark):
+    """Curriculum schedule contract: within every shard, tier is
+    non-decreasing in shard_pos (clean-first serving order); high_first
+    puts the top score bucket at tier 0; the assignment is partitioning-
+    invariant and reshuffles under a new seed WITHIN tiers only."""
+    from transcription_lakehouse_spark.operators.ordering import (
+        curriculum_order,
+    )
+
+    rows = [(i, round(0.05 + 0.9 * (i % 10) / 9, 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = curriculum_order(
+        df, "doc_id", "score", n_buckets=4, n_shards=4, seed="s0"
+    ).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["shard_pos"])
+        tiers = [r["tier"] for r in rs]
+        assert tiers == sorted(tiers), f"shard {shard} serves out of tier"
+        assert [r["shard_pos"] for r in rs] == list(range(1, len(rs) + 1))
+    # high_first: the best scores land in tier 0
+    best = [r for r in out if r["score"] >= 0.75]
+    assert best and all(r["tier"] == 0 for r in best)
+    worst = [r for r in out if r["score"] < 0.25]
+    assert worst and all(r["tier"] == 3 for r in worst)
+
+    # partitioning invariance (the training_order contract)
+    again = curriculum_order(
+        df.repartition(7), "doc_id", "score", n_buckets=4, n_shards=4,
+        seed="s0",
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # a new seed reshuffles within tiers but never across them
+    re = curriculum_order(
+        df, "doc_id", "score", n_buckets=4, n_shards=4, seed="s1"
+    ).collect()
+    tier_of = {r["doc_id"]: r["tier"] for r in out}
+    assert all(tier_of[r["doc_id"]] == r["tier"] for r in re)
+    assert sorted(map(tuple, out)) != sorted(map(tuple, re))

@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-__all__ = ["training_order", "write_training_shards"]
+__all__ = ["training_order", "curriculum_order", "write_training_shards"]
 
 
 def training_order(
@@ -76,6 +76,58 @@ def training_order(
     return (
         out.withColumn("shard_pos", F.row_number().over(w))
         .select(id_col, *(keep_cols or []), "rep", "shard", "shard_pos")
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    keep_cols: list[str] | None = None,
+    n_buckets: int = 4,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    high_first: bool = True,
+) -> DataFrame:
+    """Curriculum data ordering: every shard serves its documents TIER by
+    TIER (quality-score width buckets), deterministically shuffled within
+    each tier — the clean-first (or easy-first) schedule curriculum
+    training wants, as a drop-in sibling of :func:`training_order`.
+
+    ``tier`` = width bucket of ``score_col`` over [0, 1]
+    (``floor(score · n_buckets)``, clamped), inverted when ``high_first``
+    so tier 0 is the highest-score slice; within a tier the order is the
+    salted-md5 key (same resumability/reshuffle contract as
+    training_order). Output: ``id_col, *keep_cols, score_col, tier,
+    shard, shard_pos``.
+
+    Scale: identical shape to training_order — shard is a hash mod, the
+    position window partitions BY SHARD (n_shards-way parallel), and the
+    tier is a ROW-LOCAL width bucket, never a global quantile pass (an
+    ntile() here would funnel the corpus through one partition).
+    Deterministic end-to-end, so the whole schedule value-hash-gates
+    (`workload/text.py:DOC_CURRICULUM_ORDER_SQL`)."""
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col(score_col) * n_buckets).cast("int"),
+    )
+    tier = (F.lit(n_buckets - 1) - b) if high_first else b
+    out = df.select(
+        id_col, *(keep_cols or []), score_col, tier.cast("int").alias("tier")
+    )
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col)))
+    out = out.withColumn("_key", key).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("_key"), 1, 8), 16, 10).cast("long")
+         % F.lit(n_shards)).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.asc("tier"), F.asc("_key"), F.asc(id_col)
+    )
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w))
+        .select(id_col, *(keep_cols or []), score_col, "tier", "shard",
+                "shard_pos")
     )
 
 

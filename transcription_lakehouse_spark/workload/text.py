@@ -1701,6 +1701,57 @@ FROM sharded
 """
 
 
+_CURR_BUCKETS = 4
+_CURR_SEED = "curr0"
+
+
+def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule over the corpus: committed-quality-model scores
+    → width-bucket tiers (tier 0 = highest quality) → per-shard
+    tier-then-salted-hash order — clean-first training order, the
+    curriculum-learning sibling of `doc_training_order`. Composes two
+    already-gated stages (classifier scan→project, salted shard windows);
+    no global sort, no quantile pass; fully hash-gated (the twin replays
+    scoring, bucketing, sharding, and ranking)."""
+    from .._quality_model import BIAS, WEIGHTS
+    from ..operators.ordering import curriculum_order
+    from ..operators.quality_model import quality_classifier
+
+    scored = quality_classifier(
+        _docs(spark, sf_dir), "doc_id", "text", WEIGHTS, BIAS
+    ).select("doc_id", "quality_score")
+    return curriculum_order(
+        scored, "doc_id", "quality_score",
+        n_buckets=_CURR_BUCKETS, n_shards=_ORDER_SHARDS, seed=_CURR_SEED,
+        high_first=True,
+    )
+
+
+def _curriculum_order_sql() -> str:
+    b = _CURR_BUCKETS
+    return f"""
+WITH qc AS ({_quality_classifier_sql()}),
+tiered AS (
+  SELECT doc_id, quality_score,
+         ({b - 1}) - LEAST({b - 1},
+                           CAST(floor(quality_score * {b}) AS INTEGER))
+           AS tier,
+         md5(concat_ws(':', '{_CURR_SEED}', doc_id)) AS k
+  FROM qc
+),
+sharded AS (
+  SELECT *, CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % {_ORDER_SHARDS}
+                 AS INTEGER) AS shard
+  FROM tiered
+)
+SELECT doc_id, quality_score, tier, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY tier ASC, k ASC, doc_id ASC)
+            AS INTEGER) AS shard_pos
+FROM sharded
+"""
+
+
 def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction by pointwise mutual information: top-20
     adjacent token pairs with n_ab >= 5, ranked by
@@ -2046,6 +2097,7 @@ QUERIES = {
     "doc_collocations": doc_collocations,
     "doc_mixture_plan": doc_mixture_plan,
     "doc_training_order": doc_training_order,
+    "doc_curriculum_order": doc_curriculum_order,
     "doc_sequence_packing": doc_sequence_packing,
     "doc_dup_spans": doc_dup_spans,
     "doc_drift_psi": doc_drift_psi,
@@ -2086,6 +2138,7 @@ ORACLES = {
     "doc_collocations": DOC_COLLOCATIONS_SQL,
     "doc_mixture_plan": DOC_MIXTURE_PLAN_SQL,
     "doc_training_order": DOC_TRAINING_ORDER_SQL,
+    "doc_curriculum_order": _curriculum_order_sql(),
     "doc_sequence_packing": DOC_SEQUENCE_PACKING_SQL,
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "doc_drift_psi": DOC_DRIFT_PSI_SQL,
