@@ -1810,3 +1810,46 @@ def test_stream_graph_update_matches_batch_rebuild(spark, tmp_path):
     q.awaitTermination(180)
     state2 = spark.read.parquet(st)
     assert sorted(map(tuple, state2.collect()), key=repr) == before
+
+
+def test_cli_curate_curriculum_order(spark, tmp_path):
+    """`curate --order curriculum`: shard files serve clean-first — tier
+    is non-decreasing in each shard's in-file order, junk is gated out
+    before ordering, and the tier column lands in the shards as
+    provenance."""
+    import glob
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli
+
+    good = [
+        (i, "the quick brown fox jumps over the lazy dog number %d ok" % i,
+         "src%d" % (i % 2))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        good, "doc_id long, text string, source string"
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "shards")
+    r = CliRunner().invoke(
+        cli, ["curate", src, out, "--shards", "4", "--order", "curriculum"],
+    )
+    assert r.exit_code == 0, r.output
+    payload = _json.loads(r.output)
+    assert payload["n_kept"] == 40
+    back = spark.read.parquet(out)
+    assert {"tier", "quality_score"} <= set(back.columns)
+    # in-file order is the serving order: tiers never decrease
+    for d in sorted(glob.glob(out + "/shard=*")):
+        tiers = [r["tier"] for r in spark.read.parquet(d).collect()]
+        assert tiers == sorted(tiers), f"{d} serves out of tier"
+    # appending with the other order is refused (schema contract)
+    r2 = CliRunner().invoke(
+        cli, ["curate", src, out, "--shards", "4", "--append"],
+    )
+    assert r2.exit_code != 0
+    assert "same --order" in r2.output

@@ -380,8 +380,14 @@ def vacuum(artifact, lakehouse_path, keep_last, older_than, dry_run):
                    "rewritten; shard_pos continues past each shard's max). "
                    "Re-running on unchanged input is a no-op. Vary --seed "
                    "per epoch to reshuffle new batches.")
+@click.option("--order", type=click.Choice(["shuffled", "curriculum"]),
+              default="shuffled", show_default=True,
+              help="shuffled = salted-hash order (training_order); "
+                   "curriculum = quality-score tiers served clean-first "
+                   "within every shard, salted-shuffled inside each tier "
+                   "(curriculum_order).")
 def curate(documents_path, output_dir, shards, seed, max_repeats,
-           min_quality, append):
+           min_quality, append, order):
     """Curate a documents table into trainer-ready ordered shards (beyond
     the reference — the round-5 training-pipeline stages composed):
     committed-model quality gate → per-source mixture repeats →
@@ -425,7 +431,7 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
         with_n_tokens=True,
     )
     kept = scored.filter(F.col("quality_score") >= min_quality).select(
-        "doc_id", "source", "n_tokens"
+        "doc_id", "source", "n_tokens", "quality_score"
     )
     per_src = kept.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
     tot = per_src.agg(
@@ -439,22 +445,44 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
         F.least(F.ceil(factor), F.lit(max_repeats).cast("long"))
         .alias("_repeats"),
     )
-    ordered = training_order(
-        kept.join(F.broadcast(reps), "source"),
-        "doc_id",
-        keep_cols=["source"],
-        repeats=F.col("_repeats"),
-        n_shards=shards,
-        seed=seed,
-    )
+    src = kept.join(F.broadcast(reps), "source")
+    if order == "curriculum":
+        # clean-first tiers inside every shard; tier kept in the shard
+        # files as serving-order provenance
+        from .operators.ordering import curriculum_order
+
+        ordered = curriculum_order(
+            src, "doc_id", "quality_score",
+            keep_cols=["source"],
+            repeats=F.col("_repeats"),
+            n_shards=shards,
+            seed=seed,
+        )
+    else:
+        ordered = training_order(
+            src,
+            "doc_id",
+            keep_cols=["source"],
+            repeats=F.col("_repeats"),
+            n_shards=shards,
+            seed=seed,
+        )
+    out_cols = ordered.columns
     if base is not None:
+        existing_cols = set(existing.columns)
+        if existing_cols != set(out_cols):
+            raise click.ClickException(
+                "--append must keep the same --order as the existing "
+                f"shards (existing columns {sorted(existing_cols)} vs "
+                f"this run's {sorted(out_cols)})"
+            )
         ordered = (
             ordered.join(F.broadcast(base), "shard", "left")
             .withColumn(
                 "shard_pos",
                 F.col("shard_pos") + F.coalesce(F.col("_base"), F.lit(0)),
             )
-            .select("doc_id", "source", "rep", "shard", "shard_pos")
+            .select(*out_cols)
         )
     write_training_shards(
         ordered, output_dir, n_shards=shards,

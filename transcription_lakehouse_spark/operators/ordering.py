@@ -88,6 +88,7 @@ def curriculum_order(
     n_shards: int = 8,
     seed: str = "epoch0",
     high_first: bool = True,
+    repeats: Column | int = 1,
 ) -> DataFrame:
     """Curriculum data ordering: every shard serves its documents TIER by
     TIER (quality-score width buckets), deterministically shuffled within
@@ -98,8 +99,10 @@ def curriculum_order(
     (``floor(score · n_buckets)``, clamped), inverted when ``high_first``
     so tier 0 is the highest-score slice; within a tier the order is the
     salted-md5 key (same resumability/reshuffle contract as
-    training_order). Output: ``id_col, *keep_cols, score_col, tier,
-    shard, shard_pos``.
+    training_order). ``repeats`` mirrors training_order's mixture
+    expansion — every copy keeps its document's tier and lands at an
+    independent position inside it. Output: ``id_col, *keep_cols,
+    score_col, tier, rep, shard, shard_pos``.
 
     Scale: identical shape to training_order — shard is a hash mod, the
     position window partitions BY SHARD (n_shards-way parallel), and the
@@ -112,22 +115,28 @@ def curriculum_order(
         F.floor(F.col(score_col) * n_buckets).cast("int"),
     )
     tier = (F.lit(n_buckets - 1) - b) if high_first else b
+    reps = repeats if isinstance(repeats, Column) else F.lit(int(repeats))
+    reps = F.greatest(F.lit(1).cast("long"), reps.cast("long"))
     out = df.select(
-        id_col, *(keep_cols or []), score_col, tier.cast("int").alias("tier")
+        id_col, *(keep_cols or []), score_col,
+        tier.cast("int").alias("tier"),
+        F.explode(F.sequence(F.lit(0).cast("long"), reps - 1)).alias("rep"),
     )
-    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col)))
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col("rep"), F.col(id_col))
+    )
     out = out.withColumn("_key", key).withColumn(
         "shard",
         (F.conv(F.substring(F.col("_key"), 1, 8), 16, 10).cast("long")
          % F.lit(n_shards)).cast("int"),
     )
     w = Window.partitionBy("shard").orderBy(
-        F.asc("tier"), F.asc("_key"), F.asc(id_col)
+        F.asc("tier"), F.asc("_key"), F.asc(id_col), F.asc("rep")
     )
     return (
         out.withColumn("shard_pos", F.row_number().over(w))
-        .select(id_col, *(keep_cols or []), score_col, "tier", "shard",
-                "shard_pos")
+        .select(id_col, *(keep_cols or []), score_col, "tier", "rep",
+                "shard", "shard_pos")
     )
 
 

@@ -1736,7 +1736,8 @@ tiered AS (
          ({b - 1}) - LEAST({b - 1},
                            CAST(floor(quality_score * {b}) AS INTEGER))
            AS tier,
-         md5(concat_ws(':', '{_CURR_SEED}', doc_id)) AS k
+         CAST(0 AS BIGINT) AS rep,
+         md5(concat_ws(':', '{_CURR_SEED}', 0, doc_id)) AS k
   FROM qc
 ),
 sharded AS (
@@ -1744,9 +1745,9 @@ sharded AS (
                  AS INTEGER) AS shard
   FROM tiered
 )
-SELECT doc_id, quality_score, tier, shard,
+SELECT doc_id, quality_score, tier, rep, shard,
        CAST(row_number() OVER (PARTITION BY shard
-                               ORDER BY tier ASC, k ASC, doc_id ASC)
+                               ORDER BY tier ASC, k ASC, doc_id ASC, rep ASC)
             AS INTEGER) AS shard_pos
 FROM sharded
 """
