@@ -1970,3 +1970,19 @@ def test_curriculum_order_tiers_and_determinism(spark):
     tier_of = {r["doc_id"]: r["tier"] for r in out}
     assert all(tier_of[r["doc_id"]] == r["tier"] for r in re)
     assert sorted(map(tuple, out)) != sorted(map(tuple, re))
+
+
+def test_curriculum_order_clamps_out_of_range_scores(spark):
+    """Scores outside [0, 1] clamp into the edge tiers instead of minting
+    out-of-range tier ids."""
+    from transcription_lakehouse_spark.operators.ordering import (
+        curriculum_order,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -0.3), (2, 1.7), (3, 0.5)], "doc_id long, score double"
+    )
+    got = {r["doc_id"]: r["tier"] for r in curriculum_order(
+        df, "doc_id", "score", n_buckets=4, n_shards=2
+    ).collect()}
+    assert got == {1: 3, 2: 0, 3: 1}  # high_first: worst->3, best->0

@@ -110,9 +110,14 @@ def curriculum_order(
     ntile() here would funnel the corpus through one partition).
     Deterministic end-to-end, so the whole schedule value-hash-gates
     (`workload/text.py:DOC_CURRICULUM_ORDER_SQL`)."""
-    b = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(F.col(score_col) * n_buckets).cast("int"),
+    # clamp BOTH ends: scores are [0, 1] from the quality model, but the
+    # operator is generic — a negative score must not mint tier n_buckets
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.col(score_col) * n_buckets).cast("int"),
+        ),
     )
     tier = (F.lit(n_buckets - 1) - b) if high_first else b
     reps = repeats if isinstance(repeats, Column) else F.lit(int(repeats))

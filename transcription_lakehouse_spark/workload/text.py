@@ -1733,8 +1733,8 @@ def _curriculum_order_sql() -> str:
 WITH qc AS ({_quality_classifier_sql()}),
 tiered AS (
   SELECT doc_id, quality_score,
-         ({b - 1}) - LEAST({b - 1},
-                           CAST(floor(quality_score * {b}) AS INTEGER))
+         ({b - 1}) - GREATEST(0, LEAST({b - 1},
+                           CAST(floor(quality_score * {b}) AS INTEGER)))
            AS tier,
          CAST(0 AS BIGINT) AS rep,
          md5(concat_ws(':', '{_CURR_SEED}', 0, doc_id)) AS k
