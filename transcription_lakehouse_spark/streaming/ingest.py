@@ -478,6 +478,9 @@ def stream_graph_update(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
+        # duplicate ids WITHIN one micro-batch would mint duplicate node
+        # rows (and double-fold their vectors); keep the first occurrence
+        batch = batch.dropDuplicates([id_col])
         sess = batch.sparkSession
         state = _read_state(sess, state_path)
         if state is None:
