@@ -1986,3 +1986,26 @@ def test_curriculum_order_clamps_out_of_range_scores(spark):
         df, "doc_id", "score", n_buckets=4, n_shards=2
     ).collect()}
     assert got == {1: 3, 2: 0, 3: 1}  # high_first: worst->3, best->0
+
+
+def test_curriculum_order_null_score_lands_in_worst_tier(spark):
+    """NULL scores must serve LAST, not first: least/greatest skip nulls,
+    so without the coalesce a NULL score would bucket to n_buckets-1 and
+    invert to tier 0 (the cleanest slice) under high_first — unscored
+    rows outranking every scored document."""
+    from transcription_lakehouse_spark.operators.ordering import (
+        curriculum_order,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 0.9), (3, 0.1)], "doc_id long, score double"
+    )
+    got = {r["doc_id"]: r["tier"] for r in curriculum_order(
+        df, "doc_id", "score", n_buckets=4, n_shards=2
+    ).collect()}
+    assert got == {1: 3, 2: 0, 3: 3}  # null -> worst tier, with the 0.1 doc
+    # and low_first symmetric: null -> tier 0 = worst-first schedule's start
+    got_low = {r["doc_id"]: r["tier"] for r in curriculum_order(
+        df, "doc_id", "score", n_buckets=4, n_shards=2, high_first=False
+    ).collect()}
+    assert got_low == {1: 0, 2: 3, 3: 0}

@@ -1847,9 +1847,128 @@ def test_cli_curate_curriculum_order(spark, tmp_path):
     for d in sorted(glob.glob(out + "/shard=*")):
         tiers = [r["tier"] for r in spark.read.parquet(d).collect()]
         assert tiers == sorted(tiers), f"{d} serves out of tier"
-    # appending with the other order is refused (schema contract)
+    # appending with the other order is refused (manifest contract)
     r2 = CliRunner().invoke(
         cli, ["curate", src, out, "--shards", "4", "--append"],
     )
     assert r2.exit_code != 0
     assert "same --order" in r2.output
+
+
+def test_cli_curate_append_manifest_guards_layout(spark, tmp_path):
+    """The _curation_manifest.json contract: --append with a different
+    --shards is refused (a new shard count would re-hash doc->shard mod
+    the new count, breaking deterministic placement across epochs), and
+    the manifest records one epoch entry per placing run."""
+    import json as _json
+    import os
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i, "s")
+         for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "shards")
+    r1 = CliRunner().invoke(cli, ["curate", src, out, "--shards", "4"])
+    assert r1.exit_code == 0, r1.output
+    mpath = os.path.join(out, "_curation_manifest.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    assert m["n_shards"] == 4 and m["order"] == "shuffled"
+    assert len(m["epochs"]) == 1
+
+    # mismatched shard count refused before any write
+    r2 = CliRunner().invoke(
+        cli, ["curate", src, out, "--shards", "8", "--append"],
+    )
+    assert r2.exit_code != 0
+    assert "--shards 4" in r2.output
+
+    # matching append adds an epoch entry only when rows were placed
+    src2 = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i, "s")
+         for i in range(20, 30)],
+        "doc_id long, text string, source string",
+    ).write.parquet(src2)
+    r3 = CliRunner().invoke(
+        cli, ["curate", src2, out, "--shards", "4", "--append",
+              "--seed", "epoch1"],
+    )
+    assert r3.exit_code == 0, r3.output
+    with open(mpath) as fh:
+        m2 = _json.load(fh)
+    assert [e["seed"] for e in m2["epochs"]] == ["epoch0", "epoch1"]
+    # a no-op re-run records no phantom epoch
+    r4 = CliRunner().invoke(
+        cli, ["curate", src2, out, "--shards", "4", "--append",
+              "--seed", "epoch1"],
+    )
+    assert r4.exit_code == 0, r4.output
+    with open(mpath) as fh:
+        assert len(_json.load(fh)["epochs"]) == 2
+
+
+def test_cli_curate_append_curriculum_epoch_blocks(spark, tmp_path):
+    """`curate --append --order curriculum` contract (per-epoch tier
+    blocks): each appended batch is one curriculum epoch — its slice of
+    every shard is tier-nondecreasing and serves strictly AFTER all
+    prior batches' rows. The global shard order is epoch-blocked by
+    design (prior files are immutable), NOT globally tier-sorted."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli
+
+    def _mk(ids):
+        return spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog %d ok" % i,
+              "s") for i in ids],
+            "doc_id long, text string, source string",
+        )
+
+    src1 = str(tmp_path / "b1.parquet")
+    _mk(range(30)).write.parquet(src1)
+    out = str(tmp_path / "shards")
+    r1 = CliRunner().invoke(
+        cli, ["curate", src1, out, "--shards", "4",
+              "--order", "curriculum"],
+    )
+    assert r1.exit_code == 0, r1.output
+    batch1 = spark.read.parquet(out).collect()
+    max_pos = {}
+    for r in batch1:
+        max_pos[r["shard"]] = max(max_pos.get(r["shard"], 0), r["shard_pos"])
+
+    src2 = str(tmp_path / "b2.parquet")
+    _mk(range(50)).write.parquet(src2)
+    r2 = CliRunner().invoke(
+        cli, ["curate", src2, out, "--shards", "4", "--append",
+              "--order", "curriculum", "--seed", "epoch1"],
+    )
+    assert r2.exit_code == 0, r2.output
+    assert _json.loads(r2.output)["n_documents"] == 20
+
+    rows = spark.read.parquet(out).collect()
+    b1_ids = {r["doc_id"] for r in batch1}
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["shard_pos"])
+        # epoch block boundary: every batch-2 row serves after batch 1
+        for r in rs:
+            if r["doc_id"] not in b1_ids:
+                assert r["shard_pos"] > max_pos.get(shard, 0)
+        # each epoch's slice is independently tier-nondecreasing
+        t1 = [r["tier"] for r in rs if r["doc_id"] in b1_ids]
+        t2 = [r["tier"] for r in rs if r["doc_id"] not in b1_ids]
+        assert t1 == sorted(t1), f"shard {shard} epoch-1 out of tier"
+        assert t2 == sorted(t2), f"shard {shard} epoch-2 out of tier"

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Re-measure a named subset of bench queries on the current host, with
+the same warmup + best-of-N discipline as bench.py, plus the q1
+calibration scalar — the adjudication tool for driver-bench outliers
+(round-6 verdict ask: 6 shared queries >1.3x with no written cause).
+
+Usage:
+    python tools/bench_subset.py q9_product_profit evt_hll_cardinality ...
+    python tools/bench_subset.py --runs 3 <names...>
+
+Prints one JSON line: {"queries": {name: best_sec}, "calibration_sec": s,
+"load_1min": x}. Compare each best against the PREVIOUS round's artifact
+value scaled by (calibration_cur / calibration_prev).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root bench.py)
+from transcription_lakehouse_spark.session import get_spark  # noqa: E402
+from transcription_lakehouse_spark.sources.tables import load_tables  # noqa: E402
+from transcription_lakehouse_spark.workload import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    runs = 3
+    if args and args[0] == "--runs":
+        runs = int(args[1])
+        args = args[2:]
+    names = args
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench_subset")
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+
+    cal_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+        cal_walls.append(time.time() - t0)
+    calibration = round(sorted(cal_walls)[1], 3)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES.get(name) or bench.SCALED.get(name)
+        if fn is None:
+            raise SystemExit(f"unknown query {name}")
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            (fn(spark, sf_dir) if name in QUERIES else fn(spark, sf_dir)).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    print(json.dumps({
+        "queries": timings,
+        "calibration_sec": calibration,
+        "calibration_query": "q1_pricing_summary_median3",
+        "runs": runs,
+        "load_1min": os.getloadavg()[0],
+        "sf_dir": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

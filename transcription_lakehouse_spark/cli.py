@@ -385,7 +385,11 @@ def vacuum(artifact, lakehouse_path, keep_last, older_than, dry_run):
               help="shuffled = salted-hash order (training_order); "
                    "curriculum = quality-score tiers served clean-first "
                    "within every shard, salted-shuffled inside each tier "
-                   "(curriculum_order).")
+                   "(curriculum_order). With --append the curriculum is "
+                   "PER EPOCH: each appended batch serves its own tiers "
+                   "0..N-1 after all prior batches' rows — the global "
+                   "shard order is epoch-blocked, not globally "
+                   "tier-sorted (each --append is one curriculum epoch).")
 def curate(documents_path, output_dir, shards, seed, max_repeats,
            min_quality, append, order):
     """Curate a documents table into trainer-ready ordered shards (beyond
@@ -397,7 +401,19 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
     anti-join + index-append semantics,
     `src/lakehouse/cli/commands/ingest.py:278-307`,
     `src/lakehouse/indexing/incremental.py:200-276`, recomposed for
-    training shards)."""
+    training shards). Every run records ``_curation_manifest.json``
+    (n_shards / order / per-epoch seeds) in OUTPUT_DIR; ``--append``
+    validates against it so a mismatched --shards or --order is refused
+    instead of silently re-hashing docs into an inconsistent layout.
+
+    Curriculum + append contract: each appended batch is ONE curriculum
+    epoch — its slice of every shard is tier-nondecreasing, served after
+    all prior batches' rows (epoch-blocked order). The schedule is NOT
+    re-sorted globally across epochs: prior shard files are immutable by
+    design, and a trainer consuming epochs in sequence sees clean-first
+    order within each epoch, which is the curriculum contract per pass
+    over the data."""
+    import json as _jsonmod
     import os as _os
 
     import pyspark.sql.functions as F
@@ -409,10 +425,46 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
     spark = _spark("curate")
     docs = spark.read.parquet(documents_path)
     base = None
+    manifest_path = _os.path.join(output_dir, "_curation_manifest.json")
     has_prior = append and _os.path.isdir(output_dir) and any(
         n.startswith("shard=") for n in _os.listdir(output_dir)
     )
+    manifest = None
     if has_prior:
+        shard_idxs = [
+            int(n.split("=", 1)[1])
+            for n in _os.listdir(output_dir)
+            if n.startswith("shard=")
+        ]
+        if _os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                manifest = _jsonmod.load(fh)
+            if manifest["n_shards"] != shards:
+                raise click.ClickException(
+                    f"--append with --shards {shards} but OUTPUT_DIR was "
+                    f"curated with --shards {manifest['n_shards']} "
+                    "(recorded in _curation_manifest.json): a different "
+                    "shard count re-hashes doc placement mod the new "
+                    "count and breaks the deterministic-placement "
+                    "contract across epochs"
+                )
+            if manifest["order"] != order:
+                raise click.ClickException(
+                    "--append must keep the same --order as the existing "
+                    f"shards: OUTPUT_DIR was curated with --order "
+                    f"{manifest['order']} (recorded in "
+                    f"_curation_manifest.json), this run passed "
+                    f"--order {order}"
+                )
+        elif shard_idxs and max(shard_idxs) >= shards:
+            # legacy layout without a manifest: a shard=K dir at K >=
+            # --shards proves the counts differ (the converse — all dirs
+            # < shards — cannot, since hash-mod may leave shards empty)
+            raise click.ClickException(
+                f"--append with --shards {shards} but OUTPUT_DIR holds "
+                f"shard={max(shard_idxs)}: the existing layout used a "
+                "larger shard count"
+            )
         existing = spark.read.parquet(output_dir)
         # left-anti on placed ids: only genuinely new docs are scored,
         # repeated, and placed — the incremental contract
@@ -488,16 +540,29 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
         ordered, output_dir, n_shards=shards,
         mode="append" if has_prior else "overwrite",
     )
+    n_batch = ordered.count()
+    # provenance manifest: --append validates layout params against it.
+    # A no-op re-run (0 placed) records no epoch, keeping re-runs
+    # byte-idempotent manifest included.
+    epochs = list((manifest or {}).get("epochs", [])) if has_prior else []
+    if n_batch > 0 or not has_prior:
+        epochs.append({"seed": seed, "n_placed": n_batch})
+    with open(manifest_path, "w") as fh:
+        _jsonmod.dump(
+            {"n_shards": shards, "order": order, "epochs": epochs},
+            fh, indent=1, sort_keys=True,
+        )
     placed = spark.read.parquet(output_dir)
     _echo({
         "n_documents": docs.count(),
         "n_kept": kept.count(),
-        "n_placed_batch": ordered.count(),
+        "n_placed_batch": n_batch,
         "n_placed": placed.count(),
         "n_shards": placed.select("shard").distinct().count(),
         "output_dir": output_dir,
         "seed": seed,
         "append": bool(has_prior),
+        "epoch": len(epochs),
     })
 
 

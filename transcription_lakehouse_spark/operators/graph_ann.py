@@ -112,9 +112,29 @@ def append_knn_graph(
 
     Cost: O(|batch| · bucket population) joins + O(touched · k_graph)
     re-ranks; the old corpus is never self-joined again."""
+    scored_new = _batch_candidate_scores(
+        old_corpus, batch, id_col, vec_col, n_bands, planes_per_band
+    )
+    new_src_edges = _new_src_edges(
+        old_corpus, batch, id_col, vec_col,
+        k_graph, n_bands, planes_per_band,
+    )
+    return _fold_edges(graph, scored_new, k_graph).unionByName(new_src_edges)
+
+
+def _new_src_edges(
+    old_corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_graph: int,
+    n_bands: int,
+    planes_per_band: int,
+) -> DataFrame:
+    """Batch srcs' edges: exactly the build path, scoped to the new rows —
+    ``lsh_topk(batch, old ∪ batch)``."""
     full = old_corpus.unionByName(batch)
-    # batch srcs: exactly the build path, scoped to the new rows
-    new_src_edges = lsh_topk(
+    return lsh_topk(
         batch, full, id_col, vec_col,
         k=k_graph, n_bands=n_bands, planes_per_band=planes_per_band,
     ).select(
@@ -123,6 +143,19 @@ def append_knn_graph(
         "sim",
     )
 
+
+def _batch_candidate_scores(
+    old_corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int,
+    planes_per_band: int,
+) -> DataFrame:
+    """Exact cosines for every (existing src, batch dst) banded-bucket
+    collision — the only existing-src edges an append can change. Srcs
+    absent from this relation are untouched by construction (bucket
+    membership is corpus-independent)."""
     o = old_corpus.select(
         F.col(id_col).alias("src"), as_double_array(vec_col).alias("qv")
     ).withColumn("qn", l2_norm(F.col("qv")))
@@ -143,7 +176,7 @@ def append_knn_graph(
         .select("src", "dst")
         .distinct()
     )
-    scored_new = (
+    return (
         cand.join(o, "src")
         .join(b, "dst")
         .select(
@@ -153,6 +186,17 @@ def append_knn_graph(
             ).alias("sim"),
         )
     )
+
+
+def _fold_edges(
+    graph: DataFrame, scored_new: DataFrame, k_graph: int
+) -> DataFrame:
+    """Fold freshly scored (existing src → batch dst) candidates into a
+    stored edge list: untouched srcs pass through verbatim; touched srcs
+    re-rank their stored top-k against the new candidates. Exact by the
+    domination argument in :func:`append_knn_graph` — ``graph`` may be
+    the full edge list or any slice that CONTAINS every touched src's
+    rows (e.g. only the state buckets being rewritten)."""
     touched = scored_new.select("src").distinct()
     untouched = graph.join(touched, "src", "left_anti")
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
@@ -164,7 +208,7 @@ def append_knn_graph(
         .filter(F.col("rk") <= k_graph)
         .select("src", "dst", "sim")
     )
-    return untouched.unionByName(re_ranked).unionByName(new_src_edges)
+    return untouched.unionByName(re_ranked)
 
 
 def _score(cand: DataFrame, q: DataFrame, c: DataFrame) -> DataFrame:

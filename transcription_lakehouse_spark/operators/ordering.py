@@ -111,12 +111,16 @@ def curriculum_order(
     Deterministic end-to-end, so the whole schedule value-hash-gates
     (`workload/text.py:DOC_CURRICULUM_ORDER_SQL`)."""
     # clamp BOTH ends: scores are [0, 1] from the quality model, but the
-    # operator is generic — a negative score must not mint tier n_buckets
+    # operator is generic — a negative score must not mint tier n_buckets.
+    # NULL scores coalesce to 0.0 first: least/greatest skip nulls, so an
+    # unguarded NULL would resolve to bucket n_buckets-1 = the BEST tier
+    # under high_first; unscored rows must land in the worst tier instead
+    score = F.coalesce(F.col(score_col).cast("double"), F.lit(0.0))
     b = F.greatest(
         F.lit(0),
         F.least(
             F.lit(n_buckets - 1),
-            F.floor(F.col(score_col) * n_buckets).cast("int"),
+            F.floor(score * n_buckets).cast("int"),
         ),
     )
     tier = (F.lit(n_buckets - 1) - b) if high_first else b

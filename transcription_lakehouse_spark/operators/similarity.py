@@ -734,16 +734,15 @@ def semdedup_kmeans(
             den_e = math.sqrt(na) * math.sqrt(nb)
             ce = num_e / den_e if den_e > 0 else 0.0
             keep[t_idx] = float(_round6_half_away(ce)) >= thr
-        lo, hi = [], []
-        for t_idx in np.flatnonzero(keep):
-            a, b = ids[iu[t_idx]], ids[ju[t_idx]]
-            if b < a:
-                a, b = b, a
-            lo.append(a)
-            hi.append(b)
+        # vectorized canonical ordering that still preserves the id dtype
+        # (Series.where keeps string/object ids intact — no numpy
+        # min/max dtype coercion, no per-pair Python loop)
+        ka = pd.Series(ids[iu[keep]], dtype=empty.dtype)
+        kb = pd.Series(ids[ju[keep]], dtype=empty.dtype)
+        swap = kb < ka
         return pd.DataFrame({
-            "id_1": pd.Series(lo, dtype=empty.dtype),
-            "id_2": pd.Series(hi, dtype=empty.dtype),
+            "id_1": ka.where(~swap, kb),
+            "id_2": kb.where(~swap, ka),
         })
 
     # pair schema follows the input id column's type (string doc ids work,

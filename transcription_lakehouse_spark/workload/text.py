@@ -1734,7 +1734,8 @@ WITH qc AS ({_quality_classifier_sql()}),
 tiered AS (
   SELECT doc_id, quality_score,
          ({b - 1}) - GREATEST(0, LEAST({b - 1},
-                           CAST(floor(quality_score * {b}) AS INTEGER)))
+                           CAST(floor(COALESCE(quality_score, 0.0) * {b})
+                                AS INTEGER)))
            AS tier,
          CAST(0 AS BIGINT) AS rep,
          md5(concat_ws(':', '{_CURR_SEED}', 0, doc_id)) AS k
