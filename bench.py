@@ -316,6 +316,29 @@ def bench_graph_build_20x(spark, sf_dir: str):
     return spark.read.parquet(_GRAPH_STORE + "_20x").groupBy().count()
 
 
+def bench_graph_search_coarse_20x(spark, sf_dir: str):
+    """Coarse two-layer descent over the stored 20x graph: the IVF seed
+    layer scores |Q| x 64 centroids (corpus-independent) and each probed
+    cell's member scan grows with the corpus but stays nprobe/64 of it;
+    the walk stage is O(|Q| * beam * k_graph) regardless of corpus."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        graph_topk_coarse,
+    )
+    from transcription_lakehouse_spark.workload._ivf_quantizer import (
+        CENTROIDS,
+    )
+
+    big = _replicated_embeddings(spark, sf_dir)
+    g = spark.read.parquet(_GRAPH_STORE + "_20x")
+    queries = big.filter(F.col("vec_id") % 500 == 0)
+    return graph_topk_coarse(
+        queries, big, g, "vec_id", "embedding", CENTROIDS,
+        k=5, beam=24, hops=2, nprobe=4,
+    )
+
+
 def bench_graph_search_20x(spark, sf_dir: str):
     """Search over the stored 20x graph: the walk stage's cost is
     O(|Q| * beam * k_graph) — independent of corpus size; only the seed
@@ -346,6 +369,7 @@ SCALED = {
     "graph_search_coarse": bench_graph_search_coarse,
     "graph_build_20x": bench_graph_build_20x,
     "graph_search_20x": bench_graph_search_20x,
+    "graph_search_coarse_20x": bench_graph_search_coarse_20x,
 }
 
 

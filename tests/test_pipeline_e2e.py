@@ -639,7 +639,10 @@ def test_stream_cluster_update_maintains_dup_clusters(spark, tmp_path):
     ZERO keeper churn; a new near-dup doc joins its existing cluster."""
     import json as _json
 
-    from transcription_lakehouse_spark.streaming.ingest import stream_cluster_update
+    from transcription_lakehouse_spark.streaming.ingest import (
+        read_versioned_state,
+        stream_cluster_update,
+    )
 
     d = tmp_path / "docs_in"
     d.mkdir()
@@ -663,7 +666,7 @@ def test_stream_cluster_update_maintains_dup_clusters(spark, tmp_path):
 
     clusters = {
         r["doc_id"]: (r["component_id"], r["is_keeper"])
-        for r in spark.read.parquet(f"{state}/clusters").collect()
+        for r in read_versioned_state(spark, f"{state}/clusters").collect()
     }
     # a1/a2 cluster with a1 the keeper; b1 is a singleton (not emitted)
     assert clusters == {"a1": ("a1", True), "a2": ("a1", False)}
@@ -674,7 +677,7 @@ def test_stream_cluster_update_maintains_dup_clusters(spark, tmp_path):
     q.awaitTermination(120)
     replayed = {
         r["doc_id"]: (r["component_id"], r["is_keeper"])
-        for r in spark.read.parquet(f"{state}/clusters").collect()
+        for r in read_versioned_state(spark, f"{state}/clusters").collect()
     }
     assert replayed == clusters  # zero keeper churn
     assert spark.read.parquet(f"{state}/corpus").count() == 3
@@ -687,7 +690,7 @@ def test_stream_cluster_update_maintains_dup_clusters(spark, tmp_path):
     q.awaitTermination(120)
     grown = {
         r["doc_id"]: (r["component_id"], r["is_keeper"])
-        for r in spark.read.parquet(f"{state}/clusters").collect()
+        for r in read_versioned_state(spark, f"{state}/clusters").collect()
     }
     assert grown == {
         "a1": ("a1", True),
@@ -707,7 +710,10 @@ def test_stream_cluster_update_survives_partial_failure_replay(spark, tmp_path):
         minhash_signature,
         signature_bands,
     )
-    from transcription_lakehouse_spark.streaming.ingest import stream_cluster_update
+    from transcription_lakehouse_spark.streaming.ingest import (
+        read_versioned_state,
+        stream_cluster_update,
+    )
 
     d = tmp_path / "docs_in"
     d.mkdir()
@@ -737,7 +743,7 @@ def test_stream_cluster_update_survives_partial_failure_replay(spark, tmp_path):
 
     clusters = {
         r["doc_id"]: (r["component_id"], r["is_keeper"])
-        for r in spark.read.parquet(f"{state}/clusters").collect()
+        for r in read_versioned_state(spark, f"{state}/clusters").collect()
     }
     assert clusters == {"a1": ("a1", True), "a2": ("a1", False)}
     # corpus has each doc exactly once; duplicated pairs/bands tolerated
@@ -758,7 +764,10 @@ def test_stream_hll_update_matches_batch_estimate(spark, tmp_path):
         hll_cardinality,
         hll_estimate_from_registers,
     )
-    from transcription_lakehouse_spark.streaming.ingest import stream_hll_update
+    from transcription_lakehouse_spark.streaming.ingest import (
+        read_versioned_state,
+        stream_hll_update,
+    )
 
     d = tmp_path / "hll_in"
     d.mkdir()
@@ -779,7 +788,7 @@ def test_stream_hll_update_matches_batch_estimate(spark, tmp_path):
     streamed = {
         r["event_type"]: r["harmonic_sum_scaled"]
         for r in hll_estimate_from_registers(
-            spark.read.parquet(state), ["event_type"]
+            read_versioned_state(spark, state), ["event_type"]
         ).collect()
     }
     all_rows = spark.createDataFrame(
@@ -798,10 +807,26 @@ def test_stream_hll_update_matches_batch_estimate(spark, tmp_path):
     replayed = {
         r["event_type"]: r["harmonic_sum_scaled"]
         for r in hll_estimate_from_registers(
-            spark.read.parquet(state), ["event_type"]
+            read_versioned_state(spark, state), ["event_type"]
         ).collect()
     }
     assert replayed == streamed
+
+    # versioned-store contract: exactly one COMPLETE version remains
+    # after pruning, and an incomplete dir (no _SUCCESS — the crash
+    # window mid-write) is invisible to the reader
+    import os
+
+    vdirs = [n for n in os.listdir(state) if n.startswith("v=")]
+    assert len(vdirs) == 1, vdirs
+    os.makedirs(os.path.join(state, "v=99"))  # crashed write: no _SUCCESS
+    survivors = {
+        r["event_type"]: r["harmonic_sum_scaled"]
+        for r in hll_estimate_from_registers(
+            read_versioned_state(spark, state), ["event_type"]
+        ).collect()
+    }
+    assert survivors == streamed  # accumulated registers not lost
 
 
 def test_streaming_quality_stats_windows(spark, tmp_path):
@@ -1757,59 +1782,111 @@ def test_cli_curate_append_incremental(spark, tmp_path):
 
 def test_stream_graph_update_matches_batch_rebuild(spark, tmp_path):
     """Streaming k-NN-graph maintenance: three micro-batches fold into the
-    persisted edge list via append_knn_graph; the final streamed graph
-    must equal a batch build over the accumulated corpus EXACTLY (the
-    append==rebuild contract carried through foreachBatch), and a
-    crash-window replay (fresh checkpoint, same files) changes nothing."""
+    persisted edge list via the append_knn_graph semantics; the final
+    streamed graph must equal a batch build over the accumulated corpus
+    EXACTLY (the append==rebuild contract carried through foreachBatch),
+    a micro-batch rewrites ONLY the edge buckets it touches (untouched
+    bucket files stay byte-identical — the o(state)-writes-per-batch
+    pin), and a crash-window replay (fresh checkpoint, same files)
+    changes nothing on disk."""
+    import glob
+    import hashlib
     import json as _json
+    import random
 
-    from tests.test_operators import _clustered_vectors
     from transcription_lakehouse_spark.operators.graph_ann import (
         build_knn_graph,
     )
     from transcription_lakehouse_spark.streaming.ingest import (
+        read_graph_state,
         stream_graph_update,
     )
 
-    rows = _clustered_vectors(n_per_cluster=8)[:24]
+    # ORTHOGONAL clusters (disjoint active dims, cross-cluster cosine ~0)
+    # — _clustered_vectors' hypercube corners share 14/16 coordinates
+    # (cosine ~0.875), which makes LSH collide every src with every batch
+    # and would leave nothing untouched to pin
+    random.seed(23)
+    rows = []
+    for c in range(3):
+        for i in range(8):
+            v = [random.gauss(0, 0.05) for _ in range(15)]
+            for d_ in range(5 * c, 5 * c + 5):
+                v[d_] += 10.0
+            rows.append((c * 8 + i, v))
     d = tmp_path / "graph_in"
     d.mkdir()
     st = str(tmp_path / "graph_state")
-    for b in range(3):
+
+    def _edge_file_hashes():
+        return {
+            p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(st + "/edges/bucket=*/*.parquet")
+        }
+
+    # 8 planes/band -> selective buckets: cross-cluster collisions are
+    # rare, so a batch from one cluster genuinely leaves other clusters'
+    # srcs untouched (with the default 4, every pair collides in some
+    # band and the partial-rewrite pin would be vacuous)
+    def _run(in_dir, ck):
+        q = stream_graph_update(
+            spark, str(in_dir), st, str(tmp_path / ck), k_graph=4,
+            planes_per_band=8, n_state_buckets=16,
+        )
+        q.awaitTermination(180)
+
+    # batches 0+1 first, then batch 2 separately so we can hash the edge
+    # store in between and pin the partial rewrite
+    for b in range(2):
         (d / f"b{b}.jsonl").write_text(
             "\n".join(
                 _json.dumps({"vec_id": vid, "embedding": emb})
                 for vid, emb in rows[b * 8:(b + 1) * 8]
             )
         )
-    q = stream_graph_update(
-        spark, str(d), st, str(tmp_path / "ck1"), k_graph=4
+    _run(d, "ck1")
+    h_before = _edge_file_hashes()
+    (d / "b2.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"vec_id": vid, "embedding": emb})
+            for vid, emb in rows[16:24]
+        )
     )
-    q.awaitTermination(180)
+    _run(d, "ck1")  # same checkpoint: only the new file is a new batch
+    h_after = _edge_file_hashes()
 
-    state = spark.read.parquet(st)
-    nodes = state.filter(F.col("dst").isNull())
-    edges = state.filter(F.col("dst").isNotNull()).select(
-        F.col("vec_id").alias("src"), "dst", "sim"
-    )
+    # partial rewrite: batch 2 left at least one prior bucket untouched,
+    # and every untouched bucket's files are byte-identical
+    untouched = [p for p in h_before if p in h_after]
+    assert untouched, "batch rewrote every bucket file"
+    assert all(h_after[p] == h_before[p] for p in untouched)
+    survived_buckets = {p.split("bucket=")[1].split("/")[0] for p in untouched}
+    all_buckets = {
+        p.split("bucket=")[1].split("/")[0] for p in h_before
+    }
+    assert survived_buckets, "no bucket dir survived the append"
+    # o(state) writes: the rewrite covered a strict subset of buckets
+    rewritten = all_buckets - survived_buckets
+    assert len(rewritten) < len(all_buckets)
+
+    nodes, edges = read_graph_state(spark, st)
     assert nodes.count() == 24
     full = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     want = sorted(
         map(tuple, build_knn_graph(
-            full, "vec_id", "embedding", k_graph=4
+            full, "vec_id", "embedding", k_graph=4, planes_per_band=8,
         ).collect())
     )
     assert sorted(map(tuple, edges.collect())) == want
 
     # replay every file through a FRESH checkpoint: anti-join makes the
-    # whole stream a no-op on existing state
-    before = sorted(map(tuple, state.collect()), key=repr)
-    q = stream_graph_update(
-        spark, str(d), st, str(tmp_path / "ck2"), k_graph=4
-    )
-    q.awaitTermination(180)
-    state2 = spark.read.parquet(st)
-    assert sorted(map(tuple, state2.collect()), key=repr) == before
+    # whole stream a no-op on existing state — bit-identical files, no
+    # rewrites at all
+    _run(d, "ck2")
+    assert _edge_file_hashes() == h_after
+    nodes2, edges2 = read_graph_state(spark, st)
+    assert nodes2.count() == 24
+    assert sorted(map(tuple, edges2.collect())) == want
 
 
 def test_cli_curate_curriculum_order(spark, tmp_path):

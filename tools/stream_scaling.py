@@ -60,6 +60,13 @@ def main() -> None:
 
         def _count(path: str) -> int:
             try:
+                if path.endswith("/clusters"):  # versioned store (r7)
+                    from transcription_lakehouse_spark.streaming.ingest import (
+                        read_versioned_state,
+                    )
+
+                    df = read_versioned_state(spark, path)
+                    return df.count() if df is not None else 0
                 return spark.read.parquet(path).count()
             except Exception:  # state not created yet (no pairs so far)
                 return 0

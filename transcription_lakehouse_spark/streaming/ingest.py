@@ -32,6 +32,8 @@ __all__ = [
     "stream_cluster_update",
     "stream_hll_update",
     "stream_graph_update",
+    "read_graph_state",
+    "read_versioned_state",
 ]
 
 
@@ -309,7 +311,7 @@ def stream_cluster_update(
             return  # no cluster structure changed
 
         # CC delta: recompute only components reachable from the new pairs
-        old_clusters = _read_state(sess, clusters_path)
+        old_clusters = read_versioned_state(sess, clusters_path)
         touched = (
             new_pairs.select(F.col(f"{id_col}_1").alias("doc_id"))
             .union(new_pairs.select(F.col(f"{id_col}_2").alias("doc_id")))
@@ -343,7 +345,12 @@ def stream_cluster_update(
         out = (
             kept.unionByName(recomputed) if kept is not None else recomputed
         ).localCheckpoint()  # materialize BEFORE overwriting our own input
-        out.write.mode("overwrite").parquet(clusters_path)
+        # versioned commit (write-new-then-prune, the stream_hll_update
+        # discipline): a bare overwrite here has a partial-job-commit
+        # window in which _read_state would see a half-written dir as
+        # valid cluster state and the delta scoping would silently drop
+        # the missing components' assignments
+        _write_versioned(out, clusters_path, batch_id, sess)
         # the replay gate commits ONLY after all derived state is durable
         fresh.select(id_col, text_col).write.mode("append").parquet(corpus_path)
 
@@ -354,6 +361,58 @@ def stream_cluster_update(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _fs_of(sess: SparkSession, path: str):
+    jvm = sess._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(sess._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _complete_versions(sess: SparkSession, root: str) -> list[tuple[int, str]]:
+    """``v=K`` child dirs of ``root`` that finished their job commit
+    (``_SUCCESS`` marker present), newest first."""
+    fs, hroot, jvm = _fs_of(sess, root)
+    if not fs.exists(hroot):
+        return []
+    out = []
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v=")):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append((v, str(st.getPath())))
+    out.sort(reverse=True)
+    return out
+
+
+def read_versioned_state(sess: SparkSession, root: str) -> DataFrame | None:
+    """Read the newest COMPLETE version of a versioned state store
+    (``root/v=K`` dirs written by `stream_hll_update` /
+    `stream_cluster_update`), or None when no complete version exists
+    yet."""
+    versions = _complete_versions(sess, root)
+    return sess.read.parquet(versions[0][1]) if versions else None
+
+
+def _write_versioned(
+    df: DataFrame, root: str, batch_id: int, sess: SparkSession
+) -> None:
+    """Write-new-then-prune versioned commit: materialize ``df`` as
+    ``root/v=<batch_id>`` and only then delete older complete versions.
+    A crash mid-write leaves the previous version authoritative; a crash
+    before the prune leaves two complete versions that converge on
+    replay (the caller's merge must be idempotent, which max-merge and
+    full-recompute both are)."""
+    df.write.mode("overwrite").parquet(f"{root}/v={batch_id}")
+    fs, _, jvm = _fs_of(sess, root)
+    for v, old in _complete_versions(sess, root):
+        if v != batch_id:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
 
 
 def stream_hll_update(
@@ -372,7 +431,17 @@ def stream_hll_update(
     no-ops (max of identical registers). The batch estimator
     (`hll_estimate_from_registers`) reads the same state — streaming and
     batch agree by construction because registers, not floats, are the
-    state."""
+    state. Read it back with :func:`read_versioned_state`.
+
+    Crash contract: state versions are WRITE-NEW-THEN-PRUNE — each batch
+    writes ``{state}/v=<batch_id>`` and only then deletes older complete
+    versions. A crash mid-write leaves the previous complete version as
+    the newest ``_SUCCESS``-marked dir, so the replay merges against it;
+    a crash after the write but before the prune (or before the stream
+    checkpoint commits) leaves two complete versions whose contents
+    CONVERGE on replay because the max-merge is idempotent. At no point
+    can accumulated registers be lost to a half-finished overwrite (the
+    round-6 advice against delete-then-write on the only copy)."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from ..operators.sketches import hll_registers
@@ -393,17 +462,17 @@ def stream_hll_update(
             return
         sess = batch.sparkSession
         delta = hll_registers(batch, key_col, gcols)
-        existing = _read_state(sess, state_path)
+        existing = read_versioned_state(sess, state_path)
         if existing is not None:
             merged = (
                 existing.unionByName(delta)
                 .groupBy(*gcols, "register")
                 .agg(F.max("max_rank").alias("max_rank"))
             )
-        else:  # first batch
+        else:  # first complete version
             merged = delta
-        merged = merged.localCheckpoint()  # materialize before self-overwrite
-        merged.write.mode("overwrite").parquet(state_path)
+        merged = merged.localCheckpoint()  # sever lineage from the old version
+        _write_versioned(merged, state_path, batch_id, sess)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
@@ -412,6 +481,19 @@ def stream_hll_update(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_graph_state(
+    spark: SparkSession, state_path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Read a `stream_graph_update` state store back as ``(nodes, edges)``
+    — nodes ``(id, vector)``, edges ``(src, dst, sim)``. Either is None
+    when that store does not exist yet."""
+    nodes = _read_state(spark, state_path + "/nodes")
+    raw = _read_state(spark, state_path + "/edges")
+    edges = raw.select("src", "dst", "sim") if raw is not None else None
+    return nodes, edges
 
 
 def stream_graph_update(
@@ -424,22 +506,49 @@ def stream_graph_update(
     k_graph: int = 8,
     n_bands: int = 8,
     planes_per_band: int = 4,
+    n_state_buckets: int = 64,
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Live k-NN-GRAPH maintenance (the graph-index sibling of
     `stream_index_update`): each micro-batch of new vectors folds into the
-    persisted edge list via `append_knn_graph`, whose contract is EXACT
-    equality with a full rebuild — so the streamed graph never drifts from
-    what batch construction over the accumulated corpus would produce
-    (pinned by the parity e2e).
+    persisted edge list with the `append_knn_graph` semantics, whose
+    contract is EXACT equality with a full rebuild — so the streamed graph
+    never drifts from what batch construction over the accumulated corpus
+    would produce (pinned by the parity e2e).
 
-    State is ONE self-describing parquet (the single-store discipline of
-    `stream_hll_update` — one localCheckpoint + overwrite per batch, so a
-    replayed batch sees either the old or the new state, never half):
-    node rows carry ``(id, vector, dst=NULL, sim=NULL)`` membership +
-    the fold's vector inputs; edge rows carry ``(src, NULL, dst, sim)``.
-    Replays are no-ops: ids already in the node set anti-join away and an
-    empty batch is append_knn_graph's identity."""
+    State layout (the 100 TB shape — per-batch WRITE is O(touched), not
+    O(corpus)):
+
+    - ``{state}/nodes``: append-only parquet ``(id, vector)`` — each batch
+      appends only its genuinely new rows; nothing is ever rewritten.
+    - ``{state}/edges``: parquet partitioned by
+      ``bucket = pmod(hash(src), n_state_buckets)``. A batch rewrites ONLY
+      the buckets holding a touched src (bucket collision with the batch)
+      or a new src, via dynamic partition overwrite — untouched buckets'
+      files stay byte-identical (pinned by the partial-rewrite e2e). At
+      1 B nodes a batch touches o(buckets), so per-batch I/O tracks the
+      delta, not the accumulated corpus.
+
+    Crash contract — REPLAY-IDEMPOTENT rather than atomic (a file-system
+    rename cannot cover a two-store commit anyway): edges commit first,
+    then nodes append. Every crash point replays to the same final state:
+
+    - before the edge write: nothing changed; the replay re-runs whole.
+    - during/after the edge write, before the node append: the replayed
+      batch is still fully "new" (node anti-join), and the fold SANITIZES
+      the edge slice first — rows whose src or dst is a batch id (minted
+      by the crashed attempt) are dropped and recomputed, and exact
+      duplicate rows from a half-replaced bucket dir are deduped. Bucket
+      membership is corpus-independent, so the recomputed content is
+      bit-equal and the overwrite is idempotent.
+    - during the node append: the committed subset S is corpus now; the
+      replay folds ``batch \\ S`` — exact by the same domination argument
+      that makes append == rebuild (folding a batch in two pieces equals
+      folding it at once). Edges already written for S stay correct
+      because S-src rows with batch dsts are re-derived, not trusted.
+
+    Replays of fully committed batches are no-ops: ids already in the
+    node store anti-join away before any write."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -448,7 +557,12 @@ def stream_graph_update(
         StructType,
     )
 
-    from ..operators.graph_ann import append_knn_graph, build_knn_graph
+    from ..operators.graph_ann import (
+        _batch_candidate_scores,
+        _fold_edges,
+        _new_src_edges,
+        build_knn_graph,
+    )
 
     schema = StructType([
         StructField(id_col, LongType(), False),
@@ -459,21 +573,9 @@ def stream_graph_update(
         .option("maxFilesPerTrigger", 1)
         .json(input_dir)
     )
-
-    def _pack(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-        n = nodes.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.lit(None).cast("long").alias("dst"),
-            F.lit(None).cast("double").alias("sim"),
-        )
-        e = edges.select(
-            F.col("src").alias(id_col),
-            F.lit(None).cast("array<double>").alias(vec_col),
-            F.col("dst"),
-            F.col("sim"),
-        )
-        return n.unionByName(e)
+    nodes_path = state_path + "/nodes"
+    edges_path = state_path + "/edges"
+    bucket_of = lambda c: F.pmod(F.hash(c), F.lit(n_state_buckets))  # noqa: E731
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -482,31 +584,80 @@ def stream_graph_update(
         # rows (and double-fold their vectors); keep the first occurrence
         batch = batch.dropDuplicates([id_col])
         sess = batch.sparkSession
-        state = _read_state(sess, state_path)
-        if state is None:
-            new = batch
-            nodes1 = new
+        nodes = _read_state(sess, nodes_path)
+        if nodes is None:
+            new = batch.localCheckpoint()
             g1 = build_knn_graph(
                 new, id_col, vec_col,
                 k_graph=k_graph, n_bands=n_bands,
                 planes_per_band=planes_per_band,
             )
-        else:
-            nodes = state.filter(F.col("dst").isNull()).select(
-                id_col, vec_col
+            (
+                g1.withColumn("bucket", bucket_of(F.col("src")))
+                .repartition(F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(edges_path)
             )
-            edges = state.filter(F.col("dst").isNotNull()).select(
-                F.col(id_col).alias("src"), "dst", "sim"
+            new.write.mode("append").parquet(nodes_path)
+            return
+        new = batch.join(
+            nodes.select(id_col), id_col, "left_anti"
+        ).localCheckpoint()
+        if not new.head(1):
+            return  # fully replayed batch: exact no-op, zero writes
+        scored_new = _batch_candidate_scores(
+            nodes, new, id_col, vec_col, n_bands, planes_per_band
+        )
+        new_edges = _new_src_edges(
+            nodes, new, id_col, vec_col,
+            k_graph, n_bands, planes_per_band,
+        )
+        # the buckets this batch may change: touched existing srcs + new srcs
+        touched_buckets = [
+            r["b"]
+            for r in scored_new.select(
+                bucket_of(F.col("src")).alias("b")
+            ).unionByName(
+                new.select(bucket_of(F.col(id_col)).alias("b"))
+            ).distinct().collect()
+        ]
+        # partition-pruned read: only the bucket dirs being rewritten
+        edge_slice = (
+            sess.read.parquet(edges_path)
+            .filter(F.col("bucket").isin(touched_buckets))
+            .select("src", "dst", "sim")
+        )
+        # replay sanitize (see crash contract above): drop rows a crashed
+        # attempt of THIS batch may have committed, then dedup rows that a
+        # half-replaced bucket dir can duplicate
+        new_ids = new.select(F.col(id_col).alias("_nid"))
+        slice_clean = (
+            edge_slice
+            .join(
+                F.broadcast(new_ids),
+                F.col("src") == F.col("_nid"), "left_anti",
             )
-            new = batch.join(nodes.select(id_col), id_col, "left_anti")
-            nodes1 = nodes.unionByName(new)
-            g1 = append_knn_graph(
-                edges, nodes, new, id_col, vec_col,
-                k_graph=k_graph, n_bands=n_bands,
-                planes_per_band=planes_per_band,
+            .join(
+                F.broadcast(new_ids),
+                F.col("dst") == F.col("_nid"), "left_anti",
             )
-        packed = _pack(nodes1, g1).localCheckpoint()  # before self-overwrite
-        packed.write.mode("overwrite").parquet(state_path)
+            .dropDuplicates(["src", "dst"])
+        )
+        out = (
+            _fold_edges(slice_clean, scored_new, k_graph)
+            .unionByName(new_edges)
+            .withColumn("bucket", bucket_of(F.col("src")))
+            .localCheckpoint()  # materialize before the self-overwrite
+        )
+        (
+            out.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(edges_path)
+        )
+        new.write.mode("append").parquet(nodes_path)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
