@@ -485,3 +485,70 @@ def test_curate_quality_gate_single_scan_no_join(spark, tmp_path):
     plan = per_src._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_graph_walk_plan_size_bounded_and_deep_walk_checkpoints(spark):
+    """Plan-compile guard for the iterative beam walk (round-6 verdict
+    ask #7): at the committed hops=2 the fully-declarative plan must stay
+    under a pinned size (each hop unrolls ~1,900 physical-plan lines —
+    bounded, but growth would silently explode analyzer cost); at
+    hops>2 the per-hop localCheckpoint kicks in, so the DEEP walk's plan
+    stays one-hop-sized AND produces identical results to the unrolled
+    lineage."""
+    import pyspark.sql.functions as F
+
+    from transcription_lakehouse_spark.operators.graph_ann import (
+        build_knn_graph,
+        graph_topk,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    graph = build_knn_graph(emb, "vec_id", "embedding", k_graph=8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    out2 = graph_topk(
+        queries, emb, graph, "vec_id", "embedding", k=5, beam=16, hops=2
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    n2 = len(plan2.splitlines())
+    assert n2 < 6000, f"hops=2 walk plan grew to {n2} lines"
+
+    # deep walk: checkpointed per hop -> compiled plan is ~one hop deep,
+    # NOT 2x the hops=2 plan
+    out4 = graph_topk(
+        queries, emb, graph, "vec_id", "embedding", k=5, beam=16, hops=4
+    )
+    plan4 = out4._jdf.queryExecution().executedPlan().toString()
+    n4 = len(plan4.splitlines())
+    assert n4 < n2, (
+        f"hops=4 plan ({n4} lines) should be SMALLER than the unrolled "
+        f"hops=2 plan ({n2}) — per-hop checkpoint not cutting lineage"
+    )
+
+    # value parity: checkpointing only materializes, never changes, the
+    # beam — force it on at hops=2 and compare against the default
+    from transcription_lakehouse_spark.operators import graph_ann as ga
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        ga.as_double_array("embedding").alias("qv"),
+    ).withColumn("qn", ga.l2_norm(F.col("qv")))
+    c = emb.select(
+        F.col("vec_id").alias("node_id"),
+        ga.as_double_array("embedding").alias("cv"),
+    ).withColumn("cn", ga.l2_norm(F.col("cv")))
+    qb = ga._banded_buckets(q.select("query_id", "qv"), "qv", 2, 4)
+    cb = ga._banded_buckets(c.select("node_id", "cv"), "cv", 2, 4)
+    seeds = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("node_id"))
+        .select("query_id", "node_id").distinct()
+    )
+    beam0 = ga._top_beam(ga._score(seeds, q, c), 16)
+    plain = ga._walk_and_rank(beam0, graph, q, c, 2, 16, 5,
+                              checkpoint_hops=False)
+    ckpt = ga._walk_and_rank(beam0, graph, q, c, 2, 16, 5,
+                             checkpoint_hops=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, ckpt.collect())
+    )

@@ -293,8 +293,21 @@ def graph_topk(
 def _walk_and_rank(
     beam_df: DataFrame, graph: DataFrame, q: DataFrame, c: DataFrame,
     hops: int, beam: int, k: int,
+    checkpoint_hops: bool | None = None,
 ) -> DataFrame:
-    """Shared beam-walk + final ranking for both seed strategies."""
+    """Shared beam-walk + final ranking for both seed strategies.
+
+    Plan-compile guard: every hop UNROLLS into the logical plan (~1,900
+    physical-plan lines / ~90 exchanges per hop at sf0.1 — bounded and
+    fine at the committed hops=2, but super-linear analyzer cost beyond).
+    ``checkpoint_hops`` (default: on for hops > 2) severs the lineage
+    after each hop with a localCheckpoint, so the compiled plan stays
+    one-hop-sized regardless of walk depth; values are unchanged (the
+    beam is materialized, not recomputed). The hops<=2 default keeps the
+    fully-declarative plan the DuckDB twin replays and the plan-size pin
+    (tests/test_plans.py) enforces."""
+    if checkpoint_hops is None:
+        checkpoint_hops = hops > 2
     for _ in range(hops):
         # rescore only the NEW frontier — the beam's sims are already exact
         # (pure functions of the pair), so re-fetching those vectors every
@@ -315,6 +328,8 @@ def _walk_and_rank(
         beam_df = _top_beam(
             _score(frontier, q, c).unionByName(beam_df), beam
         )
+        if checkpoint_hops:
+            beam_df = beam_df.localCheckpoint()
 
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node_id"))
     return (
