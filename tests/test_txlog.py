@@ -1,0 +1,201 @@
+"""Transaction-log table format: commit atomicity, snapshot isolation,
+time travel, file-level delete/merge pruning, compaction as a metadata
+swap, log-driven vacuum, CDF-style changes, and the single-writer
+conflict contract."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from transcription_lakehouse_spark.txlog import ConcurrentCommitError, LogTable
+
+
+def _mk(spark, ids, tag="a"):
+    return spark.createDataFrame(
+        [(i, f"{tag}{i}") for i in ids], "id bigint, val string"
+    )
+
+
+def _rows(df):
+    return sorted((r["id"], r["val"]) for r in df.collect())
+
+
+def test_append_read_and_time_travel(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_mk(spark, range(5)))
+    v1 = t.append(_mk(spark, range(5, 8)))
+    assert (v0, v1) == (0, 1)
+    assert _rows(t.read()) == _rows(_mk(spark, range(8)))
+    # time travel: v0 still shows only the first append
+    assert _rows(t.read(version=0)) == _rows(_mk(spark, range(5)))
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["append", "append"]
+
+
+def test_overwrite_is_snapshot_atomic_and_schema_can_change(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(4)))
+    # appends must keep the schema
+    with pytest.raises(ValueError, match="schema enforcement"):
+        t.append(spark.createDataFrame([(1,)], "id bigint"))
+    v = t.overwrite(spark.createDataFrame([(9, 2.5)], "id bigint, score double"))
+    assert v == 1
+    assert [tuple(r) for r in t.read().collect()] == [(9, 2.5)]
+    # the pre-overwrite snapshot is untouched
+    assert _rows(t.read(version=0)) == _rows(_mk(spark, range(4)))
+
+
+def test_uncommitted_files_invisible_and_orphan_vacuum(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LogTable(spark, root)
+    t.append(_mk(spark, range(3)))
+    before = _rows(t.read())
+    # a crashed writer: data files exist, no commit JSON
+    _mk(spark, range(100, 200), tag="junk").write.parquet(
+        root + "/data/c99999999-deadbeef"
+    )
+    assert _rows(t.read()) == before, "reader followed unlisted files"
+    swept = t.vacuum(retain_last=5, remove_orphans=True)
+    assert swept["orphans_deleted"] >= 1
+    assert _rows(t.read()) == before
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(0, 50)))        # commit files A
+    t.append(_mk(spark, range(100, 150)))     # commit files B
+    files_before, _ = t._snapshot()
+    out = t.delete("id >= 100 AND id < 110")
+    assert out["rewritten_files"] >= 1
+    files_after, _ = t._snapshot()
+    # every file from the untouched first append survives verbatim
+    a_files = [f for f in files_before if "/c00000000-" in f]
+    assert a_files and all(f in files_after for f in a_files)
+    assert _rows(t.read()) == _rows(
+        _mk(spark, range(0, 50)).unionByName(_mk(spark, range(110, 150)))
+    )
+    # deleting nothing commits an empty change, content stable
+    out2 = t.delete("id = 999999")
+    assert out2["rewritten_files"] == 0
+    assert _rows(t.read()) == _rows(
+        _mk(spark, range(0, 50)).unionByName(_mk(spark, range(110, 150)))
+    )
+
+
+def test_merge_upserts_and_prunes_untouched_files(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(0, 50)))
+    t.append(_mk(spark, range(100, 150)))
+    files_before, _ = t._snapshot()
+    updates = spark.createDataFrame(
+        [(0, "UPDATED"), (200, "NEW")], "id bigint, val string"
+    )
+    out = t.merge(updates, key="id")
+    files_after, _ = t._snapshot()
+    got = dict(_rows(t.read()))
+    assert got[0] == "UPDATED" and got[200] == "NEW" and got[149] == "a149"
+    assert len(got) == 101
+    # the second append holds no matched key: its files carry over
+    b_files = [f for f in files_before if "/c00000001-" in f]
+    assert b_files and all(f in files_after for f in b_files)
+    assert out["rewritten_files"] >= 1
+
+
+def test_compact_swaps_metadata_and_preserves_history(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 40, 10):
+        t.append(_mk(spark, range(lo, lo + 10)))
+    want = _rows(t.read())
+    out = t.compact(target_files=1)
+    assert out["files_after"] == 1 and out["files_before"] >= 4
+    assert _rows(t.read()) == want
+    # pre-compact versions still time-travel (old files not deleted yet)
+    assert _rows(t.read(version=0)) == _rows(_mk(spark, range(10)))
+    # vacuum retaining only the compacted tip physically drops old files
+    res = t.vacuum(retain_last=1)
+    assert res["deleted"] >= 4
+    assert _rows(t.read()) == want
+    n_live = len(glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet")))
+    assert n_live == 1
+
+
+def test_changes_reports_inserts_and_deletes(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(5)))            # v0
+    t.append(_mk(spark, range(5, 8)))         # v1
+    t.delete("id = 1")                        # v2
+    ins = t.changes(0, 1)
+    assert sorted(r["id"] for r in ins.collect()) == [5, 6, 7]
+    assert {r["_change_type"] for r in ins.collect()} == {"insert"}
+    ch = t.changes(1, 2).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch] == [(1, "delete")]
+
+
+def test_concurrent_commit_raises_and_loser_leaves_no_state(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(3)))
+    # a racer installs version 1 first
+    racer = LogTable(spark, str(tmp_path / "t"))
+    racer.append(_mk(spark, range(10, 13)))
+    # simulate the slow writer: it computed version()==1 before the racer
+    # committed; its rename must fail cleanly
+    rec = t._record(1, "append", [], [], "struct<id:bigint,val:string>")
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(rec)
+    # no half-commit: log has exactly versions 0 and 1, tmp files cleaned
+    logs = sorted(
+        n for n in os.listdir(str(tmp_path / "t" / "_txlog"))
+        if not n.startswith(".")  # Hadoop local-FS .crc sidecars
+    )
+    assert logs == ["00000000000000000000.json", "00000000000000000001.json"]
+    assert _rows(t.read()) == _rows(
+        _mk(spark, range(3)).unionByName(_mk(spark, range(10, 13)))
+    )
+
+
+def test_snapshot_pins_files_against_later_compaction(spark, tmp_path):
+    """Isolation: a reader that resolved its snapshot keeps a stable file
+    list — a compact + vacuum(retain_last=1) AFTER resolution deletes the
+    old files, but the already-planned DataFrame read the pinned list, so
+    fresh readers of the OLD version fail loudly rather than silently
+    reading mixed state."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(6)))
+    df_v0 = t.read(version=0)
+    got = _rows(df_v0)  # materialize BEFORE the rewrite
+    t.compact(target_files=1)
+    t.vacuum(retain_last=1)
+    assert got == _rows(_mk(spark, range(6)))
+    assert _rows(t.read()) == got  # tip unaffected
+
+
+def test_cli_table_group(spark, tmp_path):
+    """`table history/compact/vacuum` CLI over a LogTable."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    for lo in (0, 10, 20):
+        t.append(_mk(spark, range(lo, lo + 10)))
+    r = CliRunner().invoke(cli, ["table", "history", str(tmp_path / "t")])
+    assert r.exit_code == 0, r.output
+    lines = [_json.loads(x) for x in r.output.strip().splitlines()]
+    assert [x["version"] for x in lines] == [0, 1, 2]
+    r = CliRunner().invoke(
+        cli, ["table", "compact", str(tmp_path / "t"), "--target-files", "1"]
+    )
+    assert r.exit_code == 0, r.output
+    assert _json.loads(r.output)["files_after"] == 1
+    r = CliRunner().invoke(
+        cli, ["table", "vacuum", str(tmp_path / "t"), "--retain-last", "1"]
+    )
+    assert r.exit_code == 0, r.output
+    assert _json.loads(r.output)["deleted"] >= 2
+    assert _rows(t.read()) == _rows(_mk(spark, range(30)))

@@ -46,11 +46,20 @@ def main() -> int:
     emb = load_table(spark, sf_dir, "embeddings")
     n0 = emb.count()
     reps = spark.range(factor).withColumnRenamed("id", "rep")
-    # deterministic near-dup perturbation: copy r shifts dim d by
-    # ((r*31 + d) % 7 - 3) * 1e-3 — no RNG, replayable anywhere
+    # deterministic perturbation SIZED TO THE GEOMETRY (no RNG): the base
+    # corpus is unit-norm with top-5 cosine ~0.37, so a noise vector of
+    # norm ~0.75 puts replica<->source cosine ~0.8 — replicas still ARE
+    # the true neighbors, but a 10-plane band keeps same-source replicas
+    # in one bucket only ~10% of the time, so seed quality + the graph
+    # walk genuinely determine recall (a 1e-3 shift made recall vacuously
+    # 1.0 for every variant). Pseudo-noise: affine hash mod 2000 mapped
+    # to [-0.5, 0.5], scaled 0.33 (E-norm ~= 0.33*sqrt(64/12) ~= 0.76)
     pert = F.transform(
         F.col("embedding"),
-        lambda x, d: x + ((F.col("rep") * 31 + d) % 7 - 3) * F.lit(1e-3),
+        lambda x, d: x + (
+            ((F.col("rep") * 1009 + d * 97 + F.col("vec_id") * 31) % 2000)
+            / F.lit(2000.0) - F.lit(0.5)
+        ) * F.lit(0.33),
     )
     big = (
         emb.crossJoin(F.broadcast(reps))

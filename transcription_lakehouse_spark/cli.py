@@ -362,6 +362,50 @@ def vacuum(artifact, lakehouse_path, keep_last, older_than, dry_run):
     _echo({"artifact": artifact, "dry_run": dry_run, "removed": removed})
 
 
+@cli.group()
+def table() -> None:
+    """Transaction-log tables (Delta-class semantics on plain parquet —
+    see `txlog.py`)."""
+
+
+@table.command("history")
+@click.argument("path", type=click.Path(exists=True))
+def table_history(path):
+    """Show a table's commit log."""
+    from .txlog import LogTable
+
+    t = LogTable(_spark("table-history"), path)
+    for h in t.history():
+        click.echo(json.dumps(h, sort_keys=True))  # one line per commit
+
+
+@table.command("compact")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--target-files", type=int, default=1, show_default=True)
+def table_compact(path, target_files):
+    """OPTIMIZE: coalesce the live file set (metadata swap; prior
+    versions still time-travel until vacuumed)."""
+    from .txlog import LogTable
+
+    t = LogTable(_spark("table-compact"), path)
+    _echo(t.compact(target_files=target_files))
+
+
+@table.command("vacuum")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--retain-last", type=int, default=2, show_default=True)
+@click.option("--remove-orphans", is_flag=True,
+              help="Also sweep data files no commit references (crashed "
+                   "or lost-race writers). Off by default: an in-flight "
+                   "writer's staged files look identical to orphans.")
+def table_vacuum(path, retain_last, remove_orphans):
+    """Delete files no retained snapshot references."""
+    from .txlog import LogTable
+
+    t = LogTable(_spark("table-vacuum"), path)
+    _echo(t.vacuum(retain_last=retain_last, remove_orphans=remove_orphans))
+
+
 @cli.command()
 @click.argument("documents_path", type=click.Path(exists=True))
 @click.argument("output_dir", type=click.Path())
