@@ -511,10 +511,15 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
             )
         existing = spark.read.parquet(output_dir)
         # left-anti on placed ids: only genuinely new docs are scored,
-        # repeated, and placed — the incremental contract
+        # repeated, and placed — the incremental contract. The checkpoint
+        # is LOAD-BEARING for that contract, not a cache: Catalyst pushes
+        # the deterministic quality filter (the full tokenizing sigmoid)
+        # BELOW this anti-join, silently re-scoring the whole input
+        # corpus every epoch (measured: a 5k-doc delta cost 99 s against
+        # a 100k store). Materializing the delta pins scoring to it.
         docs = docs.join(
             existing.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
+        ).localCheckpoint()
         # per-shard position offsets (n_shards rows — broadcast) so the
         # appended batch's shard_pos continues the existing order
         base = existing.groupBy("shard").agg(
@@ -526,9 +531,13 @@ def curate(documents_path, output_dir, shards, seed, max_repeats,
         docs, "doc_id", "text", WEIGHTS, BIAS, extra_cols=["source"],
         with_n_tokens=True,
     )
+    # materialize the scored gate ONCE: everything downstream (mixture
+    # totals, ordering, the shard write, and the summary counts) re-reads
+    # this narrow 4-column relation instead of re-running the tokenizing
+    # scorer per consumer (the counts alone re-ran it 3x before)
     kept = scored.filter(F.col("quality_score") >= min_quality).select(
         "doc_id", "source", "n_tokens", "quality_score"
-    )
+    ).localCheckpoint()
     per_src = kept.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
     tot = per_src.agg(
         F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_n_src")
