@@ -2009,3 +2009,26 @@ def test_curriculum_order_null_score_lands_in_worst_tier(spark):
         df, "doc_id", "score", n_buckets=4, n_shards=2, high_first=False
     ).collect()}
     assert got_low == {1: 0, 2: 3, 3: 0}
+
+
+def test_dsir_weights_favor_the_target_slice(spark):
+    """DSIR sanity: documents from the target slice (lang='en') must
+    average a HIGHER importance log-weight than off-target documents —
+    the whole point of the estimator — and weights must be finite."""
+    import math
+
+    from transcription_lakehouse_spark.workload.text import doc_dsir_weights
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = doc_dsir_weights(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(sf_dir + "/documents.parquet")
+        .select("doc_id", "lang").collect()
+    }
+    en = [r["dsir_logweight"] for r in out if docs[r["doc_id"]] == "en"]
+    other = [r["dsir_logweight"] for r in out if docs[r["doc_id"]] != "en"]
+    assert en and other
+    assert all(math.isfinite(w) for w in en + other)
+    # per-token normalization is the resampling statistic; compare means
+    assert sum(en) / len(en) > sum(other) / len(other)

@@ -31,6 +31,8 @@ _BOUNDED_BROADCAST_BNLJ = {
     "q22_idle_wealthy_customers",  # one-row global-avg threshold broadcast
     "q11_important_parts",  # one-row global-total threshold broadcast
     "doc_unigram_logprob",  # one-row corpus-total broadcast into ln()
+    "doc_dsir_weights",     # two one-row totals broadcast into the
+                            # smoothed bucket-LM log ratio
     "doc_drift_psi",        # one-row slice-total broadcast into shares
     "doc_mixture_plan",     # one-row corpus-total broadcast into shares
     "doc_training_order",   # inherits doc_mixture_plan's one-row total
@@ -68,6 +70,7 @@ _GLOBAL_SCALAR_OK = {
     "q22_idle_wealthy_customers",  # one-row global-avg scalar
     "q11_important_parts",       # one-row global total over per-part agg
     "doc_unigram_logprob",       # one-row corpus-total aggregate
+    "doc_dsir_weights",          # two one-row bucket-LM totals
     "doc_drift_psi",             # one-row slice-total aggregate
     "doc_mixture_plan",          # one-row corpus-total aggregate
     "doc_training_order",        # inherits the one-row corpus total;

@@ -89,7 +89,11 @@ def compact(
         out = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
             *sort_within_by
         )
-    elif n_out <= df.rdd.getNumPartitions():
+    elif n_out <= before["n_files"]:
+        # scan partitions >= input file count (maxPartitionBytes may
+        # split, never merge, files), so coalesce-to-fewer always applies;
+        # judged by the same on-disk listing that planned n_out — no RDD
+        # materialization just to count partitions
         out = df.coalesce(n_out)
     else:
         # coalesce cannot INCREASE partition count — a few huge input

@@ -2091,7 +2091,107 @@ ORDER BY doc_id, chunk_id
 """
 
 
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public
+    method): score every document by how much its hashed-token profile
+    looks like a TARGET slice vs the raw corpus, the standard recipe for
+    picking pretraining data that matches a trusted domain.
+
+    Features are hashed unigrams (md5 → {_DSIR_BUCKETS} buckets — the
+    fixed-dimension trick that makes the estimator corpus-size-free);
+    the target here is the ``lang='{_DSIR_TARGET_LANG}'`` slice; both
+    bucket LMs are add-one smoothed. Per doc:
+    ``dsir_logweight = Σ_tokens ln(p_target(b(tok)) / p_raw(b(tok)))`` —
+    positive ⇒ resample-in-favor.
+
+    Cross-engine: bucket ids ride the shared md5-hex trick
+    (training_order's), each ln ratio term rounds at 12 decimals into a
+    DECIMAL accumulator (order-independent; a last-ulp libm difference is
+    8 orders below the 4-decimal output). Scale: two bucket aggregates
+    (map-side combinable, ≤ {_DSIR_BUCKETS} groups), a {_DSIR_BUCKETS}-row
+    ratio table broadcast against the exploded corpus, one shuffle to the
+    per-doc sum — no per-row Python, no O(vocab) join."""
+    d = _docs(spark, sf_dir)
+    toked = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long") % _DSIR_BUCKETS,
+    )
+    raw = toked.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toked.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_tot = raw.agg(F.sum("cr").alias("_tr"))
+    tgt_tot = tgt.agg(F.sum("ct").alias("_tt"))
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .join(F.broadcast(raw_tot))
+        .join(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_tt") + F.lit(float(_DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("_tr") + F.lit(float(_DSIR_BUCKETS)))
+                ),
+                12,
+            ).cast("decimal(28,12)").alias("term"),
+        )
+    )
+    return (
+        toked.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("term"), 4).cast("double").alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_DSIR_WEIGHTS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({_TOK}) AS tok FROM documents)
+),
+raw AS (SELECT bucket, count(*) AS cr FROM toked GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS ct FROM toked
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket),
+tots AS (SELECT (SELECT sum(cr) FROM raw) AS tr,
+                (SELECT sum(ct) FROM tgt) AS tt),
+ratio AS (
+  SELECT raw.bucket,
+         CAST(round(
+           ln((COALESCE(tgt.ct, 0) + 1.0) / (tots.tt + {_DSIR_BUCKETS}.0))
+           - ln((raw.cr + 1.0) / (tots.tr + {_DSIR_BUCKETS}.0)),
+         12) AS DECIMAL(28,12)) AS term
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tots
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(round(sum(term), 4) AS DOUBLE) AS dsir_logweight
+FROM toked JOIN ratio ON toked.bucket = ratio.bucket
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "doc_dsir_weights": doc_dsir_weights,
     "doc_rag_chunks": doc_rag_chunks,
     "doc_cut_dup_spans": doc_cut_dup_spans,
     "doc_curation_v3": doc_curation_v3,
@@ -2133,6 +2233,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_dsir_weights": DOC_DSIR_WEIGHTS_SQL,
     "doc_rag_chunks": DOC_RAG_CHUNKS_SQL,
     "doc_cut_dup_spans": DOC_CUT_DUP_SPANS_SQL,
     "doc_curation_v3": DOC_CURATION_V3_SQL,
