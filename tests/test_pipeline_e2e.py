@@ -1821,7 +1821,7 @@ def test_stream_graph_update_matches_batch_rebuild(spark, tmp_path):
     def _edge_file_hashes():
         return {
             p: hashlib.sha256(open(p, "rb").read()).hexdigest()
-            for p in glob.glob(st + "/edges/bucket=*/*.parquet")
+            for p in glob.glob(st + "/edges/epoch=*/bucket=*/*.parquet")
         }
 
     # 8 planes/band -> selective buckets: cross-cluster collisions are

@@ -265,3 +265,26 @@ def test_random_op_walk_matches_in_memory_model(spark, tmp_path):
 
 def _mk_kv(spark, rows):
     return spark.createDataFrame(rows, "id bigint, val string")
+
+
+def test_vacuum_zero_retention_refused(spark, tmp_path):
+    """retain_last=0 would delete the CURRENT snapshot's files while the
+    log still references them — refused, not interpreted."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(3)))
+    with pytest.raises(ValueError, match="retain_last"):
+        t.vacuum(retain_last=0)
+    assert _rows(t.read()) == _rows(_mk(spark, range(3)))
+
+
+def test_changes_across_schema_change_refused(spark, tmp_path):
+    """A value-level CDF across an overwrite that changed the schema is
+    undefined (the old schema would silently drop new columns) — raise
+    instead of returning a wrong diff."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(3)))
+    t.overwrite(spark.createDataFrame(
+        [(1, "x", 0.5)], "id bigint, val string, score double"
+    ))
+    with pytest.raises(ValueError, match="schema change"):
+        t.changes(0, 1)

@@ -89,11 +89,14 @@ def compact(
         out = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
             *sort_within_by
         )
-    elif n_out <= before["n_files"]:
-        # scan partitions >= input file count (maxPartitionBytes may
-        # split, never merge, files), so coalesce-to-fewer always applies;
-        # judged by the same on-disk listing that planned n_out — no RDD
-        # materialization just to count partitions
+    elif n_out <= df.rdd.getNumPartitions():
+        # the deliberate RDD-metadata touch: coalesce-vs-repartition needs
+        # the SCAN's partition count, and the file listing is NOT a proxy
+        # for it — FileSourceScanExec bin-packs small files into shared
+        # partitions (1000×1 MB files scan as ~40 partitions), so a
+        # file-count test would route n_out=63 into coalesce, which can
+        # only shrink, silently emitting ~40 oversized files instead of
+        # 63. getNumPartitions() reads planned metadata; no job runs.
         out = df.coalesce(n_out)
     else:
         # coalesce cannot INCREASE partition count — a few huge input

@@ -350,7 +350,7 @@ def stream_cluster_update(
         # window in which _read_state would see a half-written dir as
         # valid cluster state and the delta scoping would silently drop
         # the missing components' assignments
-        _write_versioned(out, clusters_path, batch_id, sess)
+        _write_versioned(out, clusters_path, sess)
         # the replay gate commits ONLY after all derived state is durable
         fresh.select(id_col, text_col).write.mode("append").parquet(corpus_path)
 
@@ -399,19 +399,26 @@ def read_versioned_state(sess: SparkSession, root: str) -> DataFrame | None:
     return sess.read.parquet(versions[0][1]) if versions else None
 
 
-def _write_versioned(
-    df: DataFrame, root: str, batch_id: int, sess: SparkSession
-) -> None:
+def _write_versioned(df: DataFrame, root: str, sess: SparkSession) -> None:
     """Write-new-then-prune versioned commit: materialize ``df`` as
-    ``root/v=<batch_id>`` and only then delete older complete versions.
-    A crash mid-write leaves the previous version authoritative; a crash
-    before the prune leaves two complete versions that converge on
-    replay (the caller's merge must be idempotent, which max-merge and
-    full-recompute both are)."""
-    df.write.mode("overwrite").parquet(f"{root}/v={batch_id}")
+    ``root/v=<max complete version + 1>`` and only then delete older
+    complete versions. The version number comes from the STORE, not the
+    stream's batch id — a replayed batch therefore writes a fresh
+    version instead of overwriting the only complete one in place (an
+    in-place overwrite deletes-then-writes, and a crash inside that
+    window would leave zero complete versions: exactly the accumulated-
+    state loss this store exists to prevent). A crash mid-write leaves
+    the previous version authoritative; a crash before the prune leaves
+    two complete versions that converge on replay (the caller's merge
+    must be idempotent, which max-merge and full-recompute both are)."""
+    versions = _complete_versions(sess, root)
+    v = (versions[0][0] if versions else -1) + 1
+    # overwrite only ever clears an INCOMPLETE leftover of this same
+    # number (crash before _SUCCESS) — never a complete version
+    df.write.mode("overwrite").parquet(f"{root}/v={v}")
     fs, _, jvm = _fs_of(sess, root)
-    for v, old in _complete_versions(sess, root):
-        if v != batch_id:
+    for k, old in _complete_versions(sess, root):
+        if k != v:
             fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
 
 
@@ -472,7 +479,7 @@ def stream_hll_update(
         else:  # first complete version
             merged = delta
         merged = merged.localCheckpoint()  # sever lineage from the old version
-        _write_versioned(merged, state_path, batch_id, sess)
+        _write_versioned(merged, state_path, sess)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
@@ -483,6 +490,108 @@ def stream_hll_update(
     return writer.start()
 
 
+_EDGE_DDL = "src bigint, dst bigint, sim double"
+_EDGE_DDL_PART = _EDGE_DDL + ", bucket int, epoch int"
+
+
+def _complete_epochs(sess: SparkSession, edges_root: str) -> list[tuple[int, str]]:
+    """``epoch=E`` child dirs whose job commit finished (``_SUCCESS``
+    present), newest first."""
+    fs, hroot, jvm = _fs_of(sess, edges_root)
+    if not fs.exists(hroot):
+        return []
+    out = []
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("epoch=")):
+            continue
+        try:
+            e = int(name[6:])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            out.append((e, str(st.getPath())))
+    out.sort(reverse=True)
+    return out
+
+
+def _current_bucket_dirs(
+    sess: SparkSession, edges_root: str, buckets: list[int] | None = None
+) -> tuple[list[str], bool]:
+    """Resolve each bucket's CURRENT content dir — the newest complete
+    epoch containing that bucket — via a driver-side listing (≤ P bucket
+    dirs per epoch; epochs stay few because the writer prunes superseded
+    bucket dirs after every commit). Returns ``(dirs, store_exists)``;
+    ``buckets`` narrows the resolution (the writer's partition pruning)."""
+    epochs = _complete_epochs(sess, edges_root)
+    if not epochs:
+        return [], False
+    fs, _, _ = _fs_of(sess, edges_root)
+    jvm = sess._jvm
+    want = set(buckets) if buckets is not None else None
+    best: dict[int, str] = {}
+    for _, epath in epochs:  # newest first: first sighting wins
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(epath)):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("bucket=")):
+                continue
+            b = int(name[7:])
+            if b in best or (want is not None and b not in want):
+                continue
+            best[b] = str(st.getPath())
+    return sorted(best.values()), True
+
+
+def _read_current_edges(
+    sess: SparkSession, edges_root: str, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """Current edge rows ``(src, dst, sim, bucket)`` — every bucket read
+    from its newest complete epoch, with an EXPLICIT schema so an
+    edgeless (but committed) store reads as empty instead of failing
+    parquet schema inference and wedging the stream."""
+    dirs, exists = _current_bucket_dirs(sess, edges_root, buckets)
+    if not exists:
+        return None
+    if not dirs:
+        return sess.createDataFrame([], _EDGE_DDL + ", bucket int")
+    return (
+        sess.read.option("basePath", edges_root)
+        .schema(_EDGE_DDL_PART)
+        .parquet(*dirs)
+        .select("src", "dst", "sim", "bucket")
+    )
+
+
+def _prune_superseded_buckets(sess: SparkSession, edges_root: str) -> None:
+    """Best-effort GC after a committed epoch: delete every bucket dir
+    that a NEWER complete epoch supersedes, then any old epoch dir left
+    without bucket dirs. Failure or a crash here is harmless — readers
+    always resolve per-bucket newest-epoch content; the next batch's
+    prune sweeps leftovers."""
+    epochs = _complete_epochs(sess, edges_root)
+    if len(epochs) < 1:
+        return
+    fs, _, _ = _fs_of(sess, edges_root)
+    jvm = sess._jvm
+    seen: set[int] = set()
+    newest = epochs[0][0]
+    for e, epath in epochs:  # newest first
+        hpath = jvm.org.apache.hadoop.fs.Path(epath)
+        remaining = 0
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("bucket=")):
+                continue
+            b = int(name[7:])
+            if b in seen:
+                fs.delete(st.getPath(), True)  # superseded by newer epoch
+            else:
+                seen.add(b)
+                remaining += 1
+        if remaining == 0 and e != newest:
+            fs.delete(hpath, True)
+
+
 def read_graph_state(
     spark: SparkSession, state_path: str,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -491,7 +600,7 @@ def read_graph_state(
     — nodes ``(id, vector)``, edges ``(src, dst, sim)``. Either is None
     when that store does not exist yet."""
     nodes = _read_state(spark, state_path + "/nodes")
-    raw = _read_state(spark, state_path + "/edges")
+    raw = _read_current_edges(spark, state_path + "/edges")
     edges = raw.select("src", "dst", "sim") if raw is not None else None
     return nodes, edges
 
@@ -521,31 +630,37 @@ def stream_graph_update(
 
     - ``{state}/nodes``: append-only parquet ``(id, vector)`` — each batch
       appends only its genuinely new rows; nothing is ever rewritten.
-    - ``{state}/edges``: parquet partitioned by
-      ``bucket = pmod(hash(src), n_state_buckets)``. A batch rewrites ONLY
-      the buckets holding a touched src (bucket collision with the batch)
-      or a new src, via dynamic partition overwrite — untouched buckets'
-      files stay byte-identical (pinned by the partial-rewrite e2e). At
-      1 B nodes a batch touches o(buckets), so per-batch I/O tracks the
-      delta, not the accumulated corpus.
+    - ``{state}/edges/epoch=E/bucket=B``: each batch writes ONE new epoch
+      dir holding only the buckets it touched (``bucket =
+      pmod(hash(src), n_state_buckets)`` — keep the bucket count stable
+      for a store's lifetime, like a table's partitioning). A bucket's
+      current content is its newest complete epoch; superseded bucket
+      dirs are pruned AFTER the commit. Untouched buckets' files are
+      never opened, let alone rewritten (pinned by the partial-rewrite
+      e2e) — at 1 B nodes a batch touches o(buckets), so per-batch I/O
+      tracks the delta, not the accumulated corpus.
 
-    Crash contract — REPLAY-IDEMPOTENT rather than atomic (a file-system
-    rename cannot cover a two-store commit anyway): edges commit first,
-    then nodes append. Every crash point replays to the same final state:
+    Crash contract — REPLAY-IDEMPOTENT, and no window ever deletes the
+    only copy of anything: the epoch write is create-new (a crashed
+    attempt leaves an incomplete, invisible dir that the retry
+    overwrites), the node store is append-only, and the prune removes
+    only content a newer COMMITTED epoch supersedes. Order per batch:
+    edges epoch commit → node append → prune.
 
-    - before the edge write: nothing changed; the replay re-runs whole.
-    - during/after the edge write, before the node append: the replayed
-      batch is still fully "new" (node anti-join), and the fold SANITIZES
-      the edge slice first — rows whose src or dst is a batch id (minted
-      by the crashed attempt) are dropped and recomputed, and exact
-      duplicate rows from a half-replaced bucket dir are deduped. Bucket
-      membership is corpus-independent, so the recomputed content is
-      bit-equal and the overwrite is idempotent.
+    - crash before the epoch commits: invisible; the replay re-runs whole.
+    - after the epoch commit, before the node append: the replayed batch
+      is still fully "new" (node anti-join), and the fold SANITIZES the
+      edge slice — rows whose src or dst is a batch id (from the crashed
+      attempt's committed epoch) are dropped and recomputed; bucket
+      membership is corpus-independent, so the replay writes a further
+      epoch with identical content and the prune collapses them.
     - during the node append: the committed subset S is corpus now; the
       replay folds ``batch \\ S`` — exact by the same domination argument
       that makes append == rebuild (folding a batch in two pieces equals
       folding it at once). Edges already written for S stay correct
       because S-src rows with batch dsts are re-derived, not trusted.
+    - during the prune: harmless — readers resolve per-bucket newest
+      epoch; the next batch's prune finishes the sweep.
 
     Replays of fully committed batches are no-ops: ids already in the
     node store anti-join away before any write."""
@@ -577,6 +692,18 @@ def stream_graph_update(
     edges_path = state_path + "/edges"
     bucket_of = lambda c: F.pmod(F.hash(c), F.lit(n_state_buckets))  # noqa: E731
 
+    def _write_epoch(sess: SparkSession, edges: DataFrame) -> None:
+        epochs = _complete_epochs(sess, edges_path)
+        e = (epochs[0][0] if epochs else -1) + 1
+        # overwrite only ever clears an INCOMPLETE leftover of this same
+        # epoch number (crash before _SUCCESS) — never committed content
+        (
+            edges.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{edges_path}/epoch={e}")
+        )
+
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
@@ -592,13 +719,7 @@ def stream_graph_update(
                 k_graph=k_graph, n_bands=n_bands,
                 planes_per_band=planes_per_band,
             )
-            (
-                g1.withColumn("bucket", bucket_of(F.col("src")))
-                .repartition(F.col("bucket"))
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(edges_path)
-            )
+            _write_epoch(sess, g1.withColumn("bucket", bucket_of(F.col("src"))))
             new.write.mode("append").parquet(nodes_path)
             return
         new = batch.join(
@@ -606,9 +727,12 @@ def stream_graph_update(
         ).localCheckpoint()
         if not new.head(1):
             return  # fully replayed batch: exact no-op, zero writes
+        # materialized once: both the touched-bucket resolution and the
+        # fold consume it — without this the banded candidate-scoring
+        # join (the dominant per-batch cost) would run twice
         scored_new = _batch_candidate_scores(
             nodes, new, id_col, vec_col, n_bands, planes_per_band
-        )
+        ).localCheckpoint()
         new_edges = _new_src_edges(
             nodes, new, id_col, vec_col,
             k_graph, n_bands, planes_per_band,
@@ -622,15 +746,12 @@ def stream_graph_update(
                 new.select(bucket_of(F.col(id_col)).alias("b"))
             ).distinct().collect()
         ]
-        # partition-pruned read: only the bucket dirs being rewritten
-        edge_slice = (
-            sess.read.parquet(edges_path)
-            .filter(F.col("bucket").isin(touched_buckets))
-            .select("src", "dst", "sim")
-        )
+        # pruned read by construction: only the touched buckets' current dirs
+        edge_slice = _read_current_edges(
+            sess, edges_path, buckets=touched_buckets
+        ).select("src", "dst", "sim")
         # replay sanitize (see crash contract above): drop rows a crashed
-        # attempt of THIS batch may have committed, then dedup rows that a
-        # half-replaced bucket dir can duplicate
+        # attempt of THIS batch may have committed, then dedup defensively
         new_ids = new.select(F.col(id_col).alias("_nid"))
         slice_clean = (
             edge_slice
@@ -648,16 +769,11 @@ def stream_graph_update(
             _fold_edges(slice_clean, scored_new, k_graph)
             .unionByName(new_edges)
             .withColumn("bucket", bucket_of(F.col("src")))
-            .localCheckpoint()  # materialize before the self-overwrite
+            .localCheckpoint()  # pin content before the store mutates
         )
-        (
-            out.repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(edges_path)
-        )
+        _write_epoch(sess, out)
         new.write.mode("append").parquet(nodes_path)
+        _prune_superseded_buckets(sess, edges_path)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
@@ -666,7 +782,6 @@ def stream_graph_update(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
-
 
 def streaming_quality_stats(
     spark: SparkSession,

@@ -20,17 +20,19 @@ Each commit is {"version", "operation", "add": [...], "remove": [...],
 live(v) = ∪ add(≤v) − ∪ remove(≤v) — readers never list data dirs, so
 uncommitted files (a crashed writer) are invisible by construction.
 
-**Atomicity** rides on a single filesystem primitive: the commit JSON is
-staged to a hidden temp name and `FileSystem.rename`d into place —
-rename-no-overwrite is atomic on HDFS and POSIX, so a commit either
-fully exists or doesn't. **Isolation**: snapshot reads pin a version's
-file list; concurrent readers never see a half-commit. **Concurrency
-contract**: single writer / many readers — two writers racing the same
-version leave exactly one winner (the loser's rename fails and raises
-``ConcurrentCommitError``; its orphaned data files are swept by
-``vacuum(remove_orphans=True)``). No distributed lock service is
-assumed, same trade Delta makes on filesystems without atomic
-put-if-absent.
+**Atomicity** rides on one put-if-absent primitive per filesystem: the
+commit JSON is fully staged first, then installed under its final name
+— via ``Files.createLink`` (hard link, POSIX-atomic fail-if-exists) on
+local filesystems, where Hadoop's ``rename`` would silently REPLACE an
+existing destination, and via rename-no-overwrite on HDFS-class stores
+where that rename IS atomic. A commit therefore either fully exists or
+doesn't. **Isolation**: snapshot reads pin a version's file list;
+concurrent readers never see a half-commit. **Concurrency contract**:
+many readers, and two writers racing the same version leave exactly one
+winner (the loser raises ``ConcurrentCommitError``; its orphaned data
+files are swept by ``vacuum(remove_orphans=True)``). On object stores
+with neither primitive (S3-style), pair the log dir with an external
+put-if-absent — the same trade Delta makes there.
 
 Scale notes: the log is O(commits) tiny JSONs, snapshot resolution is a
 driver-side set fold (no Spark job); `delete`/`merge` rewrite ONLY the
@@ -67,6 +69,19 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def _live_files(commits: list[dict]) -> list[str]:
+    """Relative live-file set after replaying an already-loaded commit
+    prefix — pure fold, no FS access (vacuum replays many prefixes; each
+    must not re-read the log)."""
+    live: dict[str, None] = {}
+    for c in commits:
+        for rel in c["remove"]:
+            live.pop(rel, None)
+        for a in c["add"]:
+            live[a["path"]] = None
+    return list(live)
+
+
 class LogTable:
     """Handle on one transaction-log table rooted at ``path``."""
 
@@ -100,9 +115,18 @@ class LogTable:
         return entries
 
     def _commit(self, record: dict) -> None:
-        """Atomic publish: stage then rename-no-overwrite. The rename is
-        the commit point — it either installs this exact version file or
-        fails because a racer installed one first."""
+        """Atomic publish: stage the full JSON, then install it under the
+        version's final name with a put-if-absent primitive. The install
+        step IS the commit point.
+
+        On local filesystems Hadoop's ``rename`` maps to POSIX
+        ``rename(2)``, which silently REPLACES an existing destination —
+        two racers could both "win" and one commit would vanish. So for
+        ``file:`` the install is ``Files.createLink`` (hard link), which
+        POSIX guarantees atomic-fail-if-exists; elsewhere (HDFS-class
+        stores) ``rename`` without overwrite is the atomic primitive.
+        Either way the loser raises ``ConcurrentCommitError`` and leaves
+        no visible state (its staged temp is deleted)."""
         fs, jvm = _fs(self.spark, self.log_dir)
         root = jvm.org.apache.hadoop.fs.Path(self.log_dir)
         fs.mkdirs(root)
@@ -117,12 +141,25 @@ class LogTable:
             out.write(bytearray(json.dumps(record, sort_keys=True).encode()))
         finally:
             out.close()
-        if fs.exists(final) or not fs.rename(tmp, final):
+        try:
+            if fs.getScheme() == "file":
+                try:
+                    jvm.java.nio.file.Files.createLink(
+                        jvm.java.io.File(final.toUri().getPath()).toPath(),
+                        jvm.java.io.File(tmp.toUri().getPath()).toPath(),
+                    )
+                except Exception as exc:  # FileAlreadyExistsException et al
+                    raise ConcurrentCommitError(
+                        f"version {record['version']} was committed "
+                        f"concurrently at {self.path}"
+                    ) from exc
+            elif fs.exists(final) or not fs.rename(tmp, final):
+                raise ConcurrentCommitError(
+                    f"version {record['version']} was committed "
+                    f"concurrently at {self.path}"
+                )
+        finally:
             fs.delete(tmp, False)
-            raise ConcurrentCommitError(
-                f"version {record['version']} was committed concurrently "
-                f"at {self.path}"
-            )
 
     def version(self) -> int:
         """Latest committed version, or -1 for a table with no commits."""
@@ -156,14 +193,10 @@ class LogTable:
                 )
         if not commits:
             raise ValueError(f"no commits at {self.path}")
-        live: dict[str, None] = {}
-        for c in commits:
-            for rel in c["remove"]:
-                live.pop(rel, None)
-            for a in c["add"]:
-                live[a["path"]] = None
         schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
-        return [f"{self.path}/{rel}" for rel in live], schema
+        return [
+            f"{self.path}/{rel}" for rel in _live_files(commits)
+        ], schema
 
     # ---- data-file plumbing ---------------------------------------------
 
@@ -339,8 +372,19 @@ class LogTable:
         are read (unchanged files cancel out by construction, no full
         table comparison). Returns rows tagged ``_change_type``
         insert/delete; an update surfaces as delete+insert."""
-        files_a, schema = self._snapshot(from_version)
-        files_b, _ = self._snapshot(to_version)
+        files_a, schema_a = self._snapshot(from_version)
+        files_b, schema_b = self._snapshot(to_version)
+        norm_a = [(f.name, f.dataType.simpleString()) for f in schema_a]
+        norm_b = [(f.name, f.dataType.simpleString()) for f in schema_b]
+        if norm_a != norm_b:
+            # reading to_version's files with from_version's schema would
+            # silently drop columns and cancel real updates in exceptAll
+            raise ValueError(
+                f"changes({from_version}, {to_version}) spans a schema "
+                f"change ({norm_a} -> {norm_b}); a value-level CDF is "
+                "undefined across it — compare snapshots explicitly"
+            )
+        schema = schema_b
         sa, sb = set(files_a), set(files_b)
         only_b = sorted(sb - sa)
         only_a = sorted(sa - sb)
@@ -370,17 +414,23 @@ class LogTable:
         commit references at all — crashed or lost-race writers; off by
         default because an in-flight writer's staged files look identical
         to orphans."""
+        if retain_last < 1:
+            # retain_last=0 would compute an empty referenced set and
+            # delete the CURRENT snapshot's live files out from under
+            # the log — a destroyed table, not "no history"
+            raise ValueError("vacuum: retain_last must be >= 1")
         commits = self._commits()
         if not commits:
             return {"deleted": 0}
         latest = commits[-1]["version"]
         keep_from = max(0, latest - retain_last + 1)
+        # one pass over the already-loaded log: fold the live set at each
+        # retained version from the shared prefix (no per-version re-read
+        # of _txlog — that was O(V^2) FS round trips on an object store)
         referenced: set[str] = set()
-        for c in commits:
+        for i, c in enumerate(commits):
             if c["version"] >= keep_from:
-                # snapshot at this version
-                files, _ = self._snapshot(c["version"])
-                referenced.update(p[len(self.path) + 1:] for p in files)
+                referenced.update(_live_files(commits[: i + 1]))
         ever: set[str] = set()
         for c in commits:
             ever.update(a["path"] for a in c["add"])
