@@ -288,3 +288,83 @@ def test_changes_across_schema_change_refused(spark, tmp_path):
     ))
     with pytest.raises(ValueError, match="schema change"):
         t.changes(0, 1)
+
+
+def test_stream_ingest_txlog_atomic_batches(spark, tmp_path):
+    """Transactional streaming ingest: two micro-batches land as two
+    atomic commits; a replay through a fresh checkpoint adds NO commit
+    (anti-join no-op detected before append); uncommitted data files
+    from a crashed writer stay invisible."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import (
+        stream_ingest_txlog,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    tp = str(tmp_path / "table")
+
+    def _utts(ep, n, t0=0.0):
+        return "\n".join(
+            _json.dumps({
+                "episode_id": ep, "start": t0 + i, "end": t0 + i + 0.9,
+                "speaker": "s1", "text": f"utterance {i} of {ep}",
+            }) for i in range(n)
+        )
+
+    (d / "a.jsonl").write_text(_utts("ep_a", 5))
+    q = stream_ingest_txlog(spark, str(d), tp, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    t = LogTable(spark, tp)
+    assert t.version() == 0
+    n1 = t.read().count()
+    assert n1 == 5
+
+    (d / "b.jsonl").write_text(_utts("ep_b", 3))
+    q = stream_ingest_txlog(spark, str(d), tp, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert t.version() == 1 and t.read().count() == 8
+    # per-batch CDF from the log: batch 2 added exactly ep_b's rows
+    added = t.changes(0, 1)
+    assert added.count() == 3
+    assert {r["episode_id"] for r in added.collect()} == {"ep_b"}
+
+    # full replay via a fresh checkpoint: no third commit, no new rows
+    q = stream_ingest_txlog(spark, str(d), tp, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    assert t.version() == 1 and t.read().count() == 8
+
+
+def test_cli_table_create_merge_delete(spark, tmp_path):
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli
+
+    src = str(tmp_path / "src.parquet")
+    _mk(spark, range(10)).write.parquet(src)
+    tp = str(tmp_path / "t")
+    r = CliRunner().invoke(cli, ["table", "create", tp, src])
+    assert r.exit_code == 0, r.output
+    assert _json.loads(r.output)["rows"] == 10
+    # duplicate create refused
+    r = CliRunner().invoke(cli, ["table", "create", tp, src])
+    assert r.exit_code != 0
+
+    upd = str(tmp_path / "upd.parquet")
+    spark.createDataFrame(
+        [(0, "UPD"), (99, "NEW")], "id bigint, val string"
+    ).write.parquet(upd)
+    r = CliRunner().invoke(
+        cli, ["table", "merge", tp, upd, "--key", "id"]
+    )
+    assert r.exit_code == 0, r.output
+    r = CliRunner().invoke(cli, ["table", "delete", tp, "id >= 5 AND id < 8"])
+    assert r.exit_code == 0, r.output
+    t = LogTable(spark, tp)
+    got = dict(_rows(t.read()))
+    assert got[0] == "UPD" and got[99] == "NEW"
+    assert not any(5 <= k < 8 for k in got)
+    assert len(got) == 8

@@ -368,6 +368,46 @@ def table() -> None:
     see `txlog.py`)."""
 
 
+@table.command("create")
+@click.argument("path", type=click.Path())
+@click.argument("source_parquet", type=click.Path(exists=True))
+def table_create(path, source_parquet):
+    """Import a parquet dir/file as version 0 of a new LogTable."""
+    from .txlog import LogTable
+
+    spark = _spark("table-create")
+    t = LogTable(spark, path)
+    if t.version() >= 0:
+        raise click.ClickException(f"{path} already has commits")
+    v = t.append(spark.read.parquet(source_parquet))
+    _echo({"path": path, "version": v, "rows": t.read().count()})
+
+
+@table.command("merge")
+@click.argument("path", type=click.Path(exists=True))
+@click.argument("updates_parquet", type=click.Path(exists=True))
+@click.option("--key", required=True, help="Merge key column")
+def table_merge(path, updates_parquet, key):
+    """Upsert (MERGE): update matched keys whole-row, insert new keys —
+    rewrites only the files holding matched keys."""
+    from .txlog import LogTable
+
+    spark = _spark("table-merge")
+    t = LogTable(spark, path)
+    _echo(t.merge(spark.read.parquet(updates_parquet), key=key))
+
+
+@table.command("delete")
+@click.argument("path", type=click.Path(exists=True))
+@click.argument("condition")
+def table_delete(path, condition):
+    """Delete rows matching a SQL condition (file-pruned rewrite)."""
+    from .txlog import LogTable
+
+    t = LogTable(_spark("table-delete"), path)
+    _echo(t.delete(condition))
+
+
 @table.command("history")
 @click.argument("path", type=click.Path(exists=True))
 def table_history(path):

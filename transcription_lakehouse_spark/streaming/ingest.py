@@ -25,6 +25,7 @@ from ..schemas import RAW_UTTERANCE_SCHEMA
 
 __all__ = [
     "stream_ingest",
+    "stream_ingest_txlog",
     "streaming_session_stats",
     "streaming_dedup",
     "streaming_quality_stats",
@@ -117,6 +118,60 @@ def stream_ingest(
         else:  # first batch: sink does not exist yet
             fresh = normalized
         fresh.write.mode("append").parquet(out_path)
+
+    writer = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ingest_txlog(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """`stream_ingest`'s transactional twin: each micro-batch of
+    validated/normalized utterances lands as ONE atomic LogTable commit
+    instead of a bare parquet append. What the commit log buys over the
+    plain sink:
+
+    - all-or-nothing batch visibility: a crash mid-append can leave the
+      plain sink with a partially committed file subset that readers see;
+      here uncommitted data files are invisible by construction (readers
+      follow the log), so downstream consumers never observe half a batch;
+    - replay is still a no-op (deterministic utterance_id anti-join), and
+      time travel / `changes()` come free — "what did this micro-batch
+      add?" is a log question, not a file-diff question.
+
+    The anti-join reads only the id column of the current snapshot
+    (column pruning reaches the parquet scan)."""
+    from ..txlog import LogTable
+
+    raw = (
+        spark.readStream.schema(RAW_UTTERANCE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        valid, _ = split_valid(batch)
+        normalized = normalize(valid)
+        t = LogTable(batch.sparkSession, table_path)
+        if t.version() >= 0:
+            fresh = normalized.join(
+                F.broadcast(t.read().select("utterance_id")),
+                "utterance_id",
+                "left_anti",
+            )
+        else:  # first batch creates the table
+            fresh = normalized
+        if fresh.head(1):
+            t.append(fresh)
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
