@@ -368,3 +368,36 @@ def test_cli_table_create_merge_delete(spark, tmp_path):
     assert got[0] == "UPD" and got[99] == "NEW"
     assert not any(5 <= k < 8 for k in got)
     assert len(got) == 8
+
+
+def test_scan_prunes_files_from_log_stats(spark, tmp_path):
+    """Data skipping: three appends with disjoint id ranges → a scan
+    filtered to one range reads ONLY that range's files (checked via
+    inputFiles(), i.e. pruned on the driver before Spark listed the
+    rest), with exact results; clustered compaction re-sharpens the
+    ranges afterwards."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    for lo in (0, 1000, 2000):
+        t.append(_mk(spark, range(lo, lo + 100)))
+
+    df = t.scan(filters=[("id", ">=", 1000), ("id", "<", 1100)])
+    read_files = df.inputFiles()
+    assert read_files, "scan read nothing"
+    assert all("/c00000001-" in f for f in read_files), read_files
+    assert sorted(r["id"] for r in df.collect()) == list(range(1000, 1100))
+
+    # equality filter on a value no file's range covers: zero files read
+    empty = t.scan(filters=[("id", "=", 5000)])
+    assert empty.count() == 0
+
+    # clustered compact -> disjoint per-file ranges -> skipping stays
+    # sharp on the compacted layout too
+    t.compact(target_files=3, cluster_by=["id"])
+    df2 = t.scan(filters=[("id", "<", 100)])
+    assert sorted(r["id"] for r in df2.collect()) == list(range(100))
+    assert len(df2.inputFiles()) < 3, "clustered scan read every file"
+
+    # stats are an optimization only: scan == read under any filter
+    want = sorted(r["id"] for r in t.read().collect())
+    got = sorted(r["id"] for r in t.scan().collect())
+    assert got == want

@@ -69,17 +69,93 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def _live_files(commits: list[dict]) -> list[str]:
-    """Relative live-file set after replaying an already-loaded commit
-    prefix — pure fold, no FS access (vacuum replays many prefixes; each
-    must not re-read the log)."""
-    live: dict[str, None] = {}
+def _footer_stats(local_path: str) -> dict | None:
+    """Per-column {min, max} folded over a parquet file's row groups —
+    read from the footer the writer already produced (no data scan).
+    Local filesystems only (pyarrow path access); on other stores the
+    add-action simply carries no stats and the file is never pruned —
+    skipping is an optimization, correctness never depends on it."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(local_path).metadata
+    except Exception:
+        return None
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested — skip, prune only on top-level scalars
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    if not mins:
+        return None
+    return {"min": mins, "max": maxs}
+
+
+def _file_may_match(add: dict, filters: list[tuple[str, str, object]]) -> bool:
+    """Conservative skip test: False only when the file's recorded
+    [min, max] PROVES no row can satisfy the conjunction. Missing stats
+    or an unknown column ⇒ keep the file."""
+    stats = add.get("stats")
+    if not stats:
+        return True
+    for col, op, val in filters:
+        lo = stats["min"].get(col)
+        hi = stats["max"].get(col)
+        if lo is None or hi is None:
+            continue
+        try:
+            if op in ("=", "=="):
+                if val < lo or val > hi:
+                    return False
+            elif op == ">":
+                if hi <= val:
+                    return False
+            elif op == ">=":
+                if hi < val:
+                    return False
+            elif op == "<":
+                if lo >= val:
+                    return False
+            elif op == "<=":
+                if lo > val:
+                    return False
+        except TypeError:
+            continue  # cross-type comparison — never prune on it
+    return True
+
+
+def _live_adds(commits: list[dict]) -> list[dict]:
+    """Live add-actions (path + size + stats) after replaying an
+    already-loaded commit prefix — pure fold, no FS access (vacuum
+    replays many prefixes; each must not re-read the log)."""
+    live: dict[str, dict] = {}
     for c in commits:
         for rel in c["remove"]:
             live.pop(rel, None)
         for a in c["add"]:
-            live[a["path"]] = None
-    return list(live)
+            live[a["path"]] = a
+    return list(live.values())
+
+
+def _live_files(commits: list[dict]) -> list[str]:
+    return [a["path"] for a in _live_adds(commits)]
 
 
 class LogTable:
@@ -202,8 +278,11 @@ class LogTable:
 
     def _write_files(self, df: DataFrame, version: int) -> list[dict]:
         """Materialize ``df`` as parquet under a fresh commit dir and
-        return its add-actions. The dir is invisible to readers until the
-        commit JSON lands (readers only follow the log)."""
+        return its add-actions — each carrying per-file column min/max
+        STATS (harvested from the parquet footers the write already
+        produced), so scans can prune files from the LOG alone. The dir
+        is invisible to readers until the commit JSON lands (readers only
+        follow the log)."""
         sub = f"data/c{version:08d}-{uuid.uuid4().hex[:8]}"
         target = f"{self.path}/{sub}"
         df.write.mode("overwrite").parquet(target)
@@ -212,7 +291,11 @@ class LogTable:
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(target)):
             name = st.getPath().getName()
             if name.endswith(".parquet") and not name.startswith((".", "_")):
-                adds.append({"path": f"{sub}/{name}", "size": st.getLen()})
+                add = {"path": f"{sub}/{name}", "size": st.getLen()}
+                stats = _footer_stats(st.getPath().toUri().getPath())
+                if stats:
+                    add["stats"] = stats
+                adds.append(add)
         return sorted(adds, key=lambda a: a["path"])
 
     def _record(self, version: int, op: str, adds: list[dict],
@@ -255,6 +338,46 @@ class LogTable:
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
+
+    def scan(
+        self,
+        filters: list[tuple[str, str, object]] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with LOG-DRIVEN file skipping: ``filters`` is a
+        conjunction of ``(column, op, value)`` (ops ``= > >= < <=``);
+        files whose recorded min/max prove no row can match are dropped
+        on the DRIVER, before Spark ever lists or opens them — at
+        millions of files that is the difference between a metadata
+        lookup and a cluster-wide footer sweep (parquet row-group
+        pruning still applies inside the files that survive). The
+        residual filter is applied to the surviving rows, so results are
+        exact regardless of how coarse the stats are. Pair with
+        ``compact(cluster_by=...)`` to make ranges disjoint and the
+        skipping sharp."""
+        commits = self._commits()
+        if version is not None:
+            commits = [c for c in commits if c["version"] <= version]
+        if not commits:
+            raise ValueError(f"no commits at {self.path}")
+        schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
+        adds = _live_adds(commits)
+        if filters:
+            adds = [a for a in adds if _file_may_match(a, filters)]
+        if not adds:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *(f"{self.path}/{a['path']}" for a in adds)
+        )
+        for col, op, val in filters or []:
+            df = df.filter(
+                F.col(col) == val if op in ("=", "==") else
+                F.col(col) > val if op == ">" else
+                F.col(col) >= val if op == ">=" else
+                F.col(col) < val if op == "<" else
+                F.col(col) <= val
+            )
+        return df
 
     def append(self, df: DataFrame) -> int:
         """Append commit: new files only, nothing rewritten."""
@@ -348,20 +471,30 @@ class LogTable:
         self._commit(self._record(v, "merge", adds, removes, ddl, key=key))
         return {"version": v, "rewritten_files": len(touched)}
 
-    def compact(self, target_files: int = 1) -> dict:
-        """OPTIMIZE: coalesce the live file set into ``target_files``
-        larger files. Pure rewrite + metadata swap — every prior version
-        still time-travels (old files stay until vacuum)."""
+    def compact(self, target_files: int = 1,
+                cluster_by: list[str] | None = None) -> dict:
+        """OPTIMIZE: rewrite the live file set into ``target_files``
+        larger files. ``cluster_by`` upgrades to CLUSTERING
+        (repartitionByRange + in-file sort): every output file owns a
+        disjoint value range on those columns, which is what makes the
+        log's min/max stats — and therefore ``scan()`` skipping — sharp
+        instead of overlapping. Pure rewrite + metadata swap — every
+        prior version still time-travels (old files stay until vacuum)."""
         files, schema = self._snapshot()
         ddl = schema.json()
         v = self.version() + 1
-        df = self.spark.read.schema(schema).parquet(*files).coalesce(
-            max(1, target_files)
-        )
+        base = self.spark.read.schema(schema).parquet(*files)
+        if cluster_by:
+            df = base.repartitionByRange(
+                max(1, target_files), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = base.coalesce(max(1, target_files))
         adds = self._write_files(df, v)
         removes = [p[len(self.path) + 1:] for p in files]
         self._commit(self._record(
             v, "compact", adds, removes, ddl, target_files=target_files,
+            cluster_by=cluster_by or [],
         ))
         return {"version": v, "files_before": len(files),
                 "files_after": len(adds)}
