@@ -401,3 +401,15 @@ def test_scan_prunes_files_from_log_stats(spark, tmp_path):
     want = sorted(r["id"] for r in t.read().collect())
     got = sorted(r["id"] for r in t.scan().collect())
     assert got == want
+
+
+def test_scan_rejects_unknown_op_and_bad_version(spark, tmp_path):
+    """An unvalidated operator must raise, not silently fall through to
+    some default comparison; scan's time travel validates versions the
+    same way read's does."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(5)))
+    with pytest.raises(ValueError, match="unsupported operator"):
+        t.scan(filters=[("id", "!=", 3)])
+    with pytest.raises(ValueError, match="not in log"):
+        t.scan(version=99)

@@ -149,7 +149,12 @@ def stream_ingest_txlog(
       add?" is a log question, not a file-diff question.
 
     The anti-join reads only the id column of the current snapshot
-    (column pruning reaches the parquet scan)."""
+    (column pruning reaches the parquet scan) and lets Spark pick the
+    join strategy — the accumulated id set grows without bound, so a
+    forced broadcast would eventually exceed broadcast memory and wedge
+    the stream. The commit log is loaded once per batch (dedup) plus
+    once inside append; at very long stream lifetimes compact the log's
+    table periodically so the snapshot file list stays short."""
     from ..txlog import LogTable
 
     raw = (
@@ -161,15 +166,19 @@ def stream_ingest_txlog(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         valid, _ = split_valid(batch)
         normalized = normalize(valid)
-        t = LogTable(batch.sparkSession, table_path)
-        if t.version() >= 0:
-            fresh = normalized.join(
-                F.broadcast(t.read().select("utterance_id")),
-                "utterance_id",
-                "left_anti",
-            )
-        else:  # first batch creates the table
-            fresh = normalized
+        sess = batch.sparkSession
+        t = LogTable(sess, table_path)
+        commits = t._commits()  # one log load for the whole dedup step
+        if commits:
+            files, schema = t._snapshot_of(commits)
+            if files:
+                ids = sess.read.schema(schema).parquet(*files).select(
+                    "utterance_id"
+                )
+                normalized = normalized.join(
+                    ids, "utterance_id", "left_anti"
+                )
+        fresh = normalized
         if fresh.head(1):
             t.append(fresh)
 

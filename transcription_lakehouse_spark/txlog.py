@@ -72,9 +72,13 @@ def _fs(spark: SparkSession, path: str):
 def _footer_stats(local_path: str) -> dict | None:
     """Per-column {min, max} folded over a parquet file's row groups —
     read from the footer the writer already produced (no data scan).
-    Local filesystems only (pyarrow path access); on other stores the
-    add-action simply carries no stats and the file is never pruned —
-    skipping is an optimization, correctness never depends on it."""
+    A column's bounds are recorded ONLY when every row group contributed
+    usable stats: bounds covering a subset of row groups are not file
+    bounds, and pruning on them would silently drop matching rows from
+    the uncovered groups. Local filesystems only (pyarrow path access);
+    on other stores the add-action simply carries no stats and the file
+    is never pruned — skipping is an optimization, correctness never
+    depends on it."""
     try:
         import pyarrow.parquet as pq
 
@@ -83,6 +87,7 @@ def _footer_stats(local_path: str) -> dict | None:
         return None
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    covered: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -101,11 +106,18 @@ def _footer_stats(local_path: str) -> dict | None:
                     continue
             if not isinstance(lo, (int, float, str, bool)):
                 continue
+            covered[name] = covered.get(name, 0) + 1
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    full = {n for n, c in covered.items() if c == md.num_row_groups}
+    mins = {n: v for n, v in mins.items() if n in full}
+    maxs = {n: v for n, v in maxs.items() if n in full}
     if not mins:
         return None
     return {"min": mins, "max": maxs}
+
+
+_SCAN_OPS = {"=", "==", ">", ">=", "<", "<="}
 
 
 def _file_may_match(add: dict, filters: list[tuple[str, str, object]]) -> bool:
@@ -269,6 +281,15 @@ class LogTable:
                 )
         if not commits:
             raise ValueError(f"no commits at {self.path}")
+        return self._snapshot_of(commits)
+
+    def _snapshot_of(
+        self, commits: list[dict]
+    ) -> tuple[list[str], StructType]:
+        """Snapshot from an ALREADY-LOADED commit prefix — callers that
+        perform several log-dependent steps per operation (the streaming
+        ingest path) load the log once and reuse it instead of replaying
+        O(V) JSON reads per step."""
         schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
         return [
             f"{self.path}/{rel}" for rel in _live_files(commits)
@@ -283,19 +304,33 @@ class LogTable:
         produced), so scans can prune files from the LOG alone. The dir
         is invisible to readers until the commit JSON lands (readers only
         follow the log)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         sub = f"data/c{version:08d}-{uuid.uuid4().hex[:8]}"
         target = f"{self.path}/{sub}"
         df.write.mode("overwrite").parquet(target)
         fs, jvm = _fs(self.spark, target)
-        adds = []
+        listed = []
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(target)):
             name = st.getPath().getName()
             if name.endswith(".parquet") and not name.startswith((".", "_")):
-                add = {"path": f"{sub}/{name}", "size": st.getLen()}
-                stats = _footer_stats(st.getPath().toUri().getPath())
-                if stats:
-                    add["stats"] = stats
-                adds.append(add)
+                listed.append((
+                    f"{sub}/{name}", st.getLen(),
+                    st.getPath().toUri().getPath(),
+                ))
+        # footer harvest is per-file independent and I/O-bound — run it
+        # on a thread pool so a many-file commit doesn't serialize
+        # thousands of footer reads on the driver
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            all_stats = list(pool.map(
+                _footer_stats, (local for _, _, local in listed)
+            ))
+        adds = []
+        for (rel, size, _), stats in zip(listed, all_stats):
+            add = {"path": rel, "size": size}
+            if stats:
+                add["stats"] = stats
+            adds.append(add)
         return sorted(adds, key=lambda a: a["path"])
 
     def _record(self, version: int, op: str, adds: list[dict],
@@ -310,12 +345,14 @@ class LogTable:
             "params": params,
         }
 
-    def _check_schema(self, df: DataFrame) -> str:
+    def _check_schema(self, df: DataFrame,
+                      commits: list[dict] | None = None) -> str:
         """Enforce name+type equality with the table schema (nullability
         is writer-dependent noise — parquet reads resurface everything
         nullable — so it is deliberately NOT part of the contract).
         Returns the schema-json to record in the commit."""
-        commits = self._commits()
+        if commits is None:
+            commits = self._commits()
         if commits:
             prev = StructType.fromJson(json.loads(commits[-1]["schema"]))
             want = [(f.name, f.dataType.simpleString()) for f in prev.fields]
@@ -355,9 +392,22 @@ class LogTable:
         exact regardless of how coarse the stats are. Pair with
         ``compact(cluster_by=...)`` to make ranges disjoint and the
         skipping sharp."""
+        for _, op, _v in filters or []:
+            if op not in _SCAN_OPS:
+                # an unvalidated op must not fall through to some default
+                # comparison and return wrong rows without an error
+                raise ValueError(
+                    f"scan: unsupported operator {op!r} "
+                    f"(supported: {sorted(_SCAN_OPS)})"
+                )
         commits = self._commits()
         if version is not None:
             commits = [c for c in commits if c["version"] <= version]
+            if not commits or commits[-1]["version"] != version:
+                have = [c["version"] for c in self._commits()]
+                raise ValueError(
+                    f"version {version} not in log (have {have})"
+                )
         if not commits:
             raise ValueError(f"no commits at {self.path}")
         schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
@@ -380,9 +430,11 @@ class LogTable:
         return df
 
     def append(self, df: DataFrame) -> int:
-        """Append commit: new files only, nothing rewritten."""
-        ddl = self._check_schema(df)
-        v = self.version() + 1
+        """Append commit: new files only, nothing rewritten. Loads the
+        log ONCE (schema check + next version from the same read)."""
+        commits = self._commits()
+        ddl = self._check_schema(df, commits)
+        v = (commits[-1]["version"] if commits else -1) + 1
         adds = self._write_files(df, v)
         self._commit(self._record(v, "append", adds, [], ddl))
         return v
