@@ -10,7 +10,8 @@ actually (re)written under the state dir. The claim being evidenced:
 per-batch cost tracks the DELTA, not the accumulated corpus — rewritten
 bytes and wall grow far slower than the 10x state growth.
 
-Usage: python tools/graph_stream_scaling.py [batch_size] [n_batches]
+Usage: python tools/graph_stream_scaling.py [batch_size] [n_batches] [phases]
+  phases: comma-separated replica factors (default "1,10")
 Prints one JSON line per measured batch.
 """
 
@@ -51,6 +52,9 @@ def _written(before: dict, after: dict) -> tuple[int, int]:
 def main() -> None:
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    phases = [
+        int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "1,10").split(",")
+    ]
     spark = get_spark(app_name="graph-stream-scaling")
     base = duckdb.sql(
         f"SELECT vec_id, embedding FROM "
@@ -73,7 +77,8 @@ def main() -> None:
                 ))
         return out
 
-    for label, replicas in (("state_1x", 1), ("state_10x", 10)):
+    for replicas in phases:
+        label = f"state_{replicas}x"
         tmp = tempfile.mkdtemp(prefix=f"graph_stream_{label}_")
         d = os.path.join(tmp, "in")
         os.makedirs(d)

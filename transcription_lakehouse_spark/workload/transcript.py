@@ -939,7 +939,12 @@ def trn_beat_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     `aggregation/beats.py:126-217`), over md5-derived engine-portable span
     embeddings (topic-dominated so both merge and break branches fire;
     1/16 of spans embedding-less so the null-boundary path fires too)."""
-    spans = generate_spans(_sem_utterances(spark, sf_dir))
+    # spans feed the beat walk AND the span-embedding derivation — lazy
+    # checkpoint pins one evaluation (same rationale/measurement as
+    # trn_section_semantic_catalog below)
+    spans = generate_spans(
+        _sem_utterances(spark, sf_dir)
+    ).localCheckpoint(eager=False)
     beats = generate_beats_embedding(spans, _span_sem_embeddings(spans))
     return beats.select(
         "episode_id",
@@ -976,8 +981,17 @@ def trn_section_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 min — carried state recomputed by the DuckDB twin as a recursive CTE
     over the same md5-derived beat embeddings. Also exercises the in-plan
     ≥80% coverage guard on its green path (93.75% of beats embedded)."""
-    spans = generate_spans(_sem_utterances(spark, sf_dir))
-    beats = generate_beats_embedding(spans, _span_sem_embeddings(spans))
+    # lazy checkpoints on the two shared subtrees: spans feeds the beat
+    # walk AND the span-embedding derivation; beats feeds the packing
+    # kernel AND the derived beat embeddings AND the coverage guard —
+    # without the pin each consumer re-runs the sequential applyInPandas
+    # chain (measured ~1 s warm at sf0.1, values identical)
+    spans = generate_spans(
+        _sem_utterances(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    beats = generate_beats_embedding(
+        spans, _span_sem_embeddings(spans)
+    ).localCheckpoint(eager=False)
     sections = generate_sections(beats, beat_embeddings=_beat_sem_embeddings(beats))
     return sections.select(
         "episode_id",
