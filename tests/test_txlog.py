@@ -413,3 +413,43 @@ def test_scan_rejects_unknown_op_and_bad_version(spark, tmp_path):
         t.scan(filters=[("id", "!=", 3)])
     with pytest.raises(ValueError, match="not in log"):
         t.scan(version=99)
+
+
+def test_checkpoint_fast_path_and_time_travel(spark, tmp_path):
+    """Log checkpoints: with interval 5, 12 appends write checkpoints at
+    v5 and v10; reads resolve from the newest checkpoint + tail (O(N)
+    commit reads) and match the full-log fold exactly; time travel both
+    BEFORE the first checkpoint and between checkpoints stays exact; a
+    deleted row stays deleted through the checkpointed path."""
+    import os
+
+    t = LogTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for lo in range(0, 120, 10):
+        t.append(_mk(spark, range(lo, lo + 10)))
+    ckpts = sorted(
+        n for n in os.listdir(str(tmp_path / "t" / "_txlog"))
+        if n.endswith(".checkpoint.json")
+    )
+    assert [int(n[:20]) for n in ckpts] == [5, 10]
+
+    assert _rows(t.read()) == _rows(_mk(spark, range(120)))
+    # hot path really seeds from the checkpoint: the loaded prefix's head
+    # is the synthetic checkpoint commit at v10
+    loaded = t._load_for_read(None)
+    assert loaded[0]["operation"] == "checkpoint"
+    assert loaded[0]["version"] == 10
+    assert len(loaded) == 2  # checkpoint + v11 only
+
+    # time travel before the first checkpoint replays from the origin
+    assert _rows(t.read(version=2)) == _rows(_mk(spark, range(30)))
+    # ... and between checkpoints seeds from the older one
+    assert _rows(t.read(version=7)) == _rows(_mk(spark, range(80)))
+    assert t._load_for_read(7)[0]["version"] == 5
+
+    # a delete after the last checkpoint is visible through the fast path
+    t.delete("id = 3")
+    got = {k for k, _ in _rows(t.read())}
+    assert 3 not in got and len(got) == 119
+    # scan honors checkpoints too (same loader)
+    assert {r["id"] for r in t.scan(filters=[("id", "<", 10)]).collect()} \
+        == {0, 1, 2, 4, 5, 6, 7, 8, 9}

@@ -171,36 +171,130 @@ def _live_files(commits: list[dict]) -> list[str]:
 
 
 class LogTable:
-    """Handle on one transaction-log table rooted at ``path``."""
+    """Handle on one transaction-log table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``checkpoint_interval``: every N commits the folded live state is
+    also written as a CHECKPOINT file (Delta's `_last_checkpoint` idea),
+    so the hot read path replays O(N) commit JSONs instead of O(total) —
+    at thousands of commits on an object store that is the difference
+    between one metadata read and thousands. History/vacuum/changes
+    still read the full log (maintenance ops, O(V) is their nature), and
+    time travel to pre-checkpoint versions replays from the origin."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 checkpoint_interval: int = 10):
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_dir = f"{self.path}/_txlog"
         self.data_dir = f"{self.path}/data"
+        self.checkpoint_interval = max(1, int(checkpoint_interval))
 
     # ---- log plumbing ---------------------------------------------------
 
-    def _commits(self) -> list[dict]:
+    def _read_json(self, hpath) -> dict:
+        fs, jvm = _fs(self.spark, self.log_dir)
+        stream = fs.open(hpath)
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        return json.loads(data.decode("utf-8"))
+
+    def _list_log(self) -> tuple[list[tuple[int, object]], list[tuple[int, object]]]:
+        """(commit files, checkpoint files) as (version, hadoop path),
+        sorted ascending — versions come from FILE NAMES, no content
+        reads."""
         fs, jvm = _fs(self.spark, self.log_dir)
         root = jvm.org.apache.hadoop.fs.Path(self.log_dir)
         if not fs.exists(root):
-            return []
-        entries = []
+            return [], []
+        commits, ckpts = [], []
         for st in fs.listStatus(root):
             name = st.getPath().getName()
-            if not name.endswith(".json") or name.startswith("."):
+            if name.startswith("."):
                 continue
-            stream = fs.open(st.getPath())
-            try:
-                data = bytes(
-                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            if name.endswith(".checkpoint.json"):
+                ckpts.append((int(name[:-16]), st.getPath()))
+            elif name.endswith(".json"):
+                commits.append((int(name[:-5]), st.getPath()))
+        commits.sort(key=lambda t: t[0])
+        ckpts.sort(key=lambda t: t[0])
+        return commits, ckpts
+
+    def _commits(self) -> list[dict]:
+        commits, _ = self._list_log()
+        return [self._read_json(p) for _, p in commits]
+
+    def _load_for_read(self, version: int | None) -> list[dict]:
+        """Commit prefix for a snapshot read, seeded from the newest
+        checkpoint ≤ the target — the O(interval) hot path. Returns a
+        list whose head may be a synthetic 'checkpoint' commit (full
+        live add-set); raises on an unknown version like _snapshot."""
+        commit_files, ckpt_files = self._list_log()
+        if version is not None:
+            have = [v for v, _ in commit_files]
+            if version not in have:
+                raise ValueError(
+                    f"version {version} not in log (have {have})"
                 )
-            finally:
-                stream.close()
-            entries.append(json.loads(data.decode("utf-8")))
-        entries.sort(key=lambda c: c["version"])
-        return entries
+            commit_files = [t for t in commit_files if t[0] <= version]
+            ckpt_files = [t for t in ckpt_files if t[0] <= version]
+        if not commit_files:
+            raise ValueError(f"no commits at {self.path}")
+        base: list[dict] = []
+        floor = -1
+        if ckpt_files:
+            cv, cpath = ckpt_files[-1]
+            ck = self._read_json(cpath)
+            base = [{
+                "version": ck["version"], "operation": "checkpoint",
+                "add": ck["add"], "remove": [], "schema": ck["schema"],
+            }]
+            floor = cv
+        tail = [
+            self._read_json(p) for v, p in commit_files if v > floor
+        ]
+        return base + tail
+
+    def checkpoint(self) -> dict:
+        """Fold the current live state into a checkpoint file. Written
+        best-effort AFTER commits (a missing/failed checkpoint only costs
+        read-path speed, never correctness)."""
+        commits = self._commits()
+        if not commits:
+            return {"checkpointed": None}
+        v = commits[-1]["version"]
+        fs, jvm = _fs(self.spark, self.log_dir)
+        final = jvm.org.apache.hadoop.fs.Path(
+            jvm.org.apache.hadoop.fs.Path(self.log_dir),
+            "%020d.checkpoint.json" % v,
+        )
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            jvm.org.apache.hadoop.fs.Path(self.log_dir),
+            f".ckpt-{uuid.uuid4().hex}.json",
+        )
+        payload = {
+            "version": v,
+            "schema": commits[-1]["schema"],
+            "add": _live_adds(commits),
+        }
+        out = fs.create(tmp, False)
+        try:
+            out.write(bytearray(json.dumps(payload, sort_keys=True).encode()))
+        finally:
+            out.close()
+        if not fs.rename(tmp, final):
+            fs.delete(tmp, False)  # racer checkpointed the same version
+        return {"checkpointed": v}
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version > 0 and version % self.checkpoint_interval == 0:
+            try:
+                self.checkpoint()
+            except Exception:
+                pass  # advisory only — never fail a committed write
 
     def _commit(self, record: dict) -> None:
         """Atomic publish: stage the full JSON, then install it under the
@@ -371,7 +465,8 @@ class LogTable:
         """Snapshot read (time travel with ``version``). The file list is
         pinned BEFORE the scan starts, so later commits/compactions never
         tear a running query."""
-        files, schema = self._snapshot(version)
+        commits = self._load_for_read(version)
+        files, schema = self._snapshot_of(commits)
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
@@ -400,16 +495,7 @@ class LogTable:
                     f"scan: unsupported operator {op!r} "
                     f"(supported: {sorted(_SCAN_OPS)})"
                 )
-        commits = self._commits()
-        if version is not None:
-            commits = [c for c in commits if c["version"] <= version]
-            if not commits or commits[-1]["version"] != version:
-                have = [c["version"] for c in self._commits()]
-                raise ValueError(
-                    f"version {version} not in log (have {have})"
-                )
-        if not commits:
-            raise ValueError(f"no commits at {self.path}")
+        commits = self._load_for_read(version)
         schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
         adds = _live_adds(commits)
         if filters:
@@ -437,6 +523,7 @@ class LogTable:
         v = (commits[-1]["version"] if commits else -1) + 1
         adds = self._write_files(df, v)
         self._commit(self._record(v, "append", adds, [], ddl))
+        self._maybe_checkpoint(v)
         return v
 
     def overwrite(self, df: DataFrame) -> int:
@@ -450,6 +537,7 @@ class LogTable:
         removes = [p[len(self.path) + 1:] for p in old]
         adds = self._write_files(df, v)
         self._commit(self._record(v, "overwrite", adds, removes, ddl))
+        self._maybe_checkpoint(v)
         return v
 
     def _files_with_matches(self, cond) -> list[str]:
@@ -495,6 +583,7 @@ class LogTable:
         self._commit(self._record(
             v, "delete", adds, removes, ddl, condition=condition,
         ))
+        self._maybe_checkpoint(v)
         return {"version": v, "rewritten_files": len(touched)}
 
     def merge(self, updates: DataFrame, key: str) -> dict:
@@ -521,6 +610,7 @@ class LogTable:
         adds = self._write_files(new_data, v)
         removes = [p[len(self.path) + 1:] for p in touched]
         self._commit(self._record(v, "merge", adds, removes, ddl, key=key))
+        self._maybe_checkpoint(v)
         return {"version": v, "rewritten_files": len(touched)}
 
     def compact(self, target_files: int = 1,
@@ -548,6 +638,7 @@ class LogTable:
             v, "compact", adds, removes, ddl, target_files=target_files,
             cluster_by=cluster_by or [],
         ))
+        self._maybe_checkpoint(v)
         return {"version": v, "files_before": len(files),
                 "files_after": len(adds)}
 
