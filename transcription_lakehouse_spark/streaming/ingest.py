@@ -168,7 +168,9 @@ def stream_ingest_txlog(
         normalized = normalize(valid)
         sess = batch.sparkSession
         t = LogTable(sess, table_path)
-        commits = t._commits()  # one log load for the whole dedup step
+        # checkpoint-seeded prefix: O(interval) commit reads per batch
+        # regardless of stream age, not a full O(V) log replay
+        commits = t._load_for_read(None, allow_empty=True)
         if commits:
             files, schema = t._snapshot_of(commits)
             if files:

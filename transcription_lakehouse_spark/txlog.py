@@ -227,11 +227,14 @@ class LogTable:
         commits, _ = self._list_log()
         return [self._read_json(p) for _, p in commits]
 
-    def _load_for_read(self, version: int | None) -> list[dict]:
+    def _load_for_read(self, version: int | None,
+                       allow_empty: bool = False) -> list[dict]:
         """Commit prefix for a snapshot read, seeded from the newest
-        checkpoint ≤ the target — the O(interval) hot path. Returns a
-        list whose head may be a synthetic 'checkpoint' commit (full
-        live add-set); raises on an unknown version like _snapshot."""
+        checkpoint ≤ the target — the O(interval) hot path (writers use
+        it too: appends need only the newest schema and version, never a
+        full replay). Returns a list whose head may be a synthetic
+        'checkpoint' commit (full live add-set); raises on an unknown
+        version like _snapshot."""
         commit_files, ckpt_files = self._list_log()
         if version is not None:
             have = [v for v, _ in commit_files]
@@ -242,6 +245,8 @@ class LogTable:
             commit_files = [t for t in commit_files if t[0] <= version]
             ckpt_files = [t for t in ckpt_files if t[0] <= version]
         if not commit_files:
+            if allow_empty:
+                return []
             raise ValueError(f"no commits at {self.path}")
         base: list[dict] = []
         floor = -1
@@ -259,13 +264,16 @@ class LogTable:
         return base + tail
 
     def checkpoint(self) -> dict:
-        """Fold the current live state into a checkpoint file. Written
-        best-effort AFTER commits (a missing/failed checkpoint only costs
-        read-path speed, never correctness)."""
-        commits = self._commits()
-        if not commits:
+        """Fold the current live state into a checkpoint file — SEEDED
+        from the previous checkpoint (O(interval) commit reads, not a
+        replay since origin, so per-write checkpoint cost stays bounded
+        as the table ages). Written best-effort AFTER commits (a
+        missing/failed checkpoint only costs read-path speed, never
+        correctness)."""
+        prefix = self._load_for_read(None, allow_empty=True)
+        if not prefix:
             return {"checkpointed": None}
-        v = commits[-1]["version"]
+        v = prefix[-1]["version"]
         fs, jvm = _fs(self.spark, self.log_dir)
         final = jvm.org.apache.hadoop.fs.Path(
             jvm.org.apache.hadoop.fs.Path(self.log_dir),
@@ -277,16 +285,22 @@ class LogTable:
         )
         payload = {
             "version": v,
-            "schema": commits[-1]["schema"],
-            "add": _live_adds(commits),
+            "schema": prefix[-1]["schema"],
+            "add": _live_adds(prefix),
         }
-        out = fs.create(tmp, False)
         try:
-            out.write(bytearray(json.dumps(payload, sort_keys=True).encode()))
+            out = fs.create(tmp, False)
+            try:
+                out.write(
+                    bytearray(json.dumps(payload, sort_keys=True).encode())
+                )
+            finally:
+                out.close()
+            if not fs.rename(tmp, final):
+                fs.delete(tmp, False)  # racer checkpointed this version
         finally:
-            out.close()
-        if not fs.rename(tmp, final):
-            fs.delete(tmp, False)  # racer checkpointed the same version
+            if fs.exists(tmp):
+                fs.delete(tmp, False)  # never leak a staged file
         return {"checkpointed": v}
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -344,9 +358,10 @@ class LogTable:
             fs.delete(tmp, False)
 
     def version(self) -> int:
-        """Latest committed version, or -1 for a table with no commits."""
-        commits = self._commits()
-        return commits[-1]["version"] if commits else -1
+        """Latest committed version, or -1 for a table with no commits —
+        read from the log FILE NAMES, no content reads."""
+        commit_files, _ = self._list_log()
+        return commit_files[-1][0] if commit_files else -1
 
     def history(self) -> list[dict]:
         """The commit log, oldest first (operation, add/remove counts)."""
@@ -365,17 +380,7 @@ class LogTable:
         self, version: int | None = None
     ) -> tuple[list[str], StructType]:
         """(live file paths, schema) at ``version`` (default: latest)."""
-        commits = self._commits()
-        if version is not None:
-            commits = [c for c in commits if c["version"] <= version]
-            if not commits or commits[-1]["version"] != version:
-                have = [c["version"] for c in self._commits()]
-                raise ValueError(
-                    f"version {version} not in log (have {have})"
-                )
-        if not commits:
-            raise ValueError(f"no commits at {self.path}")
-        return self._snapshot_of(commits)
+        return self._snapshot_of(self._load_for_read(version))
 
     def _snapshot_of(
         self, commits: list[dict]
@@ -518,9 +523,9 @@ class LogTable:
     def append(self, df: DataFrame) -> int:
         """Append commit: new files only, nothing rewritten. Loads the
         log ONCE (schema check + next version from the same read)."""
-        commits = self._commits()
-        ddl = self._check_schema(df, commits)
-        v = (commits[-1]["version"] if commits else -1) + 1
+        prefix = self._load_for_read(None, allow_empty=True)
+        ddl = self._check_schema(df, prefix)
+        v = (prefix[-1]["version"] if prefix else -1) + 1
         adds = self._write_files(df, v)
         self._commit(self._record(v, "append", adds, [], ddl))
         self._maybe_checkpoint(v)
@@ -531,9 +536,9 @@ class LogTable:
         added and every previously-live file is logically removed. Old
         files stay on disk for time travel until vacuumed."""
         ddl = df.schema.json()
-        commits = self._commits()
-        v = (commits[-1]["version"] if commits else -1) + 1
-        old = self._snapshot()[0] if commits else []
+        prefix = self._load_for_read(None, allow_empty=True)
+        v = (prefix[-1]["version"] if prefix else -1) + 1
+        old = self._snapshot_of(prefix)[0] if prefix else []
         removes = [p[len(self.path) + 1:] for p in old]
         adds = self._write_files(df, v)
         self._commit(self._record(v, "overwrite", adds, removes, ddl))
@@ -576,6 +581,7 @@ class LogTable:
             self._commit(self._record(
                 v, "delete", [], [], ddl, condition=condition, matched=0,
             ))
+            self._maybe_checkpoint(v)
             return {"version": v, "rewritten_files": 0}
         keep = self.spark.read.schema(schema).parquet(*touched).filter(~cond)
         adds = self._write_files(keep, v) if keep.head(1) else []
@@ -718,6 +724,14 @@ class LogTable:
             if fs.exists(p):
                 fs.delete(p, False)
                 deleted += 1
+        # stale checkpoints: only the newest is ever consulted, and each
+        # carries the FULL live add-set — left alone they grow the log
+        # dir quadratically with commit count
+        _, ckpts = self._list_log()
+        ckpts_pruned = 0
+        for _v, cpath in ckpts[:-1]:
+            fs.delete(cpath, False)
+            ckpts_pruned += 1
         orphans = 0
         if remove_orphans:
             droot = jvm.org.apache.hadoop.fs.Path(self.data_dir)
@@ -732,5 +746,14 @@ class LogTable:
                         if rel not in ever:
                             fs.delete(f.getPath(), False)
                             orphans += 1
+            # crashed stagers leave .tmp-* / .ckpt-* files in the log dir
+            lroot = jvm.org.apache.hadoop.fs.Path(self.log_dir)
+            if fs.exists(lroot):
+                for f in fs.listStatus(lroot):
+                    name = f.getPath().getName()
+                    if name.startswith((".tmp-", ".ckpt-")):
+                        fs.delete(f.getPath(), False)
+                        orphans += 1
         return {"deleted": deleted, "orphans_deleted": orphans,
+                "checkpoints_pruned": ckpts_pruned,
                 "retained_from_version": keep_from}
