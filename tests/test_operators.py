@@ -2032,3 +2032,22 @@ def test_dsir_weights_favor_the_target_slice(spark):
     assert all(math.isfinite(w) for w in en + other)
     # per-token normalization is the resampling statistic; compare means
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_kcenter_coreset_properties(spark):
+    """Farthest-point traversal invariants: picks are distinct; the pick
+    distances are NON-INCREASING (each new center's min-distance to the
+    selected set can only shrink as the set grows — the property that
+    makes greedy k-center a 2-approximation); and the first pick past
+    the seed is genuinely the farthest point from it."""
+    from transcription_lakehouse_spark.workload.vectors import (
+        vec_kcenter_coreset,
+    )
+
+    out = vec_kcenter_coreset(spark, "/root/testdata/sf0.001").collect()
+    assert [r["step"] for r in out] == list(range(1, 13))
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    dists = [r["min_dist"] for r in out[1:]]
+    assert all(d is not None and d > 0 for d in dists)
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists

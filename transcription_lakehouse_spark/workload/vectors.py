@@ -1723,7 +1723,87 @@ FROM (
 """
 
 
+_KCENTER_K = 12
+
+
+def vec_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset (farthest-point traversal) — DIVERSITY
+    selection for training data: pick k examples that maximally spread
+    over the embedding space (each pick = the point farthest, in cosine
+    distance, from everything already picked; the classic 2-approximation
+    to the k-center objective, the standard coreset/diversity-sampling
+    recipe). Seed = min vec_id; ties broken by smallest id.
+
+    Shape: inherently k SEQUENTIAL rounds (each pick depends on all
+    prior), so this is a bounded driver loop — k(={_KCENTER_K}) scans,
+    each a full-parallel min-over-selected + top-1 (TakeOrdered), the
+    same iterative-driver pattern as the graph walk's hops. Selected
+    vectors ride into the next round as broadcast literals; the corpus
+    never shuffles. Distances reuse THE shared `guarded_cosine`
+    (round-6), so the DuckDB twin (recursive CTE + LATERAL argmax over
+    the accumulated pick list) replays every round exactly."""
+    import math
+
+    from ..functions.vector import guarded_cosine
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    ).withColumn("_n", l2_norm(F.col("e")))
+    seed = emb.orderBy("vec_id").head(1)[0]
+    selected = [(int(seed["vec_id"]), list(seed["e"]))]
+    out_rows = [(1, selected[0][0], None)]
+    for step in range(2, _KCENTER_K + 1):
+        dists = []
+        for _vid, vec in selected:
+            lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+            lit_norm = F.lit(math.sqrt(sum(x * x for x in vec)))
+            dists.append(
+                F.lit(1.0)
+                - guarded_cosine(F.col("e"), lit_vec, F.col("_n"), lit_norm)
+            )
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        pick = (
+            emb.filter(~F.col("vec_id").isin([v for v, _ in selected]))
+            .select("vec_id", F.round(mind, 6).alias("min_dist"), "e")
+            .orderBy(F.desc("min_dist"), F.asc("vec_id"))
+            .head(1)[0]
+        )
+        selected.append((int(pick["vec_id"]), list(pick["e"])))
+        out_rows.append((step, int(pick["vec_id"]),
+                         float(pick["min_dist"])))
+    return spark.createDataFrame(
+        out_rows, "step int, vec_id bigint, min_dist double"
+    ).orderBy("step")
+
+
+VEC_KCENTER_CORESET_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+sel AS (
+  SELECT 1 AS step,
+         (SELECT min(vec_id) FROM e) AS vec_id,
+         CAST(NULL AS DOUBLE) AS min_dist,
+         [(SELECT min(vec_id) FROM e)] AS picked
+  UNION ALL
+  SELECT sel.step + 1, c.vec_id, c.mind, list_append(sel.picked, c.vec_id)
+  FROM sel, LATERAL (
+    SELECT x.vec_id,
+           round(min(1.0 - round({_XY_COS}, 6)), 6) AS mind
+    FROM e x JOIN e y ON list_contains(sel.picked, y.vec_id)
+    WHERE NOT list_contains(sel.picked, x.vec_id)
+    GROUP BY x.vec_id
+    ORDER BY mind DESC, x.vec_id
+    LIMIT 1
+  ) c
+  WHERE sel.step < {_KCENTER_K}
+)
+SELECT step, vec_id, min_dist FROM sel ORDER BY step
+"""
+
+
 QUERIES = {
+    "vec_kcenter_coreset": vec_kcenter_coreset,
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
     "vec_hard_negatives": vec_hard_negatives,
@@ -1760,6 +1840,7 @@ ORACLES = {
     "vec_label_centroids": VEC_LABEL_CENTROIDS_SQL,
     "vec_label_similarity_matrix": VEC_LABEL_SIM_MATRIX_SQL,
     "vec_norm_stats": VEC_NORM_STATS_SQL,
+    "vec_kcenter_coreset": VEC_KCENTER_CORESET_SQL,
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
     "vec_knn_lsh": VEC_KNN_LSH_SQL,
