@@ -65,6 +65,8 @@ HEADLINE = [
     "doc_training_order",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    "doc_dsir_weights",
+    "vec_kcenter_coreset",
 ]
 
 

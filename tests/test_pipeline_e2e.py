@@ -2049,3 +2049,95 @@ def test_cli_curate_append_curriculum_epoch_blocks(spark, tmp_path):
         t2 = [r["tier"] for r in rs if r["doc_id"] not in b1_ids]
         assert t1 == sorted(t1), f"shard {shard} epoch-1 out of tier"
         assert t2 == sorted(t2), f"shard {shard} epoch-2 out of tier"
+
+
+def test_pipeline_on_txlog_lake(spark, tmp_path):
+    """The whole batch chain on a transaction-log lake (r7 verdict 'next
+    #4'): ingest → materialize → catalog → validate → quality run with
+    every artifact as a LogTable; incremental ingest is an atomic APPEND
+    commit with exact CDF; time travel and compaction apply to the main
+    artifacts; snapshots copy the log-resolved live file set; the
+    dirs-format vacuum refuses to touch a txlog lake."""
+    import os
+
+    from transcription_lakehouse_spark import maintenance
+    from transcription_lakehouse_spark.ingestion import (
+        incremental_filter,
+        ingest as core_ingest,
+        lake_format,
+        read_as_of,
+        read_versioned,
+    )
+    from transcription_lakehouse_spark.sources.transcripts import (
+        read_jsonl,
+        with_default_episode_id,
+    )
+    from transcription_lakehouse_spark.txlog import LogTable
+
+    _write_jsonl(tmp_path, "ep1.jsonl")
+    lake = str(tmp_path / "lake")
+    stats = pipeline.ingest(
+        spark, str(tmp_path / "*.jsonl"), lake, keep_raw=False, fmt="txlog"
+    )
+    assert stats["valid"] == 60 and stats["invalid"] == 0
+    assert lake_format(lake) == "txlog"
+    assert os.path.isdir(f"{lake}/normalized/_txlog")
+    assert not os.path.isdir(f"{lake}/normalized/v1"), "wrote a version dir"
+
+    counts = pipeline.materialize(spark, lake, use_embeddings=True)
+    assert counts["spans"] > 0 and counts["beats"] > 0
+    assert os.path.isdir(f"{lake}/spans/_txlog")
+    assert os.path.isdir(f"{lake}/sections/_txlog")
+    cat = pipeline.catalog(spark, lake)
+    assert cat["episodes"] == 1 and cat["speakers"] == 2
+    v = pipeline.validate(spark, lake)
+    assert v["ok"], v
+    q = pipeline.quality(spark, lake)
+    assert q["status"] in ("GREEN", "AMBER", "RED")
+
+    # incremental ingest: one atomic append commit, exact per-batch CDF
+    (tmp_path / "inc").mkdir(exist_ok=True)
+    _write_jsonl(tmp_path / "inc", "ep2.jsonl", n=10, episode="EP2")
+    raw2 = with_default_episode_id(
+        read_jsonl(spark, str(tmp_path / "inc" / "*.jsonl"))
+    )
+    existing = read_versioned(spark, lake, "normalized")
+    core_ingest(spark, raw2, lake, existing=existing)
+    t = LogTable(spark, f"{lake}/normalized")
+    assert t.version() == 1
+    assert t.read().count() == 70
+    added = t.changes(0, 1)
+    assert added.count() == 10
+    assert {r["episode_id"] for r in added.collect()} == {"EP2"}
+    # re-running the same incremental is a no-op delta (anti-join)
+    assert incremental_filter(
+        raw2, read_versioned(spark, lake, "normalized")
+    ).count() == 0
+
+    # time travel: the pre-append snapshot, via LogTable and via read_as_of
+    assert t.read(version=0).count() == 60
+    as_of_ts = t._commits()[0]["timestamp"]
+    assert read_as_of(spark, lake, "normalized", as_of=as_of_ts).count() == 60
+
+    # compaction applies to the main artifact; content is unchanged and
+    # the catalogs/quality chain still reads through the label
+    res = t.compact(target_files=1)
+    assert res["files_after"] == 1
+    assert read_versioned(spark, lake, "normalized", "v1").count() == 70
+    assert pipeline.validate(spark, lake)["ok"]
+
+    # snapshot copies the log-resolved live set and verifies
+    snap = pipeline.snapshot(spark, lake, "v0.0.1")
+    assert snap["verified"], snap
+    assert spark.read.parquet(
+        os.path.join(snap["snapshot"], "normalized")
+    ).count() == 70
+
+    # dirs-format vacuum refuses a txlog lake (it would rmtree the table)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="txlog"):
+        maintenance.vacuum(lake, "normalized")
+    # the log-driven vacuum is the supported path
+    assert t.vacuum(retain_last=1)["deleted"] >= 1
+    assert t.read().count() == 70

@@ -83,9 +83,10 @@ def shuffle_bytes(spark) -> tuple[int, int]:
         return -1, -1
 
 
-def run(factor: int) -> dict:
+def run(factor: int, fmt: str = "dirs") -> dict:
     from transcription_lakehouse_spark.ingestion import (
         normalize,
+        set_lake_format,
         split_valid,
         write_versioned,
     )
@@ -113,7 +114,8 @@ def run(factor: int) -> dict:
         extra_conf=conf,
     )
     lake = tempfile.mkdtemp(prefix=f"pipescale_{factor}x_")
-    out: dict = {"factor": factor}
+    set_lake_format(lake, fmt)  # "txlog": every artifact is a LogTable
+    out: dict = {"factor": factor, "lake_format": fmt}
     try:
         raw = raw_utterances(spark, factor).localCheckpoint()  # exclude generation
         out["utterances"] = raw.count()
@@ -152,10 +154,16 @@ def run(factor: int) -> dict:
 
 
 def main() -> int:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
+    args = sys.argv[1:]
+    fmt = "dirs"
+    if "--format" in args:
+        i = args.index("--format")
+        fmt = args[i + 1]
+        del args[i:i + 2]
+    factors = [int(a) for a in args] or [1, 10, 50]
     results = []
     for f in factors:
-        r = run(f)
+        r = run(f, fmt)
         results.append(r)
         print(json.dumps(r))
     if len(results) >= 2:

@@ -25,7 +25,89 @@ __all__ = [
     "read_as_of",
     "list_versions",
     "incremental_filter",
+    "lake_format",
+    "set_lake_format",
+    "artifact_exists",
 ]
+
+_LAKE_FORMAT_FILE = "_lake_format.json"
+
+
+def lake_format(base_dir: str) -> str:
+    """The lake's storage convention: ``"dirs"`` (copy-per-version
+    directories, the reference's scheme) or ``"txlog"`` (every artifact is
+    a transaction-log table, `txlog.LogTable` — one mechanism for as-of
+    reads, CDF, compaction, and vacuum). Recorded once at lake creation
+    in ``_lake_format.json``; absent marker means ``dirs`` so existing
+    lakes keep working unchanged."""
+    p = os.path.join(base_dir, _LAKE_FORMAT_FILE)
+    if os.path.exists(p):
+        import json as _json
+
+        with open(p) as f:
+            return _json.load(f)["format"]
+    return "dirs"
+
+
+def set_lake_format(base_dir: str, fmt: str) -> None:
+    """Stamp a NEW lake's format. Re-stamping the same format is a no-op;
+    flipping an existing lake is refused (the two conventions lay files
+    out incompatibly — migrate by re-ingesting)."""
+    if fmt not in ("dirs", "txlog"):
+        raise ValueError(f"unknown lake format {fmt!r} (dirs|txlog)")
+    cur_marker = os.path.join(base_dir, _LAKE_FORMAT_FILE)
+    if os.path.exists(cur_marker):
+        cur = lake_format(base_dir)
+        if cur != fmt:
+            raise ValueError(
+                f"lake at {base_dir} is already {cur!r}; cannot flip to "
+                f"{fmt!r} in place"
+            )
+        return
+    import json as _json
+
+    os.makedirs(base_dir, exist_ok=True)
+    with open(cur_marker, "w") as f:
+        _json.dump({"format": fmt}, f)
+
+
+def artifact_exists(base_dir: str, artifact: str, version: str = "v1") -> bool:
+    """Whether the artifact has been materialized — format-aware (a
+    txlog artifact exists when its table has >= 1 commit)."""
+    if lake_format(base_dir) == "txlog":
+        log_dir = os.path.join(base_dir, artifact, "_txlog")
+        return os.path.isdir(log_dir) and any(
+            n.endswith(".json") and not n.startswith(".")
+            for n in os.listdir(log_dir)
+        )
+    return os.path.isdir(os.path.join(base_dir, artifact, version))
+
+
+def _txlog_table(spark, base_dir: str, artifact: str):
+    from .txlog import LogTable
+
+    return LogTable(spark, os.path.join(base_dir, artifact))
+
+
+def _txlog_resolve_label(t, label: str | None) -> int | None:
+    """Newest commit carrying ``label`` in its params (write_versioned
+    stamps one per write), so the string-version contract of the dirs
+    convention keeps working on txlog lakes. ``None`` label = latest."""
+    if label is None:
+        return None
+    commits = t._commits()
+    hits = [
+        c["version"] for c in commits
+        if c.get("params", {}).get("label") == label
+    ]
+    if not hits:
+        have = sorted({
+            c.get("params", {}).get("label") for c in commits
+        } - {None})
+        raise ValueError(
+            f"no version labeled {label!r} in {t.path} (have {have})"
+        )
+    return hits[-1]
 
 
 def validation_errors(df: DataFrame) -> F.Column:
@@ -113,7 +195,15 @@ def write_versioned(
     """S6-S8: write `<base>/<artifact>/<version>/` parquet (snappy,
     dictionary + stats are parquet-writer defaults, `writer.py:104-111`).
     Raises on schema mismatch like the reference's enforced write
-    (`writer.py:92-99`)."""
+    (`writer.py:92-99`).
+
+    On a ``txlog`` lake (see `lake_format`) the artifact is a
+    transaction-log table instead of a copy-per-version directory:
+    ``mode="overwrite"`` is a snapshot-atomic overwrite commit,
+    ``mode="append"`` an append commit, and the ``version`` string is
+    recorded as the commit's label so label-addressed reads keep
+    working. Time travel / CDF / compaction / vacuum then ride ONE
+    mechanism (`txlog.LogTable`) rather than directory copies."""
     if schema is not None:
         problems = validate_schema(df, schema)
         if problems:
@@ -124,6 +214,18 @@ def write_versioned(
         canonical = [f.name for f in schema.fields]
         extras = [c for c in df.columns if c not in canonical]
         df = df.select(*canonical, *extras)
+    if lake_format(base_dir) == "txlog":
+        if partition_by:
+            raise ValueError(
+                "partition_by is a dirs-format feature; cluster txlog "
+                "tables with LogTable.compact(cluster_by=...) instead"
+            )
+        t = _txlog_table(df.sparkSession, base_dir, artifact)
+        if mode == "append":
+            t.append(df, params={"label": version})
+        else:
+            t.overwrite(df, params={"label": version})
+        return t.path
     path = os.path.join(base_dir, artifact, version)
     writer = df.write.mode(mode)
     if partition_by:
@@ -162,8 +264,14 @@ def read_versioned(
     columns: list[str] | None = None,
 ) -> DataFrame:
     """S9: read back with optional column pruning (Catalyst prunes the
-    parquet scan automatically)."""
-    df = spark.read.parquet(os.path.join(base_dir, artifact, version))
+    parquet scan automatically). On a txlog lake the label resolves to
+    the newest commit that wrote it (snapshot read — later commits never
+    tear it)."""
+    if lake_format(base_dir) == "txlog":
+        t = _txlog_table(spark, base_dir, artifact)
+        df = t.read(version=_txlog_resolve_label(t, version))
+    else:
+        df = spark.read.parquet(os.path.join(base_dir, artifact, version))
     return df.select(*columns) if columns else df
 
 
@@ -176,6 +284,28 @@ def list_versions(base_dir: str, artifact: str) -> list[dict]:
     import glob as _glob
     import json as _json
     from datetime import datetime, timezone
+
+    if lake_format(base_dir) == "txlog":
+        # one entry per label, at its NEWEST commit (mirrors the dirs
+        # convention where a label is one directory); path is the table
+        # root — version dirs don't exist, the log is the version axis
+        from .txlog import LogTable
+
+        t = LogTable(None, os.path.join(base_dir, artifact))
+        by_label: dict[str, dict] = {}
+        for c in t._commits_no_spark():
+            label = c.get("params", {}).get("label")
+            if label is None:
+                continue
+            by_label[label] = {
+                "version": label,
+                "created_at": c.get("timestamp"),
+                "path": t.path,
+            }
+        out = sorted(
+            by_label.values(), key=lambda v: (v["created_at"], v["version"])
+        )
+        return out
 
     art_dir = os.path.join(base_dir, artifact)
     out = []
@@ -245,6 +375,11 @@ def read_as_of(
 
     if version is not None:
         return read_versioned(spark, base_dir, artifact, version, columns)
+    if lake_format(base_dir) == "txlog":
+        t = _txlog_table(spark, base_dir, artifact)
+        v = t.version_as_of(as_of) if as_of is not None else None
+        df = t.read(version=v)
+        return df.select(*columns) if columns else df
     versions = list_versions(base_dir, artifact)
     if not versions:
         raise ValueError(f"no versions of {artifact!r} under {base_dir}")
@@ -296,9 +431,17 @@ def ingest(
     base_dir: str,
     version: str = "v1",
     existing: DataFrame | None = None,
+    fmt: str | None = None,
 ) -> dict[str, int]:
     """End-to-end ingest (SURVEY §3.1 Spark shape). Returns counters like the
-    reference's ValidationResult (`validator.py:73-116`)."""
+    reference's ValidationResult (`validator.py:73-116`).
+
+    ``fmt`` stamps a NEW lake's storage convention (``"dirs"`` |
+    ``"txlog"``, see `lake_format`); on an existing lake it must match.
+    With ``"txlog"`` every artifact write below is a transaction-log
+    commit — incremental ingests become atomic appends with CDF."""
+    if fmt is not None:
+        set_lake_format(base_dir, fmt)
     if existing is not None:
         raw = incremental_filter(raw, existing)
     valid, invalid = split_valid(raw)

@@ -350,10 +350,19 @@ def vacuum(
     import shutil
     from datetime import datetime, timezone
 
-    from .ingestion import list_versions
+    from .ingestion import lake_format, list_versions
 
     if keep_last < 1:
         raise ValueError("vacuum: keep_last must be >= 1")
+    if lake_format(base_dir) == "txlog":
+        # txlog versions are log entries over a shared file set — deleting
+        # a "version path" would delete the whole table; route to the
+        # log-driven reclaim instead
+        raise ValueError(
+            "this lake is txlog-format: use "
+            "LogTable(spark, <lake>/<artifact>).vacuum(retain_last=...) "
+            "(CLI: `table vacuum`)"
+        )
     versions = list_versions(base_dir, artifact)
     candidates = versions[:-keep_last] if keep_last < len(versions) else []
     if older_than is not None:

@@ -31,6 +31,7 @@ from .aggregation import (
 from .catalogs.episodes import episode_catalog
 from .catalogs.speakers import speaker_catalog
 from .embeddings import generate_embeddings
+from .ingestion import artifact_exists
 from .ingestion import ingest as _ingest
 from .ingestion import read_versioned, write_versioned
 from .schemas import BEAT_SCHEMA, SECTION_SCHEMA, SPAN_SCHEMA
@@ -40,10 +41,11 @@ from .speaker_roles import SpeakerRoleConfig, beat_speaker_metadata, enrich_span
 
 
 def ingest(
-    spark: SparkSession, input_glob: str, lake_dir: str, keep_raw: bool = True
+    spark: SparkSession, input_glob: str, lake_dir: str,
+    keep_raw: bool = True, fmt: str | None = None,
 ) -> dict[str, int]:
     raw = with_default_episode_id(read_jsonl(spark, input_glob))
-    stats = _ingest(spark, raw, lake_dir)
+    stats = _ingest(spark, raw, lake_dir, fmt=fmt)
     if keep_raw:  # S11 bronze retention (`pipeline.py:284-299`)
         import glob as _glob
         import os
@@ -112,8 +114,6 @@ def catalog(
 def quality(spark: SparkSession, lake_dir: str, version: str = "v1") -> dict:
     """Run the 7-category assessment over the materialized lake and render
     the report tree (reference `lakehouse quality` command)."""
-    import os
-
     from .quality.assessor import assess
     from .quality.reporter import write_report
 
@@ -122,10 +122,9 @@ def quality(spark: SparkSession, lake_dir: str, version: str = "v1") -> dict:
     episodes = episode_catalog(utterances)
     # beats are optional (materialize may not have run); only a genuinely
     # absent table degrades to None — a corrupt one should surface loudly
-    beats_path = os.path.join(lake_dir, "beats", version)
     beats = (
         read_versioned(spark, lake_dir, "beats", version)
-        if os.path.isdir(beats_path)
+        if artifact_exists(lake_dir, "beats", version)
         else None
     )
     a = assess(spans, episodes, beats=beats)
@@ -152,8 +151,6 @@ def validate(
     Returns {"checks": {name: failing_count}, "tables": {name: rows},
     "ok": bool} — ok iff every failing_count is 0. ``fail_fast`` skips the
     remaining artifacts once one artifact has failures (cheap CI gate)."""
-    import os
-
     from .quality.metrics import integrity_counts, numeric_anomalies
     from .schemas import UTTERANCE_SCHEMA, validate_schema
 
@@ -180,8 +177,7 @@ def validate(
             "stopped_early": True,
         }
 
-    spans_path = os.path.join(lake_dir, "spans", version)
-    if os.path.isdir(spans_path):
+    if artifact_exists(lake_dir, "spans", version):
         spans = read_versioned(spark, lake_dir, "spans", version)
         tables["spans"] = spans.count()
         checks["spans_empty"] = int(tables["spans"] == 0)
@@ -272,7 +268,9 @@ def main(argv: list[str]) -> int:
         return 0 if not problems else 1
     spark = get_spark(app_name=f"lakehouse-{cmd}")
     if cmd == "ingest":
-        print(ingest(spark, argv[1], argv[2]))
+        # optional 4th arg: lake format (dirs | txlog)
+        print(ingest(spark, argv[1], argv[2],
+                     fmt=argv[3] if len(argv) > 3 else None))
     elif cmd == "materialize":
         print(materialize(spark, argv[1]))
     elif cmd == "catalog":

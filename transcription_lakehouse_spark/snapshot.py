@@ -65,12 +65,34 @@ def create_snapshot(
         "qa_status": qa_status,
         "artifacts": {},
     }
+    from .ingestion import lake_format
+
+    fmt = lake_format(lake_dir)
     for art in artifacts:
-        src = os.path.join(lake_dir, art, lakehouse_version)
-        if not os.path.isdir(src):
-            continue
-        dst = os.path.join(snap_dir, art)
-        shutil.copytree(src, dst)
+        if fmt == "txlog":
+            # snapshot the table's LIVE file set (log-resolved — a crashed
+            # writer's uncommitted files are invisible here too); files
+            # from different commit dirs may share part-file names, so
+            # prefix with an index
+            from .txlog import LogTable
+
+            t = LogTable(spark, os.path.join(lake_dir, art))
+            if t.version() < 0:
+                continue
+            live, _ = t._snapshot()
+            dst = os.path.join(snap_dir, art)
+            os.makedirs(dst)
+            for i, f_src in enumerate(live):
+                shutil.copy2(
+                    f_src,
+                    os.path.join(dst, f"{i:05d}-{os.path.basename(f_src)}"),
+                )
+        else:
+            src = os.path.join(lake_dir, art, lakehouse_version)
+            if not os.path.isdir(src):
+                continue
+            dst = os.path.join(snap_dir, art)
+            shutil.copytree(src, dst)
         files = {}
         for root, _, names in os.walk(dst):
             for n in sorted(names):

@@ -276,6 +276,22 @@ class LogTable:
         commits, _ = self._list_log()
         return [self._read_json(p) for _, p in commits]
 
+    def _commits_no_spark(self) -> list[dict]:
+        """Commit JSONs via plain local-filesystem I/O, for metadata
+        helpers that run without a SparkSession (`ingestion.list_versions`
+        is driver-side directory I/O by contract). Local paths only —
+        remote stores go through the Hadoop-FS `_commits()` path."""
+        import glob as _glob
+
+        out = []
+        for p in sorted(_glob.glob(os.path.join(self.log_dir, "*.json"))):
+            name = os.path.basename(p)
+            if name.startswith(".") or name.endswith(".checkpoint.json"):
+                continue
+            with open(p) as f:
+                out.append(json.load(f))
+        return sorted(out, key=lambda c: c["version"])
+
     def _load_for_read(self, version: int | None,
                        allow_empty: bool = False) -> list[dict]:
         """Commit prefix for a snapshot read, seeded from the newest
@@ -411,6 +427,26 @@ class LogTable:
         read from the log FILE NAMES, no content reads."""
         commit_files, _ = self._list_log()
         return commit_files[-1][0] if commit_files else -1
+
+    def version_as_of(self, timestamp: str) -> int:
+        """TIMESTAMP AS OF: the newest version committed at or before
+        ISO-8601 ``timestamp`` (raises if the table didn't exist yet) —
+        pass the result to ``read(version=...)``."""
+        from datetime import datetime, timezone
+
+        cutoff = datetime.fromisoformat(timestamp)
+        if cutoff.tzinfo is None:
+            cutoff = cutoff.replace(tzinfo=timezone.utc)
+        eligible = [
+            c["version"] for c in self._commits()
+            if c.get("timestamp")
+            and datetime.fromisoformat(c["timestamp"]) <= cutoff
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no commit at or before {timestamp} in {self.path}"
+            )
+        return eligible[-1]
 
     def history(self) -> list[dict]:
         """The commit log, oldest first (operation, add/remove counts)."""
@@ -602,7 +638,8 @@ class LogTable:
             )
         return df
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False,
+               params: dict | None = None) -> int:
         """Append commit: new files only, nothing rewritten. Loads the
         log ONCE (schema check + next version from the same read).
         ``merge_schema=True`` allows additive column evolution (see
@@ -622,7 +659,9 @@ class LogTable:
         last_exc: ConcurrentCommitError | None = None
         for _ in range(self.max_commit_retries + 1):
             try:
-                self._commit(self._record(v, "append", adds, [], ddl))
+                self._commit(self._record(
+                    v, "append", adds, [], ddl, **(params or {})
+                ))
                 self._maybe_checkpoint(v)
                 return v
             except ConcurrentCommitError as exc:
@@ -633,7 +672,7 @@ class LogTable:
                 v = (prefix[-1]["version"] if prefix else -1) + 1
         raise last_exc
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, params: dict | None = None) -> int:
         """Replace the table's contents in ONE commit: the new files are
         added and every previously-live file is logically removed. Old
         files stay on disk for time travel until vacuumed.
@@ -651,7 +690,9 @@ class LogTable:
             old = self._snapshot_of(prefix)[0] if prefix else []
             removes = [p[len(self.path) + 1:] for p in old]
             try:
-                self._commit(self._record(v, "overwrite", adds, removes, ddl))
+                self._commit(self._record(
+                    v, "overwrite", adds, removes, ddl, **(params or {})
+                ))
                 self._maybe_checkpoint(v)
                 return v
             except ConcurrentCommitError as exc:

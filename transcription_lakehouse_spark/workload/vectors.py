@@ -1746,29 +1746,47 @@ def vec_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vector import guarded_cosine
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", as_double_array("embedding").alias("e")
-    ).withColumn("_n", l2_norm(F.col("e")))
+    emb = (
+        _emb(spark, sf_dir).select(
+            "vec_id", as_double_array("embedding").alias("e")
+        )
+        .withColumn("_n", l2_norm(F.col("e")))
+        # each of the k sequential picks re-reads this subtree; pin it so
+        # the parquet scan + norm run ONCE, not k times (lazy: materialized
+        # by the first action, reused by the remaining k-1 — the same
+        # shared-subtree pin as the semantic catalogs)
+        .localCheckpoint(eager=False)
+    )
     seed = emb.orderBy("vec_id").head(1)[0]
-    selected = [(int(seed["vec_id"]), list(seed["e"]))]
-    out_rows = [(1, selected[0][0], None)]
+    selected_ids = [int(seed["vec_id"])]
+    new_vec = list(seed["e"])
+    out_rows = [(1, selected_ids[0], None)]
+    state = emb
     for step in range(2, _KCENTER_K + 1):
-        dists = []
-        for _vid, vec in selected:
-            lit_vec = F.array(*[F.lit(float(x)) for x in vec])
-            lit_norm = F.lit(math.sqrt(sum(x * x for x in vec)))
-            dists.append(
-                F.lit(1.0)
-                - guarded_cosine(F.col("e"), lit_vec, F.col("_n"), lit_norm)
-            )
-        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        # incremental farthest-point: fold ONLY the newest pick into the
+        # running min-distance column (least() is associative, so values
+        # are bit-identical to recomputing against every pick) — each
+        # round's plan carries ONE vector literal instead of step-1, and
+        # the folded column is pinned so round r never recomputes rounds
+        # 1..r-1's distances
+        lit_vec = F.array(*[F.lit(float(x)) for x in new_vec])
+        lit_norm = F.lit(math.sqrt(sum(x * x for x in new_vec)))
+        d_new = F.lit(1.0) - guarded_cosine(
+            F.col("e"), lit_vec, F.col("_n"), lit_norm
+        )
+        nd = (
+            F.least(F.col("_mind"), d_new)
+            if "_mind" in state.columns else d_new
+        )
+        state = state.withColumn("_mind", nd).localCheckpoint(eager=False)
         pick = (
-            emb.filter(~F.col("vec_id").isin([v for v, _ in selected]))
-            .select("vec_id", F.round(mind, 6).alias("min_dist"), "e")
+            state.filter(~F.col("vec_id").isin(selected_ids))
+            .select("vec_id", F.round("_mind", 6).alias("min_dist"), "e")
             .orderBy(F.desc("min_dist"), F.asc("vec_id"))
             .head(1)[0]
         )
-        selected.append((int(pick["vec_id"]), list(pick["e"])))
+        selected_ids.append(int(pick["vec_id"]))
+        new_vec = list(pick["e"])
         out_rows.append((step, int(pick["vec_id"]),
                          float(pick["min_dist"])))
     return spark.createDataFrame(
