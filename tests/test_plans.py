@@ -27,6 +27,8 @@ _RANK_OFFSETS_BNLJ = {"evt_corr_stats"}
 #   queries / per-label sample) and exact scoring IS the semantics
 _BOUNDED_BROADCAST_BNLJ = {
     "vec_knn_bruteforce",
+    "vec_knn_int8",         # same broadcast-queries scorer as bruteforce
+    "doc_bm25_topk",        # one-row (N, avgdl) stats broadcast into BM25
     "vec_label_similarity_matrix",
     "q22_idle_wealthy_customers",  # one-row global-avg threshold broadcast
     "q11_important_parts",  # one-row global-total threshold broadcast
@@ -61,6 +63,8 @@ _BOUNDED_BROADCAST_BNLJ = {
 # - SinglePartition from a global (no-key or bounded-aggregate) final step
 _GLOBAL_SCALAR_OK = {
     "q6_forecast_revenue",       # single-row global aggregate
+    "doc_bm25_topk",             # one-row (N, avgdl) stats + rank window
+                                 # over the LIMIT-20 surviving rows only
     "trn_integrity_battery",     # single-row global aggregate
     "trn_speaker_balance",       # global window over per-speaker aggregate
     "q14_promo_share",           # single-row global aggregate

@@ -646,3 +646,119 @@ def test_footer_stats_via_generic_filesystem(spark, tmp_path):
 
     # a store that can't serve footers degrades to "no stats", not a crash
     assert _footer_stats("definitely-not-a-scheme://x/y.parquet") is None
+
+
+def test_merge_cdc_upserts_deletes_one_commit(spark, tmp_path):
+    """merge_cdc applies a mixed upsert+delete batch as ONE snapshot-
+    atomic commit, rewrites only files holding batch keys, refuses
+    un-collapsed batches, and skips a replayed (app, version) txn."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(0, 50)))        # files A: hit
+    t.append(_mk(spark, range(100, 150)))     # files B: untouched
+    files_before, _ = t._snapshot()
+    changes = spark.createDataFrame(
+        [(0, "UPD", "U"), (1, None, "D"), (200, "NEW", "I")],
+        "id bigint, val string, _op string",
+    )
+    out = t.merge_cdc(changes, key="id", txn=("app1", 7))
+    got = dict(_rows(t.read()))
+    assert got[0] == "UPD" and got[200] == "NEW" and 1 not in got
+    assert len(got) == 100  # 50 - 1 deleted + 1 new + 50 untouched
+    files_after, _ = t._snapshot()
+    b_files = [f for f in files_before if "/c00000001-" in f]
+    assert b_files and all(f in files_after for f in b_files)
+    assert [h["operation"] for h in t.history()][-1] == "merge_cdc"
+    assert out["rewritten_files"] >= 1
+
+    # replay of the SAME (app, version): clean no-op skip
+    replay = t.merge_cdc(changes, key="id", txn=("app1", 7))
+    assert replay.get("skipped_as_applied") is True
+    assert dict(_rows(t.read())) == got
+    # a LOWER version from the same app is also a replay
+    assert t.merge_cdc(changes, key="id", txn=("app1", 3)).get(
+        "skipped_as_applied"
+    ) is True
+    # a new version applies; a different app is independent
+    out2 = t.merge_cdc(
+        spark.createDataFrame([(0, None, "D")], "id bigint, val string, _op string"),
+        key="id", txn=("app1", 8),
+    )
+    assert out2.get("skipped_as_applied") is None
+    assert 0 not in dict(_rows(t.read()))
+
+    # un-collapsed batch (two changes for one key) refused
+    dup = spark.createDataFrame(
+        [(5, "a", "U"), (5, None, "D")], "id bigint, val string, _op string"
+    )
+    with pytest.raises(ValueError, match="one source row per key"):
+        t.merge_cdc(dup, key="id")
+    with pytest.raises(ValueError, match="no op column"):
+        t.merge_cdc(_mk(spark, range(2)), key="id")
+
+
+def test_stream_merge_txlog_cdc_exactly_once(spark, tmp_path):
+    """Streaming CDC apply: per-batch collapse to the latest change per
+    key, one merge_cdc commit per micro-batch, restart with the same
+    checkpoint applies only NEW batches, and a full replay through a
+    fresh checkpoint (same app id) is skipped via the logged txn —
+    exactly-once end to end."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import (
+        stream_merge_txlog,
+    )
+
+    d = tmp_path / "cdc"
+    d.mkdir()
+    tp = str(tmp_path / "table")
+    schema = "id bigint, val string, seq bigint, _op string"
+
+    t = LogTable(spark, tp)
+    t.append(spark.createDataFrame(
+        [(i, f"base{i}", 0) for i in range(10)],
+        "id bigint, val string, seq bigint",
+    ))
+
+    def _cdc(name, rows):
+        (d / name).write_text("\n".join(
+            _json.dumps({"id": i, "val": v, "seq": s, "_op": op})
+            for i, v, s, op in rows
+        ))
+
+    # batch 1: upsert id 0 twice (seq 2 wins), delete id 1, insert id 99
+    _cdc("b1.jsonl", [
+        (0, "old", 1, "U"), (0, "new", 2, "U"),
+        (1, None, 1, "D"), (99, "ins", 1, "I"),
+    ])
+    sch = spark.createDataFrame([], schema).schema
+    q = stream_merge_txlog(
+        spark, str(d), tp, str(tmp_path / "ck1"), sch,
+        key="id", seq_col="seq", app_id="cdcA",
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["val"] for r in LogTable(spark, tp).read().collect()}
+    assert got[0] == "new" and 1 not in got and got[99] == "ins"
+    assert len(got) == 10  # 10 base - 1 del + 1 ins
+    v_after_b1 = LogTable(spark, tp).version()
+
+    # restart, same checkpoint, a NEW file: applied as the next batch
+    _cdc("b2.jsonl", [(2, None, 3, "D"), (0, "newer", 3, "U")])
+    q = stream_merge_txlog(
+        spark, str(d), tp, str(tmp_path / "ck1"), sch,
+        key="id", seq_col="seq", app_id="cdcA",
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["val"] for r in LogTable(spark, tp).read().collect()}
+    assert got[0] == "newer" and 2 not in got and len(got) == 9
+    assert LogTable(spark, tp).version() == v_after_b1 + 1
+
+    # full replay via a FRESH checkpoint, same app id: the replayed
+    # batch 0's txn is already in the log -> skipped, content unchanged
+    v_before = LogTable(spark, tp).version()
+    q = stream_merge_txlog(
+        spark, str(d), tp, str(tmp_path / "ck2"), sch,
+        key="id", seq_col="seq", app_id="cdcA",
+    )
+    q.awaitTermination(120)
+    assert LogTable(spark, tp).version() == v_before
+    assert {r["id"]: r["val"] for r in LogTable(spark, tp).read().collect()} == got

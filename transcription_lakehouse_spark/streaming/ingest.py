@@ -26,6 +26,7 @@ from ..schemas import RAW_UTTERANCE_SCHEMA
 __all__ = [
     "stream_ingest",
     "stream_ingest_txlog",
+    "stream_merge_txlog",
     "streaming_session_stats",
     "streaming_dedup",
     "streaming_quality_stats",
@@ -186,6 +187,75 @@ def stream_ingest_txlog(
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+
+def stream_merge_txlog(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema,
+    key: str,
+    seq_col: str,
+    op_col: str = "_op",
+    app_id: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC apply: a change feed of keyed records (op 'U'/'I'
+    upsert, 'D' delete, ordered by ``seq_col``) merges into a LogTable —
+    each micro-batch is ONE snapshot-atomic `merge_cdc` commit that
+    rewrites only the files holding that batch's keys.
+
+    Exactly-once: the batch is first collapsed to the LAST change per key
+    (max ``seq_col``, change-op as tiebreak so a delete beats a
+    same-sequence upsert), then applied with Delta's txnAppId/txnVersion
+    idempotence — the (app_id, batch_id) pair rides in the commit params,
+    so a foreachBatch replay after a crash (same checkpoint, same
+    batch_id) is detected IN THE LOG and skipped, not double-applied.
+    ``app_id`` defaults to the table path; keep it stable across
+    restarts of the same logical stream.
+
+    Scale: the collapse is one window per batch (partitioned by key —
+    batch-sized, not corpus-sized); file discovery inside merge_cdc is a
+    left-semi join (no key collect, no rewrite cliff); the corpus never
+    shuffles."""
+    from pyspark.sql import Window
+
+    from ..txlog import LogTable
+
+    app = app_id or f"cdc:{table_path}"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        w = Window.partitionBy(key).orderBy(
+            F.desc(seq_col),
+            # deterministic winner when two changes share a sequence
+            # number: deletes win, then lexicographic op
+            F.desc(F.col(op_col) == "D"),
+            F.asc(op_col),
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        t = LogTable(batch.sparkSession, table_path)
+        t.merge_cdc(latest, key, op_col=op_col, txn=(app, batch_id))
+
+    writer = (
+        raw.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_once:

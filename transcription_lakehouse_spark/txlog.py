@@ -805,6 +805,85 @@ class LogTable:
                 last_exc = exc
         raise last_exc
 
+    def _refuse_dup_keys(self, df: DataFrame, key: str, op: str) -> None:
+        dup = df.groupBy(key).count().filter(F.col("count") > 1).head(1)
+        if dup:
+            raise ValueError(
+                f"{op}: source contains {dup[0]['count']} rows for key "
+                f"{key}={dup[0][key]!r}; at most one source row per key "
+                "is allowed (dropDuplicates first if intended)"
+            )
+
+    def _txn_already_applied(self, txn: tuple[str, int] | None,
+                             prefix: list[dict]) -> bool:
+        """Delta-style idempotent writes (txnAppId/txnVersion): True when
+        the log already holds a commit from the same application id with
+        a txn version >= this one — a replayed micro-batch is then a
+        clean skip, not a duplicate apply. O(prefix) scan of the
+        already-loaded commits; checkpoints preserve no params, so pair
+        long-lived txn streams with a checkpoint interval generous enough
+        to keep the relevant tail — or rely on monotonically increasing
+        versions, which is the contract anyway."""
+        if txn is None:
+            return False
+        app_id, version = txn
+        for c in prefix:
+            p = c.get("params") or {}
+            if p.get("txn_app_id") == app_id and \
+                    p.get("txn_version", -1) >= version:
+                return True
+        return False
+
+    def _keyed_rewrite(self, keys: DataFrame, upserts: DataFrame,
+                       key: str, op: str,
+                       txn: tuple[str, int] | None = None,
+                       **params) -> dict:
+        """Shared engine of merge()/merge_cdc(): ONE snapshot-atomic
+        commit that rewrites exactly the live files holding a key from
+        ``keys`` (left-semi discovery — the key set never collects to the
+        driver, no size cliff), drops those keys' old rows, and adds
+        ``upserts``. Lost commit races re-plan from the new tip, like
+        ``delete``."""
+        last_exc: ConcurrentCommitError | None = None
+        for _ in range(self.max_commit_retries + 1):
+            prefix = self._load_for_read(None, allow_empty=True)
+            if self._txn_already_applied(txn, prefix):
+                return {"version": None, "rewritten_files": 0,
+                        "skipped_as_applied": True}
+            ddl = self._check_schema(upserts, prefix)
+            v = (prefix[-1]["version"] if prefix else -1) + 1
+            touched = (
+                self._files_with_key_matches(keys, key, prefix)
+                if prefix else []
+            )
+            if touched:
+                schema = self._snapshot_of(prefix)[1]
+                survivors = (
+                    self.spark.read.schema(schema).parquet(*touched)
+                    .join(keys, key, "left_anti")
+                )
+                new_data = survivors.unionByName(upserts)
+            else:
+                new_data = upserts
+            adds = (
+                self._write_files(new_data, v)
+                if new_data.head(1) else []
+            )
+            removes = [p[len(self.path) + 1:] for p in touched]
+            commit_params = dict(params, key=key)
+            if txn is not None:
+                commit_params["txn_app_id"] = txn[0]
+                commit_params["txn_version"] = txn[1]
+            try:
+                self._commit(self._record(
+                    v, op, adds, removes, ddl, **commit_params,
+                ))
+                self._maybe_checkpoint(v)
+                return {"version": v, "rewritten_files": len(touched)}
+            except ConcurrentCommitError as exc:
+                last_exc = exc
+        raise last_exc
+
     def merge(self, updates: DataFrame, key: str) -> dict:
         """Upsert (Delta MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT,
         whole-row): rewrites only the files holding matched keys; update
@@ -818,46 +897,37 @@ class LogTable:
         matches; silently inserting every duplicate would leave several
         rows per merge key). Lost commit races re-plan from the new tip,
         like ``delete``."""
-        dup = (
-            updates.groupBy(key).count()
-            .filter(F.col("count") > 1).head(1)
-        )
-        if dup:
+        self._refuse_dup_keys(updates, key, "merge")
+        return self._keyed_rewrite(updates.select(key), updates, key,
+                                   "merge")
+
+    def merge_cdc(self, changes: DataFrame, key: str,
+                  op_col: str = "_op",
+                  txn: tuple[str, int] | None = None) -> dict:
+        """Apply one CDC batch in ONE snapshot-atomic commit: rows whose
+        ``op_col`` is ``'D'`` delete their key, every other row upserts
+        (whole-row), and files holding none of the batch's keys carry
+        over untouched. ``changes`` must be pre-collapsed to one row per
+        key (latest change wins — the caller picks the winner, this
+        refuses duplicates like merge does).
+
+        ``txn=(app_id, version)`` records Delta's txnAppId/txnVersion
+        idempotence contract in the commit: re-applying a batch whose
+        (app, version) the log has already seen is a no-op skip — the
+        exactly-once hook for streaming `foreachBatch` sinks
+        (`streaming.ingest.stream_merge_txlog`). Versions must increase
+        monotonically per app id."""
+        if op_col not in changes.columns:
             raise ValueError(
-                f"merge: updates contain {dup[0]['count']} rows for key "
-                f"{key}={dup[0][key]!r}; MERGE requires at most one "
-                "source row per key (dropDuplicates first if intended)"
+                f"merge_cdc: changes has no op column {op_col!r}"
             )
-        keys = updates.select(key)
-        last_exc: ConcurrentCommitError | None = None
-        for _ in range(self.max_commit_retries + 1):
-            prefix = self._load_for_read(None, allow_empty=True)
-            ddl = self._check_schema(updates, prefix)
-            v = (prefix[-1]["version"] if prefix else -1) + 1
-            touched = (
-                self._files_with_key_matches(keys, key, prefix)
-                if prefix else []
-            )
-            if touched:
-                schema = self._snapshot_of(prefix)[1]
-                survivors = (
-                    self.spark.read.schema(schema).parquet(*touched)
-                    .join(keys, key, "left_anti")
-                )
-                new_data = survivors.unionByName(updates)
-            else:
-                new_data = updates
-            adds = self._write_files(new_data, v)
-            removes = [p[len(self.path) + 1:] for p in touched]
-            try:
-                self._commit(self._record(
-                    v, "merge", adds, removes, ddl, key=key,
-                ))
-                self._maybe_checkpoint(v)
-                return {"version": v, "rewritten_files": len(touched)}
-            except ConcurrentCommitError as exc:
-                last_exc = exc
-        raise last_exc
+        self._refuse_dup_keys(changes, key, "merge_cdc")
+        keys = changes.select(key)
+        upserts = changes.filter(
+            F.coalesce(F.col(op_col), F.lit("")) != "D"
+        ).drop(op_col)
+        return self._keyed_rewrite(keys, upserts, key, "merge_cdc",
+                                   txn=txn)
 
     def compact(self, target_files: int = 1,
                 cluster_by: list[str] | None = None) -> dict:

@@ -2190,8 +2190,117 @@ ORDER BY doc_id
 """
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "table", "scan", "merge", "vector")
+_BM25_TOPK = 20
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck-Jones probabilistic ranking, the
+    public Okapi BM25 with Lucene's idf = ln(1 + (N-df+0.5)/(df+0.5))):
+    score every document against a fixed query-term set, return the
+    top-{k} — the lexical half of a RAG retrieval stack next to the
+    vec_knn_* dense half.
+
+    Cross-engine: each per-term score rounds at 12 decimals into a
+    DECIMAL accumulator (order-independent sum, the DSIR recipe), final
+    score rounds at 4. Scale shape: tf is one tokenize->filter->groupBy
+    over the corpus (the query-term filter prunes the explode output to
+    |q| rows per doc BEFORE the shuffle); df and (N, avgdl) are tiny
+    broadcast sides; the final top-k is orderBy+limit (TakeOrdered — a
+    per-partition heap + driver merge, never a global sort), with the
+    rank window applied to the 20 surviving rows only."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toked = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dl = toked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toked.filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 12).cast("decimal(28,12)").alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.round(F.sum("term"), 4).cast("double").alias("bm25"),
+        )
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPK)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "n_terms_matched",
+        "bm25",
+    )
+
+
+DOC_BM25_TOPK_SQL = f"""
+WITH toked AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toked GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toked
+  WHERE tok IN {str(tuple(_BM25_QUERY))}
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {_BM25_K1 + 1.0})
+           / (tf.tf + {_BM25_K1}
+              * ({1.0 - _BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)),
+         12) AS DECIMAL(28,12)) AS term
+  FROM tf
+  JOIN dfreq ON tf.tok = dfreq.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_matched,
+         CAST(round(sum(term), 4) AS DOUBLE) AS bm25
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank,
+       doc_id, n_terms_matched, bm25
+FROM agg
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
 QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
+    "doc_bm25_topk": doc_bm25_topk,
     "doc_rag_chunks": doc_rag_chunks,
     "doc_cut_dup_spans": doc_cut_dup_spans,
     "doc_curation_v3": doc_curation_v3,
@@ -2234,6 +2343,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_dsir_weights": DOC_DSIR_WEIGHTS_SQL,
+    "doc_bm25_topk": DOC_BM25_TOPK_SQL,
     "doc_rag_chunks": DOC_RAG_CHUNKS_SQL,
     "doc_cut_dup_spans": DOC_CUT_DUP_SPANS_SQL,
     "doc_curation_v3": DOC_CURATION_V3_SQL,

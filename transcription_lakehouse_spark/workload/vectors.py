@@ -1820,8 +1820,92 @@ SELECT step, vec_id, min_dist FROM sel ORDER BY step
 """
 
 
+_SQ8_Q_MOD = 25
+_SQ8_K = 5
+
+
+def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN over INT8 scalar-quantized embeddings (SQ8 — the standard
+    FAISS/ScaNN memory trick, public): per-dimension symmetric scale
+    ``s_d = max|x_d| / 127``, codes ``q_d = clamp(floor(x_d/s_d + 0.5))``,
+    search runs entirely in the quantized space (scored here on the
+    dequantized values ``q_d * s_d`` so the oracle is exactly
+    reproducible). At 100 TB this is 4x less index memory than float32 —
+    the difference between an in-RAM corpus and a spilling one.
+
+    Determinism: quantization is floor(x + 0.5) (identical in both
+    engines — engine `round()` half-rule differences never enter), scales
+    come from one single-pass per-dimension max aggregate, cosine reuses
+    the brute-force scorer (round 6). Scale shape: scales are D max
+    aggregates folded in ONE corpus scan (no explode — a 64x row blowup
+    plus a regroup shuffle at 100 TB), collected as D doubles of driver
+    metadata; quantization is then a row-local zip_with (pure codegen,
+    corpus never shuffles); the search is the same broadcast-queries/
+    streaming-corpus pass as vec_knn_bruteforce. In production the
+    quantized arrays persist as the index — this query charges the build
+    too so the oracle covers it."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    dims = e.select(F.size("v").alias("d")).head(1)[0]["d"]
+    mx = e.select(*[
+        F.max(F.abs(F.element_at("v", i + 1))).alias(f"m{i}")
+        for i in range(dims)
+    ]).head(1)[0]
+    lit_scales = F.array(*[F.lit(float(mx[i]) / 127.0) for i in range(dims)])
+    dq = F.zip_with(
+        F.col("v"),
+        lit_scales,
+        lambda x, s: F.when(
+            s > 0,
+            F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / s + F.lit(0.5))),
+            )
+            * s,
+        ).otherwise(F.lit(0.0)),
+    )
+    arrs = e.select("vec_id", dq.alias("embedding"))
+    queries = arrs.filter(F.col("vec_id") % _SQ8_Q_MOD == 0)
+    return brute_force_topk(queries, arrs, "vec_id", "embedding", k=_SQ8_K)
+
+
+VEC_KNN_INT8_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+scales AS (SELECT pos, max(abs(val)) / 127.0 AS scale FROM ex GROUP BY pos),
+deq AS (
+  SELECT vec_id, ex.pos,
+         CASE WHEN scale > 0
+              THEN greatest(-127.0,
+                            least(127.0, floor(val / scale + 0.5))) * scale
+              ELSE 0.0 END AS dq
+  FROM ex JOIN scales ON ex.pos = scales.pos
+),
+arrs AS (SELECT vec_id, list(dq ORDER BY pos) AS e FROM deq GROUP BY vec_id),
+q AS (SELECT * FROM arrs WHERE vec_id % {_SQ8_Q_MOD} = 0),
+scored AS (
+  SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+         round({_XY_COS}, 6) AS sim
+  FROM q x CROSS JOIN arrs y
+  WHERE x.vec_id <> y.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {_SQ8_K}
+"""
+
+
 QUERIES = {
     "vec_kcenter_coreset": vec_kcenter_coreset,
+    "vec_knn_int8": vec_knn_int8,
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
     "vec_hard_negatives": vec_hard_negatives,
@@ -1859,6 +1943,7 @@ ORACLES = {
     "vec_label_similarity_matrix": VEC_LABEL_SIM_MATRIX_SQL,
     "vec_norm_stats": VEC_NORM_STATS_SQL,
     "vec_kcenter_coreset": VEC_KCENTER_CORESET_SQL,
+    "vec_knn_int8": VEC_KNN_INT8_SQL,
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
     "vec_knn_lsh": VEC_KNN_LSH_SQL,
