@@ -28,6 +28,7 @@ _RANK_OFFSETS_BNLJ = {"evt_corr_stats"}
 _BOUNDED_BROADCAST_BNLJ = {
     "vec_knn_bruteforce",
     "vec_knn_int8",         # same broadcast-queries scorer as bruteforce
+    "vec_cluster_mixture",  # one-row totals broadcast into the shares
     "doc_bm25_topk",        # one-row (N, avgdl) stats broadcast into BM25
     "vec_label_similarity_matrix",
     "q22_idle_wealthy_customers",  # one-row global-avg threshold broadcast
@@ -65,6 +66,8 @@ _GLOBAL_SCALAR_OK = {
     "q6_forecast_revenue",       # single-row global aggregate
     "doc_bm25_topk",             # one-row (N, avgdl) stats + rank window
                                  # over the LIMIT-20 surviving rows only
+    "vec_cluster_mixture",       # two one-row totals over a <=16-row
+                                 # cluster rollup
     "trn_integrity_battery",     # single-row global aggregate
     "trn_speaker_balance",       # global window over per-speaker aggregate
     "q14_promo_share",           # single-row global aggregate

@@ -762,3 +762,109 @@ def test_stream_merge_txlog_cdc_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     assert LogTable(spark, tp).version() == v_before
     assert {r["id"]: r["val"] for r in LogTable(spark, tp).read().collect()} == got
+
+
+def test_clustered_append_prunes_scans(spark, tmp_path):
+    """Cluster-on-write: an append clustered on a column writes files
+    owning disjoint value ranges, so a filtered scan() prunes within the
+    SAME commit from the log's stats alone (no hive partition dirs, no
+    small-file explosion on high-cardinality keys); write_versioned's
+    partition_by maps onto it for txlog lakes."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 10000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("val"),
+    )
+    t.append(df, cluster_by=["grp"])
+    files, _ = t._snapshot()
+    assert len(files) > 1, "clustering produced one file — nothing to prune"
+    hit = t.scan(filters=[("grp", "=", 3)])
+    assert len(hit.inputFiles()) < len(files), "scan read every file"
+    assert hit.count() == df.filter("grp = 3").count()
+    # full content intact
+    assert t.read().count() == 10000
+
+    # write_versioned(partition_by=...) on a txlog lake takes this path
+    from transcription_lakehouse_spark.ingestion import (
+        read_versioned,
+        set_lake_format,
+        write_versioned,
+    )
+
+    lake = str(tmp_path / "lake")
+    set_lake_format(lake, "txlog")
+    write_versioned(df, lake, "events_tbl", "v1", partition_by=["grp"])
+    back = read_versioned(spark, lake, "events_tbl", "v1")
+    assert back.count() == 10000
+    t2 = LogTable(spark, f"{lake}/events_tbl")
+    pruned = t2.scan(filters=[("grp", "=", 5)])
+    assert len(pruned.inputFiles()) < len(t2._snapshot()[0])
+
+
+def test_cli_ingest_txlog_incremental(spark, tmp_path):
+    """`lakehouse ingest --fmt txlog` creates a txlog lake; a second
+    --incremental run appends only new episodes as ONE atomic commit
+    (the artifact-existence check is format-aware, not a dirs isdir)."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def _write(name, ep, n):
+        (d / name).write_text("\n".join(
+            _json.dumps({
+                "episode_id": ep, "start": float(i), "end": i + 0.9,
+                "speaker": "s", "text": f"line {i} of {ep}",
+            }) for i in range(n)
+        ))
+
+    _write("a.jsonl", "EP_A", 6)
+    lake = str(tmp_path / "lake")
+    r = CliRunner().invoke(cli, ["ingest", str(d), "--lakehouse-path", lake,
+                                 "--fmt", "txlog"])
+    assert r.exit_code == 0, r.output
+    assert os.path.isdir(f"{lake}/normalized/_txlog")
+
+    _write("b.jsonl", "EP_B", 4)
+    r = CliRunner().invoke(cli, ["ingest", str(d), "--lakehouse-path", lake,
+                                 "--incremental"])
+    assert r.exit_code == 0, r.output
+    t = LogTable(spark, f"{lake}/normalized")
+    assert t.read().count() == 10
+    added = t.changes(t.version() - 1, t.version())
+    assert {r2["episode_id"] for r2 in added.collect()} == {"EP_B"}
+
+
+def test_compact_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after a two-column Morton-order compact,
+    scans filtered on EITHER column prune files from the log stats —
+    the multi-predicate layout single-column range clustering can't
+    give. Content exact; cluster_by+zorder_by together refused."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    # x and y deliberately uncorrelated so a single-column sort would
+    # leave the other column's per-file ranges full-width
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.append(df)
+    out = t.compact(target_files=16, zorder_by=["x", "y"])
+    assert out["files_after"] >= 8
+    files, _ = t._snapshot()
+
+    hit_x = t.scan(filters=[("x", "<", 20)])
+    hit_y = t.scan(filters=[("y", "<", 20)])
+    assert len(hit_x.inputFiles()) < len(files), "x-filter read every file"
+    assert len(hit_y.inputFiles()) < len(files), "y-filter read every file"
+    assert hit_x.count() == df.filter("x < 20").count()
+    assert hit_y.count() == df.filter("y < 20").count()
+    assert t.read().count() == 20000
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(cluster_by=["x"], zorder_by=["y"])

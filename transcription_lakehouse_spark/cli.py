@@ -65,9 +65,14 @@ def cli() -> None:
               help="Skip invalid utterances vs fail on first error")
 @click.option("--update-catalog", is_flag=True,
               help="Regenerate episode and speaker catalogs after ingestion")
+@click.option("--fmt", type=click.Choice(["dirs", "txlog"]), default=None,
+              help="Storage convention for a NEW lake: copy-per-version "
+                   "dirs (default) or a transaction-log table per artifact "
+                   "(atomic commits, time travel, CDF)")
 def ingest(input_path, lakehouse_path, pattern, version, dry_run,
-           incremental, skip_invalid, update_catalog):
+           incremental, skip_invalid, update_catalog, fmt):
     """Import transcript files (reference `cli/commands/ingest.py`)."""
+    from .ingestion import artifact_exists
     from .ingestion import ingest as _ingest
     from .ingestion import read_versioned
     from .sources.transcripts import read_jsonl, with_default_episode_id
@@ -81,8 +86,7 @@ def ingest(input_path, lakehouse_path, pattern, version, dry_run,
     from .ingestion import incremental_filter
 
     existing = None
-    norm_dir = os.path.join(lakehouse_path, "normalized", version)
-    if incremental and os.path.isdir(norm_dir):
+    if incremental and artifact_exists(lakehouse_path, "normalized", version):
         # pin ONLY the distinct episode ids (not the full table) before
         # writing to the same path: cheap, and the plan stays independent
         # of the sink's file listing
@@ -131,7 +135,8 @@ def ingest(input_path, lakehouse_path, pattern, version, dry_run,
                 f"--fail-on-invalid: {n_bad} invalid utterances "
                 f"(first reasons: {stats['first_error']})"
             )
-    out = _ingest(spark, raw, lakehouse_path, version, existing=existing)
+    out = _ingest(spark, raw, lakehouse_path, version, existing=existing,
+                  fmt=fmt)
     if update_catalog:
         from .pipeline import catalog as _catalog
 
@@ -422,13 +427,23 @@ def table_history(path):
 @table.command("compact")
 @click.argument("path", type=click.Path(exists=True))
 @click.option("--target-files", type=int, default=1, show_default=True)
-def table_compact(path, target_files):
+@click.option("--cluster-by", default=None,
+              help="Comma-separated columns: range-cluster so each file "
+                   "owns a disjoint value range (sharp scan skipping)")
+@click.option("--zorder-by", default=None,
+              help="Comma-separated columns: Morton-order clustering — "
+                   "scans filtered on ANY listed column prune")
+def table_compact(path, target_files, cluster_by, zorder_by):
     """OPTIMIZE: coalesce the live file set (metadata swap; prior
     versions still time-travel until vacuumed)."""
     from .txlog import LogTable
 
     t = LogTable(_spark("table-compact"), path)
-    _echo(t.compact(target_files=target_files))
+    _echo(t.compact(
+        target_files=target_files,
+        cluster_by=cluster_by.split(",") if cluster_by else None,
+        zorder_by=zorder_by.split(",") if zorder_by else None,
+    ))
 
 
 @table.command("vacuum")

@@ -215,16 +215,17 @@ def write_versioned(
         extras = [c for c in df.columns if c not in canonical]
         df = df.select(*canonical, *extras)
     if lake_format(base_dir) == "txlog":
-        if partition_by:
-            raise ValueError(
-                "partition_by is a dirs-format feature; cluster txlog "
-                "tables with LogTable.compact(cluster_by=...) instead"
-            )
+        # partition dirs don't exist in the log format; the equivalent
+        # data-skipping layout is cluster-on-write (range-partitioned
+        # files + per-file min/max in the log — Delta's liquid-clustering
+        # direction), so partition_by maps onto it
         t = _txlog_table(df.sparkSession, base_dir, artifact)
         if mode == "append":
-            t.append(df, params={"label": version})
+            t.append(df, params={"label": version},
+                     cluster_by=partition_by)
         else:
-            t.overwrite(df, params={"label": version})
+            t.overwrite(df, params={"label": version},
+                        cluster_by=partition_by)
         return t.path
     path = os.path.join(base_dir, artifact, version)
     writer = df.write.mode(mode)

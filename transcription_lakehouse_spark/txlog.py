@@ -638,8 +638,23 @@ class LogTable:
             )
         return df
 
+    def _cluster(self, df: DataFrame,
+                 cluster_by: list[str] | None) -> DataFrame:
+        """Cluster-on-write (the liquid-clustering direction Delta took
+        INSTEAD of hive partition dirs): range-repartition + in-file sort
+        on ``cluster_by`` so each written file owns a narrow value range —
+        the log's per-file min/max then make ``scan()`` pruning sharp on
+        those columns without any partition-directory metadata, and
+        without hive's small-file explosion on high-cardinality keys."""
+        if not cluster_by:
+            return df
+        return df.repartitionByRange(*cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+
     def append(self, df: DataFrame, merge_schema: bool = False,
-               params: dict | None = None) -> int:
+               params: dict | None = None,
+               cluster_by: list[str] | None = None) -> int:
         """Append commit: new files only, nothing rewritten. Loads the
         log ONCE (schema check + next version from the same read).
         ``merge_schema=True`` allows additive column evolution (see
@@ -651,11 +666,15 @@ class LogTable:
         change IS a real conflict and raises), takes the next version,
         and retries; the data files are reused, not rewritten. Two
         concurrent appenders therefore both land without hand-rolled
-        retry loops (Delta's OptimisticTransaction behavior)."""
+        retry loops (Delta's OptimisticTransaction behavior).
+
+        ``cluster_by`` clusters the batch on write (see ``_cluster``) so
+        scans filtered on those columns prune this commit's files from
+        the log alone."""
         prefix = self._load_for_read(None, allow_empty=True)
         ddl = self._check_schema(df, prefix, merge_schema=merge_schema)
         v = (prefix[-1]["version"] if prefix else -1) + 1
-        adds = self._write_files(df, v)
+        adds = self._write_files(self._cluster(df, cluster_by), v)
         last_exc: ConcurrentCommitError | None = None
         for _ in range(self.max_commit_retries + 1):
             try:
@@ -672,7 +691,8 @@ class LogTable:
                 v = (prefix[-1]["version"] if prefix else -1) + 1
         raise last_exc
 
-    def overwrite(self, df: DataFrame, params: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, params: dict | None = None,
+                  cluster_by: list[str] | None = None) -> int:
         """Replace the table's contents in ONE commit: the new files are
         added and every previously-live file is logically removed. Old
         files stay on disk for time travel until vacuumed.
@@ -680,11 +700,11 @@ class LogTable:
         On a lost commit race the remove set is recomputed from the new
         tip and the commit retried — overwrite semantically replaces
         WHATEVER is current, so rebasing is always safe and the written
-        data files are reused."""
+        data files are reused. ``cluster_by`` clusters on write."""
         ddl = df.schema.json()
         prefix = self._load_for_read(None, allow_empty=True)
         v = (prefix[-1]["version"] if prefix else -1) + 1
-        adds = self._write_files(df, v)
+        adds = self._write_files(self._cluster(df, cluster_by), v)
         last_exc: ConcurrentCommitError | None = None
         for _ in range(self.max_commit_retries + 1):
             old = self._snapshot_of(prefix)[0] if prefix else []
@@ -930,14 +950,21 @@ class LogTable:
                                    txn=txn)
 
     def compact(self, target_files: int = 1,
-                cluster_by: list[str] | None = None) -> dict:
+                cluster_by: list[str] | None = None,
+                zorder_by: list[str] | None = None) -> dict:
         """OPTIMIZE: rewrite the live file set into ``target_files``
         larger files. ``cluster_by`` upgrades to CLUSTERING
         (repartitionByRange + in-file sort): every output file owns a
         disjoint value range on those columns, which is what makes the
         log's min/max stats — and therefore ``scan()`` skipping — sharp
-        instead of overlapping. Pure rewrite + metadata swap — every
-        prior version still time-travels (old files stay until vacuum).
+        instead of overlapping. ``zorder_by`` (mutually exclusive)
+        clusters on the interleaved-bit Morton value over SEVERAL
+        columns instead (Delta's `OPTIMIZE ZORDER BY`): each file then
+        covers a narrow range in EVERY listed dimension, so scans
+        filtered on any one of them prune — the multi-predicate layout
+        single-column range clustering can't give. Pure rewrite +
+        metadata swap — every prior version still time-travels (old
+        files stay until vacuum).
 
         Compaction is declared NON-CONFLICTING with appends: on a lost
         commit race where every input file is still live and the schema
@@ -947,6 +974,10 @@ class LogTable:
         files). If an input file was removed (a concurrent
         delete/merge/compact rewrote it), the rewrite is stale and the
         operation re-plans from scratch."""
+        if cluster_by and zorder_by:
+            raise ValueError(
+                "compact: cluster_by and zorder_by are mutually exclusive"
+            )
         last_exc: ConcurrentCommitError | None = None
         need_plan = True
         files: list[str] = []
@@ -961,7 +992,27 @@ class LogTable:
                 ddl = prefix[-1]["schema"]
                 v = prefix[-1]["version"] + 1
                 base = self.spark.read.schema(schema).parquet(*files)
-                if cluster_by:
+                if zorder_by:
+                    from .maintenance import zorder_value
+
+                    stats_row = base.agg(*[
+                        f(c).alias(f"{n}_{c}")
+                        for c in zorder_by
+                        for n, f in (("lo", F.min), ("hi", F.max))
+                    ]).head()
+                    bounds = [
+                        (stats_row[f"lo_{c}"], stats_row[f"hi_{c}"])
+                        for c in zorder_by
+                    ]
+                    df = (
+                        base.withColumn(
+                            "_z", zorder_value(zorder_by, bounds)
+                        )
+                        .repartitionByRange(max(1, target_files), "_z")
+                        .sortWithinPartitions("_z")
+                        .drop("_z")
+                    )
+                elif cluster_by:
                     df = base.repartitionByRange(
                         max(1, target_files), *cluster_by
                     ).sortWithinPartitions(*cluster_by)
@@ -973,6 +1024,7 @@ class LogTable:
                 self._commit(self._record(
                     v, "compact", adds, removes, ddl,
                     target_files=target_files, cluster_by=cluster_by or [],
+                    zorder_by=zorder_by or [],
                 ))
                 self._maybe_checkpoint(v)
                 return {"version": v, "files_before": len(files),

@@ -1903,9 +1903,109 @@ WHERE rank <= {_SQ8_K}
 """
 
 
+_MIX_N_CELLS = 16
+
+
+def vec_cluster_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data mixing: assign every vector to its nearest
+    cell, then temperature-scale the per-cluster sampling shares
+    (target ∝ share^τ with τ=0.5 — the public alpha/temperature-sampling
+    recipe used for language/domain balancing, applied to SEMANTIC
+    clusters so over-represented content modes are downweighted and the
+    tail upweighted before training). Output per cluster: size, raw
+    share, temperature-scaled target share, and the sampling factor a
+    downstream sampler multiplies in.
+
+    Cells are the deterministic fixed quantizer (the 16 lowest-id
+    vectors — same assignment contract as `vec_knn_ivf_fixed`, d² with
+    stable cell-index tie-break), so the DuckDB twin replays assignment
+    exactly; in production the assignment is the stored IVF cell column.
+    Cross-engine: per-cell sqrt(share) rounds at 12 decimals into a
+    DECIMAL accumulator; the two one-row totals broadcast. Scale: one
+    assignment pass (Arrow-batched GEMM), one ≤16-group aggregate —
+    corpus never shuffles."""
+    from ..operators.similarity import _nearest_cells_udf
+
+    e = _emb(spark, sf_dir)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(_MIX_N_CELLS).collect()
+    ]
+    assign1 = _nearest_cells_udf(cents, 1)
+    assigned = e.select(
+        as_double_array("embedding").alias("v")
+    ).withColumn("cell", F.element_at(assign1(F.col("v")), 1))
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = counts.agg(F.sum("n_vecs").alias("_N"))
+    w = (
+        counts.join(F.broadcast(tot))
+        .withColumn("share", F.col("n_vecs") / F.col("_N"))
+        .withColumn(
+            "w",
+            F.round(F.sqrt(F.col("share")), 12).cast("decimal(28,12)"),
+        )
+    )
+    wt = w.agg(F.sum("w").alias("_W"))
+    target = F.col("w").cast("double") / F.col("_W").cast("double")
+    return (
+        w.join(F.broadcast(wt))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vecs",
+            F.round("share", 6).alias("share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / F.col("share"), 6).alias("sampling_factor"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _cluster_mixture_sql(n_cells: int) -> str:
+    d2 = (
+        "list_sum(list_transform(ce, t -> t * t))"
+        " - 2 * list_sum(list_transform(list_zip(e, ce), z -> z[1] * z[2]))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         e AS ce
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {n_cells})
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+),
+counts AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+tot AS (SELECT sum(n_vecs) AS n FROM counts),
+w AS (
+  SELECT cell, n_vecs, n_vecs / tot.n AS share,
+         CAST(round(sqrt(n_vecs / tot.n), 12) AS DECIMAL(28,12)) AS w
+  FROM counts CROSS JOIN tot
+),
+wt AS (SELECT sum(w) AS wsum FROM w)
+SELECT CAST(cell AS INTEGER) AS cell, n_vecs,
+       round(share, 6) AS share,
+       round(CAST(w AS DOUBLE) / CAST(wt.wsum AS DOUBLE), 6) AS target_share,
+       round(CAST(w AS DOUBLE) / CAST(wt.wsum AS DOUBLE) / share, 6)
+         AS sampling_factor
+FROM w CROSS JOIN wt
+ORDER BY cell
+"""
+
+
+VEC_CLUSTER_MIXTURE_SQL = _cluster_mixture_sql(_MIX_N_CELLS)
+
+
 QUERIES = {
     "vec_kcenter_coreset": vec_kcenter_coreset,
     "vec_knn_int8": vec_knn_int8,
+    "vec_cluster_mixture": vec_cluster_mixture,
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
     "vec_hard_negatives": vec_hard_negatives,
@@ -1944,6 +2044,7 @@ ORACLES = {
     "vec_norm_stats": VEC_NORM_STATS_SQL,
     "vec_kcenter_coreset": VEC_KCENTER_CORESET_SQL,
     "vec_knn_int8": VEC_KNN_INT8_SQL,
+    "vec_cluster_mixture": VEC_CLUSTER_MIXTURE_SQL,
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
     "vec_knn_lsh": VEC_KNN_LSH_SQL,
