@@ -868,3 +868,100 @@ def test_compact_zorder_prunes_on_both_dimensions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         t.compact(cluster_by=["x"], zorder_by=["y"])
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE TO VERSION AS OF: one metadata-only commit resets the
+    live set to an old snapshot — no data rewrite, history preserved
+    (the bad commits still time-travel), restore-of-restore works, and
+    a vacuumed-away snapshot is refused loudly."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, range(10)))                      # v0: good
+    t.delete("id < 5")                                   # v1: oops
+    t.append(_mk(spark, range(100, 103), tag="junk"))    # v2: more damage
+    assert len(_rows(t.read())) == 8
+
+    n_data_files_before = len(
+        glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet"))
+    )
+    out = t.restore(0)
+    assert out["restored_version"] == 0 and out["version"] == 3
+    assert _rows(t.read()) == _rows(_mk(spark, range(10)))
+    # metadata-only: no new data files were written
+    assert len(
+        glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet"))
+    ) == n_data_files_before
+    # the bad versions still time-travel
+    assert len(_rows(t.read(version=2))) == 8
+    # restore of the restore: back to the damaged state
+    t.restore(2)
+    assert len(_rows(t.read())) == 8
+    assert [h["operation"] for h in t.history()][-2:] == ["restore", "restore"]
+
+    # a vacuumed snapshot is not restorable — refused, not half-applied
+    t.compact(target_files=1)
+    t.vacuum(retain_last=1)
+    with pytest.raises(ValueError, match="no longer restorable"):
+        t.restore(0)
+    assert len(_rows(t.read())) == 8  # unchanged
+
+
+def test_multi_writer_stress_serializes_cleanly(spark, tmp_path):
+    """Randomized multi-writer stress: 3 threads fire a mixed op stream
+    (append / merge / delete / compact) at ONE table with optimistic
+    retry on. Invariants: every commit landed with a unique contiguous
+    version, no rows were lost that no delete targeted, merges'
+    upserted keys are present with their final values, and the log
+    replays to the same content a fresh reader sees."""
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+    LogTable(spark, root).append(_mk(spark, range(100)))
+
+    def worker(widx):
+        rng = random.Random(1000 + widx)
+        t = LogTable(spark, root)
+        done = []
+        for step in range(4):
+            op = rng.choice(["append", "merge", "compact", "delete"])
+            base = 10_000 * (widx + 1) + 100 * step
+            if op == "append":
+                t.append(_mk(spark, range(base, base + 5)))
+            elif op == "merge":
+                t.merge(_mk(spark, range(base, base + 3), tag="m"),
+                        key="id")
+            elif op == "compact":
+                t.compact(target_files=2)
+            else:
+                t.delete(f"id = {base}")  # usually matches nothing
+            done.append(op)
+        return done
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        results = list(pool.map(worker, range(3)))
+    assert all(len(r) == 4 for r in results)
+
+    t = LogTable(spark, root)
+    versions = [h["version"] for h in t.history()]
+    assert versions == list(range(len(versions))), "non-contiguous log"
+    assert len(versions) >= 13  # 1 seed + 12 worker commits (compacts may rebase)
+    got = dict(_rows(t.read()))
+    # the seed rows survive (no delete ever targeted id < 100)
+    assert all(got.get(i) == f"a{i}" for i in range(100))
+    # every merged/appended id is present unless a later delete hit it
+    deleted = {
+        int(h_c["params"]["condition"].split("=")[1])
+        for h_c in t._commits()
+        if h_c["operation"] == "delete" and "condition" in h_c.get("params", {})
+    }
+    for widx, ops in enumerate(results):
+        for step, op in enumerate(ops):
+            base = 10_000 * (widx + 1) + 100 * step
+            if op == "append":
+                for i in range(base, base + 5):
+                    assert i in got or i in deleted, (widx, step, i)
+            elif op == "merge":
+                for i in range(base, base + 3):
+                    assert got.get(i, "DELETED" if i in deleted else None) \
+                        in (f"m{i}", "DELETED"), (widx, step, i)

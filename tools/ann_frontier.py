@@ -30,6 +30,7 @@ from transcription_lakehouse_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     ivf_topk,
     lsh_topk,
+    sq8_topk,
 )
 from transcription_lakehouse_spark.session import get_spark  # noqa: E402
 from transcription_lakehouse_spark.sources.tables import load_table  # noqa: E402
@@ -86,6 +87,9 @@ def main() -> int:
         ("ivf_np8", lambda: ivf_topk(
             queries, emb, "vec_id", "embedding", k=K, n_cells=32, nprobe=8
         ), {"n_cells": 32, "nprobe": 8}),
+        ("sq8_int8", lambda: sq8_topk(
+            queries, emb, "vec_id", "embedding", k=K
+        ), {"bits": 8}),
         ("pq_sl64", lambda: pq_topk(
             queries, emb, "vec_id", "embedding", CODEBOOKS, k=K, shortlist=64
         ), {"shortlist": 64}),

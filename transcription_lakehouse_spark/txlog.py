@@ -1044,6 +1044,43 @@ class LogTable:
                     need_plan = True
         raise last_exc
 
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE ... TO VERSION AS OF (Delta semantics): ONE new
+        commit whose live set is exactly ``version``'s — a metadata-only
+        rollback (no data rewrite; the old files must still exist, i.e.
+        not vacuumed away). History is preserved: the bad commits stay
+        readable, and the restore itself can be time-traveled past or
+        re-restored. Fails with ConcurrentCommitError semantics like any
+        commit (retry by re-calling)."""
+        prefix = self._load_for_read(None)
+        cur_files = set(_live_files(prefix))
+        target_prefix = self._load_for_read(version)
+        target_adds = _live_adds(target_prefix)
+        target_files = {a["path"] for a in target_adds}
+        fs, jvm = _fs(self.spark, self.data_dir)
+        missing = [
+            rel for rel in sorted(target_files - cur_files)
+            if not fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
+            )
+        ]
+        if missing:
+            raise ValueError(
+                f"restore({version}): {len(missing)} files of that "
+                f"snapshot were vacuumed away (e.g. {missing[0]!r}) — "
+                "the version is no longer restorable"
+            )
+        v = prefix[-1]["version"] + 1
+        adds = [a for a in target_adds if a["path"] not in cur_files]
+        removes = sorted(cur_files - target_files)
+        self._commit(self._record(
+            v, "restore", adds, removes,
+            target_prefix[-1]["schema"], restored_version=version,
+        ))
+        self._maybe_checkpoint(v)
+        return {"version": v, "restored_version": version,
+                "files_added": len(adds), "files_removed": len(removes)}
+
     def changes(self, from_version: int, to_version: int) -> DataFrame:
         """CDF-style value diff between two snapshots, computed from the
         log's file sets: only files added/removed BETWEEN the versions

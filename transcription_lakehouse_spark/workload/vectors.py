@@ -1844,28 +1844,10 @@ def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-corpus pass as vec_knn_bruteforce. In production the
     quantized arrays persist as the index — this query charges the build
     too so the oracle covers it."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
-    dims = e.select(F.size("v").alias("d")).head(1)[0]["d"]
-    mx = e.select(*[
-        F.max(F.abs(F.element_at("v", i + 1))).alias(f"m{i}")
-        for i in range(dims)
-    ]).head(1)[0]
-    lit_scales = F.array(*[F.lit(float(mx[i]) / 127.0) for i in range(dims)])
-    dq = F.zip_with(
-        F.col("v"),
-        lit_scales,
-        lambda x, s: F.when(
-            s > 0,
-            F.greatest(
-                F.lit(-127.0),
-                F.least(F.lit(127.0), F.floor(x / s + F.lit(0.5))),
-            )
-            * s,
-        ).otherwise(F.lit(0.0)),
-    )
-    arrs = e.select("vec_id", dq.alias("embedding"))
+    from ..operators.similarity import sq8_dequantize
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    arrs, _scales = sq8_dequantize(e, "embedding")
     queries = arrs.filter(F.col("vec_id") % _SQ8_Q_MOD == 0)
     return brute_force_topk(queries, arrs, "vec_id", "embedding", k=_SQ8_K)
 
