@@ -965,3 +965,43 @@ def test_multi_writer_stress_serializes_cleanly(spark, tmp_path):
                 for i in range(base, base + 3):
                     assert got.get(i, "DELETED" if i in deleted else None) \
                         in (f"m{i}", "DELETED"), (widx, step, i)
+
+
+def test_stream_ingest_txlog_auto_compact_bounds_files(spark, tmp_path):
+    """Streaming small-file maintenance: with auto_compact_files set,
+    the live file count stays O(bound) across many micro-batches (one
+    batch per trigger via maxFilesPerTrigger=16... here one per run),
+    content exact, history/time-travel intact."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import (
+        stream_ingest_txlog,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    tp = str(tmp_path / "table")
+
+    def _utts(ep, n):
+        return "\n".join(
+            _json.dumps({
+                "episode_id": ep, "start": float(i), "end": i + 0.9,
+                "speaker": "s1", "text": f"u{i} of {ep}",
+            }) for i in range(n)
+        )
+
+    total = 0
+    for b in range(6):
+        (d / f"b{b}.jsonl").write_text(_utts(f"ep{b}", 3))
+        total += 3
+        q = stream_ingest_txlog(
+            spark, str(d), tp, str(tmp_path / "ck"),
+            auto_compact_files=4,
+        )
+        q.awaitTermination(120)
+        t = LogTable(spark, tp)
+        live = len(t._snapshot()[0])
+        assert live <= 5, f"file count unbounded: {live} after batch {b}"
+        assert t.read().count() == total
+    ops = [h["operation"] for h in LogTable(spark, tp).history()]
+    assert "compact" in ops and ops.count("append") == 6

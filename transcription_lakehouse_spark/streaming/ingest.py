@@ -135,6 +135,7 @@ def stream_ingest_txlog(
     table_path: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    auto_compact_files: int | None = 64,
 ) -> StreamingQuery:
     """`stream_ingest`'s transactional twin: each micro-batch of
     validated/normalized utterances lands as ONE atomic LogTable commit
@@ -184,6 +185,10 @@ def stream_ingest_txlog(
         fresh = normalized
         if fresh.head(1):
             t.append(fresh)
+        if auto_compact_files is not None:
+            live = len(t._snapshot()[0]) if t.version() >= 0 else 0
+            if live > auto_compact_files:
+                t.compact(target_files=max(1, auto_compact_files // 4))
 
     writer = (
         raw.writeStream.foreachBatch(upsert)

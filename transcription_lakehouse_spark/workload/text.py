@@ -2298,9 +2298,85 @@ LIMIT {_BM25_TOPK}
 """
 
 
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the
+    information-theoretic twin of the Gopher repetition battery: low
+    entropy (relative to its maximum ln(n_distinct)) = few tokens
+    dominate = boilerplate/spam/keyword-stuffing; high normalized
+    entropy = diverse text. A standard cheap quality signal for
+    pretraining curation.
+
+    Cross-engine: each -(p)ln(p) term rounds at 12 decimals into a
+    DECIMAL accumulator (order-free sum), entropy rounds at 4 and the
+    normalized value derives from THAT rounded value (no hidden extra
+    precision on one engine). Scale: one shuffle to (doc_id, tok)
+    counts; the per-doc total is a window over the SAME partitioning
+    (no second exchange before the final per-doc fold)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    tot = counts.withColumn("n", F.sum("c").over(w)).withColumn(
+        "n_distinct", F.count(F.lit(1)).over(w)
+    )
+    p = F.col("c") / F.col("n")
+    terms = tot.select(
+        "doc_id", "n", "n_distinct",
+        F.round(-p * F.log(p), 12).cast("decimal(28,12)").alias("term"),
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.round(F.sum("term"), 4).cast("double").alias("entropy"),
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "n_distinct", "entropy",
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(F.col("entropy") / F.log(F.col("n_distinct")), 6),
+        ).otherwise(F.lit(0.0)).alias("norm_entropy"),
+    ).orderBy("doc_id")
+
+
+DOC_TOKEN_ENTROPY_SQL = f"""
+WITH toked AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+counts AS (SELECT doc_id, tok, count(*) AS c FROM toked GROUP BY doc_id, tok),
+tot AS (
+  SELECT doc_id, c,
+         sum(c) OVER (PARTITION BY doc_id) AS n,
+         count(*) OVER (PARTITION BY doc_id) AS n_distinct
+  FROM counts
+),
+terms AS (
+  SELECT doc_id, n, n_distinct,
+         CAST(round(-(c / n) * ln(c / n), 12) AS DECIMAL(28,12)) AS term
+  FROM tot
+),
+agg AS (
+  SELECT doc_id,
+         CAST(max(n) AS BIGINT) AS n_tokens,
+         CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+         CAST(round(sum(term), 4) AS DOUBLE) AS entropy
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, entropy,
+       CASE WHEN n_distinct > 1
+            THEN round(entropy / ln(n_distinct), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
     "doc_bm25_topk": doc_bm25_topk,
+    "doc_token_entropy": doc_token_entropy,
     "doc_rag_chunks": doc_rag_chunks,
     "doc_cut_dup_spans": doc_cut_dup_spans,
     "doc_curation_v3": doc_curation_v3,
@@ -2344,6 +2420,7 @@ QUERIES = {
 ORACLES = {
     "doc_dsir_weights": DOC_DSIR_WEIGHTS_SQL,
     "doc_bm25_topk": DOC_BM25_TOPK_SQL,
+    "doc_token_entropy": DOC_TOKEN_ENTROPY_SQL,
     "doc_rag_chunks": DOC_RAG_CHUNKS_SQL,
     "doc_cut_dup_spans": DOC_CUT_DUP_SPANS_SQL,
     "doc_curation_v3": DOC_CURATION_V3_SQL,
