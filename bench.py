@@ -67,6 +67,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "doc_dsir_weights",
     "vec_kcenter_coreset",
+    "doc_bm25_topk",
+    "vec_knn_int8",
 ]
 
 

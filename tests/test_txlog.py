@@ -1005,3 +1005,36 @@ def test_stream_ingest_txlog_auto_compact_bounds_files(spark, tmp_path):
         assert t.read().count() == total
     ops = [h["operation"] for h in LogTable(spark, tp).history()]
     assert "compact" in ops and ops.count("append") == 6
+
+
+def test_txn_watermark_survives_checkpoints(spark, tmp_path):
+    """Idempotent-txn watermarks are folded into log CHECKPOINTS (like
+    Delta's checkpointed SetTransaction actions): a replay OLDER than
+    the newest checkpoint — whose commit is no longer in the
+    checkpoint-seeded prefix — is still detected and skipped."""
+    t = LogTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    t.append(_mk(spark, range(5)))                                   # v0
+    batch = spark.createDataFrame(
+        [(0, "UPD", "U")], "id bigint, val string, _op string"
+    )
+    t.merge_cdc(batch, key="id", txn=("appX", 1))                    # v1
+    for lo in (10, 20, 30, 40):                                      # v2..v5
+        t.append(_mk(spark, range(lo, lo + 2)))
+    # the hot prefix is checkpoint-seeded PAST the txn commit
+    loaded = t._load_for_read(None)
+    assert loaded[0]["operation"] == "checkpoint"
+    assert loaded[0]["version"] > 1
+    assert all(c["version"] > 1 for c in loaded[1:])
+    # ... and the deep replay still skips
+    out = t.merge_cdc(batch, key="id", txn=("appX", 1))
+    assert out.get("skipped_as_applied") is True
+    # a genuinely new txn version still applies
+    out2 = t.merge_cdc(
+        spark.createDataFrame(
+            [(1, "UPD2", "U")], "id bigint, val string, _op string"
+        ),
+        key="id", txn=("appX", 2),
+    )
+    assert out2.get("skipped_as_applied") is None
+    got = dict(_rows(t.read()))
+    assert got[0] == "UPD" and got[1] == "UPD2"

@@ -208,6 +208,23 @@ def _live_files(commits: list[dict]) -> list[str]:
     return [a["path"] for a in _live_adds(commits)]
 
 
+def _fold_txns(commits: list[dict]) -> dict[str, int]:
+    """Per-app max txn_version folded over a loaded prefix — the head may
+    be a synthetic checkpoint commit already carrying a folded map (so
+    the fold is transitive across checkpoint generations)."""
+    txns: dict[str, int] = {}
+    for c in commits:
+        if c.get("operation") == "checkpoint":
+            for app, v in (c.get("txns") or {}).items():
+                txns[app] = max(txns.get(app, -1), int(v))
+        p = c.get("params") or {}
+        if "txn_app_id" in p:
+            txns[p["txn_app_id"]] = max(
+                txns.get(p["txn_app_id"], -1), int(p.get("txn_version", -1))
+            )
+    return txns
+
+
 def _norm_schema(schema_json: str) -> list[tuple[str, str]]:
     """(name, type) pairs — the schema identity the format enforces
     (nullability is writer-dependent noise, see _check_schema)."""
@@ -321,6 +338,7 @@ class LogTable:
             base = [{
                 "version": ck["version"], "operation": "checkpoint",
                 "add": ck["add"], "remove": [], "schema": ck["schema"],
+                "txns": ck.get("txns", {}),
             }]
             floor = cv
         tail = [
@@ -352,6 +370,12 @@ class LogTable:
             "version": v,
             "schema": prefix[-1]["schema"],
             "add": _live_adds(prefix),
+            # Delta checkpoints SetTransaction actions for the same
+            # reason: a checkpoint-seeded prefix loses old commits'
+            # params, so idempotent-txn watermarks must fold INTO the
+            # checkpoint or a deep replay (older than the newest
+            # checkpoint) would silently re-apply
+            "txns": _fold_txns(prefix),
         }
         try:
             out = fs.create(tmp, False)
@@ -839,20 +863,15 @@ class LogTable:
         """Delta-style idempotent writes (txnAppId/txnVersion): True when
         the log already holds a commit from the same application id with
         a txn version >= this one — a replayed micro-batch is then a
-        clean skip, not a duplicate apply. O(prefix) scan of the
-        already-loaded commits; checkpoints preserve no params, so pair
-        long-lived txn streams with a checkpoint interval generous enough
-        to keep the relevant tail — or rely on monotonically increasing
-        versions, which is the contract anyway."""
+        clean skip, not a duplicate apply. O(prefix) fold over the
+        already-loaded commits; checkpoints carry the folded per-app
+        watermarks (Delta checkpoints SetTransaction actions for exactly
+        this reason), so the check survives checkpoint-seeded prefixes —
+        a replay OLDER than the newest checkpoint is still detected."""
         if txn is None:
             return False
         app_id, version = txn
-        for c in prefix:
-            p = c.get("params") or {}
-            if p.get("txn_app_id") == app_id and \
-                    p.get("txn_version", -1) >= version:
-                return True
-        return False
+        return _fold_txns(prefix).get(app_id, -1) >= version
 
     def _keyed_rewrite(self, keys: DataFrame, upserts: DataFrame,
                        key: str, op: str,
