@@ -1038,3 +1038,76 @@ def test_txn_watermark_survives_checkpoints(spark, tmp_path):
     assert out2.get("skipped_as_applied") is None
     got = dict(_rows(t.read()))
     assert got[0] == "UPD" and got[1] == "UPD2"
+
+
+def test_review_fixes_format_glue(spark, tmp_path):
+    """Round-8 review findings pinned: (1) a marker-less dirs lake with
+    artifacts refuses a txlog stamp (would hide every artifact); (2)
+    artifact_exists honors the LABEL on txlog lakes so missing labels
+    degrade like missing dirs; (3) txlog list_versions keeps the FIRST
+    commit per label (creation-time ordering survives appends); (4)
+    snapshots resolve the requested label and skip empty live sets; (5)
+    sq8_dequantize refuses empty/ragged corpora loudly."""
+    import json as _json
+
+    from transcription_lakehouse_spark.ingestion import (
+        artifact_exists,
+        lake_format,
+        list_versions,
+        set_lake_format,
+        write_versioned,
+    )
+    from transcription_lakehouse_spark.operators.similarity import (
+        sq8_dequantize,
+    )
+    from transcription_lakehouse_spark.snapshot import create_snapshot
+
+    # (1) existing marker-less dirs lake: txlog stamp refused
+    dirs_lake = str(tmp_path / "old_lake")
+    write_versioned(_mk(spark, range(5)), dirs_lake, "normalized", "v1")
+    with pytest.raises(ValueError, match="dirs-convention artifacts"):
+        set_lake_format(dirs_lake, "txlog")
+    assert lake_format(dirs_lake) == "dirs"
+    set_lake_format(dirs_lake, "dirs")  # same-format stamp is fine
+
+    # (2)+(3) label-aware existence + stable version ordering
+    lake = str(tmp_path / "lake")
+    set_lake_format(lake, "txlog")
+    write_versioned(_mk(spark, range(4)), lake, "tbl", "v1")
+    write_versioned(_mk(spark, range(4, 8)), lake, "tbl", "v2")
+    write_versioned(_mk(spark, range(8, 10)), lake, "tbl", "v1",
+                    mode="append")  # later append must not re-order v1
+    assert artifact_exists(lake, "tbl", "v1")
+    assert artifact_exists(lake, "tbl", "v2")
+    assert not artifact_exists(lake, "tbl", "v9")
+    labels = [v["version"] for v in list_versions(lake, "tbl")]
+    assert labels == ["v1", "v2"], labels
+
+    # (4) snapshot resolves the label; v1 label resolves to its newest
+    # commit (the append), and an absent label just skips the artifact
+    t = LogTable(spark, f"{lake}/tbl")
+    snap = create_snapshot(
+        spark, lake, "s1", artifacts=("tbl",), lakehouse_version="v2",
+    )
+    import glob as _glob
+    import os as _os
+
+    rows = spark.read.parquet(_os.path.join(snap, "tbl")).count()
+    assert rows == 4  # v2's snapshot, NOT the latest live set (10 rows)
+    snap2 = create_snapshot(
+        spark, lake, "s2", artifacts=("tbl",), lakehouse_version="nope",
+    )
+    assert not _os.path.isdir(_os.path.join(snap2, "tbl"))
+    man = _json.load(open(_os.path.join(snap2, "lake_manifest.json")))
+    assert man["artifacts"] == {}
+
+    # (5) sq8 guards
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        sq8_dequantize(empty, "embedding")
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        sq8_dequantize(ragged, "embedding")

@@ -441,8 +441,10 @@ def table_compact(path, target_files, cluster_by, zorder_by):
     t = LogTable(_spark("table-compact"), path)
     _echo(t.compact(
         target_files=target_files,
-        cluster_by=cluster_by.split(",") if cluster_by else None,
-        zorder_by=zorder_by.split(",") if zorder_by else None,
+        cluster_by=[c.strip() for c in cluster_by.split(",")]
+        if cluster_by else None,
+        zorder_by=[c.strip() for c in zorder_by.split(",")]
+        if zorder_by else None,
     ))
 
 

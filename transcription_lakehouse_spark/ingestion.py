@@ -52,7 +52,10 @@ def lake_format(base_dir: str) -> str:
 def set_lake_format(base_dir: str, fmt: str) -> None:
     """Stamp a NEW lake's format. Re-stamping the same format is a no-op;
     flipping an existing lake is refused (the two conventions lay files
-    out incompatibly — migrate by re-ingesting)."""
+    out incompatibly — migrate by re-ingesting). A marker-less lake that
+    already holds dirs-convention artifacts counts as an existing
+    ``dirs`` lake: stamping it ``txlog`` would make every previously
+    ingested artifact silently invisible, so that is refused too."""
     if fmt not in ("dirs", "txlog"):
         raise ValueError(f"unknown lake format {fmt!r} (dirs|txlog)")
     cur_marker = os.path.join(base_dir, _LAKE_FORMAT_FILE)
@@ -64,6 +67,12 @@ def set_lake_format(base_dir: str, fmt: str) -> None:
                 f"{fmt!r} in place"
             )
         return
+    if fmt == "txlog" and _has_dirs_artifacts(base_dir):
+        raise ValueError(
+            f"lake at {base_dir} already holds dirs-convention artifacts "
+            "(version dirs with parquet); stamping it 'txlog' would hide "
+            "them — migrate by re-ingesting into a fresh lake"
+        )
     import json as _json
 
     os.makedirs(base_dir, exist_ok=True)
@@ -71,14 +80,45 @@ def set_lake_format(base_dir: str, fmt: str) -> None:
         _json.dump({"format": fmt}, f)
 
 
+def _has_dirs_artifacts(base_dir: str) -> bool:
+    """True when a marker-less lake already contains dirs-convention
+    artifacts: some <artifact>/<version>/ holding parquet (or a
+    _version_info.json stamp) and no _txlog."""
+    import glob as _glob
+
+    if not os.path.isdir(base_dir):
+        return False
+    for art in os.listdir(base_dir):
+        art_dir = os.path.join(base_dir, art)
+        if art.startswith((".", "_")) or not os.path.isdir(art_dir):
+            continue
+        if os.path.isdir(os.path.join(art_dir, "_txlog")):
+            continue
+        for vdir in _glob.glob(os.path.join(art_dir, "*")):
+            if not os.path.isdir(vdir):
+                continue
+            if os.path.exists(os.path.join(vdir, "_version_info.json")) or \
+                    _glob.glob(os.path.join(vdir, "*.parquet")):
+                return True
+    return False
+
+
 def artifact_exists(base_dir: str, artifact: str, version: str = "v1") -> bool:
-    """Whether the artifact has been materialized — format-aware (a
-    txlog artifact exists when its table has >= 1 commit)."""
+    """Whether the artifact has been materialized UNDER THIS LABEL —
+    format-aware: a txlog artifact exists when some commit carries the
+    label (mirroring the dirs convention, where each label is its own
+    directory — `read_versioned` on a missing label then degrades the
+    same way on both formats instead of crashing on txlog)."""
     if lake_format(base_dir) == "txlog":
+        from .txlog import LogTable
+
         log_dir = os.path.join(base_dir, artifact, "_txlog")
-        return os.path.isdir(log_dir) and any(
-            n.endswith(".json") and not n.startswith(".")
-            for n in os.listdir(log_dir)
+        if not os.path.isdir(log_dir):
+            return False
+        t = LogTable(None, os.path.join(base_dir, artifact))
+        return any(
+            c.get("params", {}).get("label") == version
+            for c in t._commits_no_spark()
         )
     return os.path.isdir(os.path.join(base_dir, artifact, version))
 
@@ -92,7 +132,13 @@ def _txlog_table(spark, base_dir: str, artifact: str):
 def _txlog_resolve_label(t, label: str | None) -> int | None:
     """Newest commit carrying ``label`` in its params (write_versioned
     stamps one per write), so the string-version contract of the dirs
-    convention keeps working on txlog lakes. ``None`` label = latest."""
+    convention keeps working on txlog lakes. ``None`` label = latest.
+
+    When every commit AFTER the labeled one is content-preserving
+    maintenance (compact / restore-to-nothing-later), the label resolves
+    to the LATEST snapshot instead of the pinned version — identical
+    rows, but reads get the compacted layout (otherwise a label-addressed
+    pipeline would never benefit from OPTIMIZE)."""
     if label is None:
         return None
     commits = t._commits()
@@ -107,7 +153,14 @@ def _txlog_resolve_label(t, label: str | None) -> int | None:
         raise ValueError(
             f"no version labeled {label!r} in {t.path} (have {have})"
         )
-    return hits[-1]
+    v = hits[-1]
+    content_preserving = {"compact", "checkpoint"}
+    if all(
+        c["operation"] in content_preserving
+        for c in commits if c["version"] > v
+    ):
+        return None
+    return v
 
 
 def validation_errors(df: DataFrame) -> F.Column:
@@ -296,7 +349,10 @@ def list_versions(base_dir: str, artifact: str) -> list[dict]:
         by_label: dict[str, dict] = {}
         for c in t._commits_no_spark():
             label = c.get("params", {}).get("label")
-            if label is None:
+            if label is None or label in by_label:
+                # FIRST commit per label = CREATION time — a later append
+                # under the same label must not re-order the version list
+                # (same contract _stamp_version documents for dirs lakes)
                 continue
             by_label[label] = {
                 "version": label,

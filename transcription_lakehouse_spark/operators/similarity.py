@@ -106,7 +106,17 @@ def sq8_dequantize(corpus: DataFrame, vec_col: str):
     round() half-rule). Returns (quantized_df, scales) — in production
     the quantized arrays persist as the index."""
     probe = corpus.select(as_double_array(vec_col).alias("v"))
-    dims = probe.select(F.size("v").alias("d")).head(1)[0]["d"]
+    span = probe.agg(
+        F.min(F.size("v")).alias("lo"), F.max(F.size("v")).alias("hi")
+    ).head()
+    if span["lo"] is None:
+        raise ValueError("sq8_dequantize: empty corpus")
+    if span["lo"] != span["hi"]:
+        raise ValueError(
+            f"sq8_dequantize: ragged vectors ({span['lo']}..{span['hi']} "
+            "dims) — per-dimension scales are undefined"
+        )
+    dims = int(span["hi"])
     mx = probe.agg(*[
         F.max(F.abs(F.element_at("v", i + 1))).alias(f"m{i}")
         for i in range(dims)

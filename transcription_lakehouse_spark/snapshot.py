@@ -70,16 +70,24 @@ def create_snapshot(
     fmt = lake_format(lake_dir)
     for art in artifacts:
         if fmt == "txlog":
-            # snapshot the table's LIVE file set (log-resolved — a crashed
-            # writer's uncommitted files are invisible here too); files
-            # from different commit dirs may share part-file names, so
-            # prefix with an index
+            # snapshot the file set of the commit carrying the requested
+            # LABEL (log-resolved — a crashed writer's uncommitted files
+            # are invisible here too; an unlabeled table is skipped like
+            # a missing dirs artifact); files from different commit dirs
+            # may share part-file names, so prefix with an index
+            from .ingestion import _txlog_resolve_label
             from .txlog import LogTable
 
             t = LogTable(spark, os.path.join(lake_dir, art))
             if t.version() < 0:
                 continue
-            live, _ = t._snapshot()
+            try:
+                v = _txlog_resolve_label(t, lakehouse_version)
+            except ValueError:
+                continue  # no commit under this label — same as no dir
+            live, _ = t._snapshot(v)
+            if not live:
+                continue  # empty live set: nothing to copy or count
             dst = os.path.join(snap_dir, art)
             os.makedirs(dst)
             for i, f_src in enumerate(live):

@@ -185,10 +185,16 @@ def stream_ingest_txlog(
         fresh = normalized
         if fresh.head(1):
             t.append(fresh)
-        if auto_compact_files is not None:
-            live = len(t._snapshot()[0]) if t.version() >= 0 else 0
-            if live > auto_compact_files:
-                t.compact(target_files=max(1, auto_compact_files // 4))
+            if auto_compact_files is not None:
+                # one checkpoint-seeded prefix load (file COUNT only) —
+                # not a version() listing + full snapshot per batch, and
+                # never on batches that appended nothing
+                from ..txlog import _live_files
+
+                prefix = t._load_for_read(None, allow_empty=True)
+                if prefix and \
+                        len(_live_files(prefix)) > auto_compact_files:
+                    t.compact(target_files=max(1, auto_compact_files // 4))
 
     writer = (
         raw.writeStream.foreachBatch(upsert)
