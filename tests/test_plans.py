@@ -30,6 +30,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "vec_knn_int8",         # same broadcast-queries scorer as bruteforce
     "vec_cluster_mixture",  # one-row totals broadcast into the shares
     "doc_bm25_topk",        # one-row (N, avgdl) stats broadcast into BM25
+    "doc_hybrid_rrf",       # inherits BM25's one-row stats broadcast
     "vec_label_similarity_matrix",
     "q22_idle_wealthy_customers",  # one-row global-avg threshold broadcast
     "q11_important_parts",  # one-row global-total threshold broadcast
@@ -66,6 +67,7 @@ _GLOBAL_SCALAR_OK = {
     "q6_forecast_revenue",       # single-row global aggregate
     "doc_bm25_topk",             # one-row (N, avgdl) stats + rank window
                                  # over the LIMIT-20 surviving rows only
+    "doc_hybrid_rrf",            # fusion of two TakeOrdered 50-row lists
     "vec_cluster_mixture",       # two one-row totals over a <=16-row
                                  # cluster rollup
     "trn_integrity_battery",     # single-row global aggregate

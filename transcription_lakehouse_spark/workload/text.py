@@ -2196,23 +2196,11 @@ _BM25_QUERY = ("spark", "table", "scan", "merge", "vector")
 _BM25_TOPK = 20
 
 
-def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval (Robertson/Sparck-Jones probabilistic ranking, the
-    public Okapi BM25 with Lucene's idf = ln(1 + (N-df+0.5)/(df+0.5))):
-    score every document against a fixed query-term set, return the
-    top-{k} — the lexical half of a RAG retrieval stack next to the
-    vec_knn_* dense half.
-
-    Cross-engine: each per-term score rounds at 12 decimals into a
-    DECIMAL accumulator (order-independent sum, the DSIR recipe), final
-    score rounds at 4. Scale shape: tf is one tokenize->filter->groupBy
-    over the corpus (the query-term filter prunes the explode output to
-    |q| rows per doc BEFORE the shuffle); df and (N, avgdl) are tiny
-    broadcast sides; the final top-k is orderBy+limit (TakeOrdered — a
-    per-partition heap + driver merge, never a global sort), with the
-    rank window applied to the 20 surviving rows only."""
-    from pyspark.sql import Window
-
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms_matched, bm25) for every document matching >= 1
+    fixed query term — the scoring core shared by doc_bm25_topk and the
+    RRF hybrid ranker (one implementation, one oracle-pinned arithmetic
+    shape)."""
     d = _docs(spark, sf_dir)
     toked = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     dl = toked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -2238,7 +2226,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
         )
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "tok")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
@@ -2252,6 +2240,26 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term"), 4).cast("double").alias("bm25"),
         )
     )
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck-Jones probabilistic ranking, the
+    public Okapi BM25 with Lucene's idf = ln(1 + (N-df+0.5)/(df+0.5))):
+    score every document against a fixed query-term set, return the
+    top-{k} — the lexical half of a RAG retrieval stack next to the
+    vec_knn_* dense half.
+
+    Cross-engine: each per-term score rounds at 12 decimals into a
+    DECIMAL accumulator (order-independent sum, the DSIR recipe), final
+    score rounds at 4. Scale shape: tf is one tokenize->filter->groupBy
+    over the corpus (the query-term filter prunes the explode output to
+    |q| rows per doc BEFORE the shuffle); df and (N, avgdl) are tiny
+    broadcast sides; the final top-k is orderBy+limit (TakeOrdered — a
+    per-partition heap + driver merge, never a global sort), with the
+    rank window applied to the 20 surviving rows only."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
     top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPK)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return top.select(
@@ -2262,8 +2270,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_BM25_TOPK_SQL = f"""
-WITH toked AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+_BM25_SCORED_CTES = f"""toked AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
 dl AS (SELECT doc_id, count(*) AS dl FROM toked GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 tf AS (
@@ -2272,7 +2279,7 @@ tf AS (
   GROUP BY doc_id, tok
 ),
 dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-scored AS (
+bmscored AS (
   SELECT tf.doc_id,
          CAST(round(
            ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
@@ -2285,14 +2292,18 @@ scored AS (
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
 ),
-agg AS (
+lexagg AS (
   SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms_matched,
          CAST(round(sum(term), 4) AS DOUBLE) AS bm25
-  FROM scored GROUP BY doc_id
-)
+  FROM bmscored GROUP BY doc_id
+)"""
+
+
+DOC_BM25_TOPK_SQL = f"""
+WITH {_BM25_SCORED_CTES}
 SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank,
        doc_id, n_terms_matched, bm25
-FROM agg
+FROM lexagg
 ORDER BY bm25 DESC, doc_id
 LIMIT {_BM25_TOPK}
 """
@@ -2373,9 +2384,128 @@ ORDER BY doc_id
 """
 
 
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_TOPK = 20
+
+
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009,
+    the standard public fusion rule): fuse the BM25 lexical top-50 with
+    a dense cosine top-50 (query = doc 0's embedding) as
+    ``rrf = Σ 1/(60 + rank)`` over the lists a doc appears in — the
+    ranker behind most production RAG stacks, composing this repo's
+    lexical (doc_bm25_topk) and dense (vec_knn_*) halves.
+
+    Cross-engine: both input rankings derive from already-rounded scores
+    (bm25 @4dp, cosine @6dp) with doc_id tie-breaks; the fused score is
+    a sum of at most two exact rationals, rounded at 6. Scale: each leg
+    is a TakeOrdered over its scored relation; fusion is a full outer
+    join of two 50-row lists — driver-trivial at any corpus size."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import as_double_array, guarded_cosine, l2_norm
+    from ..sources.tables import load_table
+
+    lex_scored = _bm25_scored(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        lex_scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number().over(wl).cast("int").alias("rank_lex"),
+        )
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        as_double_array("embedding").alias("e"),
+    )
+    qrow = emb.filter(F.col("doc_id") == 0).head()
+    qv = F.array(*[F.lit(float(x)) for x in qrow["e"]])
+    qn = F.lit(sum(float(x) * float(x) for x in qrow["e"]) ** 0.5)
+    dense_scored = emb.filter(F.col("doc_id") != 0).select(
+        "doc_id",
+        F.round(
+            guarded_cosine(F.col("e"), qv, l2_norm(F.col("e")), qn), 6
+        ).alias("sim"),
+    )
+    wd = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    dense = (
+        dense_scored.orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number().over(wd).cast("int").alias("rank_dense"),
+        )
+    )
+
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_dense")),
+                     F.lit(0.0))
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id", "rank_lex", "rank_dense", F.round(rrf, 6).alias("rrf")
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_TOPK)
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(wf).cast("int").alias("rank"),
+        "doc_id", "rank_lex", "rank_dense", "rrf",
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from .vectors import _XY_COS
+
+    return f"""
+WITH {_BM25_SCORED_CTES},
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+              AS INTEGER) AS rank_lex
+  FROM (SELECT * FROM lexagg ORDER BY bm25 DESC, doc_id
+        LIMIT {_RRF_DEPTH})
+),
+v AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings),
+densescore AS (
+  SELECT x.doc_id, round({_XY_COS}, 6) AS sim
+  FROM v x CROSS JOIN (SELECT e FROM v WHERE doc_id = 0) y
+  WHERE x.doc_id <> 0
+),
+dense AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+              AS INTEGER) AS rank_dense
+  FROM (SELECT * FROM densescore ORDER BY sim DESC, doc_id
+        LIMIT {_RRF_DEPTH})
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.rank_lex, d.rank_dense,
+         round(COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0)
+               + COALESCE(1.0 / ({_RRF_K} + d.rank_dense), 0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+            AS INTEGER) AS rank,
+       doc_id, rank_lex, rank_dense, rrf
+FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK})
+ORDER BY rrf DESC, doc_id
+"""
+
+
+DOC_HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
 QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
     "doc_bm25_topk": doc_bm25_topk,
+    "doc_hybrid_rrf": doc_hybrid_rrf,
     "doc_token_entropy": doc_token_entropy,
     "doc_rag_chunks": doc_rag_chunks,
     "doc_cut_dup_spans": doc_cut_dup_spans,
@@ -2420,6 +2550,7 @@ QUERIES = {
 ORACLES = {
     "doc_dsir_weights": DOC_DSIR_WEIGHTS_SQL,
     "doc_bm25_topk": DOC_BM25_TOPK_SQL,
+    "doc_hybrid_rrf": DOC_HYBRID_RRF_SQL,
     "doc_token_entropy": DOC_TOKEN_ENTROPY_SQL,
     "doc_rag_chunks": DOC_RAG_CHUNKS_SQL,
     "doc_cut_dup_spans": DOC_CUT_DUP_SPANS_SQL,
