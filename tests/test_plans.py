@@ -28,6 +28,7 @@ _RANK_OFFSETS_BNLJ = {"evt_corr_stats"}
 _BOUNDED_BROADCAST_BNLJ = {
     "vec_knn_bruteforce",
     "vec_knn_int8",         # same broadcast-queries scorer as bruteforce
+    "vec_knn_int8_rerank",  # inherits the int8 shortlist scorer
     "vec_cluster_mixture",  # one-row totals broadcast into the shares
     "doc_bm25_topk",        # one-row (N, avgdl) stats broadcast into BM25
     "doc_hybrid_rrf",       # inherits BM25's one-row stats broadcast

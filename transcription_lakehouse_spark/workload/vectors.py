@@ -1852,8 +1852,10 @@ def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, arrs, "vec_id", "embedding", k=_SQ8_K)
 
 
-VEC_KNN_INT8_SQL = f"""
-WITH ex AS (
+# shared SQ8 CTE chain: dequantized arrays + the ranked search in
+# quantized space — reused by the pure-int8 twin and the rerank twin so
+# the two oracles cannot drift on the quantization arithmetic
+_SQ8_CTES = f"""ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
@@ -1868,22 +1870,102 @@ deq AS (
   FROM ex JOIN scales ON ex.pos = scales.pos
 ),
 arrs AS (SELECT vec_id, list(dq ORDER BY pos) AS e FROM deq GROUP BY vec_id),
-q AS (SELECT * FROM arrs WHERE vec_id % {_SQ8_Q_MOD} = 0),
-scored AS (
+qq AS (SELECT * FROM arrs WHERE vec_id % {_SQ8_Q_MOD} = 0),
+q8scored AS (
   SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
          round({_XY_COS}, 6) AS sim
-  FROM q x CROSS JOIN arrs y
+  FROM qq x CROSS JOIN arrs y
   WHERE x.vec_id <> y.vec_id
+),
+q8ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM q8scored
+)"""
+
+
+VEC_KNN_INT8_SQL = f"""
+WITH {_SQ8_CTES}
+SELECT query_id, neighbor_id, rank, sim
+FROM q8ranked
+WHERE rank <= {_SQ8_K}
+"""
+
+
+_SQ8_SHORTLIST = 50
+
+
+def vec_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 shortlist -> exact float rerank — the production composition
+    of scalar quantization (the scan runs over the 4x-smaller quantized
+    index, recall@5 0.975 measured in SCALING.md) with a float32 rescore
+    of only the top-50 candidates per query, which buys the lost
+    recall back at a per-query cost of 50 exact cosines. Output is the
+    exact-space top-5 WITHIN the quantized shortlist.
+
+    Cross-engine: the shortlist ranks over round-6 quantized sims with
+    neighbor-id tie-breaks (identical candidate sets), the rerank over
+    round-6 float sims — both stages oracle-pinned end to end."""
+    from ..operators.similarity import brute_force_topk, sq8_dequantize
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    arrs, _scales = sq8_dequantize(e, "embedding")
+    queries_q = arrs.filter(F.col("vec_id") % _SQ8_Q_MOD == 0)
+    shortlist = brute_force_topk(
+        queries_q, arrs, "vec_id", "embedding", k=_SQ8_SHORTLIST
+    ).select("query_id", "neighbor_id")
+
+    qv = e.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    from ..functions.vector import guarded_cosine
+
+    rescored = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                guarded_cosine(F.col("qv"), F.col("cv"),
+                               F.col("qn"), F.col("cn")), 6
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _SQ8_K)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+VEC_KNN_INT8_RERANK_SQL = f"""
+WITH {_SQ8_CTES},
+short AS (SELECT query_id, neighbor_id FROM q8ranked
+          WHERE rank <= {_SQ8_SHORTLIST}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id, round({_XY_COS}, 6) AS sim
+  FROM short s JOIN v x ON s.query_id = x.vec_id
+               JOIN v y ON s.neighbor_id = y.vec_id
 )
 SELECT query_id, neighbor_id, rank, sim
 FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank
-  FROM scored
+  FROM rescored
 )
 WHERE rank <= {_SQ8_K}
 """
-
 
 _MIX_N_CELLS = 16
 
@@ -1987,6 +2069,7 @@ VEC_CLUSTER_MIXTURE_SQL = _cluster_mixture_sql(_MIX_N_CELLS)
 QUERIES = {
     "vec_kcenter_coreset": vec_kcenter_coreset,
     "vec_knn_int8": vec_knn_int8,
+    "vec_knn_int8_rerank": vec_knn_int8_rerank,
     "vec_cluster_mixture": vec_cluster_mixture,
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
@@ -2026,6 +2109,7 @@ ORACLES = {
     "vec_norm_stats": VEC_NORM_STATS_SQL,
     "vec_kcenter_coreset": VEC_KCENTER_CORESET_SQL,
     "vec_knn_int8": VEC_KNN_INT8_SQL,
+    "vec_knn_int8_rerank": VEC_KNN_INT8_RERANK_SQL,
     "vec_cluster_mixture": VEC_CLUSTER_MIXTURE_SQL,
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
