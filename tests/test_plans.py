@@ -30,6 +30,7 @@ _BOUNDED_BROADCAST_BNLJ = {
     "vec_knn_int8",         # same broadcast-queries scorer as bruteforce
     "vec_knn_int8_rerank",  # inherits the int8 shortlist scorer
     "vec_cluster_mixture",  # one-row totals broadcast into the shares
+    "vec_mmr_rerank",       # 20x20 candidate self-join (bounded)
     "doc_bm25_topk",        # one-row (N, avgdl) stats broadcast into BM25
     "doc_hybrid_rrf",       # inherits BM25's one-row stats broadcast
     "vec_label_similarity_matrix",
@@ -71,6 +72,8 @@ _GLOBAL_SCALAR_OK = {
     "doc_hybrid_rrf",            # fusion of two TakeOrdered 50-row lists
     "vec_cluster_mixture",       # two one-row totals over a <=16-row
                                  # cluster rollup
+    "vec_mmr_rerank",            # bounded driver greedy over the top-20
+                                 # candidate list (createDataFrame result)
     "trn_integrity_battery",     # single-row global aggregate
     "trn_speaker_balance",       # global window over per-speaker aggregate
     "q14_promo_share",           # single-row global aggregate

@@ -1967,6 +1967,154 @@ FROM (
 WHERE rank <= {_SQ8_K}
 """
 
+_MMR_LAMBDA = 0.7
+_MMR_CANDS = 20
+_MMR_K = 8
+
+
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    the classic diversity-aware retrieval rule): greedily pick k results
+    maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`` — high
+    relevance AND low redundancy, the standard fix for near-duplicate
+    hits in RAG context windows. Query = doc 0's embedding, candidates =
+    its dense top-20, λ=0.7, k=8.
+
+    Shape: candidate generation and BOTH similarity matrices (query-
+    relevance + candidate-pairwise) are distributed Spark jobs with the
+    shared guarded cosine rounded at 6; only the greedy selection runs
+    on the driver, over the BOUNDED 20-candidate set MMR is defined on
+    (MMR is a rerank of a top-N list by construction — the corpus-sized
+    work is the candidate search, which stays distributed). The DuckDB
+    twin replays the greedy loop as a recursive CTE over the same
+    rounded similarities, so every pick and score is value-hash gated."""
+    from ..functions.vector import guarded_cosine
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    ).withColumn("_n", l2_norm(F.col("e")))
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    qv = F.array(*[F.lit(float(x)) for x in qrow["e"]])
+    qn = F.lit(sum(float(x) * float(x) for x in qrow["e"]) ** 0.5)
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", "e", "_n",
+            F.round(
+                guarded_cosine(F.col("e"), qv, F.col("_n"), qn), 6
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CANDS)
+    ).localCheckpoint(eager=False)
+    a = cands.select(
+        F.col("vec_id").alias("i"), F.col("e").alias("ei"),
+        F.col("_n").alias("ni"),
+    )
+    b = cands.select(
+        F.col("vec_id").alias("j"), F.col("e").alias("ej"),
+        F.col("_n").alias("nj"),
+    )
+    pair_rows = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select(
+            "i", "j",
+            F.round(
+                guarded_cosine(F.col("ei"), F.col("ej"),
+                               F.col("ni"), F.col("nj")), 6
+            ).alias("s"),
+        )
+        .collect()
+    )
+    sims = {}
+    for r in pair_rows:
+        sims[(r["i"], r["j"])] = r["s"]
+        sims[(r["j"], r["i"])] = r["s"]
+    rel = {r["vec_id"]: r["rel"] for r in cands.select("vec_id", "rel").collect()}
+
+    selected: list[int] = []
+    out = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for d in sorted(rel):
+            if d in [s for s in selected]:
+                continue
+            redundancy = max(
+                (sims[(d, s)] for s in selected), default=0.0
+            )
+            score = _MMR_LAMBDA * rel[d] - (1.0 - _MMR_LAMBDA) * redundancy
+            if best is None or score > best[0] or                     (score == best[0] and d < best[1]):
+                best = (score, d)
+        selected.append(best[1])
+        # HALF-AWAY-FROM-ZERO, the F.round/DuckDB mode — Python's
+        # built-in round() is banker's and flips the last digit on
+        # exact-half scores (seen live at sf0.001)
+        import math
+
+        score6 = math.copysign(
+            math.floor(abs(best[0]) * 1e6 + 0.5), best[0]
+        ) / 1e6
+        out.append((step, best[1], score6))
+    return spark.createDataFrame(
+        out, "step int, vec_id bigint, mmr_score double"
+    ).orderBy("step")
+
+
+VEC_MMR_RERANK_SQL = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cand AS (
+  SELECT x.vec_id, round({_XY_COS}, 6) AS rel
+  FROM v x CROSS JOIN (SELECT e FROM v WHERE vec_id = 0) y
+  WHERE x.vec_id <> 0
+  ORDER BY rel DESC, x.vec_id
+  LIMIT {_MMR_CANDS}
+),
+pair AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, round({_XY_COS.replace('x.e', 'a.e').replace('y.e', 'b.e')}, 6) AS s
+  FROM (SELECT c.vec_id, v.e FROM cand c JOIN v ON c.vec_id = v.vec_id) a
+  JOIN (SELECT c.vec_id, v.e FROM cand c JOIN v ON c.vec_id = v.vec_id) b
+    ON a.vec_id <> b.vec_id
+),
+sel AS (
+  SELECT 1 AS step,
+         (SELECT vec_id FROM cand
+          ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, vec_id LIMIT 1)
+           AS vec_id,
+         (SELECT round(CAST(0.7 AS DOUBLE) * rel, 6) FROM cand
+          ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, vec_id LIMIT 1)
+           AS mmr_score,
+         [(SELECT vec_id FROM cand
+           ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, vec_id LIMIT 1)]
+           AS picked
+  UNION ALL
+  SELECT sel.step + 1, nxt.vec_id, nxt.score,
+         list_append(sel.picked, nxt.vec_id)
+  FROM sel, LATERAL (
+    SELECT c.vec_id,
+           round(CAST(0.7 AS DOUBLE) * c.rel
+                 - CAST(0.3 AS DOUBLE) * COALESCE((
+                     SELECT max(p.s) FROM pair p
+                     WHERE p.i = c.vec_id
+                       AND list_contains(sel.picked, p.j)
+                   ), 0.0), 6) AS score,
+           CAST(0.7 AS DOUBLE) * c.rel
+             - CAST(0.3 AS DOUBLE) * COALESCE((
+                 SELECT max(p.s) FROM pair p
+                 WHERE p.i = c.vec_id
+                   AND list_contains(sel.picked, p.j)
+               ), 0.0) AS rawscore
+    FROM cand c
+    WHERE NOT list_contains(sel.picked, c.vec_id)
+    ORDER BY rawscore DESC, c.vec_id
+    LIMIT 1
+  ) nxt
+  WHERE sel.step < {_MMR_K}
+)
+SELECT step, vec_id, mmr_score FROM sel ORDER BY step
+"""
+
 _MIX_N_CELLS = 16
 
 
@@ -2070,6 +2218,7 @@ QUERIES = {
     "vec_kcenter_coreset": vec_kcenter_coreset,
     "vec_knn_int8": vec_knn_int8,
     "vec_knn_int8_rerank": vec_knn_int8_rerank,
+    "vec_mmr_rerank": vec_mmr_rerank,
     "vec_cluster_mixture": vec_cluster_mixture,
     "vec_dim_stats": vec_dim_stats,
     "vec_embedding_drift": vec_embedding_drift,
@@ -2110,6 +2259,7 @@ ORACLES = {
     "vec_kcenter_coreset": VEC_KCENTER_CORESET_SQL,
     "vec_knn_int8": VEC_KNN_INT8_SQL,
     "vec_knn_int8_rerank": VEC_KNN_INT8_RERANK_SQL,
+    "vec_mmr_rerank": VEC_MMR_RERANK_SQL,
     "vec_cluster_mixture": VEC_CLUSTER_MIXTURE_SQL,
     "vec_knn_bruteforce": VEC_KNN_SQL,
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
