@@ -1,0 +1,193 @@
+"""Incrementally-maintained aggregate views: every refresh must land the
+view EXACTLY where a from-scratch recompute would, across appends,
+deletes, merges, group birth/death, multi-column keys with NULLs, and
+replayed refreshes (txn-watermark idempotence)."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from transcription_lakehouse_spark.matview import IncrementalAggView
+from transcription_lakehouse_spark.txlog import LogTable
+
+
+def _mk(spark, rows):
+    # val steps of 0.5 are dyadic — incremental double sums stay EXACT,
+    # so the recompute comparison below can demand equality, not approx
+    return spark.createDataFrame(
+        [(i, g, i * 0.5) for i, g in rows], "id bigint, grp string, val double"
+    )
+
+
+def _recompute(source):
+    return {
+        (r["grp"],): (r["cnt"], r["sum_val"])
+        for r in source.read()
+        .groupBy("grp")
+        .agg(F.count("*").alias("cnt"), F.sum("val").alias("sum_val"))
+        .collect()
+    }
+
+
+def _materialized(view):
+    return {
+        (r["grp"],): (r["cnt"], r["sum_val"])
+        for r in view.read().collect()
+    }
+
+
+def test_refresh_tracks_recompute_through_mutations(spark, tmp_path):
+    src = LogTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    src.append(_mk(spark, [(1, "a"), (2, "a"), (3, "b")]))
+    r = mv.refresh()
+    assert not r.get("skipped")
+    assert _materialized(mv) == _recompute(src)
+
+    # append births group c, grows a
+    src.append(_mk(spark, [(4, "c"), (5, "a")]))
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)
+
+    # delete kills group b entirely — the view row must disappear
+    src.delete("grp = 'b'")
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)
+    assert ("b",) not in _materialized(mv)
+
+    # merge moves id 5 from a to c (update = delete+insert in the CDF)
+    src.merge(_mk(spark, [(5, "c")]), key="id")
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)
+
+    # several source commits folded by ONE refresh
+    src.append(_mk(spark, [(6, "d")]))
+    src.delete("id = 1")
+    src.append(_mk(spark, [(7, "d"), (8, "a")]))
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)
+
+
+def test_refresh_is_idempotent_and_exactly_once(spark, tmp_path):
+    src = LogTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    src.append(_mk(spark, [(1, "a"), (2, "b")]))
+    mv.refresh()
+    v = mv.view.version()
+    # nothing changed at the source: a replayed refresh is a clean skip,
+    # not a doubled count — and it commits NOTHING
+    assert mv.refresh().get("skipped")
+    assert mv.view.version() == v
+    assert _materialized(mv) == _recompute(src)
+    # a second view handle (fresh process) resumes from the log watermark
+    mv2 = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    assert mv2.refresh().get("skipped")
+
+
+def test_multi_column_groups_distinguish_null_from_empty(spark, tmp_path):
+    src = LogTable(spark, str(tmp_path / "src"))
+    df = spark.createDataFrame(
+        [(1, "x", None, 1.0), (2, "x", "", 2.0), (3, None, "", 4.0)],
+        "id bigint, g1 string, g2 string, val double",
+    )
+    src.append(df)
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"),
+        group_by=["g1", "g2"], sum_cols=["val"],
+    )
+    mv.refresh()
+    got = {
+        (r["g1"], r["g2"]): (r["cnt"], r["sum_val"], r["avg_val"])
+        for r in mv.read().collect()
+    }
+    assert got == {
+        ("x", None): (1, 1.0, 1.0),
+        ("x", ""): (1, 2.0, 2.0),
+        (None, ""): (1, 4.0, 4.0),
+    }
+
+
+def test_schema_change_refuses_then_full_refresh_recovers(spark, tmp_path):
+    src = LogTable(spark, str(tmp_path / "src"))
+    src.append(_mk(spark, [(1, "a")]))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    mv.refresh()
+    src.append(
+        spark.createDataFrame(
+            [(2, "a", 1.0, "extra")],
+            "id bigint, grp string, val double, note string",
+        ),
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="schema"):
+        mv.refresh()
+    mv.full_refresh()
+    assert _materialized(mv) == _recompute(src)
+    # and the watermark moved: incremental refreshes resume cleanly
+    assert mv.refresh().get("skipped")
+    src.append(
+        spark.createDataFrame(
+            [(3, "b", 2.0, None)],
+            "id bigint, grp string, val double, note string",
+        )
+    )
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)
+
+
+def test_null_sum_column_contributes_zero_not_poison(spark, tmp_path):
+    src = LogTable(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame(
+        [(1, "a", 1.0)], "id bigint, grp string, val double"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    mv.refresh()
+    src.append(spark.createDataFrame(
+        [(2, "a", None)], "id bigint, grp string, val double"))
+    mv.refresh()
+    got = _materialized(mv)
+    assert got[("a",)] == (2, 1.0)  # not (2, None)
+
+
+def test_random_op_walk_matches_recompute(spark, tmp_path):
+    rng = random.Random(42)
+    src = LogTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    next_id = 0
+    live: dict[int, str] = {}
+    groups = ["a", "b", "c", "d"]
+    for step in range(8):
+        op = rng.choice(["append", "delete", "merge", "append"])
+        if op == "append" or not live:
+            rows = [(next_id + j, rng.choice(groups)) for j in range(5)]
+            next_id += 5
+            src.append(_mk(spark, rows))
+            live.update({i: g for i, g in rows})
+        elif op == "delete":
+            g = rng.choice(groups)
+            src.delete(f"grp = '{g}'")
+            live = {i: gg for i, gg in live.items() if gg != g}
+        else:
+            i = rng.choice(sorted(live))
+            g = rng.choice(groups)
+            src.merge(_mk(spark, [(i, g)]), key="id")
+            live[i] = g
+        if step % 2 == 1:  # refreshes fold multiple commits
+            mv.refresh()
+            assert _materialized(mv) == _recompute(src), f"step {step}"
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)

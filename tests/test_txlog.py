@@ -1111,3 +1111,89 @@ def test_review_fixes_format_glue(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="ragged"):
         sq8_dequantize(ragged, "embedding")
+
+
+# ---- per-file bloom-filter skipping (r8) --------------------------------
+
+
+def _bloom_fixture(spark, tmp_path, name, bloom_for):
+    """8 files whose `user` min/max ranges ALL overlap (each file holds
+    one a-prefixed and one z-prefixed user), so range stats can never
+    prune an equality probe — only the bloom can."""
+    t = LogTable(spark, str(tmp_path / name), bloom_for=bloom_for)
+    df = (
+        spark.range(800)
+        .select(
+            ((F.col("id") / F.lit(2)).cast("long") % 8).alias("bucket"),
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("z")),
+                ((F.col("id") / F.lit(2)).cast("long") % 8).cast("string"),
+            ).alias("user"),
+            F.col("id").alias("val"),
+        )
+        .repartition(8, "bucket")
+    )
+    t.append(df)
+    return t
+
+
+def test_bloom_skips_files_minmax_cannot(spark, tmp_path):
+    t = _bloom_fixture(spark, tmp_path, "t", ["user"])
+    full = t.read()
+    n_files = len(full.inputFiles())
+    assert n_files >= 4
+    hit = t.scan([("user", "=", "a5")])
+    assert len(hit.inputFiles()) == 1  # min/max alone keeps all files
+    assert _rows_eq(hit, full.filter(F.col("user") == "a5"))
+    # a value the table never held: the log alone proves emptiness
+    assert t.scan([("user", "=", "nobody")]).count() == 0
+    assert len(t.scan([("user", "=", "nobody")]).inputFiles()) == 0
+
+
+def test_bloom_int_parity_and_no_false_skips(spark, tmp_path):
+    # int columns hash through CAST AS STRING — driver probe must agree
+    t = _bloom_fixture(spark, tmp_path, "t", ["val"])
+    full = t.read().cache()
+    try:
+        for v in (0, 13, 259, 799):
+            got = t.scan([("val", "=", v)])
+            assert _rows_eq(got, full.filter(F.col("val") == v))
+        # every present user survives its own probe (no false skips)
+        t2 = _bloom_fixture(spark, tmp_path, "t2", ["user"])
+        for r in t2.read().select("user").distinct().collect():
+            assert t2.scan([("user", "=", r["user"])]).count() == 50
+    finally:
+        full.unpersist()
+
+
+def test_bloom_survives_compact_and_checkpoint(spark, tmp_path):
+    t = _bloom_fixture(spark, tmp_path, "t", ["user"])
+    t.compact(target_files=4, cluster_by=["bucket"])
+    t.checkpoint()
+    # re-open cold: the pruning state must come from the log, and the
+    # compact's rewritten files must carry fresh blooms
+    t2 = LogTable(spark, str(tmp_path / "t"))
+    full = t2.read()
+    hit = t2.scan([("user", "=", "a3")])
+    assert len(hit.inputFiles()) < len(full.inputFiles())
+    assert _rows_eq(hit, full.filter(F.col("user") == "a3"))
+
+
+def test_bloom_null_only_file_is_skippable(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), bloom_for=["user"])
+    t.append(spark.createDataFrame(
+        [(1, "alice")], "id bigint, user string"))
+    t.append(spark.createDataFrame(
+        [(2, None)], "id bigint, user string"))
+    hit = t.scan([("user", "=", "alice")])
+    assert len(hit.inputFiles()) == 1  # the all-NULL file sets no bits
+    assert hit.count() == 1
+    # floats never consult the bloom (engine renderings diverge) — a
+    # float probe on a bloom'd int column must not wrongly skip
+    t3 = LogTable(spark, str(tmp_path / "t3"), bloom_for=["val"])
+    t3.append(spark.createDataFrame([(7,)], "val bigint"))
+    assert t3.scan([("val", "=", 7.0)]).count() == 1
+
+
+def _rows_eq(a, b) -> bool:
+    return sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

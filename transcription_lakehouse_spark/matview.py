@@ -1,0 +1,198 @@
+"""Incrementally-maintained aggregate views over a LogTable's change feed.
+
+A materialized GROUP BY that refreshes from the source table's CDF
+instead of recomputing: each ``refresh()`` reads ONLY the files the
+source log added/removed since the last refresh (``LogTable.changes``
+— unchanged files cancel out in the log, they are never opened), folds
+that delta into per-group count/sum adjustments, and applies them to
+the view's own LogTable with ONE snapshot-atomic ``merge_cdc`` commit
+carrying an ``(app_id, source_version)`` txn watermark. The watermark
+makes refreshes idempotent and exactly-once under replay (a crashed
+refresh re-run is a clean skip), and the delta-read makes per-refresh
+cost track the CHANGE, not the table — measured in
+``tools/matview_scaling.py``: the source grows 5x while per-refresh
+wall stays flat.
+
+Only retraction-safe aggregates are maintained: ``count(*)`` and
+``sum(col)`` (``avg`` = sum/cnt, derivable at read time — ``read()``
+surfaces it). ``min``/``max`` are refused by construction: a deleted
+extremum cannot be repaired from a delta without rescanning its group,
+which is exactly the recompute this module exists to avoid.
+
+Reference anchor: the reference rebuilds its catalogs from scratch on
+every run (`src/lakehouse/aggregation/spans.py` recomputes the full
+span catalog; `src/lakehouse/quality` recomputes every report) — this
+module is the incremental twin a 100 TB deployment needs, built from
+the same two public ideas Delta Live Tables composes: CDF deltas and
+SetTransaction watermarks.
+
+100 TB shape: the refresh plan is (delta scan of only changed files) →
+(one shuffle on the group key, pre-aggregated map-side) → (broadcast
+join of the touched-group keys against the view for old values) →
+(merge_cdc, which rewrites only the view files holding touched groups).
+Nothing in the plan scales with the SOURCE table size, and the only
+thing that scales with the VIEW size is the key-pruned file rewrite.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .txlog import LogTable
+
+__all__ = ["IncrementalAggView"]
+
+_KEY = "_grp_key"
+_SIGN = "_sign"
+
+
+class IncrementalAggView:
+    """A count/sum GROUP BY over ``source``, materialized at ``path``
+    and maintained from the source's change feed.
+
+    ``group_by`` may be several columns: the view stores an md5-of-JSON
+    surrogate key (``to_json(struct(cols))`` — distinguishes NULL from
+    empty string) so the single-key ``merge_cdc`` path applies
+    unchanged. ``sum_cols`` are maintained as ``sum_<col>`` doubles;
+    ``cnt`` is always maintained and is the group-liveness signal —
+    a group whose count reaches zero is deleted from the view.
+    """
+
+    def __init__(self, spark: SparkSession, source: LogTable, path: str,
+                 group_by: list[str] | str,
+                 sum_cols: list[str] | None = None):
+        self.spark = spark
+        self.source = source
+        self.group_by = (
+            [group_by] if isinstance(group_by, str) else list(group_by)
+        )
+        self.sum_cols = list(sum_cols or [])
+        self.view = LogTable(spark, path)
+        # one watermark per (source table, view) pair: a second view on
+        # the same source keeps its own refresh cursor
+        self.app_id = f"matview:{self.source.path}->{self.view.path}"
+
+    # ---- plan pieces -----------------------------------------------------
+
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            _KEY,
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in self.group_by]))),
+        )
+
+    def _delta_agg(self, rows: DataFrame) -> DataFrame:
+        """Per-group signed adjustments: inserts weigh +1, deletes -1.
+        Map-side partial aggregation applies — the shuffle payload is
+        one row per TOUCHED group, not per changed row."""
+        aggs = [F.sum(F.col(_SIGN)).cast("long").alias("cnt")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(F.col(c).cast("double") * F.col(_SIGN))
+                .alias(f"sum_{c}")
+            )
+        return self._keyed(rows).groupBy(_KEY, *self.group_by).agg(*aggs)
+
+    def _value_cols(self) -> list[str]:
+        return ["cnt"] + [f"sum_{c}" for c in self.sum_cols]
+
+    # ---- API -------------------------------------------------------------
+
+    def refresh(self) -> dict:
+        """Fold source commits since the last refresh into the view.
+        One snapshot-atomic view commit per call; replaying a refresh of
+        an already-applied source version is a no-op skip (the txn
+        watermark). Raises if the source schema changed across the
+        window (``LogTable.changes`` contract) — run ``full_refresh``
+        after a schema evolution."""
+        src_v = self.source.version()
+        if src_v < 0:
+            return {"skipped": True, "reason": "source has no commits"}
+        last = self.view.last_txn_version(self.app_id)
+        if last >= src_v:
+            return {"skipped": True, "source_version": src_v}
+        if last < 0:
+            delta = self.source.read(src_v).withColumn(_SIGN, F.lit(1))
+        else:
+            delta = self.source.changes(last, src_v).withColumn(
+                _SIGN,
+                F.when(F.col("_change_type") == "delete", F.lit(-1))
+                .otherwise(F.lit(1)),
+            ).drop("_change_type")
+        # one row per TOUCHED group — pin it: merge_cdc runs several
+        # actions (dup refusal, file discovery, the rewrite) and each
+        # would otherwise replay the whole CDF lineage (exceptAll over
+        # the changed files) from scratch
+        d = self._delta_agg(delta).localCheckpoint()
+
+        vals = self._value_cols()
+        if self.view.version() >= 0:
+            old = self.view.read().select(
+                F.col(_KEY),
+                *[F.col(v).alias(f"_old_{v}") for v in vals],
+            )
+            # the view never shuffles: restrict it to touched groups
+            # with a broadcast semi-join (delta-sized), then serve old
+            # values from that bounded slice with a second broadcast
+            old_touched = old.join(
+                F.broadcast(d.select(_KEY)), _KEY, "left_semi"
+            )
+            merged = d.join(F.broadcast(old_touched), _KEY, "left")
+        else:
+            merged = d.select(
+                "*", *[F.lit(None).alias(f"_old_{v}") for v in vals]
+            )
+        def _zero(v: str) -> F.Column:
+            return F.lit(0).cast("long" if v == "cnt" else "double")
+
+        # null-safe on BOTH sides: a group new to the view has no old
+        # value, and a delta whose sum column is all-NULL contributes 0
+        # (SQL sum ignores nulls; `old + NULL` would poison the group)
+        new_vals = [
+            (F.coalesce(F.col(f"_old_{v}"), _zero(v))
+             + F.coalesce(F.col(v), _zero(v))).alias(v)
+            for v in vals
+        ]
+        # a group that appeared and vanished inside one window never
+        # reached the view — drop it instead of emitting a no-op delete
+        changes = (
+            merged
+            .filter(F.col("_old_cnt").isNotNull() | (F.col("cnt") > 0))
+            .select(F.col(_KEY), *self.group_by, *new_vals)
+            .withColumn(
+                "_op",
+                F.when(F.col("cnt") <= 0, F.lit("D")).otherwise(F.lit("U")),
+            )
+            # still one row per touched group; pinned for the same
+            # several-actions reason as `d`
+            .localCheckpoint()
+        )
+        res = self.view.merge_cdc(changes, key=_KEY,
+                                  txn=(self.app_id, src_v))
+        res["source_version"] = src_v
+        res["refreshed_from"] = last
+        return res
+
+    def full_refresh(self) -> dict:
+        """Recompute the view from the current source snapshot and
+        overwrite — the escape hatch after a source schema change (and
+        the correctness oracle the tests compare ``refresh`` against).
+        Records the same txn watermark, so incremental refreshes resume
+        from here."""
+        src_v = self.source.version()
+        full = self.source.read(src_v).withColumn(_SIGN, F.lit(1))
+        df = self._delta_agg(full)
+        v = self.view.overwrite(df, params={
+            "txn_app_id": self.app_id, "txn_version": src_v,
+        })
+        return {"version": v, "source_version": src_v}
+
+    def read(self) -> DataFrame:
+        """The materialized groups with derived averages (avg_<col> =
+        sum_<col> / cnt) — the surrogate key stays internal."""
+        df = self.view.read()
+        for c in self.sum_cols:
+            df = df.withColumn(
+                f"avg_{c}", F.col(f"sum_{c}") / F.col("cnt")
+            )
+        return df.drop(_KEY)

@@ -53,6 +53,8 @@ retained snapshot references.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import uuid
@@ -155,13 +157,70 @@ def _footer_stats(uri: str) -> dict | None:
     return {"min": mins, "max": maxs}
 
 
+def _bloom_positions(col: str, k: int, m: int) -> F.Column:
+    """The k bloom bit positions of one value, as a Spark expression —
+    md5-derived so the DRIVER-side probe (`_bloom_may_contain`, plain
+    hashlib) computes the identical positions with no JVM round-trip.
+    Values hash through their CAST AS STRING canonical form; NULL sets
+    no bits (SQL equality never matches NULL, so a null-only file is
+    correctly skippable)."""
+    probes = [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(
+                        F.lit(f"{i}:"), F.col(col).cast("string")
+                    )),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(m),
+        )
+        for i in range(k)
+    ]
+    return F.when(
+        F.col(col).isNotNull(), F.array_distinct(F.array(*probes))
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _bloom_may_contain(bloom: dict, col: str, val: object) -> bool:
+    """Driver-side probe of a per-file bloom bitset: False only when the
+    filter proves the file holds no row with ``col = val``. Probes only
+    str/int values (their str() matches Spark's CAST AS STRING exactly;
+    float/bool renderings diverge between engines, so those never
+    prune)."""
+    enc = (bloom.get("cols") or {}).get(col)
+    if enc is None:
+        return True
+    if isinstance(val, bool) or not isinstance(val, (str, int)):
+        return True
+    bits = base64.b64decode(enc)
+    m, k = int(bloom["m"]), int(bloom["k"])
+    for i in range(k):
+        p = int(
+            hashlib.md5(f"{i}:{val}".encode()).hexdigest()[:15], 16
+        ) % m
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 _SCAN_OPS = {"=", "==", ">", ">=", "<", "<="}
 
 
 def _file_may_match(add: dict, filters: list[tuple[str, str, object]]) -> bool:
     """Conservative skip test: False only when the file's recorded
-    [min, max] PROVES no row can satisfy the conjunction. Missing stats
-    or an unknown column ⇒ keep the file."""
+    [min, max] range (or, for equality, its per-column bloom bitset)
+    PROVES no row can satisfy the conjunction. Missing stats/blooms or
+    an unknown column ⇒ keep the file."""
+    bloom = add.get("bloom")
+    if bloom:
+        for col, op, val in filters:
+            if op in ("=", "==") and not _bloom_may_contain(
+                bloom, col, val
+            ):
+                return False
     stats = add.get("stats")
     if not stats:
         return True
@@ -245,7 +304,10 @@ class LogTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  checkpoint_interval: int = 10,
-                 max_commit_retries: int = 5):
+                 max_commit_retries: int = 5,
+                 bloom_for: list[str] | None = None,
+                 bloom_bits: int = 8192,
+                 bloom_hashes: int = 6):
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_dir = f"{self.path}/_txlog"
@@ -254,6 +316,15 @@ class LogTable:
         # optimistic concurrency: a lost commit race re-bases and retries
         # up to this many times before surfacing ConcurrentCommitError
         self.max_commit_retries = max(0, int(max_commit_retries))
+        # per-file bloom filters on these columns: every write harvests
+        # a bitset per (file, column) into the add-action, so scan()
+        # equality filters can skip files min/max ranges cannot prove
+        # empty (the point-lookup case on unclustered high-cardinality
+        # keys — Delta/Iceberg column bloom indexes). Optimization only:
+        # a missing or stale bloom never affects results.
+        self.bloom_for = list(bloom_for or [])
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
 
     # ---- log plumbing ---------------------------------------------------
 
@@ -452,6 +523,14 @@ class LogTable:
         commit_files, _ = self._list_log()
         return commit_files[-1][0] if commit_files else -1
 
+    def last_txn_version(self, app_id: str) -> int:
+        """Newest committed txn version for ``app_id`` (the read side of
+        Delta's SetTransaction idempotence contract) — -1 when the log
+        has never seen the app. Incremental consumers (materialized
+        views, streaming sinks) use this as their restart watermark."""
+        prefix = self._load_for_read(None, allow_empty=True)
+        return _fold_txns(prefix).get(app_id, -1)
+
     def version_as_of(self, timestamp: str) -> int:
         """TIMESTAMP AS OF: the newest version committed at or before
         ISO-8601 ``timestamp`` (raises if the table didn't exist yet) —
@@ -533,13 +612,68 @@ class LogTable:
             all_stats = list(pool.map(
                 _footer_stats, (uri for _, _, uri in listed)
             ))
+        blooms = (
+            self._bloom_harvest(target, [name for name, _, _ in listed])
+            if self.bloom_for else {}
+        )
         adds = []
         for (rel, size, _), stats in zip(listed, all_stats):
             add = {"path": rel, "size": size}
             if stats:
                 add["stats"] = stats
+            fname = rel.rsplit("/", 1)[-1]
+            if fname in blooms:
+                add["bloom"] = {
+                    "m": self.bloom_bits,
+                    "k": self.bloom_hashes,
+                    "cols": blooms[fname],
+                }
             adds.append(add)
         return sorted(adds, key=lambda a: a["path"])
+
+    def _bloom_harvest(
+        self, target: str, rel_names: list[str]
+    ) -> dict[str, dict[str, str]]:
+        """Per-file bloom bitsets for ``bloom_for`` columns, built with
+        ONE distributed column-pruned pass over the freshly written
+        files per column (explode the k md5 positions, collect_set per
+        file — the shuffle payload is ≤ m distinct positions per file,
+        never the values). Only the ≤ m/8-byte bitsets reach the driver,
+        one row per file. A file whose column is all-NULL keeps an
+        all-zero bitset — correctly skippable by any equality probe."""
+        df = self.spark.read.parquet(target)
+        file_names = {rel.rsplit("/", 1)[-1] for rel in rel_names}
+        out: dict[str, dict[str, str]] = {
+            name: {} for name in file_names
+        }
+        for col in self.bloom_for:
+            if col not in df.columns:
+                continue
+            rows = (
+                df.select(
+                    F.input_file_name().alias("_f"),
+                    F.explode(_bloom_positions(
+                        col, self.bloom_hashes, self.bloom_bits
+                    )).alias("_p"),
+                )
+                .groupBy("_f")
+                .agg(F.collect_set("_p").alias("_ps"))
+                .collect()
+            )
+            set_bits: dict[str, bytearray] = {}
+            for r in rows:
+                name = unquote(urlparse(r["_f"]).path).rsplit("/", 1)[-1]
+                bits = bytearray(self.bloom_bits // 8)
+                for p in r["_ps"]:
+                    p = int(p)
+                    bits[p >> 3] |= 1 << (p & 7)
+                set_bits[name] = bits
+            empty = bytes(self.bloom_bits // 8)
+            for name in file_names:
+                out[name][col] = base64.b64encode(
+                    bytes(set_bits.get(name, empty))
+                ).decode()
+        return out
 
     def _record(self, version: int, op: str, adds: list[dict],
                 removes: list[str], schema: str, **params) -> dict:
@@ -1131,7 +1265,15 @@ class LogTable:
             spark.read.schema(schema).parquet(*only_a)
             if only_a else spark.createDataFrame([], schema)
         )
-        # rows present in both rewritten sets are carried data, not changes
+        # rows present in both rewritten sets are carried data, not
+        # changes — but the dominant append-only window has NO removed
+        # files, and the cancellation (a full exceptAll shuffle) is then
+        # provably empty: skip it so CDF consumers of append streams pay
+        # a pure scan
+        if not only_a:
+            return inserted.withColumn("_change_type", F.lit("insert"))
+        if not only_b:
+            return deleted.withColumn("_change_type", F.lit("delete"))
         ins = inserted.exceptAll(deleted).withColumn(
             "_change_type", F.lit("insert")
         )

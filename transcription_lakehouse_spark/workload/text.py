@@ -2459,7 +2459,7 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_rrf_sql() -> str:
-    from .vectors import _XY_COS
+    from .._sql_cos import _XY_COS
 
     return f"""
 WITH {_BM25_SCORED_CTES},

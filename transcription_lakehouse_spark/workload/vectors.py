@@ -138,14 +138,7 @@ def _sql_band_bucket(col: str, band: int, planes_per_band: int, dims: int) -> st
 # the guarded exact cosine over aliases x.e / y.e — ONE copy shared by
 # every banded-LSH oracle (near-dup, semantic dedup, k-NN) so the twins
 # cannot drift from each other
-_XY_COS = (
-    "CASE WHEN sqrt(list_sum(list_transform(x.e, t -> t * t)))"
-    " * sqrt(list_sum(list_transform(y.e, t -> t * t))) > 0"
-    " THEN list_sum(list_transform(list_zip(x.e, y.e), z -> z[1] * z[2]))"
-    " / (sqrt(list_sum(list_transform(x.e, t -> t * t)))"
-    " * sqrt(list_sum(list_transform(y.e, t -> t * t))))"
-    " ELSE 0.0 END"
-)
+from .._sql_cos import _XY_COS  # noqa: F401  (shared with the hybrid oracle)
 
 
 def _bucket_union_sql(
