@@ -69,6 +69,9 @@ HEADLINE = [
     "vec_kcenter_coreset",
     "doc_bm25_topk",
     "vec_knn_int8",
+    "vec_knn_int8_rerank",
+    "doc_hybrid_rrf",
+    "vec_mmr_rerank",
 ]
 
 
