@@ -1197,3 +1197,95 @@ def test_bloom_null_only_file_is_skippable(spark, tmp_path):
 
 def _rows_eq(a, b) -> bool:
     return sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bloom_pruned_merge_discovery(spark, tmp_path, monkeypatch):
+    """Keyed-rewrite discovery consults the log's blooms driver-side for
+    small batches (the streaming-CDC shape) and falls back to the full
+    distributed scan above the cap — both paths must land the identical
+    merge."""
+    import transcription_lakehouse_spark.txlog as tx
+
+    def _table(name):
+        t = tx.LogTable(spark, str(tmp_path / name), bloom_for=["id"])
+        df = spark.range(800).select(
+            (F.col("id") % 8).alias("bucket"),  # ids scattered mod 8:
+            F.col("id"),                        # min/max ranges overlap,
+            (F.col("id") * 2).alias("val"),     # only blooms can prune
+        ).repartition(8, "bucket")
+        t.append(df)
+        return t
+
+    upd = spark.createDataFrame(
+        [(3, 3, -1), (12, 4, -2)], "id bigint, bucket bigint, val bigint"
+    ).select("bucket", "id", "val")
+
+    probes = []
+    orig = tx._bloom_candidates
+    monkeypatch.setattr(
+        tx, "_bloom_candidates",
+        lambda *a, **kw: (probes.append(1), orig(*a, **kw))[1],
+    )
+    t = _table("t")
+    res = t.merge(upd, key="id")
+    assert probes, "bloom fast path did not engage"
+    assert res["rewritten_files"] == 2  # exactly the files holding 3, 12
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[3] == -1 and got[12] == -2 and len(got) == 800
+
+    # above the cap: full distributed discovery, identical result
+    probes.clear()
+    monkeypatch.setattr(tx, "_BLOOM_PROBE_CAP", 1)
+    t2 = _table("t2")
+    res2 = t2.merge(upd, key="id")
+    assert not probes, "fallback path still probed blooms"
+    assert res2["rewritten_files"] == 2
+    got2 = {r["id"]: r["val"] for r in t2.read().collect()}
+    assert got2[3] == -1 and got2[12] == -2 and len(got2) == 800
+
+
+def test_bloom_sidecar_bitsets_prune_and_vacuum(spark, tmp_path):
+    """Bitsets above the inline cap live as _txlog/bloom sidecars: the
+    add-action carries a ref, probes read (and cache) the sidecar,
+    vacuum deletes sidecars with their data files and sweeps orphans."""
+    import glob as _glob
+
+    import transcription_lakehouse_spark.txlog as tx
+
+    root = str(tmp_path / "t")
+    t = tx.LogTable(spark, root, bloom_for=["id"])
+    # 8 files x 20k scattered ids (mod 8): ranges overlap, distinct
+    # count per file forces m >> inline cap -> sidecar refs
+    df = spark.range(160_000).select(
+        (F.col("id") % 8).alias("bucket"), F.col("id"),
+    ).repartition(8, "bucket")
+    t.append(df)
+    adds = tx._live_adds(t._load_for_read(None))
+    ents = [a["bloom"]["cols"]["id"] for a in adds]
+    assert all("ref" in e and "b" not in e for e in ents)
+    sidecars = _glob.glob(f"{root}/_txlog/bloom/*.bloom")
+    assert len(sidecars) == len(adds)
+
+    # probes resolve through the sidecar (and prune: scattered ids mean
+    # min/max covers everything, only the bloom can confine)
+    hit = t.scan([("id", "=", 13)])
+    assert len(hit.inputFiles()) == 1 and hit.count() == 1
+    cand = tx._bloom_candidates(adds, "id", [13], t._bloom_bits_of)
+    assert len(cand) == 1
+    assert t._bloom_cache  # sidecar cached after the probe
+
+    # a fresh handle (cold cache) reads the same prune from disk
+    t2 = tx.LogTable(spark, root)
+    assert len(t2.scan([("id", "=", 13)]).inputFiles()) == 1
+
+    # overwrite, then vacuum to only the newest snapshot: the old data
+    # files AND their sidecars must go
+    t.overwrite(spark.createDataFrame([(1,  0)], "bucket bigint, id bigint"))
+    t.vacuum(retain_last=1)
+    assert _glob.glob(f"{root}/_txlog/bloom/*.bloom") == []
+
+    # orphan sweep: a stray sidecar no commit references
+    stray = f"{root}/_txlog/bloom/stray.id.bloom"
+    open(stray, "wb").write(b"\x00" * 16)
+    t.vacuum(retain_last=1, remove_orphans=True)
+    assert not _glob.glob(f"{root}/_txlog/bloom/*")

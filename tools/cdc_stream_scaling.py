@@ -9,7 +9,11 @@ between fixed-size CDC batches (keys confined to one id range, the
 clustered layout's intended shape), and each batch's wall + rewritten
 file count is measured.
 
-Usage: python tools/cdc_stream_scaling.py [growth_steps]   (default 5)
+Usage: python tools/cdc_stream_scaling.py [growth_steps] [--bloom]
+(default 5). `--bloom` builds the table with `bloom_for=["id"]`: keyed
+discovery then prunes candidate files DRIVER-SIDE from the log's
+bitsets before the confirm scan — without it every batch's discovery
+scans all live files (cheap here, a cluster-wide sweep at 100 TB).
 Prints one JSON line per CDC batch; exits nonzero if the LAST batch's
 rewritten file count exceeds the FIRST's by more than 2 files (per-batch
 work crept up with table size).
@@ -27,8 +31,22 @@ sys.path.insert(0, "/root/repo")
 
 import pyspark.sql.functions as F  # noqa: E402
 
+from transcription_lakehouse_spark import txlog  # noqa: E402
 from transcription_lakehouse_spark.session import get_spark  # noqa: E402
 from transcription_lakehouse_spark.txlog import LogTable  # noqa: E402
+
+# record how many files each keyed-rewrite discovery actually scanned
+_SCANNED: list[tuple[int, int]] = []
+_orig_cand = txlog._bloom_candidates
+
+
+def _counting_cand(adds, key, vals, *args, **kw):
+    out = _orig_cand(adds, key, vals, *args, **kw)
+    _SCANNED.append((len(out), len(adds)))
+    return out
+
+
+txlog._bloom_candidates = _counting_cand
 
 GROW_ROWS = 400_000     # appended between CDC batches (clustered on id)
 CDC_KEYS = 2_000        # fixed per-batch change-set size
@@ -42,12 +60,14 @@ def _rows(spark, lo: int, n: int):
 
 
 def main() -> int:
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:] if a != "--bloom"]
+    bloom = "--bloom" in sys.argv[1:]
+    steps = int(args[0]) if args else 5
     spark = get_spark(app_name="cdc-stream-scaling")
     root = tempfile.mkdtemp(prefix="cdcscale_")
     rewrites = []
     try:
-        t = LogTable(spark, root)
+        t = LogTable(spark, root, bloom_for=["id"] if bloom else None)
         t.append(_rows(spark, 0, GROW_ROWS), cluster_by=["id"])
         for step in range(steps):
             # fixed-size CDC batch confined to the first id range
@@ -63,6 +83,7 @@ def main() -> int:
                 )
             )
             live_before = len(t._snapshot()[0])
+            _SCANNED.clear()
             t0 = time.time()
             out = t.merge_cdc(changes, key="id",
                               txn=("probe", step))
@@ -75,6 +96,10 @@ def main() -> int:
                 "cdc_keys": CDC_KEYS,
                 "rewritten_files": out["rewritten_files"],
                 "wall_sec": wall,
+                "bloom": bloom,
+                "discovery_scanned_files": (
+                    _SCANNED[-1][0] if _SCANNED else live_before
+                ),
             }))
             # grow the table before the next batch (new id range, its own
             # clustered files — the CDC keys never touch it)

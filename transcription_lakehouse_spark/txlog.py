@@ -157,50 +157,70 @@ def _footer_stats(uri: str) -> dict | None:
     return {"min": mins, "max": maxs}
 
 
-def _bloom_positions(col: str, k: int, m: int) -> F.Column:
-    """The k bloom bit positions of one value, as a Spark expression —
-    md5-derived so the DRIVER-side probe (`_bloom_may_contain`, plain
-    hashlib) computes the identical positions with no JVM round-trip.
-    Values hash through their CAST AS STRING canonical form; NULL sets
-    no bits (SQL equality never matches NULL, so a null-only file is
-    correctly skippable)."""
-    probes = [
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(
-                        F.lit(f"{i}:"), F.col(col).cast("string")
-                    )),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long"),
-            F.lit(m),
-        )
-        for i in range(k)
-    ]
-    return F.when(
-        F.col(col).isNotNull(), F.array_distinct(F.array(*probes))
-    ).otherwise(F.array().cast("array<bigint>"))
+_BLOOM_K = 8                     # double-hash probe count
+_BLOOM_BITS_PER_KEY = 32         # with k=8: per-probe FPR ~4e-7 — sized
+#                                  for BATCH probes (a 2 000-key CDC
+#                                  discovery multiplies per-key FPR by
+#                                  the batch size; Delta's default 10%
+#                                  FPP serves single lookups, it would
+#                                  false-keep nearly every file here)
+_BLOOM_MIN_BITS = 1 << 10        # 128 B floor per (file, column)
+_BLOOM_MAX_BITS = 1 << 24        # 2 MiB cap (~500 k-distinct file at 32
+#                                  bits/key; beyond it FPR degrades
+#                                  gracefully instead of bloating the
+#                                  sidecar)
+_BLOOM_INLINE_MAX = 8192         # bitsets up to 8 KiB live IN the commit
+#                                  JSON; larger ones go to sidecar files
+#                                  under _txlog/bloom/ (Delta keeps its
+#                                  bloom indexes beside the data for the
+#                                  same reason: a 512 KiB bitset inlined
+#                                  per add-action would bloat every log
+#                                  and checkpoint read)
+_H1_MOD = 1 << 30
 
 
-def _bloom_may_contain(bloom: dict, col: str, val: object) -> bool:
+def _bloom_hash_col(col: str) -> F.Column:
+    """ONE 60-bit md5-derived hash per value, as a Spark expression —
+    the k probe positions derive from it via Kirsch–Mitzenmacher double
+    hashing (h1 + i*h2 mod m), so the driver-side probe (plain hashlib)
+    and the vectorized numpy build compute identical positions for ANY
+    power-of-two m. Values hash through their CAST AS STRING canonical
+    form; NULL hashes to NULL and sets no bits (SQL equality never
+    matches NULL, so an all-null file is correctly skippable)."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _bloom_positions_of(h: int, m: int) -> list[int]:
+    h1, h2 = h % _H1_MOD, (h // _H1_MOD) | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _inline_bloom_bits(ent: dict) -> bytes | None:
+    b = ent.get("b")
+    return base64.b64decode(b) if b is not None else None
+
+
+def _bloom_may_contain(bloom: dict, col: str, val: object,
+                       load=_inline_bloom_bits) -> bool:
     """Driver-side probe of a per-file bloom bitset: False only when the
     filter proves the file holds no row with ``col = val``. Probes only
     str/int values (their str() matches Spark's CAST AS STRING exactly;
     float/bool renderings diverge between engines, so those never
-    prune)."""
-    enc = (bloom.get("cols") or {}).get(col)
-    if enc is None:
+    prune). ``load`` resolves an entry to its bitset bytes (inline b64
+    or a sidecar ref); an unresolvable bitset never prunes."""
+    ent = (bloom.get("cols") or {}).get(col)
+    if ent is None:
         return True
     if isinstance(val, bool) or not isinstance(val, (str, int)):
         return True
-    bits = base64.b64decode(enc)
-    m, k = int(bloom["m"]), int(bloom["k"])
-    for i in range(k):
-        p = int(
-            hashlib.md5(f"{i}:{val}".encode()).hexdigest()[:15], 16
-        ) % m
+    bits = load(ent)
+    if bits is None:
+        return True
+    m = int(ent["m"])
+    h = int(hashlib.md5(str(val).encode()).hexdigest()[:15], 16)
+    for p in _bloom_positions_of(h, m):
         if not (bits[p >> 3] >> (p & 7)) & 1:
             return False
     return True
@@ -208,8 +228,52 @@ def _bloom_may_contain(bloom: dict, col: str, val: object) -> bool:
 
 _SCAN_OPS = {"=", "==", ">", ">=", "<", "<="}
 
+# keyed-rewrite bloom fast path: batches with at most this many distinct
+# keys probe the log's bitsets driver-side before the confirm scan
+_BLOOM_PROBE_CAP = 4096
 
-def _file_may_match(add: dict, filters: list[tuple[str, str, object]]) -> bool:
+
+def _bloom_candidates(adds: list[dict], key: str,
+                      vals: list[object],
+                      load=_inline_bloom_bits) -> list[dict]:
+    """Adds whose bloom cannot rule out every value in ``vals`` —
+    the md5 positions are computed ONCE per value (not per file: a
+    2 k-key batch against a 10 k-file log would otherwise run 120 M
+    driver-side hashes), each file then costs only bit tests. Files
+    without a bloom on ``key``, and value lists holding any
+    non-str/int (their CAST AS STRING rendering diverges), keep
+    every file."""
+    if any(isinstance(v, bool) or not isinstance(v, (str, int))
+           for v in vals):
+        return adds
+    hashes = [
+        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        for v in vals
+    ]
+    probe_cache: dict[int, list[list[int]]] = {}
+    out = []
+    for a in adds:
+        ent = (a.get("bloom") or {}).get("cols", {}).get(key)
+        if not ent:
+            out.append(a)
+            continue
+        bits = load(ent)
+        if bits is None:
+            out.append(a)
+            continue
+        m = int(ent["m"])
+        plist = probe_cache.get(m)
+        if plist is None:
+            plist = [_bloom_positions_of(h, m) for h in hashes]
+            probe_cache[m] = plist
+        if any(all((bits[p >> 3] >> (p & 7)) & 1 for p in ps)
+               for ps in plist):
+            out.append(a)
+    return out
+
+
+def _file_may_match(add: dict, filters: list[tuple[str, str, object]],
+                    load=_inline_bloom_bits) -> bool:
     """Conservative skip test: False only when the file's recorded
     [min, max] range (or, for equality, its per-column bloom bitset)
     PROVES no row can satisfy the conjunction. Missing stats/blooms or
@@ -218,7 +282,7 @@ def _file_may_match(add: dict, filters: list[tuple[str, str, object]]) -> bool:
     if bloom:
         for col, op, val in filters:
             if op in ("=", "==") and not _bloom_may_contain(
-                bloom, col, val
+                bloom, col, val, load
             ):
                 return False
     stats = add.get("stats")
@@ -305,9 +369,7 @@ class LogTable:
     def __init__(self, spark: SparkSession, path: str,
                  checkpoint_interval: int = 10,
                  max_commit_retries: int = 5,
-                 bloom_for: list[str] | None = None,
-                 bloom_bits: int = 8192,
-                 bloom_hashes: int = 6):
+                 bloom_for: list[str] | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_dir = f"{self.path}/_txlog"
@@ -317,14 +379,19 @@ class LogTable:
         # up to this many times before surfacing ConcurrentCommitError
         self.max_commit_retries = max(0, int(max_commit_retries))
         # per-file bloom filters on these columns: every write harvests
-        # a bitset per (file, column) into the add-action, so scan()
-        # equality filters can skip files min/max ranges cannot prove
-        # empty (the point-lookup case on unclustered high-cardinality
-        # keys — Delta/Iceberg column bloom indexes). Optimization only:
-        # a missing or stale bloom never affects results.
+        # a bitset per (file, column) into the add-action — sized to the
+        # file's distinct count (a fixed size saturates on any real
+        # file) — so scan() equality filters and keyed-rewrite discovery
+        # can skip files min/max ranges cannot prove empty (the
+        # point-lookup case on unclustered high-cardinality keys —
+        # Delta/Iceberg column bloom indexes). Optimization only: a
+        # missing or stale bloom never affects results.
         self.bloom_for = list(bloom_for or [])
-        self.bloom_bits = int(bloom_bits)
-        self.bloom_hashes = int(bloom_hashes)
+        # sidecar bitsets read at most once per handle (LRU, immutable
+        # files keyed by ref) — a repeated CDC probe loop never re-reads
+        from collections import OrderedDict
+
+        self._bloom_cache: OrderedDict[str, bytes] = OrderedDict()
 
     # ---- log plumbing ---------------------------------------------------
 
@@ -622,57 +689,136 @@ class LogTable:
             if stats:
                 add["stats"] = stats
             fname = rel.rsplit("/", 1)[-1]
-            if fname in blooms:
-                add["bloom"] = {
-                    "m": self.bloom_bits,
-                    "k": self.bloom_hashes,
-                    "cols": blooms[fname],
-                }
+            if blooms.get(fname):
+                cols_out: dict[str, dict] = {}
+                for col, ent in blooms[fname].items():
+                    raw = base64.b64decode(ent["b"])
+                    if len(raw) <= _BLOOM_INLINE_MAX:
+                        cols_out[col] = {"m": ent["m"], "b": ent["b"]}
+                    else:
+                        # sidecar named by (commit dir, file, column) —
+                        # globally unique, and written BEFORE the commit
+                        # lands (a lost race leaves an orphan the vacuum
+                        # sweep collects, never a dangling ref)
+                        ref = (
+                            "_txlog/bloom/"
+                            f"{rel.split('/')[1]}-{fname}.{col}.bloom"
+                        )
+                        self._write_bytes(ref, raw)
+                        cols_out[col] = {"m": ent["m"], "ref": ref}
+                add["bloom"] = {"k": _BLOOM_K, "cols": cols_out}
             adds.append(add)
         return sorted(adds, key=lambda a: a["path"])
 
+    def _bloom_bits_of(self, ent: dict) -> bytes | None:
+        """Resolve a bloom entry to its bitset: inline b64, or a sidecar
+        file under the table root (LRU-cached — sidecars are immutable).
+        A missing/unreadable sidecar returns None: the file is simply
+        never pruned, correctness is unaffected."""
+        inline = _inline_bloom_bits(ent)
+        if inline is not None:
+            return inline
+        ref = ent.get("ref")
+        if not ref:
+            return None
+        hit = self._bloom_cache.get(ref)
+        if hit is not None:
+            self._bloom_cache.move_to_end(ref)
+            return hit
+        try:
+            fs, jvm = _fs(self.spark, self.path)
+            stream = fs.open(
+                jvm.org.apache.hadoop.fs.Path(f"{self.path}/{ref}")
+            )
+            try:
+                hit = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+        except Exception:
+            return None
+        self._bloom_cache[ref] = hit
+        while len(self._bloom_cache) > 64:
+            self._bloom_cache.popitem(last=False)
+        return hit
+
+    def _write_bytes(self, rel: str, data: bytes) -> None:
+        fs, jvm = _fs(self.spark, self.path)
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}"), True
+        )
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
     def _bloom_harvest(
         self, target: str, rel_names: list[str]
-    ) -> dict[str, dict[str, str]]:
-        """Per-file bloom bitsets for ``bloom_for`` columns, built with
-        ONE distributed column-pruned pass over the freshly written
-        files per column (explode the k md5 positions, collect_set per
-        file — the shuffle payload is ≤ m distinct positions per file,
-        never the values). Only the ≤ m/8-byte bitsets reach the driver,
-        one row per file. A file whose column is all-NULL keeps an
-        all-zero bitset — correctly skippable by any equality probe."""
+    ) -> dict[str, dict[str, dict]]:
+        """Per-file bloom bitsets for ``bloom_for`` columns: one
+        distributed column-pruned pass per column — Spark computes ONE
+        md5 hash per value, `applyInPandas` (one group per file) sizes
+        the filter to the file's ACTUAL distinct count (16 bits/key,
+        power-of-two, 1 KiB floor / 512 KiB cap — a fixed m saturates
+        on any realistically sized file and prunes nothing) and sets
+        the double-hashed bits vectorized in numpy. Only the finished
+        bitsets reach the driver, one row per file. A file whose column
+        is all-NULL keeps an all-zero floor-sized bitset — correctly
+        skippable by any equality probe."""
+        import pandas as pd
+
         df = self.spark.read.parquet(target)
         file_names = {rel.rsplit("/", 1)[-1] for rel in rel_names}
-        out: dict[str, dict[str, str]] = {
-            name: {} for name in file_names
-        }
+        min_bits, max_bits, kk = _BLOOM_MIN_BITS, _BLOOM_MAX_BITS, _BLOOM_K
+        bits_per_key = _BLOOM_BITS_PER_KEY
+        h1_mod = _H1_MOD
+
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            h = np.unique(pdf["_h"].to_numpy(dtype=np.int64))
+            m = min_bits
+            while m < max_bits and m < bits_per_key * len(h):
+                m <<= 1
+            bits = np.zeros(m >> 3, dtype=np.uint8)
+            h1 = h % h1_mod
+            h2 = (h // h1_mod) | 1
+            for i in range(kk):
+                p = (h1 + i * h2) % m
+                np.bitwise_or.at(bits, p >> 3,
+                                 np.uint8(1) << (p & 7).astype(np.uint8))
+            return pd.DataFrame({
+                "_f": [pdf["_f"].iloc[0]],
+                "m": [int(m)],
+                "b": [base64.b64encode(bits.tobytes()).decode()],
+            })
+
+        out: dict[str, dict[str, dict]] = {name: {} for name in file_names}
         for col in self.bloom_for:
             if col not in df.columns:
                 continue
             rows = (
                 df.select(
                     F.input_file_name().alias("_f"),
-                    F.explode(_bloom_positions(
-                        col, self.bloom_hashes, self.bloom_bits
-                    )).alias("_p"),
+                    _bloom_hash_col(col).alias("_h"),
                 )
+                .filter(F.col("_h").isNotNull())
                 .groupBy("_f")
-                .agg(F.collect_set("_p").alias("_ps"))
+                .applyInPandas(_build, "_f string, m long, b string")
                 .collect()
             )
-            set_bits: dict[str, bytearray] = {}
-            for r in rows:
-                name = unquote(urlparse(r["_f"]).path).rsplit("/", 1)[-1]
-                bits = bytearray(self.bloom_bits // 8)
-                for p in r["_ps"]:
-                    p = int(p)
-                    bits[p >> 3] |= 1 << (p & 7)
-                set_bits[name] = bits
-            empty = bytes(self.bloom_bits // 8)
+            built = {
+                unquote(urlparse(r["_f"]).path).rsplit("/", 1)[-1]:
+                {"m": int(r["m"]), "b": r["b"]}
+                for r in rows
+            }
+            empty = {
+                "m": min_bits,
+                "b": base64.b64encode(bytes(min_bits >> 3)).decode(),
+            }
             for name in file_names:
-                out[name][col] = base64.b64encode(
-                    bytes(set_bits.get(name, empty))
-                ).decode()
+                out[name][col] = built.get(name, empty)
         return out
 
     def _record(self, version: int, op: str, adds: list[dict],
@@ -780,7 +926,10 @@ class LogTable:
         schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
         adds = _live_adds(commits)
         if filters:
-            adds = [a for a in adds if _file_may_match(a, filters)]
+            adds = [
+                a for a in adds
+                if _file_may_match(a, filters, self._bloom_bits_of)
+            ]
         if not adds:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(
@@ -931,9 +1080,37 @@ class LogTable:
         files exactly like a 10-key one instead of cliffing into a
         full-table rewrite (the r7 verdict's "wrong #1"). The file name
         is materialized IN THE SCAN STAGE (input_file_name() is undefined
-        past an exchange — after a sort-merge join it reads back empty)."""
+        past an exchange — after a sort-merge join it reads back empty).
+
+        When the table carries blooms on ``key`` and the batch holds at
+        most ``_BLOOM_PROBE_CAP`` distinct keys (the streaming-CDC
+        shape), candidate files are first pruned DRIVER-SIDE from the
+        log's bitsets — the confirm scan then opens only bloom-matched
+        files instead of every live file. The cap bounds the driver
+        collect (no size cliff: above it, or without blooms, the full
+        distributed discovery runs unchanged), and the semi-join still
+        confirms every candidate, so bloom false positives only cost
+        I/O, never a wrong rewrite."""
+        adds = _live_adds(commits)
+        schema = self._snapshot_of(commits)[1]
+        cand = adds
+        if any((a.get("bloom") or {}).get("cols", {}).get(key)
+               for a in adds):
+            head = (
+                keys.select(key).distinct()
+                .limit(_BLOOM_PROBE_CAP + 1).collect()
+            )
+            if len(head) <= _BLOOM_PROBE_CAP:
+                cand = _bloom_candidates(
+                    adds, key, [r[key] for r in head],
+                    self._bloom_bits_of,
+                )
+        if not cand:
+            return []
         cur = (
-            self._read_of(commits)
+            self.spark.read.schema(schema).parquet(
+                *(f"{self.path}/{a['path']}" for a in cand)
+            )
             .select(F.col(key), F.input_file_name().alias("f"))
         )
         rows = (
@@ -1308,8 +1485,15 @@ class LogTable:
             if c["version"] >= keep_from:
                 referenced.update(_live_files(commits[: i + 1]))
         ever: set[str] = set()
+        bloom_refs: dict[str, set[str]] = {}   # data rel -> sidecar refs
         for c in commits:
-            ever.update(a["path"] for a in c["add"])
+            for a in c["add"]:
+                ever.add(a["path"])
+                for ent in (a.get("bloom") or {}).get("cols", {}).values():
+                    if ent.get("ref"):
+                        bloom_refs.setdefault(a["path"], set()).add(
+                            ent["ref"]
+                        )
         deletable = ever - referenced
         fs, jvm = _fs(self.spark, self.data_dir)
         deleted = 0
@@ -1318,6 +1502,12 @@ class LogTable:
             if fs.exists(p):
                 fs.delete(p, False)
                 deleted += 1
+            # a vacuumed file's sidecar bitsets serve no retained
+            # snapshot either
+            for ref in sorted(bloom_refs.get(rel, ())):
+                bp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{ref}")
+                if fs.exists(bp):
+                    fs.delete(bp, False)
         # stale checkpoints: only the newest is ever consulted, and each
         # carries the FULL live add-set — left alone they grow the log
         # dir quadratically with commit count
@@ -1346,6 +1536,18 @@ class LogTable:
                 for f in fs.listStatus(lroot):
                     name = f.getPath().getName()
                     if name.startswith((".tmp-", ".ckpt-")):
+                        fs.delete(f.getPath(), False)
+                        orphans += 1
+            # bloom sidecars written for a commit that lost its race are
+            # referenced by NO commit — sweep them like data orphans
+            all_refs = {r for refs in bloom_refs.values() for r in refs}
+            broot = jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/_txlog/bloom"
+            )
+            if fs.exists(broot):
+                for f in fs.listStatus(broot):
+                    rel = f"_txlog/bloom/{f.getPath().getName()}"
+                    if rel not in all_refs:
                         fs.delete(f.getPath(), False)
                         orphans += 1
         return {"deleted": deleted, "orphans_deleted": orphans,
