@@ -171,8 +171,10 @@ def test_random_op_walk_matches_recompute(spark, tmp_path):
     live: dict[int, str] = {}
     groups = ["a", "b", "c", "d"]
     for step in range(8):
-        op = rng.choice(["append", "delete", "merge", "append"])
-        if op == "append" or not live:
+        op = rng.choice(["append", "delete", "merge", "append", "compact"])
+        if op == "compact":
+            src.compact(target_files=2)
+        elif op == "append" or not live:
             rows = [(next_id + j, rng.choice(groups)) for j in range(5)]
             next_id += 5
             src.append(_mk(spark, rows))
@@ -189,5 +191,29 @@ def test_random_op_walk_matches_recompute(spark, tmp_path):
         if step % 2 == 1:  # refreshes fold multiple commits
             mv.refresh()
             assert _materialized(mv) == _recompute(src), f"step {step}"
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)
+
+
+def test_refresh_across_source_compact_is_content_neutral(spark, tmp_path):
+    """A compact rewrites files with IDENTICAL rows: the CDF window's
+    exceptAll cancels them, so the refresh advances the watermark
+    without changing a single group value."""
+    src = LogTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    src.append(_mk(spark, [(1, "a"), (2, "b")]))
+    src.append(_mk(spark, [(3, "a")]))
+    mv.refresh()
+    before = _materialized(mv)
+    src.compact(target_files=1)
+    r = mv.refresh()
+    assert not r.get("skipped")  # the compact commit moves the version
+    assert _materialized(mv) == before == _recompute(src)
+    # and the watermark is caught up: nothing left to fold
+    assert mv.refresh().get("skipped")
+    # a real change AFTER the compact still folds incrementally
+    src.delete("grp = 'a'")
     mv.refresh()
     assert _materialized(mv) == _recompute(src)
