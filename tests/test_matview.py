@@ -217,3 +217,47 @@ def test_refresh_across_source_compact_is_content_neutral(spark, tmp_path):
     src.delete("grp = 'a'")
     mv.refresh()
     assert _materialized(mv) == _recompute(src)
+
+
+def test_cli_table_matview_refresh(spark, tmp_path):
+    """`lakehouse table matview` bootstraps and refreshes a view; a
+    replayed invocation (same source version — a double-fired cron) is
+    a no-op skip."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark.cli import cli
+
+    src = LogTable(spark, str(tmp_path / "src"))
+    src.append(_mk(spark, [(1, "a"), (2, "a"), (3, "b")]))
+    runner = CliRunner()
+    args = ["table", "matview", str(tmp_path / "src"),
+            str(tmp_path / "mv"), "--group-by", "grp", "--sum", "val"]
+    r = runner.invoke(cli, args, catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    assert _materialized(mv) == _recompute(src)
+    r2 = runner.invoke(cli, args, catch_exceptions=False)
+    assert r2.exit_code == 0
+    assert _json.loads(r2.output).get("skipped")
+    src.delete("grp = 'a'")
+    r3 = runner.invoke(cli, args, catch_exceptions=False)
+    assert r3.exit_code == 0
+    assert _materialized(mv) == _recompute(src)
+
+
+def test_reserved_group_column_names_refused(spark, tmp_path):
+    src = LogTable(spark, str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="collide"):
+        IncrementalAggView(
+            spark, src, str(tmp_path / "mv"),
+            group_by=["cnt"], sum_cols=["val"],
+        )
+    with pytest.raises(ValueError, match="collide"):
+        IncrementalAggView(
+            spark, src, str(tmp_path / "mv"),
+            group_by=["sum_val", "grp"], sum_cols=["val"],
+        )

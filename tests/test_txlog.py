@@ -1289,3 +1289,74 @@ def test_bloom_sidecar_bitsets_prune_and_vacuum(spark, tmp_path):
     open(stray, "wb").write(b"\x00" * 16)
     t.vacuum(retain_last=1, remove_orphans=True)
     assert not _glob.glob(f"{root}/_txlog/bloom/*")
+
+
+def test_stream_aggregate_txlog_continuous_view(spark, tmp_path):
+    """Streaming continuous aggregate: micro-batches land as atomic
+    detail commits AND the matview refreshes in the same foreachBatch;
+    a full replay through a fresh checkpoint changes NOTHING (append
+    txn-skipped, refresh watermark-skipped) — exactly-once end to end."""
+    import json as _json
+
+    import pyspark.sql.functions as _F
+
+    from transcription_lakehouse_spark.matview import IncrementalAggView
+    from transcription_lakehouse_spark.streaming.ingest import (
+        stream_aggregate_txlog,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    tp, vp = str(tmp_path / "detail"), str(tmp_path / "view")
+    schema = spark.createDataFrame(
+        [], "id bigint, grp string, val double").schema
+
+    def _write(name, rows):
+        (d / name).write_text("\n".join(
+            _json.dumps({"id": i, "grp": g, "val": v}) for i, g, v in rows
+        ))
+
+    _write("b1.jsonl", [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 4.0)])
+    _write("b2.jsonl", [(4, "b", 8.0), (5, "c", 16.0)])
+
+    def _run(ck):
+        q = stream_aggregate_txlog(
+            spark, str(d), tp, vp, str(tmp_path / ck), schema,
+            group_by="grp", sum_cols=["val"],
+        )
+        q.awaitTermination(120)
+
+    _run("ck1")
+    detail = LogTable(spark, tp)
+    mv = IncrementalAggView(
+        spark, detail, vp, group_by="grp", sum_cols=["val"]
+    )
+    expect = {
+        (r["grp"],): (r["cnt"], r["sum_val"])
+        for r in detail.read().groupBy("grp").agg(
+            _F.count("*").alias("cnt"), _F.sum("val").alias("sum_val")
+        ).collect()
+    }
+    got = {(r["grp"],): (r["cnt"], r["sum_val"])
+           for r in mv.read().collect()}
+    assert got == expect and detail.read().count() == 5
+
+    # full replay, FRESH checkpoint: same app id + batch ids — nothing
+    # may double-count at either layer
+    dv, vv = detail.version(), mv.view.version()
+    _run("ck2")
+    assert LogTable(spark, tp).version() == dv
+    assert mv.view.version() == vv
+    got2 = {(r["grp"],): (r["cnt"], r["sum_val"])
+            for r in mv.read().collect()}
+    assert got2 == expect
+
+    # a NEW batch flows through both layers when the ORIGINAL checkpoint
+    # resumes (txn versions map to batch ids, so continued ingestion must
+    # reuse its checkpoint — a fresh one is only valid for replaying
+    # identical input, the same contract stream_merge_txlog documents)
+    _write("b3.jsonl", [(6, "a", 32.0)])
+    _run("ck1")
+    got3 = {(r["grp"],): (r["cnt"], r["sum_val"])
+            for r in mv.read().collect()}
+    assert got3[("a",)] == (3, 35.0) and LogTable(spark, tp).read().count() == 6

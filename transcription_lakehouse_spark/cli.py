@@ -463,6 +463,35 @@ def table_vacuum(path, retain_last, remove_orphans):
     _echo(t.vacuum(retain_last=retain_last, remove_orphans=remove_orphans))
 
 
+@table.command("matview")
+@click.argument("source_path", type=click.Path(exists=True))
+@click.argument("view_path", type=click.Path())
+@click.option("--group-by", required=True,
+              help="Comma-separated group columns")
+@click.option("--sum", "sum_cols", default="",
+              help="Comma-separated columns maintained as sum_<col> "
+                   "(avg derived at read); count(*) is always kept")
+@click.option("--full", is_flag=True,
+              help="Full recompute + overwrite (the escape hatch after "
+                   "a source schema change); re-bases the watermark")
+def table_matview(source_path, view_path, group_by, sum_cols, full):
+    """Refresh (bootstrapping if absent) an incrementally-maintained
+    count/sum GROUP BY view from SOURCE_PATH's change feed — reads only
+    files the source log touched since the last refresh; idempotent via
+    the (app, source_version) txn watermark, so re-running a cron
+    refresh never double-counts."""
+    from .matview import IncrementalAggView
+    from .txlog import LogTable
+
+    spark = _spark("table-matview")
+    mv = IncrementalAggView(
+        spark, LogTable(spark, source_path), view_path,
+        group_by=[c.strip() for c in group_by.split(",") if c.strip()],
+        sum_cols=[c.strip() for c in sum_cols.split(",") if c.strip()],
+    )
+    _echo(mv.full_refresh() if full else mv.refresh())
+
+
 @cli.command()
 @click.argument("documents_path", type=click.Path(exists=True))
 @click.argument("output_dir", type=click.Path())

@@ -68,6 +68,17 @@ class IncrementalAggView:
             [group_by] if isinstance(group_by, str) else list(group_by)
         )
         self.sum_cols = list(sum_cols or [])
+        reserved = {_KEY, _SIGN, "cnt"} | {
+            f"sum_{c}" for c in self.sum_cols
+        }
+        clash = reserved & set(self.group_by)
+        if clash:
+            # a group column named like a maintained value column would
+            # silently shadow it in the view schema
+            raise ValueError(
+                f"matview: group column(s) {sorted(clash)} collide with "
+                "maintained columns (cnt / sum_<col> / internals)"
+            )
         self.view = LogTable(spark, path)
         # one watermark per (source table, view) pair: a second view on
         # the same source keeps its own refresh cursor
@@ -180,6 +191,8 @@ class IncrementalAggView:
         Records the same txn watermark, so incremental refreshes resume
         from here."""
         src_v = self.source.version()
+        if src_v < 0:
+            return {"skipped": True, "reason": "source has no commits"}
         full = self.source.read(src_v).withColumn(_SIGN, F.lit(1))
         df = self._delta_agg(full)
         v = self.view.overwrite(df, params={

@@ -26,6 +26,7 @@ from ..schemas import RAW_UTTERANCE_SCHEMA
 __all__ = [
     "stream_ingest",
     "stream_ingest_txlog",
+    "stream_aggregate_txlog",
     "stream_merge_txlog",
     "streaming_session_stats",
     "streaming_dedup",
@@ -1010,3 +1011,69 @@ def streaming_session_stats(
         F.min("start").alias("session_start"),
         F.max("end").alias("session_end"),
     )
+
+
+def stream_aggregate_txlog(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    view_path: str,
+    checkpoint_dir: str,
+    schema,
+    group_by: list[str] | str,
+    sum_cols: list[str] | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Continuous aggregate: each micro-batch lands as ONE atomic
+    LogTable commit AND the materialized count/sum view refreshes from
+    the resulting change feed, inside the same ``foreachBatch`` — the
+    streaming composition of the round's transactional pieces, end to
+    end exactly-once:
+
+    - the detail append carries ``txn=(app, batch_id)``, so a batch
+      re-fired after a crash between sink write and checkpoint advance
+      is a clean no-op skip (never a double append);
+    - the view refresh is idempotent by its own watermark (the source
+      version it folded) — whether the re-fired batch skipped or the
+      crash hit between append and refresh, the refresh lands each
+      source commit exactly once;
+    - a refresh crash before commit loses nothing: the next batch's
+      refresh folds BOTH windows (CDF windows compose).
+
+    Contract (same as ``stream_merge_txlog``): txn versions map to the
+    stream's batch ids, so CONTINUED ingestion must reuse its
+    checkpoint — a fresh checkpoint is only valid for replaying
+    identical input (batch ids renumber; a fresh checkpoint over GROWN
+    input would alias new data onto an already-applied version and
+    skip it).
+
+    The view is therefore always a prefix-consistent aggregate of the
+    detail table — at 100 TB this replaces the nightly recompute of
+    every rollup the reference's quality reports derive by full scans
+    (`src/lakehouse/quality`), with per-batch cost tracking the batch."""
+    from ..matview import IncrementalAggView
+    from ..txlog import LogTable
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+    app = f"stream-agg:{table_path}"
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        t = LogTable(sess, table_path)
+        if batch.head(1):
+            t.append(batch, txn=(app, int(batch_id)))
+        IncrementalAggView(
+            sess, t, view_path, group_by=group_by, sum_cols=sum_cols
+        ).refresh()
+
+    writer = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

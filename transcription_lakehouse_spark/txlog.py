@@ -961,7 +961,8 @@ class LogTable:
 
     def append(self, df: DataFrame, merge_schema: bool = False,
                params: dict | None = None,
-               cluster_by: list[str] | None = None) -> int:
+               cluster_by: list[str] | None = None,
+               txn: tuple[str, int] | None = None) -> int | None:
         """Append commit: new files only, nothing rewritten. Loads the
         log ONCE (schema check + next version from the same read).
         ``merge_schema=True`` allows additive column evolution (see
@@ -977,8 +978,23 @@ class LogTable:
 
         ``cluster_by`` clusters the batch on write (see ``_cluster``) so
         scans filtered on those columns prune this commit's files from
-        the log alone."""
+        the log alone.
+
+        ``txn=(app_id, version)`` gives the append Delta's
+        txnAppId/txnVersion idempotence (same contract as ``merge_cdc``):
+        a replayed (app, version) the log has already seen is a clean
+        no-op skip returning None — the exactly-once hook for streaming
+        ``foreachBatch`` appends, where a crash between sink write and
+        checkpoint advance re-fires the batch. Checked again on every
+        commit-race retry (the racer may have been the same app's
+        earlier attempt)."""
         prefix = self._load_for_read(None, allow_empty=True)
+        if self._txn_already_applied(txn, prefix):
+            return None
+        commit_params = dict(params or {})
+        if txn is not None:
+            commit_params["txn_app_id"] = txn[0]
+            commit_params["txn_version"] = txn[1]
         ddl = self._check_schema(df, prefix, merge_schema=merge_schema)
         v = (prefix[-1]["version"] if prefix else -1) + 1
         adds = self._write_files(self._cluster(df, cluster_by), v)
@@ -986,13 +1002,15 @@ class LogTable:
         for _ in range(self.max_commit_retries + 1):
             try:
                 self._commit(self._record(
-                    v, "append", adds, [], ddl, **(params or {})
+                    v, "append", adds, [], ddl, **commit_params
                 ))
                 self._maybe_checkpoint(v)
                 return v
             except ConcurrentCommitError as exc:
                 last_exc = exc
                 prefix = self._load_for_read(None, allow_empty=True)
+                if self._txn_already_applied(txn, prefix):
+                    return None  # the racer WAS this txn's earlier fire
                 ddl = self._check_schema(df, prefix,
                                          merge_schema=merge_schema)
                 v = (prefix[-1]["version"] if prefix else -1) + 1
