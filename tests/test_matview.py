@@ -261,3 +261,38 @@ def test_reserved_group_column_names_refused(spark, tmp_path):
             spark, src, str(tmp_path / "mv"),
             group_by=["sum_val", "grp"], sum_cols=["val"],
         )
+
+
+def test_var_cols_track_population_variance(spark, tmp_path):
+    """Σx/Σx² are both retraction-safe: var/std derived from the view
+    match a full var_pop recompute through appends AND deletes."""
+    src = LogTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", var_cols=["val"]
+    )
+    src.append(_mk(spark, [(2, "a"), (4, "a"), (6, "a"), (3, "b")]))
+    mv.refresh()
+
+    def _expect():
+        return {
+            r["grp"]: (r["v"], r["s"])
+            for r in src.read().groupBy("grp").agg(
+                F.var_pop("val").alias("v"), F.stddev_pop("val").alias("s")
+            ).collect()
+        }
+
+    def _got():
+        return {r["grp"]: (r["var_val"], r["std_val"])
+                for r in mv.read().collect()}
+
+    for g, (v, s) in _expect().items():
+        gv, gs = _got()[g]
+        assert abs(gv - v) < 1e-9 and abs(gs - (s or 0.0)) < 1e-9
+    # a delete RETRACTS from the second moment too
+    src.delete("id = 6")
+    mv.refresh()
+    for g, (v, s) in _expect().items():
+        gv, gs = _got()[g]
+        assert abs(gv - v) < 1e-9 and abs(gs - (s or 0.0)) < 1e-9
+    # single-row group: variance exactly 0, no negative-sqrt NaN
+    assert _got()["b"] == (0.0, 0.0)

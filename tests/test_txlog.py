@@ -1360,3 +1360,30 @@ def test_stream_aggregate_txlog_continuous_view(spark, tmp_path):
     got3 = {(r["grp"],): (r["cnt"], r["sum_val"])
             for r in mv.read().collect()}
     assert got3[("a",)] == (3, 35.0) and LogTable(spark, tp).read().count() == 6
+
+
+def test_scan_in_list_prunes_via_bloom_and_stats(spark, tmp_path):
+    """`scan([("col","in",[...])])`: a file survives only when SOME
+    listed value may be present — bloom-pruned on unclustered keys,
+    range-pruned on clustered ones, exact either way."""
+    t = _bloom_fixture(spark, tmp_path, "t", ["user"])
+    full = t.read()
+    hit = t.scan([("user", "in", ["a5", "z2"])])
+    assert len(hit.inputFiles()) == 2
+    assert _rows_eq(hit, full.filter(F.col("user").isin("a5", "z2")))
+    assert t.scan([("user", "in", ["nope", "nada"])]).count() == 0
+    assert len(t.scan([("user", "in", ["nope", "a1"])]).inputFiles()) == 1
+    # empty IN matches nothing, reads nothing
+    assert t.scan([("user", "in", [])]).count() == 0
+    # range-stats path (no blooms): clustered ints prune by min/max
+    t2 = LogTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.range(800).select(F.col("id"), F.lit("x").alias("v")),
+        cluster_by=["id"],
+    )
+    sub = t2.scan([("id", "in", [1, 2, 3])])
+    assert len(sub.inputFiles()) < len(t2.read().inputFiles()) or \
+        len(t2.read().inputFiles()) == 1
+    assert sorted(r["id"] for r in sub.collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="list"):
+        t2.scan([("id", "in", 5)])

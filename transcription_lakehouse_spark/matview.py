@@ -61,16 +61,25 @@ class IncrementalAggView:
 
     def __init__(self, spark: SparkSession, source: LogTable, path: str,
                  group_by: list[str] | str,
-                 sum_cols: list[str] | None = None):
+                 sum_cols: list[str] | None = None,
+                 var_cols: list[str] | None = None):
         self.spark = spark
         self.source = source
         self.group_by = (
             [group_by] if isinstance(group_by, str) else list(group_by)
         )
         self.sum_cols = list(sum_cols or [])
+        # variance via the signed (Σx, Σx²) fold — both retraction-safe;
+        # var/std derive at read. The textbook caveat applies: Σx² − n·μ²
+        # cancels catastrophically when std ≪ |mean| — acceptable for a
+        # monitoring rollup, use a full scan when you need Welford-exact.
+        self.var_cols = list(var_cols or [])
+        for c in self.var_cols:
+            if c not in self.sum_cols:
+                self.sum_cols.append(c)
         reserved = {_KEY, _SIGN, "cnt"} | {
             f"sum_{c}" for c in self.sum_cols
-        }
+        } | {f"sumsq_{c}" for c in self.var_cols}
         clash = reserved & set(self.group_by)
         if clash:
             # a group column named like a maintained value column would
@@ -102,10 +111,17 @@ class IncrementalAggView:
                 F.sum(F.col(c).cast("double") * F.col(_SIGN))
                 .alias(f"sum_{c}")
             )
+        for c in self.var_cols:
+            aggs.append(
+                F.sum(F.col(c).cast("double") * F.col(c).cast("double")
+                      * F.col(_SIGN))
+                .alias(f"sumsq_{c}")
+            )
         return self._keyed(rows).groupBy(_KEY, *self.group_by).agg(*aggs)
 
     def _value_cols(self) -> list[str]:
-        return ["cnt"] + [f"sum_{c}" for c in self.sum_cols]
+        return (["cnt"] + [f"sum_{c}" for c in self.sum_cols]
+                + [f"sumsq_{c}" for c in self.var_cols])
 
     # ---- API -------------------------------------------------------------
 
@@ -202,10 +218,18 @@ class IncrementalAggView:
 
     def read(self) -> DataFrame:
         """The materialized groups with derived averages (avg_<col> =
-        sum_<col> / cnt) — the surrogate key stays internal."""
+        sum_<col> / cnt) and, for ``var_cols``, population variance and
+        stddev (clamped at 0 against float cancellation) — the surrogate
+        key stays internal."""
         df = self.view.read()
         for c in self.sum_cols:
             df = df.withColumn(
                 f"avg_{c}", F.col(f"sum_{c}") / F.col("cnt")
             )
+        for c in self.var_cols:
+            var = (F.col(f"sumsq_{c}") / F.col("cnt")
+                   - F.pow(F.col(f"sum_{c}") / F.col("cnt"), 2))
+            df = df.withColumn(
+                f"var_{c}", F.greatest(var, F.lit(0.0))
+            ).withColumn(f"std_{c}", F.sqrt(F.col(f"var_{c}")))
         return df.drop(_KEY)

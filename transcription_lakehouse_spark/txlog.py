@@ -226,7 +226,7 @@ def _bloom_may_contain(bloom: dict, col: str, val: object,
     return True
 
 
-_SCAN_OPS = {"=", "==", ">", ">=", "<", "<="}
+_SCAN_OPS = {"=", "==", ">", ">=", "<", "<=", "in"}
 
 # keyed-rewrite bloom fast path: batches with at most this many distinct
 # keys probe the log's bitsets driver-side before the confirm scan
@@ -285,6 +285,10 @@ def _file_may_match(add: dict, filters: list[tuple[str, str, object]],
                 bloom, col, val, load
             ):
                 return False
+            if op == "in" and not any(
+                _bloom_may_contain(bloom, col, v, load) for v in val
+            ):
+                return False  # incl. the empty IN list: matches nothing
     stats = add.get("stats")
     if not stats:
         return True
@@ -294,7 +298,10 @@ def _file_may_match(add: dict, filters: list[tuple[str, str, object]],
         if lo is None or hi is None:
             continue
         try:
-            if op in ("=", "=="):
+            if op == "in":
+                if not any(lo <= v <= hi for v in val):
+                    return False
+            elif op in ("=", "=="):
                 if val < lo or val > hi:
                     return False
             elif op == ">":
@@ -922,6 +929,8 @@ class LogTable:
                     f"scan: unsupported operator {op!r} "
                     f"(supported: {sorted(_SCAN_OPS)})"
                 )
+            if op == "in" and not isinstance(_v, (list, tuple, set)):
+                raise ValueError("scan: 'in' takes a list/tuple/set")
         commits = self._load_for_read(version)
         schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
         adds = _live_adds(commits)
@@ -938,6 +947,8 @@ class LogTable:
         for col, op, val in filters or []:
             df = df.filter(
                 F.col(col) == val if op in ("=", "==") else
+                (F.col(col).isin(*val) if val else F.lit(False))
+                if op == "in" else
                 F.col(col) > val if op == ">" else
                 F.col(col) >= val if op == ">=" else
                 F.col(col) < val if op == "<" else
