@@ -1125,11 +1125,13 @@ class LogTable:
         cand = adds
         if any((a.get("bloom") or {}).get("cols", {}).get(key)
                for a in adds):
-            head = (
-                keys.select(key).distinct()
-                .limit(_BLOOM_PROBE_CAP + 1).collect()
-            )
-            if len(head) <= _BLOOM_PROBE_CAP:
+            # size gate first with a NARROW early-stop count — the
+            # callers refuse duplicate keys, so row count == distinct
+            # count and an over-cap batch skips the probe without ever
+            # paying the distinct's shuffle
+            n = keys.limit(_BLOOM_PROBE_CAP + 1).count()
+            if n <= _BLOOM_PROBE_CAP:
+                head = keys.select(key).distinct().collect()
                 cand = _bloom_candidates(
                     adds, key, [r[key] for r in head],
                     self._bloom_bits_of,
