@@ -788,13 +788,14 @@ class LogTable:
             m = min_bits
             while m < max_bits and m < bits_per_key * len(h):
                 m <<= 1
-            bits = np.zeros(m >> 3, dtype=np.uint8)
+            bset = np.zeros(m, dtype=bool)
             h1 = h % h1_mod
             h2 = (h // h1_mod) | 1
             for i in range(kk):
-                p = (h1 + i * h2) % m
-                np.bitwise_or.at(bits, p >> 3,
-                                 np.uint8(1) << (p & 7).astype(np.uint8))
+                bset[(h1 + i * h2) % m] = True
+            # little-endian bit order — the probe tests
+            # bits[p >> 3] >> (p & 7)
+            bits = np.packbits(bset, bitorder="little")
             return pd.DataFrame({
                 "_f": [pdf["_f"].iloc[0]],
                 "m": [int(m)],
