@@ -1387,3 +1387,36 @@ def test_scan_in_list_prunes_via_bloom_and_stats(spark, tmp_path):
     assert sorted(r["id"] for r in sub.collect()) == [1, 2, 3]
     with pytest.raises(ValueError, match="list"):
         t2.scan([("id", "in", 5)])
+
+
+def test_bloom_table_concurrent_appends_keep_pruning(spark, tmp_path):
+    """Two appenders racing on a bloom'd table: both commits land, every
+    add-action's bitset (inline or sidecar) resolves, and scans prune
+    across BOTH commits' files."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+
+    def _appender(lo):
+        t = LogTable(spark, root, bloom_for=["user"])
+        df = spark.createDataFrame(
+            [(i, f"u{i}") for i in range(lo, lo + 2000)],
+            "id bigint, user string",
+        )
+        return t.append(df)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        versions = list(pool.map(_appender, [0, 100000]))
+    assert sorted(versions) == [0, 1]
+    t = LogTable(spark, root)
+    import transcription_lakehouse_spark.txlog as tx
+
+    adds = tx._live_adds(t._load_for_read(None))
+    for a in adds:
+        ent = a["bloom"]["cols"]["user"]
+        assert t._bloom_bits_of(ent) is not None
+    # a value only the second appender wrote: exactly its files match
+    hit = t.scan([("user", "=", "u100005")])
+    assert hit.count() == 1
+    assert len(hit.inputFiles()) < len(t.read().inputFiles())
+    assert t.scan([("user", "=", "u99999")]).count() == 0
