@@ -88,7 +88,12 @@ class IncrementalAggView:
                 f"matview: group column(s) {sorted(clash)} collide with "
                 "maintained columns (cnt / sum_<col> / internals)"
             )
-        self.view = LogTable(spark, path)
+        # the view carries a bloom index on its own surrogate key: each
+        # refresh applies a keyed rewrite, and the bloom lets touched-
+        # file discovery prune from the LOG instead of scanning every
+        # view file — at a large view that turns per-refresh discovery
+        # from O(view) scan into O(touched groups) file opens
+        self.view = LogTable(spark, path, bloom_for=[_KEY])
         # one watermark per (source table, view) pair: a second view on
         # the same source keeps its own refresh cursor
         self.app_id = f"matview:{self.source.path}->{self.view.path}"
