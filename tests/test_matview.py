@@ -296,3 +296,33 @@ def test_var_cols_track_population_variance(spark, tmp_path):
         assert abs(gv - v) < 1e-9 and abs(gs - (s or 0.0)) < 1e-9
     # single-row group: variance exactly 0, no negative-sqrt NaN
     assert _got()["b"] == (0.0, 0.0)
+
+
+def test_concurrent_refreshes_apply_exactly_once(spark, tmp_path):
+    """Two processes refreshing the SAME view race: the commit loser's
+    retry sees the winner's (app, source_version) watermark and skips —
+    one application, never a doubled delta."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    src = LogTable(spark, str(tmp_path / "src"))
+    src.append(_mk(spark, [(1, "a"), (2, "b")]))
+
+    def _refresh(_):
+        mv = IncrementalAggView(
+            spark, src, str(tmp_path / "mv"),
+            group_by="grp", sum_cols=["val"],
+        )
+        return mv.refresh()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = list(pool.map(_refresh, range(2)))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    assert _materialized(mv) == _recompute(src)
+    applied = [r for r in results
+               if not r.get("skipped") and not r.get("skipped_as_applied")]
+    assert len(applied) <= 2  # both may apply only if strictly serialized
+    # the view log holds ONE commit per source version fold
+    assert mv.view.last_txn_version(mv.app_id) == src.version()
+    assert mv.refresh().get("skipped")
