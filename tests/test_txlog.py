@@ -1420,3 +1420,29 @@ def test_bloom_table_concurrent_appends_keep_pruning(spark, tmp_path):
     assert hit.count() == 1
     assert len(hit.inputFiles()) < len(t.read().inputFiles())
     assert t.scan([("user", "=", "u99999")]).count() == 0
+
+
+def test_scan_null_count_pruning(spark, tmp_path):
+    """isnull/notnull scans prune from harvested null counts: a
+    NULL-free file never serves IS NULL, an all-NULL file never serves
+    IS NOT NULL, results exact either way."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id bigint, v string"))       # no NULLs
+    t.append(spark.createDataFrame(
+        [(3, None), (4, None)], "id bigint, v string"))     # all NULL
+    t.append(spark.createDataFrame(
+        [(5, "z"), (6, None)], "id bigint, v string"))      # mixed
+    full = t.read()
+    isnull = t.scan([("v", "isnull", None)])
+    assert sorted(r["id"] for r in isnull.collect()) == [3, 4, 6]
+    # every file of the NULL-free first commit is pruned
+    assert not any("/c00000000-" in f for f in isnull.inputFiles())
+    assert len(isnull.inputFiles()) < len(full.inputFiles())
+    notnull = t.scan([("v", "notnull", None)])
+    assert sorted(r["id"] for r in notnull.collect()) == [1, 2, 5]
+    # every file of the all-NULL second commit is pruned
+    assert not any("/c00000001-" in f for f in notnull.inputFiles())
+    assert _rows_eq(isnull, full.filter(F.col("v").isNull()))
+    with pytest.raises(ValueError, match="None"):
+        t.scan([("v", "isnull", "x")])

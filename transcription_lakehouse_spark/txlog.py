@@ -128,16 +128,25 @@ def _footer_stats(uri: str) -> dict | None:
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     covered: dict[str, int] = {}
+    nulls: dict[str, int] = {}
+    null_cov: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
                 continue
             name = col.path_in_schema
             if "." in name:
                 continue  # nested — skip, prune only on top-level scalars
+            # null counts fold independently of min/max (an all-NULL row
+            # group has no bounds but a perfectly good null count)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+                null_cov[name] = null_cov.get(name, 0) + 1
+            if not st.has_min_max:
+                continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
@@ -152,9 +161,21 @@ def _footer_stats(uri: str) -> dict | None:
     full = {n for n, c in covered.items() if c == md.num_row_groups}
     mins = {n: v for n, v in mins.items() if n in full}
     maxs = {n: v for n, v in maxs.items() if n in full}
-    if not mins:
+    nulls = {
+        n: v for n, v in nulls.items()
+        if null_cov.get(n) == md.num_row_groups
+    }
+    if md.num_rows == 0:
+        # an empty part file matches nothing — record just the row count
+        # so every filtered scan can drop it
+        return {"min": {}, "max": {}, "rows": 0}
+    if not mins and not nulls:
         return None
-    return {"min": mins, "max": maxs}
+    out: dict = {"min": mins, "max": maxs}
+    if nulls:
+        out["nulls"] = nulls
+        out["rows"] = md.num_rows
+    return out
 
 
 _BLOOM_K = 8                     # double-hash probe count
@@ -226,7 +247,7 @@ def _bloom_may_contain(bloom: dict, col: str, val: object,
     return True
 
 
-_SCAN_OPS = {"=", "==", ">", ">=", "<", "<=", "in"}
+_SCAN_OPS = {"=", "==", ">", ">=", "<", "<=", "in", "isnull", "notnull"}
 
 # keyed-rewrite bloom fast path: batches with at most this many distinct
 # keys probe the log's bitsets driver-side before the confirm scan
@@ -292,7 +313,17 @@ def _file_may_match(add: dict, filters: list[tuple[str, str, object]],
     stats = add.get("stats")
     if not stats:
         return True
+    if stats.get("rows") == 0:
+        return False  # an empty file cannot satisfy any predicate
     for col, op, val in filters:
+        if op in ("isnull", "notnull"):
+            n = (stats.get("nulls") or {}).get(col)
+            rows = stats.get("rows")
+            if op == "isnull" and n == 0:
+                return False          # no NULLs anywhere in the file
+            if op == "notnull" and n is not None and n == rows:
+                return False          # the column is entirely NULL
+            continue
         lo = stats["min"].get(col)
         hi = stats["max"].get(col)
         if lo is None or hi is None:
@@ -932,6 +963,8 @@ class LogTable:
                 )
             if op == "in" and not isinstance(_v, (list, tuple, set)):
                 raise ValueError("scan: 'in' takes a list/tuple/set")
+            if op in ("isnull", "notnull") and _v is not None:
+                raise ValueError(f"scan: {op!r} takes value None")
         commits = self._load_for_read(version)
         schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
         adds = _live_adds(commits)
@@ -950,6 +983,8 @@ class LogTable:
                 F.col(col) == val if op in ("=", "==") else
                 (F.col(col).isin(*val) if val else F.lit(False))
                 if op == "in" else
+                F.col(col).isNull() if op == "isnull" else
+                F.col(col).isNotNull() if op == "notnull" else
                 F.col(col) > val if op == ">" else
                 F.col(col) >= val if op == ">=" else
                 F.col(col) < val if op == "<" else
