@@ -116,13 +116,15 @@ def test_multi_column_groups_distinguish_null_from_empty(spark, tmp_path):
     }
 
 
-def test_schema_change_refuses_then_full_refresh_recovers(spark, tmp_path):
+def test_schema_evolution_additive_folds_nonadditive_refuses(spark, tmp_path):
     src = LogTable(spark, str(tmp_path / "src"))
     src.append(_mk(spark, [(1, "a")]))
     mv = IncrementalAggView(
         spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
     )
     mv.refresh()
+    # ADDITIVE evolution: the CDF reads both sides with the merged
+    # schema, so the refresh folds straight through — no full recompute
     src.append(
         spark.createDataFrame(
             [(2, "a", 1.0, "extra")],
@@ -130,18 +132,23 @@ def test_schema_change_refuses_then_full_refresh_recovers(spark, tmp_path):
         ),
         merge_schema=True,
     )
-    with pytest.raises(ValueError, match="schema"):
+    r = mv.refresh()
+    assert not r.get("skipped")
+    assert _materialized(mv) == _recompute(src)
+    # NON-additive change (val retyped away): refresh refuses loudly,
+    # full_refresh is the escape hatch
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 2.0), (3, "b", 4.0)],
+            "id bigint, grp string, val double",
+        )
+    )
+    with pytest.raises(ValueError, match="non-additive"):
         mv.refresh()
     mv.full_refresh()
     assert _materialized(mv) == _recompute(src)
-    # and the watermark moved: incremental refreshes resume cleanly
     assert mv.refresh().get("skipped")
-    src.append(
-        spark.createDataFrame(
-            [(3, "b", 2.0, None)],
-            "id bigint, grp string, val double, note string",
-        )
-    )
+    src.append(_mk(spark, [(5, "b")]))
     mv.refresh()
     assert _materialized(mv) == _recompute(src)
 

@@ -1446,3 +1446,27 @@ def test_scan_null_count_pruning(spark, tmp_path):
     assert _rows_eq(isnull, full.filter(F.col("v").isNull()))
     with pytest.raises(ValueError, match="None"):
         t.scan([("v", "isnull", "x")])
+
+
+def test_changes_across_additive_evolution(spark, tmp_path):
+    """A CDF window spanning a merge_schema append reads BOTH sides with
+    the merged schema: old rows surface NULL for the new column, inserts
+    report the widened rows, and drops/retypes still refuse."""
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(_mk(spark, [1, 2]))                               # v0
+    t.append(spark.createDataFrame(
+        [(3, "a3", "note3")], "id bigint, val string, note string",
+    ), merge_schema=True)                                      # v1
+    ch = t.changes(0, 1).collect()
+    assert [(r["id"], r["note"], r["_change_type"]) for r in ch] == [
+        (3, "note3", "insert")
+    ]
+    # a rewrite window across the evolution cancels carried rows exactly
+    t.delete("id = 1")                                         # v2
+    ch2 = t.changes(0, 2)
+    got = sorted((r["id"], r["_change_type"]) for r in ch2.collect())
+    assert got == [(1, "delete"), (3, "insert")]
+    # non-additive: retyped column refuses
+    t.overwrite(spark.createDataFrame([(9, 1.5)], "id bigint, val double"))
+    with pytest.raises(ValueError, match="non-additive"):
+        t.changes(1, t.version())

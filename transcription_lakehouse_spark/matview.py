@@ -134,9 +134,9 @@ class IncrementalAggView:
         """Fold source commits since the last refresh into the view.
         One snapshot-atomic view commit per call; replaying a refresh of
         an already-applied source version is a no-op skip (the txn
-        watermark). Raises if the source schema changed across the
-        window (``LogTable.changes`` contract) — run ``full_refresh``
-        after a schema evolution."""
+        watermark). An ADDITIVE source schema evolution folds through
+        (``LogTable.changes`` reads both sides with the merged schema);
+        a non-additive change raises — run ``full_refresh`` after one."""
         src_v = self.source.version()
         if src_v < 0:
             return {"skipped": True, "reason": "source has no commits"}

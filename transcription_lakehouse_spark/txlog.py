@@ -1489,13 +1489,21 @@ class LogTable:
         norm_a = [(f.name, f.dataType.simpleString()) for f in schema_a]
         norm_b = [(f.name, f.dataType.simpleString()) for f in schema_b]
         if norm_a != norm_b:
-            # reading to_version's files with from_version's schema would
-            # silently drop columns and cancel real updates in exceptAll
-            raise ValueError(
-                f"changes({from_version}, {to_version}) spans a schema "
-                f"change ({norm_a} -> {norm_b}); a value-level CDF is "
-                "undefined across it — compare snapshots explicitly"
-            )
+            # an ADDITIVE window (every from-side column survives with
+            # its type; merge_schema appends only widen) has a sound
+            # value-level CDF: read BOTH sides with the newer schema —
+            # old files surface NULL for the new columns exactly as a
+            # post-evolution reader sees them, so rewritten-but-equal
+            # rows still cancel in exceptAll. Drops/retypes stay
+            # refused: reading either side with the other's schema would
+            # silently lose columns and cancel real updates.
+            if not set(norm_a) <= set(norm_b):
+                raise ValueError(
+                    f"changes({from_version}, {to_version}) spans a "
+                    f"non-additive schema change ({norm_a} -> {norm_b}); "
+                    "a value-level CDF is undefined across it — compare "
+                    "snapshots explicitly"
+                )
         schema = schema_b
         sa, sb = set(files_a), set(files_b)
         only_b = sorted(sb - sa)
