@@ -278,16 +278,25 @@ def test_vacuum_zero_retention_refused(spark, tmp_path):
 
 
 def test_changes_across_schema_change_refused(spark, tmp_path):
-    """A value-level CDF across an overwrite that changed the schema is
-    undefined (the old schema would silently drop new columns) — raise
-    instead of returning a wrong diff."""
+    """A value-level CDF across a NON-additive schema change (a column
+    dropped or retyped) is undefined — raise instead of returning a
+    wrong diff. An ADDITIVE widening is defined (see
+    test_changes_across_additive_evolution) and reports the diff under
+    the merged schema."""
     t = LogTable(spark, str(tmp_path / "t"))
     t.append(_mk(spark, range(3)))
+    # additive overwrite: the window is now well-defined
     t.overwrite(spark.createDataFrame(
         [(1, "x", 0.5)], "id bigint, val string, score double"
     ))
-    with pytest.raises(ValueError, match="schema change"):
-        t.changes(0, 1)
+    ch = sorted(
+        (r["id"], r["_change_type"]) for r in t.changes(0, 1).collect()
+    )
+    assert (1, "insert") in ch and (0, "delete") in ch
+    # non-additive: `val` dropped — refused
+    t.overwrite(spark.createDataFrame([(7, 1.0)], "id bigint, score double"))
+    with pytest.raises(ValueError, match="non-additive schema change"):
+        t.changes(1, 2)
 
 
 def test_stream_ingest_txlog_atomic_batches(spark, tmp_path):
