@@ -306,8 +306,11 @@ def test_histogram_quantiles_within_one_bin_width(spark, vals):
     width = (arr.max() - arr.min()) / HIST_BINS
     for q in qs:
         exact = float(np.quantile(arr, q, method="inverted_cdf"))
-        # + 5e-7: the emitted estimate is rounded to 6 decimals
-        assert abs(est[q] - exact) <= width + 5e-7, (q, est[q], exact, width)
+        # + 1e-6: the emitted estimate is rounded to 6 decimals, so the
+        # worst case adds EXACTLY 5e-7 — at that boundary (hypothesis
+        # found vals=[1.0, 1.5]) float representation of width + 5e-7
+        # can land a hair under the true sum; double the margin
+        assert abs(est[q] - exact) <= width + 1e-6, (q, est[q], exact, width)
 
 
 # --- round 5: PCA projection + canonical SemDeDup ------------------------
