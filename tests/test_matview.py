@@ -333,3 +333,56 @@ def test_concurrent_refreshes_apply_exactly_once(spark, tmp_path):
     # the view log holds ONE commit per source version fold
     assert mv.view.last_txn_version(mv.app_id) == src.version()
     assert mv.refresh().get("skipped")
+
+
+def test_interleaved_refresh_different_source_versions_no_double_apply(
+    spark, tmp_path
+):
+    """The r8 ADVICE #2 race, deterministically interleaved: refresh B
+    captures watermark L, a concurrent refresh A lands source version
+    v_a (L < v_a < v_b), and B's old-value read would then already
+    include A's fold while B folds the window (L, v_b] — naively
+    double-applying (L, v_a]. The CAS commit must refuse B's first
+    attempt and B must re-plan from the new watermark."""
+    src = LogTable(spark, str(tmp_path / "src"))
+    src.append(_mk(spark, [(1, "a"), (2, "b")]))          # source v0
+    mv_b = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    mv_b.refresh()                                        # watermark = 0
+    src.append(_mk(spark, [(3, "a")]))                    # source v1
+    v_a = src.version()
+    src.append(_mk(spark, [(4, "b")]))                    # source v2
+    v_b = src.version()
+    assert v_a < v_b
+
+    real_merge = mv_b.view.merge_cdc
+    fired = {"n": 0}
+
+    def _racing_merge(*args, **kw):
+        # before B's FIRST commit lands, a concurrent refresher A — one
+        # that captured the source tip when it was still v_a — folds
+        # (0, v_a] into the same view from a fresh handle (exactly
+        # another process whose source read predates v_b's commit)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            mv_a = IncrementalAggView(
+                spark, src, str(tmp_path / "mv"),
+                group_by="grp", sum_cols=["val"],
+            )
+            a_res = mv_a._refresh_once(v_a)
+            assert a_res.get("source_version") == v_a
+        return real_merge(*args, **kw)
+
+    mv_b.view.merge_cdc = _racing_merge
+    try:
+        res = mv_b.refresh()                              # targets v_b
+    finally:
+        mv_b.view.merge_cdc = real_merge
+    # B's first commit was CAS-refused (its old values now contained
+    # A's fold) and B re-planned from watermark v_a — before the fix
+    # this double-counted A's (0, v_a] window
+    assert res.get("source_version") == v_b
+    assert res.get("refreshed_from") == v_a
+    assert _materialized(mv_b) == _recompute(src)
+    assert mv_b.refresh().get("skipped")

@@ -59,7 +59,13 @@ def test_uncommitted_files_invisible_and_orphan_vacuum(spark, tmp_path):
         root + "/data/c99999999-deadbeef"
     )
     assert _rows(t.read()) == before, "reader followed unlisted files"
-    swept = t.vacuum(retain_last=5, remove_orphans=True)
+    # default grace period: the just-written files look like an IN-FLIGHT
+    # writer's staged data — the sweep must keep them (r8 ADVICE #3)
+    kept = t.vacuum(retain_last=5, remove_orphans=True)
+    assert kept["orphans_deleted"] == 0
+    # grace 0 (no writer can be in flight here): now they sweep
+    swept = t.vacuum(retain_last=5, remove_orphans=True,
+                     orphan_grace_seconds=0)
     assert swept["orphans_deleted"] >= 1
     assert _rows(t.read()) == before
 
@@ -1175,6 +1181,27 @@ def test_bloom_int_parity_and_no_false_skips(spark, tmp_path):
         full.unpersist()
 
 
+def test_bloom_type_mismatch_probe_never_prunes(spark, tmp_path):
+    """r8 ADVICE #1: blooms hash the STORED value's CAST AS STRING, so a
+    probe whose Python type doesn't render-match the column type (int 5
+    vs double column storing "5.0") must skip the bloom — min/max stats
+    (numeric comparison) then keep the file and the Spark filter, with
+    its implicit cast, returns the matching rows."""
+    t = LogTable(spark, str(tmp_path / "t"), bloom_for=["score", "name"])
+    t.append(spark.createDataFrame(
+        [(1, 5.0, "7"), (2, 8.5, "x")], "id bigint, score double, name string"
+    ))
+    # int probe on a double column: "5" vs stored "5.0" — must not prune
+    got = t.scan([("score", "=", 5)])
+    assert [r["id"] for r in got.collect()] == [1]
+    # non-canonical string probe on the double column: stats compare
+    # numerically (keep), bloom must not fire on the string rendering
+    assert t.scan([("score", "=", 8.5)]).count() == 1
+    # the sound pairs still prune: str probe on the string column
+    assert t.scan([("name", "=", "nope")]).count() == 0
+    assert len(t.scan([("name", "=", "nope")]).inputFiles()) == 0
+
+
 def test_bloom_survives_compact_and_checkpoint(spark, tmp_path):
     t = _bloom_fixture(spark, tmp_path, "t", ["user"])
     t.compact(target_files=4, cluster_by=["bucket"])
@@ -1279,8 +1306,17 @@ def test_bloom_sidecar_bitsets_prune_and_vacuum(spark, tmp_path):
     # min/max covers everything, only the bloom can confine)
     hit = t.scan([("id", "=", 13)])
     assert len(hit.inputFiles()) == 1 and hit.count() == 1
-    cand = tx._bloom_candidates(adds, "id", [13], t._bloom_bits_of)
+    cand = tx._bloom_candidates(adds, "id", [13], t._bloom_bits_of,
+                                "bigint")
     assert len(cand) == 1
+    # type-mismatch guard (r8 ADVICE #1): an int probe against a column
+    # whose CAST AS STRING rendering differs must NOT prune
+    assert len(
+        tx._bloom_candidates(adds, "id", [13], t._bloom_bits_of, "double")
+    ) == len(adds)
+    assert len(
+        tx._bloom_candidates(adds, "id", [13], t._bloom_bits_of, None)
+    ) == len(adds)
     assert t._bloom_cache  # sidecar cached after the probe
 
     # a fresh handle (cold cache) reads the same prune from disk
@@ -1293,10 +1329,14 @@ def test_bloom_sidecar_bitsets_prune_and_vacuum(spark, tmp_path):
     t.vacuum(retain_last=1)
     assert _glob.glob(f"{root}/_txlog/bloom/*.bloom") == []
 
-    # orphan sweep: a stray sidecar no commit references
+    # orphan sweep: a stray sidecar no commit references. With the
+    # default grace it survives (could be an in-flight writer's staged
+    # sidecar); with grace 0 it sweeps.
     stray = f"{root}/_txlog/bloom/stray.id.bloom"
     open(stray, "wb").write(b"\x00" * 16)
     t.vacuum(retain_last=1, remove_orphans=True)
+    assert _glob.glob(f"{root}/_txlog/bloom/*") == [stray]
+    t.vacuum(retain_last=1, remove_orphans=True, orphan_grace_seconds=0)
     assert not _glob.glob(f"{root}/_txlog/bloom/*")
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .txlog import LogTable
+from .txlog import LogTable, StaleWatermarkError, _fold_txns
 
 __all__ = ["IncrementalAggView"]
 
@@ -136,11 +136,32 @@ class IncrementalAggView:
         an already-applied source version is a no-op skip (the txn
         watermark). An ADDITIVE source schema evolution folds through
         (``LogTable.changes`` reads both sides with the merged schema);
-        a non-additive change raises — run ``full_refresh`` after one."""
+        a non-additive change raises — run ``full_refresh`` after one.
+
+        Concurrent refreshers are safe BOTH ways: the watermark and the
+        view's old values are captured from ONE view-log snapshot, and
+        the commit is a compare-and-swap on that watermark
+        (``require_txn``) — if a concurrent refresh advanced it in
+        between (its fold would already be inside our "old" values,
+        the double-apply of r8 ADVICE #2), the commit is refused and
+        this refresh RE-PLANS from the new watermark."""
         src_v = self.source.version()
         if src_v < 0:
             return {"skipped": True, "reason": "source has no commits"}
-        last = self.view.last_txn_version(self.app_id)
+        last_exc: StaleWatermarkError | None = None
+        for _ in range(self.view.max_commit_retries + 1):
+            try:
+                return self._refresh_once(src_v)
+            except StaleWatermarkError as exc:
+                last_exc = exc
+        raise last_exc
+
+    def _refresh_once(self, src_v: int) -> dict:
+        """One refresh attempt against ONE consistent view snapshot:
+        the watermark and the old group values come from the same
+        loaded view-log prefix, and the commit CASes on that watermark."""
+        vprefix = self.view._load_for_read(None, allow_empty=True)
+        last = _fold_txns(vprefix).get(self.app_id, -1)
         if last >= src_v:
             return {"skipped": True, "source_version": src_v}
         if last < 0:
@@ -158,8 +179,11 @@ class IncrementalAggView:
         d = self._delta_agg(delta).localCheckpoint()
 
         vals = self._value_cols()
-        if self.view.version() >= 0:
-            old = self.view.read().select(
+        if vprefix:
+            # old values from the SAME pinned snapshot the watermark came
+            # from — a fresh read() here could include a concurrent
+            # refresher's fold and double-apply the shared window
+            old = self.view._read_of(vprefix).select(
                 F.col(_KEY),
                 *[F.col(v).alias(f"_old_{v}") for v in vals],
             )
@@ -200,7 +224,8 @@ class IncrementalAggView:
             .localCheckpoint()
         )
         res = self.view.merge_cdc(changes, key=_KEY,
-                                  txn=(self.app_id, src_v))
+                                  txn=(self.app_id, src_v),
+                                  require_txn=(self.app_id, last))
         res["source_version"] = src_v
         res["refreshed_from"] = last
         return res
