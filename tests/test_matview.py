@@ -386,3 +386,94 @@ def test_interleaved_refresh_different_source_versions_no_double_apply(
     assert res.get("refreshed_from") == v_a
     assert _materialized(mv_b) == _recompute(src)
     assert mv_b.refresh().get("skipped")
+
+
+def test_minmax_hybrid_exact_through_extremum_deletes(spark, tmp_path):
+    """min/max via the hybrid rule: insert-only refreshes and deletes
+    that miss the extremum stay delta-only (the exact-recompute helper
+    is NEVER invoked); a delete touching a group's recorded extremum
+    recomputes ONLY that group — and the view equals a from-scratch
+    recompute after every step, including group death."""
+    src = LogTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp",
+        sum_cols=["val"], min_cols=["val"], max_cols=["val"],
+    )
+    calls = {"n": 0}
+    real = mv._exact_minmax
+
+    def _spy(rec_keys, src_v):
+        calls["n"] += 1
+        return real(rec_keys, src_v)
+
+    mv._exact_minmax = _spy
+
+    def _mm_recompute():
+        return {
+            r["grp"]: (r["cnt"], r["mn"], r["mx"])
+            for r in src.read().groupBy("grp").agg(
+                F.count("*").alias("cnt"),
+                F.min(F.col("val").cast("double")).alias("mn"),
+                F.max(F.col("val").cast("double")).alias("mx"),
+            ).collect()
+        }
+
+    def _mm_view():
+        return {
+            r["grp"]: (r["cnt"], r["min_val"], r["max_val"])
+            for r in mv.read().collect()
+        }
+
+    src.append(_mk(spark, [(2, "a"), (8, "a"), (5, "b"), (9, "b")]))
+    mv.refresh()  # bootstrap: full read, all inserts
+    assert _mm_view() == _mm_recompute()
+    base_calls = calls["n"]
+
+    # insert-only refresh: extends one extremum, no recompute
+    src.append(_mk(spark, [(1, "a"), (20, "b")]))
+    mv.refresh()
+    assert _mm_view() == _mm_recompute()
+    assert calls["n"] == base_calls
+
+    # delete a NON-extremum row: still delta-only
+    # group a vals are {0.5 (id 1), 1.0 (id 2), 4.0 (id 8)} — id 2 is
+    # strictly interior
+    src.delete("id = 2")
+    mv.refresh()
+    assert _mm_view() == _mm_recompute()
+    assert calls["n"] == base_calls
+
+    # delete the MIN of group a (id=1 -> val 0.5): targeted recompute
+    src.delete("id = 1")
+    mv.refresh()
+    assert _mm_view() == _mm_recompute()
+    assert calls["n"] == base_calls + 1
+
+    # delete the MAX of group b, insert a new b row in the same window
+    src.delete("id = 20")
+    src.append(_mk(spark, [(7, "b")]))
+    mv.refresh()
+    assert _mm_view() == _mm_recompute()
+    assert calls["n"] == base_calls + 2
+
+    # kill group a entirely: D op, no recompute needed for a dead group
+    src.delete("grp = 'a'")
+    mv.refresh()
+    assert _mm_view() == _mm_recompute()
+    assert sorted(_mm_view()) == ["b"]
+
+    # full_refresh lands the identical state (column order + values)
+    mv2 = IncrementalAggView(
+        spark, src, str(tmp_path / "mv2"), group_by="grp",
+        sum_cols=["val"], min_cols=["val"], max_cols=["val"],
+    )
+    mv2.full_refresh()
+    assert {
+        r["grp"]: (r["cnt"], r["min_val"], r["max_val"])
+        for r in mv2.read().collect()
+    } == _mm_recompute()
+    # and an incremental refresh on top of a full one stays consistent
+    src.append(_mk(spark, [(3, "c")]))
+    mv2.refresh()
+    mv.refresh()
+    assert _mm_view() == _mm_recompute()

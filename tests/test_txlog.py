@@ -218,7 +218,11 @@ def test_random_op_walk_matches_in_memory_model(spark, tmp_path):
 
     for seed in (7, 23):
         rng = random.Random(seed)
-        t = LogTable(spark, str(tmp_path / f"walk{seed}"))
+        # seed 23 runs the SAME walk in merge-on-read mode: delete/merge
+        # write deletion vectors instead of rewriting files, and every
+        # model/time-travel equality below must hold identically
+        t = LogTable(spark, str(tmp_path / f"walk{seed}"),
+                     deletion_vectors=(seed == 23))
         model: dict[int, str] = {}
         history: list[dict[int, str]] = []
         next_id = 0
@@ -1519,3 +1523,227 @@ def test_changes_across_additive_evolution(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(9, 1.5)], "id bigint, val double"))
     with pytest.raises(ValueError, match="non-additive"):
         t.changes(1, t.version())
+
+
+# ---- deletion vectors (merge-on-read) -------------------------------------
+
+
+def _dv_adds(t):
+    from transcription_lakehouse_spark.txlog import _live_adds
+
+    return _live_adds(t._load_for_read(None))
+
+
+def test_dv_delete_merge_on_read(spark, tmp_path):
+    """DV delete marks rows without rewriting: same live files, exact
+    rows, time travel intact, repeated deletes UNION into the bitmap,
+    scan() pruning + residual filters still exact, CDF reports exactly
+    the newly deleted rows."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(
+        spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .repartition(4)
+    )
+    v0 = t.version()
+    files_v0 = sorted(t.read().inputFiles())
+    out = t.delete("id >= 10 AND id < 20")
+    assert out["rewritten_files"] == 0 and out["dv_files"] >= 1
+    assert sorted(t.read().inputFiles()) == files_v0  # no file rewritten
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [i for i in range(100) if not (10 <= i < 20)]
+    assert t.read(version=v0).count() == 100
+    # second delete unions into the existing bitmaps
+    out2 = t.delete("id = 25 OR id = 15")  # 15 already deleted
+    assert out2["rewritten_files"] == 0
+    assert t.read().count() == 89
+    # scan pruning/residual filters run over the DV-folded rows
+    assert sorted(r["id"] for r in t.scan([("id", "<", 15)]).collect()) \
+        == list(range(10))
+    # CDF across the first DV commit: delete-only, exactly 10 rows
+    ch = t.changes(v0, v0 + 1)
+    by_type = {r["_change_type"]: r["count"]
+               for r in ch.groupBy("_change_type").count().collect()}
+    assert by_type == {"delete": 10}
+
+
+def test_dv_merge_cdc_no_rewrite_and_exactly_once(spark, tmp_path):
+    """DV merge_cdc: upserted keys DV out of their old files (0 rewrites),
+    new rows land as appended files; the txn watermark still gives
+    exactly-once replay semantics."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(
+        spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .repartition(4)
+    )
+    ch = spark.createDataFrame(
+        [(5, 999, "U"), (30, -1, "D"), (200, 400, "U")],
+        "id bigint, v bigint, _op string",
+    )
+    res = t.merge_cdc(ch, "id", txn=("app", 1))
+    assert res["rewritten_files"] == 0 and res["dv_files"] >= 1
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[5] == 999 and 30 not in rows and rows[200] == 400
+    assert len(rows) == 49 + 1  # 50 - deleted 30 - old 5 + new 5 + 200
+    # replay of the same (app, version) is a clean skip
+    replay = t.merge_cdc(ch, "id", txn=("app", 1))
+    assert replay.get("skipped_as_applied")
+    assert {r["id"]: r["v"] for r in t.read().collect()} == rows
+
+
+def test_dv_compact_materializes_and_vacuum_sweeps_sidecars(
+    spark, tmp_path, monkeypatch
+):
+    """Force sidecar DVs (tiny inline cap), compact to materialize them
+    away, then vacuum to the newest snapshot: the DV sidecars serve no
+    retained snapshot and must be deleted (grace 0 — no writer in
+    flight)."""
+    import glob as _glob
+
+    import transcription_lakehouse_spark.txlog as tx
+
+    monkeypatch.setattr(tx, "_DV_INLINE_MAX", 4)
+    root = str(tmp_path / "t")
+    t = LogTable(spark, root, deletion_vectors=True)
+    t.append(
+        spark.range(60).select(F.col("id"), (F.col("id") % 7).alias("g"))
+        .repartition(3)
+    )
+    t.delete("g = 3")
+    assert _glob.glob(f"{root}/_txlog/dv/*.dv")  # sidecars written
+    adds = _dv_adds(t)
+    assert any(a.get("dv", {}).get("ref") for a in adds)
+    assert t.read().count() == 60 - 9  # ids 3,10,...,59 -> 9 rows
+    # a COLD handle must fold the sidecar DVs identically
+    t2 = LogTable(spark, root)
+    assert t2.read().count() == 51
+    t.compact(target_files=1)
+    assert not any(a.get("dv") for a in _dv_adds(t))
+    assert t.read().count() == 51
+    t.vacuum(retain_last=1, remove_orphans=True, orphan_grace_seconds=0)
+    assert _glob.glob(f"{root}/_txlog/dv/*.dv") == []
+    assert t.read().count() == 51
+
+
+def test_dv_restore_across_dv_change(spark, tmp_path):
+    """RESTORE to a version whose live PATHS match the tip but whose DV
+    state differs must re-add the old entries (rows come back)."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(spark.range(20).coalesce(1))
+    v0 = t.version()
+    t.delete("id < 5")
+    assert t.read().count() == 15
+    out = t.restore(v0)
+    assert out["restored_version"] == v0
+    assert t.read().count() == 20
+    # and restore FORWARD to the post-delete state again
+    t.restore(v0 + 1)
+    assert t.read().count() == 15
+
+
+def test_dv_cow_handle_never_resurrects(spark, tmp_path):
+    """A copy-on-write handle (deletion_vectors=False) mutating a table
+    that already carries DVs must fold them in every rewrite path —
+    delete, merge survivors, compact."""
+    root = str(tmp_path / "t")
+    t = LogTable(spark, root, deletion_vectors=True)
+    t.append(
+        spark.range(40).select(F.col("id"), (F.col("id") * 3).alias("v"))
+        .coalesce(2)
+    )
+    t.delete("id >= 30")  # DV'd rows
+    cow = LogTable(spark, root)  # plain handle, same table
+    assert cow.read().count() == 30
+    out = cow.delete("id < 5")
+    assert out["rewritten_files"] >= 1
+    got = sorted(r["id"] for r in cow.read().collect())
+    assert got == list(range(5, 30))  # 30..39 stayed dead
+    res = cow.merge(
+        spark.createDataFrame([(7, -1), (50, 500)], "id bigint, v bigint"),
+        key="id",
+    )
+    assert res["rewritten_files"] >= 1
+    rows = {r["id"]: r["v"] for r in cow.read().collect()}
+    assert rows[7] == -1 and rows[50] == 500 and 35 not in rows
+
+
+def test_dv_position_cap_falls_back_to_cow(spark, tmp_path, monkeypatch):
+    """Above _DV_MAX_POSITIONS the driver-side position collect would be
+    the bottleneck — the op must fall back to copy-on-write and still be
+    exact."""
+    import transcription_lakehouse_spark.txlog as tx
+
+    monkeypatch.setattr(tx, "_DV_MAX_POSITIONS", 10)
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(spark.range(100).coalesce(2))
+    out = t.delete("id < 50")  # 50 matches > cap 10
+    assert out["rewritten_files"] >= 1 and "dv_files" not in out
+    assert t.read().count() == 50
+    small = t.delete("id = 60")  # 1 match <= cap: DV path
+    assert small["rewritten_files"] == 0 and small["dv_files"] == 1
+    assert t.read().count() == 49
+
+
+def test_dv_snapshot_materializes_folded_rows(spark, tmp_path):
+    """create_snapshot over a DV'd txlog artifact must export the FOLDED
+    rows (a raw file copy would resurrect deleted rows)."""
+    import json as _json
+    import os as _os
+
+    from transcription_lakehouse_spark.snapshot import (
+        create_snapshot,
+        verify_snapshot,
+    )
+
+    lake = str(tmp_path / "lake")
+    _os.makedirs(lake)
+    with open(_os.path.join(lake, "_lake_format.json"), "w") as f:
+        _json.dump({"format": "txlog"}, f)
+    t = LogTable(spark, _os.path.join(lake, "normalized"),
+                 deletion_vectors=True)
+    t.append(spark.range(30).selectExpr("id", "id * 2 AS v"))
+    t.delete("id < 10")
+    t.append(  # label resolution: tag the tip like the pipeline does
+        spark.createDataFrame([], t.read().schema),
+        params={"label": "v1"},
+    )
+    snap = create_snapshot(
+        spark, lake, "v0.0.1", artifacts=["normalized"], qa_status="GREEN",
+    )
+    assert verify_snapshot(snap) == []
+    exported = spark.read.parquet(_os.path.join(snap, "normalized"))
+    assert sorted(r["id"] for r in exported.collect()) == list(range(10, 30))
+
+
+def test_seen_episode_ids_bloom_pruned_probe(spark, tmp_path):
+    """Incremental-ingest existence check on a txlog lake: the batch's
+    episode ids probe the log's per-file blooms, so the check opens
+    O(bloom-matched) files — not every live file's episode_id column
+    (r8 verdict next-list #7)."""
+    import os as _os
+
+    from transcription_lakehouse_spark.ingestion import (
+        seen_episode_ids,
+        set_lake_format,
+        write_versioned,
+    )
+
+    lake = str(tmp_path / "lake")
+    _os.makedirs(lake)
+    set_lake_format(lake, "txlog")
+    for i in range(6):
+        df = spark.createDataFrame(
+            [(f"ep{i}", 0.0, 1.0, "s", f"text {i}")],
+            "episode_id string, start double, end double, "
+            "speaker string, text string",
+        )
+        write_versioned(df, lake, "normalized", "v1",
+                        mode="append" if i else "overwrite")
+    all_files = len(
+        seen_episode_ids(spark, lake, "normalized", "v1", None).inputFiles()
+    )
+    assert all_files >= 6  # the fallback path sweeps every live file
+    probe = seen_episode_ids(
+        spark, lake, "normalized", "v1", ["ep3", "never-ingested"]
+    )
+    assert sorted(r[0] for r in probe.collect()) == ["ep3"]
+    assert len(probe.inputFiles()) <= 1  # bloom-pruned to the one file

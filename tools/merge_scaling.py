@@ -10,10 +10,18 @@ merged with key sets of growing size that are either RANGE-CONFINED
 (touches every file — the honest worst case, equivalent to a full
 rewrite BY NECESSITY, not by cliff).
 
-Usage: python tools/merge_scaling.py
-Prints one JSON line per (pattern, n_keys) with wall seconds and
-rewritten_files; exits nonzero if a confined merge rewrote every file
-(the cliff would be back).
+Round 9 adds the MERGE-ON-READ mode (deletion_vectors=True): the same
+grid where matched keys are marked in per-file DV bitmaps and upserts
+append — the uniform row, a full-table rewrite by necessity under
+copy-on-write, must drop to ZERO rewrites (one tiny bitmap per touched
+file) at a fraction of the wall. That is the r8 verdict's "missing #1"
+done-criterion, measured.
+
+Usage: python tools/merge_scaling.py [--dv-only]
+Prints one JSON line per (mode, pattern, n_keys) with wall seconds,
+rewritten_files and dv_files; exits nonzero if a confined COW merge
+rewrote every file (the cliff would be back), if a DV merge rewrote
+ANY file, or if a DV merge returned wrong rows.
 """
 
 from __future__ import annotations
@@ -35,8 +43,8 @@ N_ROWS = 2_000_000
 KEY_COUNTS = [100, 10_000, 50_000, 200_000]
 
 
-def build(spark, root: str) -> LogTable:
-    t = LogTable(spark, root)
+def build(spark, root: str, dv: bool = False) -> LogTable:
+    t = LogTable(spark, root, deletion_vectors=dv)
     df = spark.range(N_ROWS).select(
         F.col("id"),
         F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("val"),
@@ -62,32 +70,59 @@ def updates(spark, n: int, confined: bool):
 def main() -> int:
     spark = get_spark(app_name="merge-scaling")
     rc = 0
-    for pattern in ("confined", "uniform"):
-        for n in KEY_COUNTS:
-            root = tempfile.mkdtemp(prefix=f"mscale_{pattern}_{n}_")
-            try:
-                t = build(spark, root)
-                n_files = len(t._snapshot()[0])
-                t0 = time.time()
-                out = t.merge(updates(spark, n, pattern == "confined"),
-                              key="id")
-                wall = round(time.time() - t0, 2)
-                row = {
-                    "pattern": pattern,
-                    "n_keys": n,
-                    "table_files": n_files,
-                    "rewritten_files": out["rewritten_files"],
-                    "wall_sec": wall,
-                    "rows_after": t.read().count(),
-                }
-                print(json.dumps(row))
-                if pattern == "confined" and \
-                        out["rewritten_files"] >= n_files:
-                    print(f"CLIFF: confined {n}-key merge rewrote every "
-                          f"file ({out['rewritten_files']}/{n_files})")
-                    rc = 1
-            finally:
-                shutil.rmtree(root, ignore_errors=True)
+    modes = ("dv",) if "--dv-only" in sys.argv[1:] else ("cow", "dv")
+    for mode in modes:
+        for pattern in ("confined", "uniform"):
+            for n in KEY_COUNTS:
+                root = tempfile.mkdtemp(
+                    prefix=f"mscale_{mode}_{pattern}_{n}_"
+                )
+                try:
+                    t = build(spark, root, dv=(mode == "dv"))
+                    n_files = len(t._snapshot()[0])
+                    t0 = time.time()
+                    out = t.merge(
+                        updates(spark, n, pattern == "confined"),
+                        key="id",
+                    )
+                    wall = round(time.time() - t0, 2)
+                    row = {
+                        "mode": mode,
+                        "pattern": pattern,
+                        "n_keys": n,
+                        "table_files": n_files,
+                        "rewritten_files": out["rewritten_files"],
+                        "dv_files": out.get("dv_files", 0),
+                        "wall_sec": wall,
+                        "rows_after": t.read().count(),
+                    }
+                    print(json.dumps(row))
+                    if row["rows_after"] != N_ROWS:
+                        print(f"WRONG ROWS: {row['rows_after']}")
+                        rc = 1
+                    if mode == "cow" and pattern == "confined" and \
+                            out["rewritten_files"] >= n_files:
+                        print(
+                            f"CLIFF: confined {n}-key merge rewrote "
+                            f"every file "
+                            f"({out['rewritten_files']}/{n_files})"
+                        )
+                        rc = 1
+                    if mode == "dv" and out["rewritten_files"]:
+                        print(
+                            f"DV MODE REWROTE FILES: "
+                            f"{out['rewritten_files']}"
+                        )
+                        rc = 1
+                    if mode == "dv":
+                        # spot-check the upsert actually took effect
+                        # through the DV fold
+                        hit = t.scan([("id", "=", 0)]).head()
+                        if not hit or not hit["val"].startswith("UPD"):
+                            print(f"DV MERGE WRONG VALUE: {hit}")
+                            rc = 1
+                finally:
+                    shutil.rmtree(root, ignore_errors=True)
     return rc
 
 

@@ -83,20 +83,27 @@ def ingest(input_path, lakehouse_path, pattern, version, dry_run,
     ) else input_path
     raw = with_default_episode_id(read_jsonl(spark, glob_path))
 
-    from .ingestion import incremental_filter
+    from .ingestion import incremental_filter, seen_episode_ids
 
     existing = None
     if incremental and artifact_exists(lakehouse_path, "normalized", version):
-        # pin ONLY the distinct episode ids (not the full table) before
+        # the batch's distinct episode ids are bounded (a batch holds a
+        # few episodes) — on a txlog lake they PROBE the log's per-file
+        # blooms, so the existence check opens only bloom-matched files
+        # instead of sweeping every live file's episode_id column
+        batch_ids = [
+            r["episode_id"]
+            for r in raw.select("episode_id").distinct()
+            .limit(4097).collect()
+        ]
+        if len(batch_ids) > 4096:
+            batch_ids = None  # over-cap: the full column read wins
+        # pin ONLY the matched episode ids (not the full table) before
         # writing to the same path: cheap, and the plan stays independent
         # of the sink's file listing
-        existing = (
-            read_versioned(
-                spark, lakehouse_path, "normalized", version, ["episode_id"]
-            )
-            .distinct()
-            .localCheckpoint()
-        )
+        existing = seen_episode_ids(
+            spark, lakehouse_path, "normalized", version, batch_ids
+        ).localCheckpoint()
         # validation/dry-run stats must describe what WOULD be ingested —
         # the post-filter delta — not episodes already in the lake
         raw = incremental_filter(raw, existing)

@@ -126,7 +126,12 @@ def artifact_exists(base_dir: str, artifact: str, version: str = "v1") -> bool:
 def _txlog_table(spark, base_dir: str, artifact: str):
     from .txlog import LogTable
 
-    return LogTable(spark, os.path.join(base_dir, artifact))
+    # every transcript artifact carries episode_id — bloom it on write so
+    # point lookups (the incremental-ingest existence check, label-pinned
+    # episode reads) prune files from the LOG instead of opening every
+    # live file; artifacts without the column harvest nothing (no-op)
+    return LogTable(spark, os.path.join(base_dir, artifact),
+                    bloom_for=["episode_id"])
 
 
 def _txlog_resolve_label(t, label: str | None) -> int | None:
@@ -480,6 +485,46 @@ def incremental_filter(new: DataFrame, existing: DataFrame) -> DataFrame:
     distinct episode_id — `cli/commands/ingest.py:278-307`)."""
     seen = existing.select("episode_id").distinct()
     return new.join(F.broadcast(seen), "episode_id", "left_anti")
+
+
+# point-lookup probe cap: a batch with more distinct episodes than this
+# skips the per-id bloom probe (the full column read is then the right
+# plan anyway — the probe's IN-list would be huge)
+_SEEN_PROBE_CAP = 4096
+
+
+def seen_episode_ids(
+    spark: SparkSession,
+    base_dir: str,
+    artifact: str,
+    version: str,
+    candidate_ids: list[str] | None,
+) -> DataFrame:
+    """Which of ``candidate_ids`` already exist in the lake — the
+    incremental-ingest existence check. On a txlog lake the probe goes
+    through ``LogTable.scan('in', ...)``: the log's per-file blooms on
+    episode_id (harvested at write, `_txlog_table`) plus min/max stats
+    prune the file set DRIVER-SIDE, so the check opens O(files holding
+    those episodes) instead of scanning every live file's episode_id
+    column — on a many-file lake that is the difference between a
+    metadata probe and a full column sweep. ``candidate_ids=None`` (or
+    an over-cap list) and dirs lakes fall back to the full distinct
+    column read; results are identical either way (the probe is an
+    optimization, the left-anti join still decides)."""
+    if (
+        lake_format(base_dir) == "txlog"
+        and candidate_ids is not None
+        and len(candidate_ids) <= _SEEN_PROBE_CAP
+    ):
+        t = _txlog_table(spark, base_dir, artifact)
+        df = t.scan(
+            [("episode_id", "in", list(candidate_ids))],
+            version=_txlog_resolve_label(t, version),
+        )
+        return df.select("episode_id").distinct()
+    return read_versioned(
+        spark, base_dir, artifact, version, ["episode_id"]
+    ).distinct()
 
 
 def ingest(

@@ -13,11 +13,14 @@ cost track the CHANGE, not the table — measured in
 ``tools/matview_scaling.py``: the source grows 5x while per-refresh
 wall stays flat.
 
-Only retraction-safe aggregates are maintained: ``count(*)`` and
-``sum(col)`` (``avg`` = sum/cnt, derivable at read time — ``read()``
-surfaces it). ``min``/``max`` are refused by construction: a deleted
-extremum cannot be repaired from a delta without rescanning its group,
-which is exactly the recompute this module exists to avoid.
+Retraction-safe aggregates maintain purely from deltas: ``count(*)``,
+``sum(col)`` and the (Σx, Σx²) variance fold (``avg``/``var``/``std``
+derive at read time — ``read()`` surfaces them). ``min``/``max`` are
+NOT retraction-safe from deltas alone — they use the HYBRID rule
+(``min_cols``/``max_cols``): inserts fold incrementally, and a delete
+that touches a group's recorded extremum triggers an exact recompute
+of ONLY that group, file-pruned through ``source.scan()`` (deletes that
+don't touch an extremum stay delta-only).
 
 Reference anchor: the reference rebuilds its catalogs from scratch on
 every run (`src/lakehouse/aggregation/spans.py` recomputes the full
@@ -62,7 +65,9 @@ class IncrementalAggView:
     def __init__(self, spark: SparkSession, source: LogTable, path: str,
                  group_by: list[str] | str,
                  sum_cols: list[str] | None = None,
-                 var_cols: list[str] | None = None):
+                 var_cols: list[str] | None = None,
+                 min_cols: list[str] | None = None,
+                 max_cols: list[str] | None = None):
         self.spark = spark
         self.source = source
         self.group_by = (
@@ -77,9 +82,22 @@ class IncrementalAggView:
         for c in self.var_cols:
             if c not in self.sum_cols:
                 self.sum_cols.append(c)
+        # min/max via the HYBRID rule (they are NOT retraction-safe from
+        # deltas alone — the r8 refusal stands for the pure-delta fold):
+        # inserts maintain incrementally (least/greatest against the old
+        # extremum); a delete that TOUCHES a group's recorded extremum
+        # (deleted value <= stored min / >= stored max) triggers an exact
+        # recompute of ONLY that group from the source snapshot — file-
+        # pruned through source.scan() when the group key is a single
+        # str/int column. Deletes that don't touch an extremum stay
+        # delta-only, so refresh cost still tracks the change.
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
         reserved = {_KEY, _SIGN, "cnt"} | {
             f"sum_{c}" for c in self.sum_cols
-        } | {f"sumsq_{c}" for c in self.var_cols}
+        } | {f"sumsq_{c}" for c in self.var_cols} | {
+            f"min_{c}" for c in self.min_cols
+        } | {f"max_{c}" for c in self.max_cols}
         clash = reserved & set(self.group_by)
         if clash:
             # a group column named like a maintained value column would
@@ -122,11 +140,63 @@ class IncrementalAggView:
                       * F.col(_SIGN))
                 .alias(f"sumsq_{c}")
             )
+        # min/max fold SIGNED SIDES separately: the insert side maintains
+        # the extremum incrementally, the delete side is the recompute
+        # trigger (a deleted value at-or-past the stored extremum)
+        for agg, cols in ((F.min, self.min_cols), (F.max, self.max_cols)):
+            name = "min" if agg is F.min else "max"
+            for c in cols:
+                aggs.append(agg(
+                    F.when(F.col(_SIGN) > 0, F.col(c).cast("double"))
+                ).alias(f"_ins_{name}_{c}"))
+                aggs.append(agg(
+                    F.when(F.col(_SIGN) < 0, F.col(c).cast("double"))
+                ).alias(f"_del_{name}_{c}"))
         return self._keyed(rows).groupBy(_KEY, *self.group_by).agg(*aggs)
 
+    def _minmax_names(self) -> list[tuple[str, str]]:
+        return ([("min", c) for c in self.min_cols]
+                + [("max", c) for c in self.max_cols])
+
     def _value_cols(self) -> list[str]:
+        """The ADDITIVE maintained columns (fold = old + delta)."""
         return (["cnt"] + [f"sum_{c}" for c in self.sum_cols]
                 + [f"sumsq_{c}" for c in self.var_cols])
+
+    def _all_value_cols(self) -> list[str]:
+        """Every maintained view column, in the stored order."""
+        return (self._value_cols()
+                + [f"{n}_{c}" for n, c in self._minmax_names()])
+
+    def _exact_minmax(self, rec_keys: DataFrame, src_v: int) -> DataFrame:
+        """Exact per-group min/max over the source snapshot at
+        ``src_v``, ONLY for the groups whose recorded extremum a delete
+        touched. A single-column str/int group key goes through
+        ``source.scan('in', ...)``, which prunes files from the LOG
+        (min/max stats + blooms) — the targeted recompute opens
+        O(files holding those groups), not the table; other key shapes
+        fall back to a semi-joined snapshot read."""
+        aggs = [
+            (F.min if n == "min" else F.max)(F.col(c).cast("double"))
+            .alias(f"_rec_{n}_{c}")
+            for n, c in self._minmax_names()
+        ]
+        if len(self.group_by) == 1:
+            col0 = self.group_by[0]
+            head = rec_keys.select(col0).collect()  # bounded: touched grps
+            vals = [r[0] for r in head]
+            if vals and all(
+                isinstance(v, (str, int)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                src = self.source.scan([(col0, "in", vals)],
+                                       version=src_v)
+                return self._keyed(src).groupBy(_KEY).agg(*aggs)
+        src = self._keyed(self.source.read(src_v))
+        return (
+            src.join(F.broadcast(rec_keys.select(_KEY)), _KEY, "left_semi")
+            .groupBy(_KEY).agg(*aggs)
+        )
 
     # ---- API -------------------------------------------------------------
 
@@ -179,13 +249,15 @@ class IncrementalAggView:
         d = self._delta_agg(delta).localCheckpoint()
 
         vals = self._value_cols()
+        mm = self._minmax_names()
+        all_vals = self._all_value_cols()
         if vprefix:
             # old values from the SAME pinned snapshot the watermark came
             # from — a fresh read() here could include a concurrent
             # refresher's fold and double-apply the shared window
             old = self.view._read_of(vprefix).select(
                 F.col(_KEY),
-                *[F.col(v).alias(f"_old_{v}") for v in vals],
+                *[F.col(v).alias(f"_old_{v}") for v in all_vals],
             )
             # the view never shuffles: restrict it to touched groups
             # with a broadcast semi-join (delta-sized), then serve old
@@ -196,7 +268,8 @@ class IncrementalAggView:
             merged = d.join(F.broadcast(old_touched), _KEY, "left")
         else:
             merged = d.select(
-                "*", *[F.lit(None).alias(f"_old_{v}") for v in vals]
+                "*", *[F.lit(None).cast("double" if v != "cnt" else "long")
+                       .alias(f"_old_{v}") for v in all_vals]
             )
         def _zero(v: str) -> F.Column:
             return F.lit(0).cast("long" if v == "cnt" else "double")
@@ -209,12 +282,53 @@ class IncrementalAggView:
              + F.coalesce(F.col(v), _zero(v))).alias(v)
             for v in vals
         ]
+        mm_exprs: list[F.Column] = []
+        if mm:
+            # hybrid min/max: inserts fold incrementally; a delete that
+            # touches a group's recorded extremum flags the group for an
+            # exact recompute from the source snapshot (min/max are not
+            # retraction-safe from deltas alone — the r8 refusal, now
+            # served by targeted recompute instead of refusal)
+            need = F.lit(False)
+            for n, c in mm:
+                delv = F.col(f"_del_{n}_{c}")
+                oldv = F.col(f"_old_{n}_{c}")
+                hit = (delv <= oldv) if n == "min" else (delv >= oldv)
+                need = need | (delv.isNotNull()
+                               & (oldv.isNull() | hit))
+            survives = (
+                F.coalesce(F.col("_old_cnt"), F.lit(0))
+                + F.coalesce(F.col("cnt"), F.lit(0)) > 0
+            )
+            merged = merged.withColumn(
+                "_needs_rec", need & survives
+            ).localCheckpoint()
+            rec_keys = merged.filter(F.col("_needs_rec")).select(
+                _KEY, *self.group_by
+            )
+            if rec_keys.head(1):
+                exact = self._exact_minmax(rec_keys, src_v)
+                merged = merged.join(F.broadcast(exact), _KEY, "left")
+            else:
+                merged = merged.select("*", *[
+                    F.lit(None).cast("double").alias(f"_rec_{n}_{c}")
+                    for n, c in mm
+                ])
+            for n, c in mm:
+                inc = (F.least if n == "min" else F.greatest)(
+                    F.col(f"_old_{n}_{c}").cast("double"),
+                    F.col(f"_ins_{n}_{c}"),
+                )
+                mm_exprs.append(
+                    F.when(F.col("_needs_rec"), F.col(f"_rec_{n}_{c}"))
+                    .otherwise(inc).alias(f"{n}_{c}")
+                )
         # a group that appeared and vanished inside one window never
         # reached the view — drop it instead of emitting a no-op delete
         changes = (
             merged
             .filter(F.col("_old_cnt").isNotNull() | (F.col("cnt") > 0))
-            .select(F.col(_KEY), *self.group_by, *new_vals)
+            .select(F.col(_KEY), *self.group_by, *new_vals, *mm_exprs)
             .withColumn(
                 "_op",
                 F.when(F.col("cnt") <= 0, F.lit("D")).otherwise(F.lit("U")),
@@ -241,6 +355,11 @@ class IncrementalAggView:
             return {"skipped": True, "reason": "source has no commits"}
         full = self.source.read(src_v).withColumn(_SIGN, F.lit(1))
         df = self._delta_agg(full)
+        # all-insert fold: the insert-side extremum IS the exact one
+        for n, c in self._minmax_names():
+            df = df.withColumnRenamed(
+                f"_ins_{n}_{c}", f"{n}_{c}"
+            ).drop(f"_del_{n}_{c}")
         v = self.view.overwrite(df, params={
             "txn_app_id": self.app_id, "txn_version": src_v,
         })

@@ -89,12 +89,28 @@ def create_snapshot(
             if not live:
                 continue  # empty live set: nothing to copy or count
             dst = os.path.join(snap_dir, art)
-            os.makedirs(dst)
-            for i, f_src in enumerate(live):
-                shutil.copy2(
-                    f_src,
-                    os.path.join(dst, f"{i:05d}-{os.path.basename(f_src)}"),
-                )
+            from .txlog import _live_adds
+
+            adds = _live_adds(t._load_for_read(v))
+            if any(a.get("dv") for a in adds):
+                # deletion vectors present: a raw file copy would
+                # resurrect DV-deleted rows in the snapshot — MATERIALIZE
+                # the DV-folded live rows instead (the snapshot is an
+                # immutable export, so losing the merge-on-read layout
+                # here is exactly right)
+                t.read(v).write.mode("errorifexists").parquet(dst)
+                for extra in os.listdir(dst):
+                    if extra.startswith((".", "_")):
+                        os.remove(os.path.join(dst, extra))
+            else:
+                os.makedirs(dst)
+                for i, f_src in enumerate(live):
+                    shutil.copy2(
+                        f_src,
+                        os.path.join(
+                            dst, f"{i:05d}-{os.path.basename(f_src)}"
+                        ),
+                    )
         else:
             src = os.path.join(lake_dir, art, lakehouse_version)
             if not os.path.isdir(src):
