@@ -66,6 +66,7 @@ HEADLINE = [
     "q9_product_profit",
     "q21_waiting_suppliers",
     "doc_dsir_weights",
+    "doc_ngram_logprob",
     "vec_kcenter_coreset",
     "doc_bm25_topk",
     "vec_knn_int8",

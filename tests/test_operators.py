@@ -2051,3 +2051,62 @@ def test_kcenter_coreset_properties(spark):
     dists = [r["min_dist"] for r in out[1:]]
     assert all(d is not None and d > 0 for d in dists)
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+
+
+def test_ngram_lm_separates_gibberish_from_fluent(spark):
+    """The hashed 3-gram stupid-backoff LM must separate token-SHUFFLED
+    gibberish from fluent text — by construction a shuffled twin has the
+    IDENTICAL token multiset, so every unigram-only score (the
+    doc_unigram_logprob leg) ties exactly; only the higher-order model
+    can tell them apart (the r8 verdict's "missing #3" done-criterion)."""
+    import random
+
+    from transcription_lakehouse_spark.operators.ngram_lm import (
+        score_ngram_logprob,
+        train_ngram_counts,
+    )
+
+    rng = random.Random(7)
+    patterns = [
+        "the cat sat on the mat and the dog slept by the door",
+        "a quick brown fox jumps over the lazy dog every single day",
+        "she sells sea shells by the sea shore in the morning",
+        "we hold these truths to be self evident among the people",
+    ]
+    train_texts = [
+        " ".join(rng.choice(patterns) for _ in range(3)) for _ in range(40)
+    ]
+    train_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id long, text string",
+    )
+    model = train_ngram_counts(
+        train_df, "text", uni_b=1024, bi_b=2048, tri_b=4096
+    )
+
+    # eval: held-out fluent compositions + their token-shuffled twins
+    fluent = [
+        " ".join(rng.choice(patterns) for _ in range(2)) for _ in range(10)
+    ]
+    rows = []
+    for i, t in enumerate(fluent):
+        rows.append((i * 2, t))                     # even ids: fluent
+        shuffled = t.split()
+        rng.shuffle(shuffled)
+        rows.append((i * 2 + 1, " ".join(shuffled)))  # odd: gibberish twin
+    scored = {
+        r["doc_id"]: (r["sum_nll"], r["n_tokens"])
+        for r in score_ngram_logprob(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", model,
+        ).collect()
+    }
+    margins = []
+    for i in range(10):
+        nll_f, n_f = scored[i * 2]
+        nll_g, n_g = scored[i * 2 + 1]
+        assert n_f == n_g  # same multiset, same token count
+        margins.append(nll_g / n_g - nll_f / n_f)
+    # EVERY shuffled twin scores strictly worse per token — while the
+    # unigram score's margin is identically zero on these pairs
+    assert all(m > 0.1 for m in margins), margins

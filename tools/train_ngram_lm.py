@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Train the hashed 3-gram stupid-backoff LM artifact for the
+doc_ngram_logprob quality filter (CCNet-style perplexity filtering,
+public method) and commit it as workload/_ngram_lm.py — the same
+offline-training discipline as tools/train_pca.py / train_quality.py:
+the model is a fixed, versioned artifact, NOT refit per query, so
+scores are reproducible and the DuckDB oracle can replay the identical
+bucket tables.
+
+Usage: python tools/train_ngram_lm.py [sf_dir]   (default sf0.01)
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from transcription_lakehouse_spark.operators.ngram_lm import (  # noqa: E402
+    train_ngram_counts,
+)
+from transcription_lakehouse_spark.session import get_spark  # noqa: E402
+from transcription_lakehouse_spark.sources.tables import load_table  # noqa: E402
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "transcription_lakehouse_spark", "workload", "_ngram_lm.py",
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="train-ngram-lm")
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_ngram_counts(docs, "text")
+
+    def _fmt(name: str, counts: list[int]) -> str:
+        body = ",".join(str(c) for c in counts)
+        return f"{name} = [{body}]\n"
+
+    with open(OUT, "w") as f:
+        f.write(
+            '"""Committed hashed 3-gram LM counts (stupid backoff) — '
+            "trained by\ntools/train_ngram_lm.py on "
+            f"{sf_dir} documents. Regenerate with that tool;\n"
+            "do not hand-edit. Bucket idiom: md5 -> first 8 hex -> "
+            "bigint %% B\n(identical in Spark and DuckDB).\"\"\"\n\n"
+        )
+        f.write(f"UNI_B = {model['uni_b']}\n")
+        f.write(f"BI_B = {model['bi_b']}\n")
+        f.write(f"TRI_B = {model['tri_b']}\n")
+        f.write(f"TOTAL = {model['total']}\n")
+        f.write(f"TRAINED_ON = {sf_dir!r}\n")
+        f.write(_fmt("UNI", model["uni"]))
+        f.write(_fmt("BI", model["bi"]))
+        f.write(_fmt("TRI", model["tri"]))
+    nz = {k: sum(1 for c in model[k] if c) for k in ("uni", "bi", "tri")}
+    print(f"wrote {OUT}: total={model['total']} nonzero buckets={nz}")
+
+
+if __name__ == "__main__":
+    main()

@@ -2190,6 +2190,128 @@ ORDER BY doc_id
 """
 
 
+def doc_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed 3-gram stupid-backoff LM surprisal per document — the
+    higher-order completion of the CCNet-style quality stack whose
+    unigram leg is `doc_unigram_logprob` (r8 verdict "missing #3"):
+    production pipelines score with a KenLM trained on a trusted corpus;
+    here the LM is the COMMITTED artifact `_ngram_lm.py` (trained
+    offline by tools/train_ngram_lm.py on sf0.01 documents — fixed, not
+    refit per query, so scores are reproducible across SFs and engines).
+
+    Scoring: stupid backoff (Brants 2007) over hashed bucket tables —
+    p(w|w-2 w-1) = c(tri)/c(ctx), backing off through 0.4·c(bi)/c(prev)
+    to 0.16·(c(uni)+1)/(TOTAL+B). Bucket collisions are inherent to
+    hashed LMs and deterministic across engines (shared md5 idiom).
+    Emits sum_nll + n_tokens like the unigram twin.
+
+    Scale: gram/bucket assembly is row-local on the token array (only
+    the zipped bucket structs explode — the array itself never
+    duplicates through the Generate), five broadcast joins against
+    <= 8 K-row committed count tables, ONE shuffle to the per-doc sum;
+    the model is corpus-size-free by construction."""
+    from . import _ngram_lm as LM
+    from ..operators.ngram_lm import score_ngram_logprob
+
+    d = _docs(spark, sf_dir)
+    model = {
+        "uni_b": LM.UNI_B, "bi_b": LM.BI_B, "tri_b": LM.TRI_B,
+        "total": LM.TOTAL,
+        "uni": LM.UNI, "bi": LM.BI, "tri": LM.TRI,
+    }
+    return score_ngram_logprob(d, "doc_id", "text", model)
+
+
+def _ngram_lm_sql() -> str:
+    """The committed LM's oracle twin: nonzero (bucket, count) pairs
+    inlined as parallel unnest lists (DuckDB zips same-select unnests
+    positionally), the bucket hash and the backoff CASE mirroring
+    operators/ngram_lm.py term for term."""
+    from . import _ngram_lm as LM
+
+    def pairs(counts):
+        nz = [(i, c) for i, c in enumerate(counts) if c > 0]
+        bs = ",".join(str(i) for i, _ in nz)
+        cs = ",".join(str(c) for _, c in nz)
+        return bs, cs
+
+    ub, uc = pairs(LM.UNI)
+    bb, bc = pairs(LM.BI)
+    tb, tc = pairs(LM.TRI)
+
+    def h(expr, m):
+        return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT) % {m}"
+
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOK} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t[i] AS w,
+         CASE WHEN i >= 2 THEN t[i-1] END AS p1,
+         CASE WHEN i >= 3 THEN t[i-2] END AS p2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tk)
+),
+b AS (
+  SELECT doc_id,
+    {h('w', LM.UNI_B)} AS bu,
+    CASE WHEN p1 IS NOT NULL THEN {h('p1', LM.UNI_B)} END AS bp,
+    CASE WHEN p1 IS NOT NULL
+         THEN {h("p1 || ' ' || w", LM.BI_B)} END AS bb,
+    CASE WHEN p2 IS NOT NULL
+         THEN {h("p2 || ' ' || p1", LM.BI_B)} END AS bc,
+    CASE WHEN p2 IS NOT NULL
+         THEN {h("p2 || ' ' || p1 || ' ' || w", LM.TRI_B)} END AS bt
+  FROM pos
+),
+uni AS (SELECT unnest([{ub}]) AS kb, unnest([{uc}]) AS kc),
+bi  AS (SELECT unnest([{bb}]) AS kb, unnest([{bc}]) AS kc),
+tri AS (SELECT unnest([{tb}]) AS kb, unnest([{tc}]) AS kc),
+j AS (
+  SELECT b.doc_id, b.bu, b.bp, b.bb, b.bc, b.bt,
+         u.kc AS c_uni, p.kc AS c_prv, bi2.kc AS c_bi,
+         cx.kc AS c_ctx, t3.kc AS c_tri
+  FROM b
+  LEFT JOIN uni u   ON b.bu = u.kb
+  LEFT JOIN uni p   ON b.bp = p.kb
+  LEFT JOIN bi bi2  ON b.bb = bi2.kb
+  LEFT JOIN bi cx   ON b.bc = cx.kb
+  LEFT JOIN tri t3  ON b.bt = t3.kb
+),
+sc AS (
+  SELECT doc_id,
+    CAST(round(-(
+      CASE
+        WHEN bt IS NOT NULL AND COALESCE(c_tri, 0) > 0
+             AND COALESCE(c_ctx, 0) > 0
+          THEN ln(CAST(c_tri AS DOUBLE)) - ln(CAST(c_ctx AS DOUBLE))
+        WHEN bt IS NOT NULL AND COALESCE(c_bi, 0) > 0
+             AND COALESCE(c_prv, 0) > 0
+          THEN ln(0.4) + ln(CAST(c_bi AS DOUBLE))
+               - ln(CAST(c_prv AS DOUBLE))
+        WHEN bt IS NOT NULL
+          THEN ln(0.4) + ln(0.4)
+               + ln(CAST(COALESCE(c_uni, 0) + 1 AS DOUBLE))
+               - ln({float(LM.TOTAL + LM.UNI_B)})
+        WHEN bb IS NOT NULL AND COALESCE(c_bi, 0) > 0
+             AND COALESCE(c_prv, 0) > 0
+          THEN ln(CAST(c_bi AS DOUBLE)) - ln(CAST(c_prv AS DOUBLE))
+        WHEN bb IS NOT NULL
+          THEN ln(0.4) + ln(CAST(COALESCE(c_uni, 0) + 1 AS DOUBLE))
+               - ln({float(LM.TOTAL + LM.UNI_B)})
+        ELSE ln(CAST(COALESCE(c_uni, 0) + 1 AS DOUBLE))
+             - ln({float(LM.TOTAL + LM.UNI_B)})
+      END
+    ), 12) AS DECIMAL(28,12)) AS term
+  FROM j
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(round(sum(term), 4) AS DOUBLE) AS sum_nll
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+DOC_NGRAM_LOGPROB_SQL = _ngram_lm_sql()
+
+
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY = ("spark", "table", "scan", "merge", "vector")
@@ -2519,6 +2641,7 @@ QUERIES = {
     "doc_dup_spans": doc_dup_spans,
     "doc_drift_psi": doc_drift_psi,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_ngram_logprob": doc_ngram_logprob,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_curation_funnel": doc_curation_funnel,
     "doc_curated_ids": doc_curated_ids,
@@ -2564,6 +2687,7 @@ ORACLES = {
     "doc_dup_spans": DOC_DUP_SPANS_SQL,
     "doc_drift_psi": DOC_DRIFT_PSI_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
+    "doc_ngram_logprob": DOC_NGRAM_LOGPROB_SQL,
     "doc_dup_clusters": DOC_DUP_CLUSTERS_SQL,
     "doc_decontamination": DOC_DECONTAM_SQL,
     "doc_bloom_decontam": DOC_BLOOM_DECONTAM_SQL,
