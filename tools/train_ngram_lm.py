@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Train the hashed 3-gram stupid-backoff LM artifact for the
 doc_ngram_logprob quality filter (CCNet-style perplexity filtering,
-public method) and commit it as workload/_ngram_lm.py — the same
+public method) and commit it as transcription_lakehouse_spark/_ngram_lm.py — the same
 offline-training discipline as tools/train_pca.py / train_quality.py:
 the model is a fixed, versioned artifact, NOT refit per query, so
 scores are reproducible and the DuckDB oracle can replay the identical
@@ -24,7 +24,7 @@ from transcription_lakehouse_spark.sources.tables import load_table  # noqa: E40
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "transcription_lakehouse_spark", "workload", "_ngram_lm.py",
+    "transcription_lakehouse_spark", "_ngram_lm.py",
 )
 
 

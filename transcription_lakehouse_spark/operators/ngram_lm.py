@@ -6,7 +6,7 @@ score candidate documents with a KenLM trained on a trusted corpus;
 this module is the engine-native twin: counts live in FIXED hashed
 bucket tables (the DSIR trick that makes the model corpus-size-free and
 exactly replayable in any engine), trained offline into a committed
-artifact (`tools/train_ngram_lm.py` → `workload/_ngram_lm.py`), scored
+artifact (`tools/train_ngram_lm.py` → `_ngram_lm.py`), scored
 fully in-plan.
 
 Scoring (stupid backoff, alpha = 0.4), per 0-based token position i:
@@ -141,8 +141,8 @@ def score_ngram_logprob(
     df: DataFrame, id_col: str, text_col: str, model: dict,
 ) -> DataFrame:
     """(id, n_tokens, sum_nll) per document under the stupid-backoff LM
-    in ``model`` (a `train_ngram_counts` dict / the committed
-    `workload/_ngram_lm.py` artifact). High per-token nll = the filter
+    in ``model`` (a `train_ngram_counts` dict / the
+    committed `_ngram_lm.py` artifact). High per-token nll = the filter
     candidate. ln terms use ln(num) - ln(den) over integer counts so the
     DuckDB twin reproduces them exactly at the 12-decimal quantum."""
     spark = df.sparkSession
