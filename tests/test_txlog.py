@@ -1747,3 +1747,37 @@ def test_seen_episode_ids_bloom_pruned_probe(spark, tmp_path):
     )
     assert sorted(r[0] for r in probe.collect()) == ["ep3"]
     assert len(probe.inputFiles()) <= 1  # bloom-pruned to the one file
+
+
+def test_purge_dvs_rewrites_only_heavy_files(spark, tmp_path):
+    """purge_dvs materializes DVs away ONLY where the dead-row fraction
+    reaches the threshold — the read-amplification bound that doesn't
+    pay a full compact: the lightly-deleted file keeps its DV and its
+    path; rows and time travel are unchanged."""
+    from transcription_lakehouse_spark.txlog import _live_adds
+
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(spark.range(0, 100).coalesce(1))     # file A
+    t.append(spark.range(100, 200).coalesce(1))   # file B
+    t.delete("id < 60")             # A: 60% dead
+    t.delete("id = 150")            # B: 1% dead
+    adds = {a["path"]: a for a in _live_adds(t._load_for_read(None))}
+    assert sum(1 for a in adds.values() if a.get("dv")) == 2
+    before = sorted(r["id"] for r in t.read().collect())
+    out = t.purge_dvs(min_dead_ratio=0.5)
+    assert out["purged_files"] == 1
+    adds2 = {a["path"]: a for a in _live_adds(t._load_for_read(None))}
+    dv_left = [a for a in adds2.values() if a.get("dv")]
+    assert len(dv_left) == 1 and int(dv_left[0]["dv"]["n"]) == 1
+    # the light file's path carried over untouched
+    light = next(p for p, a in adds.items() if a.get("dv", {}).get("n") == 1)
+    assert light in adds2
+    assert sorted(r["id"] for r in t.read().collect()) == before
+    # below-threshold second purge is a clean no-op
+    assert t.purge_dvs(min_dead_ratio=0.5)["purged_files"] == 0
+    # and a ratio-0 purge sweeps the remaining DV
+    assert t.purge_dvs(min_dead_ratio=0.0)["purged_files"] == 1
+    assert not any(
+        a.get("dv") for a in _live_adds(t._load_for_read(None))
+    )
+    assert sorted(r["id"] for r in t.read().collect()) == before

@@ -60,14 +60,16 @@ def _rows(spark, lo: int, n: int):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--bloom"]
+    args = [a for a in sys.argv[1:] if a not in ("--bloom", "--dv")]
     bloom = "--bloom" in sys.argv[1:]
+    dv = "--dv" in sys.argv[1:]
     steps = int(args[0]) if args else 5
     spark = get_spark(app_name="cdc-stream-scaling")
     root = tempfile.mkdtemp(prefix="cdcscale_")
     rewrites = []
     try:
-        t = LogTable(spark, root, bloom_for=["id"] if bloom else None)
+        t = LogTable(spark, root, bloom_for=["id"] if bloom else None,
+                     deletion_vectors=dv)
         t.append(_rows(spark, 0, GROW_ROWS), cluster_by=["id"])
         for step in range(steps):
             # fixed-size CDC batch confined to the first id range
@@ -88,15 +90,18 @@ def main() -> int:
             out = t.merge_cdc(changes, key="id",
                               txn=("probe", step))
             wall = round(time.time() - t0, 2)
-            rewrites.append(out["rewritten_files"])
+            rewrites.append(out["rewritten_files"]
+                            + out.get("dv_files", 0))
             print(json.dumps({
                 "step": step,
                 "table_rows_before": (step + 1) * GROW_ROWS,
                 "live_files": live_before,
                 "cdc_keys": CDC_KEYS,
                 "rewritten_files": out["rewritten_files"],
+                "dv_files": out.get("dv_files", 0),
                 "wall_sec": wall,
                 "bloom": bloom,
+                "dv": dv,
                 "discovery_scanned_files": (
                     _SCANNED[-1][0] if _SCANNED else live_before
                 ),
@@ -108,7 +113,7 @@ def main() -> int:
                 cluster_by=["id"],
             )
         if rewrites[-1] > rewrites[0] + 2:
-            print(f"CREEP: rewritten files grew {rewrites[0]} -> "
+            print(f"CREEP: touched files grew {rewrites[0]} -> "
                   f"{rewrites[-1]} while the batch size stayed fixed")
             return 1
         return 0

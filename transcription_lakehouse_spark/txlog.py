@@ -1875,6 +1875,51 @@ class LogTable:
                     need_plan = True
         raise last_exc
 
+    def purge_dvs(self, min_dead_ratio: float = 0.2) -> dict:
+        """Targeted merge-on-read maintenance (Delta's ``REORG TABLE ...
+        APPLY (PURGE)`` idea): rewrite ONLY the live files whose
+        deletion-vector dead-row fraction reaches ``min_dead_ratio``,
+        materializing their DVs away — the knob that bounds read
+        amplification (every DV'd file pays a bitmap filter per scan)
+        without paying a full ``compact()`` of the healthy files.
+        Files without a DV, and DV'd files below the ratio, carry over
+        untouched. One snapshot-atomic commit; lost races re-plan."""
+        if not 0.0 <= min_dead_ratio <= 1.0:
+            raise ValueError("purge_dvs: min_dead_ratio must be in [0, 1]")
+        last_exc: ConcurrentCommitError | None = None
+        for _ in range(self.max_commit_retries + 1):
+            prefix = self._load_for_read(None)
+            live = _live_adds(prefix)
+            schema = self._snapshot_of(prefix)[1]
+            targets = []
+            for a in live:
+                dv = a.get("dv")
+                rows = (a.get("stats") or {}).get("rows")
+                if not dv:
+                    continue
+                # a DV'd add without a recorded row count (pre-r9 stats)
+                # always qualifies — its ratio is unknowable and purging
+                # is the conservative direction
+                if rows is None or int(dv["n"]) >= min_dead_ratio * int(rows):
+                    targets.append(a)
+            if not targets:
+                return {"version": None, "purged_files": 0}
+            v = prefix[-1]["version"] + 1
+            df = self._read_adds(targets, schema)  # DV-folded rows
+            adds = self._write_files(df, v) if df.head(1) else []
+            removes = [a["path"] for a in targets]
+            try:
+                self._commit(self._record(
+                    v, "purge", adds, removes, prefix[-1]["schema"],
+                    min_dead_ratio=min_dead_ratio,
+                ))
+                self._maybe_checkpoint(v)
+                return {"version": v, "purged_files": len(targets),
+                        "files_written": len(adds)}
+            except ConcurrentCommitError as exc:
+                last_exc = exc
+        raise last_exc
+
     def restore(self, version: int) -> dict:
         """RESTORE TABLE ... TO VERSION AS OF (Delta semantics): ONE new
         commit whose live set is exactly ``version``'s — a metadata-only
