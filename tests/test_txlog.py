@@ -1781,3 +1781,57 @@ def test_purge_dvs_rewrites_only_heavy_files(spark, tmp_path):
         a.get("dv") for a in _live_adds(t._load_for_read(None))
     )
     assert sorted(r["id"] for r in t.read().collect()) == before
+
+
+def test_stream_merge_txlog_dv_mode_appends_never_rewrites(spark, tmp_path):
+    """Streaming CDC with deletion_vectors=True: every micro-batch
+    merge_cdc marks keys in DV bitmaps and appends the upserts — the
+    base files' PATHS stay live (nothing rewritten), replay stays
+    exactly-once, and content matches the COW twin semantics."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import (
+        stream_merge_txlog,
+    )
+    from transcription_lakehouse_spark.txlog import _live_adds
+
+    d = tmp_path / "cdc"
+    d.mkdir()
+    tp = str(tmp_path / "table")
+    schema = "id bigint, val string, seq bigint, _op string"
+    t = LogTable(spark, tp)
+    # ONE base file: the batch's DV marks 2 of its 10 rows (a fully-dead
+    # file would legitimately drop from the live set instead)
+    t.append(spark.createDataFrame(
+        [(i, f"base{i}", 0) for i in range(10)],
+        "id bigint, val string, seq bigint",
+    ).coalesce(1))
+    base_paths = {a["path"] for a in _live_adds(t._load_for_read(None))}
+    assert len(base_paths) == 1
+    (d / "b1.jsonl").write_text("\n".join(
+        _json.dumps({"id": i, "val": v, "seq": s, "_op": op})
+        for i, v, s, op in [
+            (0, "new", 2, "U"), (1, None, 1, "D"), (99, "ins", 1, "I"),
+        ]
+    ))
+    sch = spark.createDataFrame([], schema).schema
+    q = stream_merge_txlog(
+        spark, str(d), tp, str(tmp_path / "ck"), sch,
+        key="id", seq_col="seq", app_id="cdcDV", deletion_vectors=True,
+    )
+    q.awaitTermination(120)
+    t2 = LogTable(spark, tp)
+    got = {r["id"]: r["val"] for r in t2.read().collect()}
+    assert got[0] == "new" and 1 not in got and got[99] == "ins"
+    assert len(got) == 10
+    live = {a["path"]: a for a in _live_adds(t2._load_for_read(None))}
+    assert base_paths <= set(live)  # no base file rewritten
+    assert any(a.get("dv") for a in live.values())
+    # fresh-checkpoint replay: txn-skipped, nothing changes
+    v = t2.version()
+    q = stream_merge_txlog(
+        spark, str(d), tp, str(tmp_path / "ck2"), sch,
+        key="id", seq_col="seq", app_id="cdcDV", deletion_vectors=True,
+    )
+    q.awaitTermination(120)
+    assert LogTable(spark, tp).version() == v

@@ -25,6 +25,13 @@ import sys
 THRESHOLD = 1.3
 # below this absolute wall, ratio noise swamps signal on a shared machine
 MIN_ABS_DELTA_SEC = 0.25
+# a "regression" must ALSO be slower in RAW seconds: when the PREVIOUS
+# artifact was taken under non-uniform host load (its calibration reads
+# loaded while many queries measured idle — the r8 driver artifact),
+# normalizing by the calibration ratio demands every query speed up by
+# the host ratio, and queries that were already at idle speed "flag"
+# while measuring FASTER. A real regression is slower on both axes.
+MIN_RAW_RATIO = 1.1
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -76,6 +83,18 @@ def main() -> int:
         )
     else:
         print("calibration: absent from one artifact; raw ratios used")
+    # artifacts self-report mid-run contamination (bench.py records a
+    # post-suite calibration too): surface it so a loaded tail doesn't
+    # masquerade as per-query regressions
+    for label, path in (("prev", prev_path), ("cur", cur_path)):
+        art = _artifact(path)
+        pre, post = art.get("calibration_sec"), art.get("calibration_post_sec")
+        if pre and post and max(post / pre, pre / post) > 1.3:
+            print(
+                f"WARNING: {label} artifact self-reports mid-run host "
+                f"contamination (calibration {pre:.3f}s -> {post:.3f}s); "
+                "treat its slow tail entries as suspect"
+            )
 
     causes = {}
     causes_path = os.path.join(REPO, "BENCH_CAUSES.json")
@@ -93,10 +112,17 @@ def main() -> int:
         mark = ""
         # the absolute floor is host-normalized too: compare cur against
         # what prev would cost on the current host
-        if norm > THRESHOLD and (c - p * cal_ratio) >= MIN_ABS_DELTA_SEC:
-            cause = causes.get(name)
-            if cause and cause.get("round") == cur_round:
-                mark = f"  EXPLAINED: {cause['cause']}"
+        if (norm > THRESHOLD and ratio > MIN_RAW_RATIO
+                and (c - p * cal_ratio) >= MIN_ABS_DELTA_SEC):
+            # a query may carry one entry per round (list) or a single
+            # {round, cause} dict — a cause only excuses its named round
+            ent = causes.get(name)
+            ents = ent if isinstance(ent, list) else [ent] if ent else []
+            hit = next(
+                (e for e in ents if e.get("round") == cur_round), None
+            )
+            if hit:
+                mark = f"  EXPLAINED: {hit['cause']}"
             else:
                 mark = "  REGRESSION (no written cause)"
                 bad.append((name, p, c, norm))

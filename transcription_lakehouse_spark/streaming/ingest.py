@@ -218,11 +218,16 @@ def stream_merge_txlog(
     op_col: str = "_op",
     app_id: str | None = None,
     trigger_once: bool = True,
+    deletion_vectors: bool = False,
 ) -> StreamingQuery:
     """Streaming CDC apply: a change feed of keyed records (op 'U'/'I'
     upsert, 'D' delete, ordered by ``seq_col``) merges into a LogTable —
     each micro-batch is ONE snapshot-atomic `merge_cdc` commit that
     rewrites only the files holding that batch's keys.
+    ``deletion_vectors=True`` makes the apply MERGE-ON-READ: matched
+    keys are marked in per-file DV bitmaps and the upserts append — the
+    per-batch write cost is O(batch), never O(touched file bytes), even
+    when the stream's keys spread across the whole table.
 
     Exactly-once: the batch is first collapsed to the LAST change per key
     (max ``seq_col``, change-op as tiebreak so a delete beats a
@@ -263,7 +268,8 @@ def stream_merge_txlog(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        t = LogTable(batch.sparkSession, table_path)
+        t = LogTable(batch.sparkSession, table_path,
+                     deletion_vectors=deletion_vectors)
         t.merge_cdc(latest, key, op_col=op_col, txn=(app, batch_id))
 
     writer = (
