@@ -477,3 +477,32 @@ def test_minmax_hybrid_exact_through_extremum_deletes(spark, tmp_path):
     mv2.refresh()
     mv.refresh()
     assert _mm_view() == _mm_recompute()
+
+
+def test_refresh_over_deletion_vector_source(spark, tmp_path):
+    """A matview whose SOURCE uses merge-on-read: the CDF's file identity
+    includes the DV state, so DV-only commits surface exactly the newly
+    deleted rows and every refresh lands on the recompute."""
+    src = LogTable(spark, str(tmp_path / "src"), deletion_vectors=True)
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp", sum_cols=["val"]
+    )
+    src.append(_mk(spark, [(1, "a"), (2, "a"), (3, "b"), (4, "b")]))
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)
+    out = src.delete("id = 2")          # DV commit, no rewrite
+    assert out["rewritten_files"] == 0
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)
+    src.merge_cdc(                      # DV upsert + delete
+        spark.createDataFrame(
+            [(3, "c", 1.5, "U"), (4, None, None, "D")],
+            "id bigint, grp string, val double, _op string",
+        ), key="id",
+    )
+    src.append(_mk(spark, [(9, "a")]))
+    mv.refresh()                        # folds both commits at once
+    assert _materialized(mv) == _recompute(src)
+    src.purge_dvs(min_dead_ratio=0.0)   # content-neutral materialization
+    mv.refresh()
+    assert _materialized(mv) == _recompute(src)

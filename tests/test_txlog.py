@@ -1835,3 +1835,25 @@ def test_stream_merge_txlog_dv_mode_appends_never_rewrites(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert LogTable(spark, tp).version() == v
+
+
+def test_dv_with_additive_schema_evolution(spark, tmp_path):
+    """DV'd old files read under an ADDITIVELY evolved schema: the new
+    column surfaces NULL, the DV fold still drops the dead rows, and the
+    CDF across the whole window stays value-exact."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(spark.createDataFrame(
+        [(i, i * 1.0) for i in range(10)], "id bigint, v double"
+    ).coalesce(1))
+    v0 = t.version()
+    t.delete("id < 3")                      # DV on the v0 file
+    t.append(spark.createDataFrame(
+        [(100, 1.0, "x")], "id bigint, v double, note string"
+    ), merge_schema=True)
+    rows = {r["id"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert set(rows) == set(range(3, 10)) | {100}
+    assert rows[5] == (5.0, None) and rows[100] == (1.0, "x")
+    ch = t.changes(v0, t.version())
+    by = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert by == {(0, "delete"), (1, "delete"), (2, "delete"),
+                  (100, "insert")}
