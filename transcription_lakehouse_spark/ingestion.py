@@ -126,12 +126,14 @@ def artifact_exists(base_dir: str, artifact: str, version: str = "v1") -> bool:
 def _txlog_table(spark, base_dir: str, artifact: str):
     from .txlog import LogTable
 
-    # every transcript artifact carries episode_id — bloom it on write so
-    # point lookups (the incremental-ingest existence check, label-pinned
-    # episode reads) prune files from the LOG instead of opening every
-    # live file; artifacts without the column harvest nothing (no-op)
+    # ONLY the normalized table blooms episode_id: it is the one artifact
+    # point-probed by id (the incremental-ingest existence check), and
+    # the harvest costs one distributed pass per write — measured at
+    # ~4 s per 100 k-utterance ingest, which spans/beats/sections/
+    # embeddings (always read whole by the chain) would pay for nothing
     return LogTable(spark, os.path.join(base_dir, artifact),
-                    bloom_for=["episode_id"])
+                    bloom_for=(["episode_id"]
+                               if artifact == "normalized" else None))
 
 
 def _txlog_resolve_label(t, label: str | None) -> int | None:
