@@ -1857,3 +1857,21 @@ def test_dv_with_additive_schema_evolution(spark, tmp_path):
     by = {(r["id"], r["_change_type"]) for r in ch.collect()}
     assert by == {(0, "delete"), (1, "delete"), (2, "delete"),
                   (100, "insert")}
+
+
+def test_dv_read_fast_path_plain_tables_stay_python_free(spark, tmp_path):
+    """The DV-aware read path must not tax tables (or files) without
+    DVs: a plain table's read() plan carries NO Python/Arrow eval node,
+    and on a partially-DV'd table only the DV'd branch pays the bitmap
+    filter — the plain files still scan UDF-free."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(spark.range(20).coalesce(1))
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Arrow/Batch eval anywhere
+    t.append(spark.range(20, 40).coalesce(1))
+    t.delete("id = 25")  # DV on the second file only
+    df = t.read()
+    plan2 = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one branch pays the bitmap filter
+    assert plan2.count("ArrowEvalPython") == 1
+    assert df.count() == 39
