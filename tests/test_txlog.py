@@ -1875,3 +1875,26 @@ def test_dv_read_fast_path_plain_tables_stay_python_free(spark, tmp_path):
     # exactly one branch pays the bitmap filter
     assert plan2.count("ArrowEvalPython") == 1
     assert df.count() == 39
+
+
+def test_dv_only_cdf_window_skips_exceptall(spark, tmp_path):
+    """A window whose only change is GROWN deletion vectors reads each
+    touched file ONCE with a keep-marked position filter — no exceptAll
+    cancellation shuffle in the plan — and still reports exactly the
+    newly deleted rows."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(spark.range(30).selectExpr("id", "id*2 AS v").coalesce(2))
+    v0 = t.version()
+    t.delete("id >= 5 AND id < 9")
+    t.delete("id = 20")
+    ch = t.changes(v0, t.version())
+    plan = ch._jdf.queryExecution().optimizedPlan().toString()
+    assert "Except" not in plan
+    rows = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(i, "delete") for i in [5, 6, 7, 8, 20]}
+    # and a RESTORE (shrinking DV) still round-trips through the slow
+    # path with exact values
+    t.restore(v0)
+    ch2 = t.changes(t.version() - 1, t.version())
+    got = {(r["id"], r["_change_type"]) for r in ch2.collect()}
+    assert got == {(i, "insert") for i in [5, 6, 7, 8, 20]}

@@ -946,20 +946,18 @@ class LogTable:
         self._write_bytes(ref, payload)
         return {"n": n, "ref": ref}
 
-    def _dv_filter(self, df: DataFrame, dv_adds: list[dict]) -> DataFrame:
-        """Anti-fold the deletion vectors of ``dv_adds`` against ``df``
-        (a parquet scan over exactly those files carrying ``__f``/``__p``
-        metadata columns): rows whose (file, row_index) is marked deleted
-        are dropped. One Arrow-batched pandas UDF testing bitmap bits
-        vectorized — no join, no shuffle; the broadcast carries one
-        compressed bitmap per DV'd file."""
+    def _dv_mask_filter(self, df: DataFrame, mask_map: dict[str, bytes],
+                        keep_marked: bool) -> DataFrame:
+        """Filter ``df`` (a parquet scan carrying ``__f``/``__p``
+        metadata columns) by per-file position bitmaps:
+        ``keep_marked=False`` DROPS marked rows (the deletion-vector
+        anti-fold), ``keep_marked=True`` KEEPS ONLY marked rows (the
+        CDF's newly-deleted-rows extraction). One Arrow-batched pandas
+        UDF testing bitmap bits vectorized — no join, no shuffle; the
+        broadcast carries one compressed bitmap per file."""
         from pyspark.sql.functions import pandas_udf
 
-        dv_map = {
-            _dv_tail(a["path"]): self._dv_payload_of(a["dv"])
-            for a in dv_adds
-        }
-        bc = self.spark.sparkContext.broadcast(dv_map)
+        bc = self.spark.sparkContext.broadcast(mask_map)
 
         @pandas_udf("boolean")
         def _keep(file_path: pd.Series, row_index: pd.Series) -> pd.Series:
@@ -969,24 +967,40 @@ class LogTable:
 
             mp = bc.value
             pos = row_index.to_numpy(dtype=np.int64)
-            out = np.ones(pos.shape[0], dtype=bool)
+            out = np.full(pos.shape[0], not keep_marked, dtype=bool)
             tails = file_path.map(_dv_tail)
             for t in tails.unique():
                 payload = mp.get(t)
+                idx = (tails == t).to_numpy()
                 if payload is None:
+                    # unmapped file: nothing is marked there
+                    out[idx] = not keep_marked
                     continue
                 bits = np.frombuffer(zlib.decompress(payload),
                                      dtype=np.uint8)
-                idx = (tails == t).to_numpy()
                 p = pos[idx]
-                dead = np.zeros(p.shape[0], dtype=bool)
+                marked = np.zeros(p.shape[0], dtype=bool)
                 inb = p < bits.shape[0] * 8
                 pb = p[inb]
-                dead[inb] = ((bits[pb >> 3] >> (pb & 7)) & 1).astype(bool)
-                out[idx] = ~dead
+                marked[inb] = (
+                    (bits[pb >> 3] >> (pb & 7)) & 1
+                ).astype(bool)
+                out[idx] = marked if keep_marked else ~marked
             return pd.Series(out)
 
         return df.filter(_keep(F.col("__f"), F.col("__p")))
+
+    def _dv_filter(self, df: DataFrame, dv_adds: list[dict]) -> DataFrame:
+        """Anti-fold the deletion vectors of ``dv_adds`` against ``df``
+        (see ``_dv_mask_filter``): rows a DV marks deleted are dropped."""
+        return self._dv_mask_filter(
+            df,
+            {
+                _dv_tail(a["path"]): self._dv_payload_of(a["dv"])
+                for a in dv_adds
+            },
+            keep_marked=False,
+        )
 
     def _read_adds(self, adds: list[dict], schema: StructType,
                    with_meta: bool = False) -> DataFrame:
@@ -2005,35 +2019,90 @@ class LogTable:
         schema = schema_b
         adds_a = {a["path"]: a for a in _live_adds(prefix_a)}
         adds_b = {a["path"]: a for a in _live_adds(prefix_b)}
-        only_b = [a for p, a in sorted(adds_b.items())
-                  if _add_sig(a) != _add_sig(adds_a.get(p))]
-        only_a = [a for p, a in sorted(adds_a.items())
-                  if _add_sig(a) != _add_sig(adds_b.get(p))]
         spark = self.spark
-        inserted = (
-            self._read_adds(only_b, schema)
-            if only_b else spark.createDataFrame([], schema)
-        )
-        deleted = (
-            self._read_adds(only_a, schema)
-            if only_a else spark.createDataFrame([], schema)
-        )
+        # GROWN-DV fast path: a file live on both sides whose only change
+        # is a SUPERSET deletion vector contributes exactly the rows at
+        # the extra positions, all as deletes — read the file ONCE with a
+        # keep-marked position filter instead of reading it twice and
+        # cancelling the carried rows through an exceptAll shuffle (the
+        # dominant DV-window shape: every delete/merge_cdc commit only
+        # grows DVs; restores can shrink them and fall to the slow path)
+        grow_map: dict[str, bytes] = {}
+        grow_adds: list[dict] = []
+        only_b: list[dict] = []
+        only_a: list[dict] = []
+        for p in sorted(set(adds_a) | set(adds_b)):
+            ea, eb = adds_a.get(p), adds_b.get(p)
+            if _add_sig(ea) == _add_sig(eb):
+                continue
+            if ea is not None and eb is not None and eb.get("dv"):
+                import numpy as np
+
+                pa = (
+                    _dv_positions(self._dv_payload_of(ea["dv"]))
+                    if ea.get("dv") else np.array([], dtype=np.int64)
+                )
+                pb = _dv_positions(self._dv_payload_of(eb["dv"]))
+                if np.setdiff1d(pa, pb).size == 0:
+                    extra = np.setdiff1d(pb, pa)
+                    if extra.size:
+                        payload, _n = _dv_encode(extra)
+                        grow_map[_dv_tail(p)] = payload
+                        grow_adds.append(eb)
+                    continue
+            if eb is not None:
+                only_b.append(eb)
+            if ea is not None:
+                only_a.append(ea)
+        parts: list[DataFrame] = []
+        if grow_adds:
+            meta = [
+                F.col("_metadata.file_path").alias("__f"),
+                F.col("_metadata.row_index").alias("__p"),
+            ]
+            raw = spark.read.schema(schema).parquet(
+                *(f"{self.path}/{a['path']}" for a in grow_adds)
+            ).select("*", *meta)
+            parts.append(
+                self._dv_mask_filter(raw, grow_map, keep_marked=True)
+                .drop("__f", "__p")
+                .withColumn("_change_type", F.lit("delete"))
+            )
         # rows present in both rewritten sets are carried data, not
         # changes — but the dominant append-only window has NO removed
         # files, and the cancellation (a full exceptAll shuffle) is then
         # provably empty: skip it so CDF consumers of append streams pay
         # a pure scan
-        if not only_a:
-            return inserted.withColumn("_change_type", F.lit("insert"))
-        if not only_b:
-            return deleted.withColumn("_change_type", F.lit("delete"))
-        ins = inserted.exceptAll(deleted).withColumn(
-            "_change_type", F.lit("insert")
-        )
-        del_ = deleted.exceptAll(inserted).withColumn(
-            "_change_type", F.lit("delete")
-        )
-        return ins.unionByName(del_)
+        if only_b and not only_a:
+            parts.append(
+                self._read_adds(only_b, schema)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        elif only_a and not only_b:
+            parts.append(
+                self._read_adds(only_a, schema)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        elif only_a and only_b:
+            inserted = self._read_adds(only_b, schema)
+            deleted = self._read_adds(only_a, schema)
+            parts.append(
+                inserted.exceptAll(deleted)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+            parts.append(
+                deleted.exceptAll(inserted)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        if not parts:
+            return (
+                spark.createDataFrame([], schema)
+                .withColumn("_change_type", F.lit("insert").cast("string"))
+            )
+        out = parts[0]
+        for piece in parts[1:]:
+            out = out.unionByName(piece)
+        return out
 
     def vacuum(self, retain_last: int = 2,
                remove_orphans: bool = False,
