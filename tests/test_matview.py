@@ -506,3 +506,60 @@ def test_refresh_over_deletion_vector_source(spark, tmp_path):
     src.purge_dvs(min_dead_ratio=0.0)   # content-neutral materialization
     mv.refresh()
     assert _materialized(mv) == _recompute(src)
+
+
+def test_broad_extremum_delete_respects_in_list_cap(
+    spark, tmp_path, monkeypatch
+):
+    """A delete touching MANY groups' extrema must not funnel an
+    unbounded key set through the driver IN-list fast path: past
+    ``_MINMAX_IN_CAP`` the recompute falls through to the broadcast
+    semi-join snapshot read (``scan`` never called) and the view still
+    lands exactly on the from-scratch recompute."""
+    from transcription_lakehouse_spark import matview as mv_mod
+
+    monkeypatch.setattr(mv_mod, "_MINMAX_IN_CAP", 3)
+    src = LogTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), group_by="grp",
+        min_cols=["val"], max_cols=["val"],
+    )
+    # 10 groups, 3 rows each; the group minimum is always id%3==0
+    rows = [(g * 3 + j, f"g{g}") for g in range(10) for j in range(3)]
+    src.append(_mk(spark, rows))
+    mv.refresh()
+    scans = {"n": 0}
+    real_scan = src.scan
+
+    def _spy(*a, **k):
+        scans["n"] += 1
+        return real_scan(*a, **k)
+
+    monkeypatch.setattr(src, "scan", _spy)
+    # global-threshold delete: removes every group's current minimum
+    # (10 touched groups > cap 3) -> semi-join path, zero scan() calls
+    src.delete("id % 3 = 0")
+    mv.refresh()
+    assert scans["n"] == 0
+    got = {r["grp"]: (r["min_val"], r["max_val"])
+           for r in mv.read().collect()}
+    want = {r["grp"]: (r["mn"], r["mx"])
+            for r in src.read().groupBy("grp").agg(
+                F.min(F.col("val").cast("double")).alias("mn"),
+                F.max(F.col("val").cast("double")).alias("mx"),
+            ).collect()}
+    assert got == want
+    # a TARGETED extremum delete (1 group <= cap) still takes the
+    # file-pruned scan('in') fast path: g0 holds ids {1, 2} now, so
+    # deleting id=2 removes its max while the group survives
+    src.delete("id = 2")
+    mv.refresh()
+    assert scans["n"] == 1
+    got = {r["grp"]: (r["min_val"], r["max_val"])
+           for r in mv.read().collect()}
+    want = {r["grp"]: (r["mn"], r["mx"])
+            for r in src.read().groupBy("grp").agg(
+                F.min(F.col("val").cast("double")).alias("mn"),
+                F.max(F.col("val").cast("double")).alias("mx"),
+            ).collect()}
+    assert got == want

@@ -1898,3 +1898,73 @@ def test_dv_only_cdf_window_skips_exceptall(spark, tmp_path):
     ch2 = t.changes(t.version() - 1, t.version())
     got = {(r["id"], r["_change_type"]) for r in ch2.collect()}
     assert got == {(i, "insert") for i in [5, 6, 7, 8, 20]}
+
+
+def test_dv_cdf_identical_upsert_cancels_like_cow(spark, tmp_path):
+    """Value-diff contract independence from the writer's DV mode: a key
+    DV-deleted from one file and re-inserted with IDENTICAL values into
+    another within the window is carried data and must emit NOTHING —
+    exactly what copy-on-write mode reports (r9 ADVICE: the grown-DV
+    fast path used to leak a phantom delete+insert pair). Real changes
+    in the same window still surface; a pure DV-growth window keeps the
+    exceptAll-free plan."""
+    rows = [(i, f"v{i}") for i in range(10)]
+    outs = {}
+    for mode in (True, False):
+        t = LogTable(spark, str(tmp_path / f"t_{mode}"),
+                     deletion_vectors=mode)
+        t.append(spark.createDataFrame(rows, "id bigint, s string")
+                 .coalesce(1))
+        v0 = t.version()
+        # one window: delete id=3, re-insert it with identical values,
+        # plus one real delete and one real insert
+        t.delete("id = 3 OR id = 7")
+        t.append(spark.createDataFrame(
+            [(3, "v3"), (100, "new")], "id bigint, s string"))
+        outs[mode] = sorted(
+            (r["id"], r["s"], r["_change_type"])
+            for r in t.changes(v0, t.version()).collect()
+        )
+    assert outs[True] == outs[False] == [
+        (7, "v7", "delete"), (100, "new", "insert")
+    ]
+    # pure DV growth (no inserted files) still skips exceptAll
+    t = LogTable(spark, str(tmp_path / "t_pure"), deletion_vectors=True)
+    t.append(spark.createDataFrame(rows, "id bigint, s string")
+             .coalesce(1))
+    v0 = t.version()
+    t.delete("id = 4")
+    ch = t.changes(v0, t.version())
+    assert "Except" not in ch._jdf.queryExecution().optimizedPlan().toString()
+    assert [(r["id"], r["_change_type"]) for r in ch.collect()] == [
+        (4, "delete")
+    ]
+
+
+def test_dv_broadcast_reused_across_reads_and_lru_bounded(spark, tmp_path):
+    """Repeated reads over the same DV state reuse ONE Spark broadcast
+    (keyed on the bitmap signature) instead of leaking a block per
+    query; a changed DV state gets a new entry and the cache stays
+    LRU-bounded (r9 ADVICE)."""
+    from transcription_lakehouse_spark import txlog as txmod
+
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(spark.range(50).coalesce(1))
+    t.delete("id < 5")
+    assert t.read().count() == 45
+    n1 = len(t._dv_bc_cache)
+    bc1 = next(iter(t._dv_bc_cache.values()))
+    assert t.read().count() == 45
+    assert t.read().filter("id > 10").count() == 39
+    assert len(t._dv_bc_cache) == n1                   # reused, not grown
+    assert next(iter(t._dv_bc_cache.values())) is bc1
+    t.delete("id = 30")                                # new DV state
+    assert t.read().count() == 44
+    assert len(t._dv_bc_cache) == n1 + 1
+    # the LRU bound holds under DV churn
+    cap = txmod._DV_BC_CACHE_MAX
+    for i in range(cap + 3):
+        t.delete(f"id = {31 + i}")
+        t.read().count()
+    assert len(t._dv_bc_cache) <= cap
+    assert t.read().count() == 44 - (cap + 3)

@@ -48,6 +48,10 @@ __all__ = ["IncrementalAggView"]
 
 _KEY = "_grp_key"
 _SIGN = "_sign"
+# Max recompute-group keys collected to the driver for the file-pruned
+# scan('in') fast path; larger touched-group sets use the distributed
+# semi-join read instead (same cliff guard as txlog._BLOOM_PROBE_CAP).
+_MINMAX_IN_CAP = 4096
 
 
 class IncrementalAggView:
@@ -183,9 +187,16 @@ class IncrementalAggView:
         ]
         if len(self.group_by) == 1:
             col0 = self.group_by[0]
-            head = rec_keys.select(col0).collect()  # bounded: touched grps
+            # Cap the driver collect (mirrors txlog._BLOOM_PROBE_CAP): a
+            # broad delete touching many groups' extrema (e.g. "delete
+            # everything below a global threshold") would otherwise pull
+            # an unbounded key set to the driver, build a giant IN-list,
+            # and pay O(files x values) driver-side bloom probes in
+            # scan(). Past the cap, fall through to the broadcast
+            # semi-join snapshot read below.
+            head = rec_keys.select(col0).limit(_MINMAX_IN_CAP + 1).collect()
             vals = [r[0] for r in head]
-            if vals and all(
+            if vals and len(vals) <= _MINMAX_IN_CAP and all(
                 isinstance(v, (str, int)) and not isinstance(v, bool)
                 for v in vals
             ):

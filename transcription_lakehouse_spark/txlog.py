@@ -298,6 +298,8 @@ _DV_MAX_POSITIONS = 8_000_000   # driver-side cap on positions per keyed
 #                             back to copy-on-write rewrite (whose cost is
 #                             then dominated by the rewrite itself, not
 #                             the position collect)
+_DV_BC_CACHE_MAX = 8        # broadcasts of per-file bitmap maps kept live
+#                             per handle (LRU; evictions unpersist)
 
 
 def _dv_tail(path_or_uri: str) -> str:
@@ -543,6 +545,11 @@ class LogTable:
 
         self._bloom_cache: OrderedDict[str, bytes] = OrderedDict()
         self._dv_cache: OrderedDict[str, bytes] = OrderedDict()
+        # one Spark broadcast per DV-state signature (LRU; evictions
+        # unpersist) — a long-lived handle serving many reads over the
+        # same DV'd files reuses one broadcast instead of accumulating
+        # a new block per query on the driver and executors
+        self._dv_bc_cache: OrderedDict[tuple, object] = OrderedDict()
 
     # ---- log plumbing ---------------------------------------------------
 
@@ -946,6 +953,33 @@ class LogTable:
         self._write_bytes(ref, payload)
         return {"n": n, "ref": ref}
 
+    def _dv_broadcast(self, mask_map: dict[str, bytes]):
+        """One Spark broadcast per distinct DV state. Keyed on
+        (file-tail, payload length, crc32) per entry — compressed
+        bitmaps are immutable once committed, so the signature is
+        exact. Evicted entries are unpersisted (blocking=False), so a
+        handle serving thousands of reads over a churning DV set holds
+        at most ``_DV_BC_CACHE_MAX`` broadcast blocks at a time instead
+        of leaking one per query (r9 ADVICE)."""
+        import zlib
+
+        sig = tuple(sorted(
+            (t, len(p), zlib.crc32(p)) for t, p in mask_map.items()
+        ))
+        hit = self._dv_bc_cache.get(sig)
+        if hit is not None:
+            self._dv_bc_cache.move_to_end(sig)
+            return hit
+        bc = self.spark.sparkContext.broadcast(mask_map)
+        self._dv_bc_cache[sig] = bc
+        while len(self._dv_bc_cache) > _DV_BC_CACHE_MAX:
+            _, old = self._dv_bc_cache.popitem(last=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass  # already-released broadcast: eviction is advisory
+        return bc
+
     def _dv_mask_filter(self, df: DataFrame, mask_map: dict[str, bytes],
                         keep_marked: bool) -> DataFrame:
         """Filter ``df`` (a parquet scan carrying ``__f``/``__p``
@@ -957,7 +991,7 @@ class LogTable:
         broadcast carries one compressed bitmap per file."""
         from pyspark.sql.functions import pandas_udf
 
-        bc = self.spark.sparkContext.broadcast(mask_map)
+        bc = self._dv_broadcast(mask_map)
 
         @pandas_udf("boolean")
         def _keep(file_path: pd.Series, row_index: pd.Series) -> pd.Series:
@@ -2055,6 +2089,7 @@ class LogTable:
             if ea is not None:
                 only_a.append(ea)
         parts: list[DataFrame] = []
+        grow_deleted: DataFrame | None = None
         if grow_adds:
             meta = [
                 F.col("_metadata.file_path").alias("__f"),
@@ -2063,29 +2098,34 @@ class LogTable:
             raw = spark.read.schema(schema).parquet(
                 *(f"{self.path}/{a['path']}" for a in grow_adds)
             ).select("*", *meta)
-            parts.append(
-                self._dv_mask_filter(raw, grow_map, keep_marked=True)
-                .drop("__f", "__p")
-                .withColumn("_change_type", F.lit("delete"))
-            )
+            grow_deleted = self._dv_mask_filter(
+                raw, grow_map, keep_marked=True
+            ).drop("__f", "__p")
         # rows present in both rewritten sets are carried data, not
         # changes — but the dominant append-only window has NO removed
         # files, and the cancellation (a full exceptAll shuffle) is then
         # provably empty: skip it so CDF consumers of append streams pay
-        # a pure scan
-        if only_b and not only_a:
-            parts.append(
-                self._read_adds(only_b, schema)
-                .withColumn("_change_type", F.lit("insert"))
+        # a pure scan. Grow-file DV deletes join the DELETED side of the
+        # cancellation whenever the window ALSO inserted files: a key
+        # DV-deleted from one file and re-inserted with identical values
+        # into another is carried data under the value-diff contract and
+        # must cancel, exactly as copy-on-write mode reports it (r9
+        # ADVICE — without this, changes() output depended on the
+        # writer's deletion_vectors mode). The exceptAll here shuffles
+        # only the CHANGE volume (newly-deleted rows vs newly-added
+        # files), never the carried rows of the grown file, so the
+        # one-read fast path's cost shape survives; a pure DV-growth
+        # window (no inserts) still skips exceptAll entirely.
+        inserted = self._read_adds(only_b, schema) if only_b else None
+        deleted: DataFrame | None = (
+            self._read_adds(only_a, schema) if only_a else None
+        )
+        if grow_deleted is not None:
+            deleted = (
+                grow_deleted if deleted is None
+                else deleted.unionByName(grow_deleted)
             )
-        elif only_a and not only_b:
-            parts.append(
-                self._read_adds(only_a, schema)
-                .withColumn("_change_type", F.lit("delete"))
-            )
-        elif only_a and only_b:
-            inserted = self._read_adds(only_b, schema)
-            deleted = self._read_adds(only_a, schema)
+        if inserted is not None and deleted is not None:
             parts.append(
                 inserted.exceptAll(deleted)
                 .withColumn("_change_type", F.lit("insert"))
@@ -2093,6 +2133,14 @@ class LogTable:
             parts.append(
                 deleted.exceptAll(inserted)
                 .withColumn("_change_type", F.lit("delete"))
+            )
+        elif inserted is not None:
+            parts.append(
+                inserted.withColumn("_change_type", F.lit("insert"))
+            )
+        elif deleted is not None:
+            parts.append(
+                deleted.withColumn("_change_type", F.lit("delete"))
             )
         if not parts:
             return (
@@ -2184,7 +2232,26 @@ class LogTable:
         if remove_orphans:
             import time as _time
 
-            cutoff_ms = (_time.time() - max(0.0, orphan_grace_seconds)) * 1000
+            # The grace compares FILESYSTEM mtimes, so the "now" it
+            # subtracts from must come from the same clock: on a shared
+            # or object store with skew between writer and vacuum hosts,
+            # a local wall-clock base silently shrinks (or inflates) the
+            # window and can sweep an in-flight writer's staged files —
+            # the exact race the grace exists to close (r9 ADVICE).
+            # Write a throwaway probe and read its mtime back: that IS
+            # the store's current time base. Fall back to local time if
+            # the probe fails (the probe name matches the .tmp- sweep,
+            # so a leaked one is itself grace-gated garbage).
+            now_ms = _time.time() * 1000
+            probe = f"_txlog/.tmp-vacuum-clock-{uuid.uuid4().hex[:8]}"
+            try:
+                self._write_bytes(probe, b"")
+                pp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{probe}")
+                now_ms = fs.getFileStatus(pp).getModificationTime()
+                fs.delete(pp, False)
+            except Exception:
+                pass
+            cutoff_ms = now_ms - max(0.0, orphan_grace_seconds) * 1000
 
             def _aged(fstatus) -> bool:
                 # a young unreferenced file may belong to an IN-FLIGHT
