@@ -2110,3 +2110,61 @@ def test_ngram_lm_separates_gibberish_from_fluent(spark):
     # EVERY shuffled twin scores strictly worse per token — while the
     # unigram score's margin is identically zero on these pairs
     assert all(m > 0.1 for m in margins), margins
+
+
+def test_curation_v4_lm_band_catches_gibberish_that_survives_v3(
+    spark, tmp_path
+):
+    """The v4 funnel's trigram-LM band (committed held-out-trained
+    artifact) catches token-shuffled gibberish that PASSES every v3
+    gate: a shuffled twin shares the original's token multiset (unigram
+    surprisal ties exactly), shares no 5-gram shingles (never a near-dup
+    cluster member) and no cross-doc 13-grams (no dup spans). Pinned
+    docs 45/31 from the sf0.01 corpus: originals score ~1.9 mean nll,
+    their seed-42 shuffles ~3.6 — straddling the 3.2 band."""
+    import random
+
+    from transcription_lakehouse_spark.workload.text import (
+        doc_curation_v3,
+        doc_curation_v4,
+    )
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter("doc_id < 120").collect()
+    )
+    by_id = {int(r["doc_id"]): r for r in src}
+    rng = random.Random(42)
+    rows = [(int(r["doc_id"]), r["text"], r["lang"], r["source"],
+             int(r["n_chars"])) for r in src]
+    for orig_id, twin_id in ((45, 1045), (31, 1031)):
+        toks = by_id[orig_id]["text"].split()
+        # seed-42 per-doc shuffle, same discipline as the band probe
+        sh = toks[:]
+        rng.shuffle(sh)
+        txt = " ".join(sh)
+        rows.append((twin_id, txt, by_id[orig_id]["lang"],
+                     by_id[orig_id]["source"], len(txt)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.repartition(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    v3 = {r["doc_id"]: r.asDict()
+          for r in doc_curation_v3(spark, sf_dir).collect()}
+    v4 = {r["doc_id"]: r.asDict()
+          for r in doc_curation_v4(spark, sf_dir).collect()}
+    for orig_id, twin_id in ((45, 1045), (31, 1031)):
+        # the gibberish twin SURVIVES v3 (all three gates pass) ...
+        assert v3[twin_id]["kept"], v3[twin_id]
+        # ... and v4's LM band alone kills it
+        assert not v4[twin_id]["g_lm"], v4[twin_id]
+        assert not v4[twin_id]["kept"]
+        # the fluent original passes the band (v4 keeps iff v3 kept)
+        assert v4[orig_id]["g_lm"], v4[orig_id]
+        assert v4[orig_id]["kept"] == v3[orig_id]["kept"]
+    # v4 never resurrects a v3 reject and only ever cuts via g_lm
+    for d in v4:
+        assert v4[d]["kept"] == (v3[d]["kept"] and v4[d]["g_lm"])

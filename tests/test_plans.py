@@ -46,6 +46,8 @@ _BOUNDED_BROADCAST_BNLJ = {
     "doc_collocations",     # two one-row totals broadcast into the PMI
     "doc_tfidf_topk",       # one-row doc-count broadcast into the idf
     "doc_curation_v3",      # inherits doc_unigram_logprob's one-row total
+    "doc_curation_v4",      # same inheritance (v3 composition + the LM
+                            # band's broadcast count tables)
     "q_nation_intersect",   # one-row global-avg threshold broadcast
     "evt_key_skew",         # one-row total broadcast into the share division
     "vec_contrastive_triplets",  # sampled anchors broadcast, one scored pass
@@ -92,6 +94,7 @@ _GLOBAL_SCALAR_OK = {
     "q_referential_integrity",   # union of one-row orphan counts
     "doc_tfidf_topk",            # one-row doc-count aggregate
     "doc_curation_v3",           # inherits the one-row corpus total
+    "doc_curation_v4",           # same (v3 + LM band, no new funnels)
     "q_nation_intersect",        # one-row global-avg aggregate
     "evt_cumulative_users",      # running window over the per-DAY rollup
                                  # (bounded by calendar days, not rows)
@@ -306,7 +309,11 @@ def test_lsh_topk_is_banded_equi_join_not_cartesian(spark):
 
 
 def test_ivf_probe_join_is_equi_not_cartesian(spark):
-    df = QUERIES["vec_knn_ivf"](spark, SF_DIR)
+    # retired from the driver registry (ivf_fixed is the oracle twin)
+    # but the trained-centroid operator itself stays plan-linted
+    from transcription_lakehouse_spark.workload.vectors import vec_knn_ivf
+
+    df = vec_knn_ivf(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the cell-probe join must hash on the small int cell key — a cartesian/
     # nested-loop product here would be the O(n*m) trap at 100 TB

@@ -1968,3 +1968,82 @@ def test_dv_broadcast_reused_across_reads_and_lru_bounded(spark, tmp_path):
         t.read().count()
     assert len(t._dv_bc_cache) <= cap
     assert t.read().count() == 44 - (cap + 3)
+
+
+def test_optimize_purges_only_past_threshold_and_reclusters(spark, tmp_path):
+    """OPTIMIZE (the scheduled DV-maintenance policy): one commit that
+    materializes ONLY the files whose dead fraction reaches the
+    threshold — healthy files and under-threshold DVs carry over with
+    their add-entries untouched — and range-clusters the rewritten rows
+    so their min/max stats come back sharp. A no-op call commits
+    nothing."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    # three 100-row files with disjoint id ranges
+    for lo in (0, 100, 200):
+        t.append(spark.range(lo, lo + 100).selectExpr(
+            "id", "id * 2 AS v").coalesce(1))
+    t.delete("id < 30")                   # file A: 30% dead
+    t.delete("id >= 100 AND id < 105")    # file B: 5% dead
+    prefix = t._load_for_read(None)
+    from transcription_lakehouse_spark.txlog import _live_adds
+    before = {a["path"]: a for a in _live_adds(prefix)}
+    dvd = {p: a for p, a in before.items() if a.get("dv")}
+    assert len(dvd) == 2
+    v_before = t.version()
+    out = t.optimize(min_dead_ratio=0.2, cluster_by=["id"])
+    assert out["purged_files"] == 1            # only file A crossed 20%
+    assert t.version() == v_before + 1         # ONE commit
+    after = {a["path"]: a for a in _live_adds(t._load_for_read(None))}
+    # file B's entry (5% dead) carried over IDENTICALLY, DV intact
+    b_path = next(p for p, a in dvd.items() if int(a["dv"]["n"]) == 5)
+    assert after[b_path] == before[b_path]
+    # file C (no DV) untouched
+    c_path = next(p for p, a in before.items() if not a.get("dv"))
+    assert after[c_path] == before[c_path]
+    # the rewritten file(s) carry no DV and hold exactly A's live rows
+    new = [a for p, a in after.items() if p not in before]
+    assert new and all(not a.get("dv") for a in new)
+    # clustered rewrite -> sharp min/max on the rewritten range
+    st = new[0].get("stats") or {}
+    assert st["min"]["id"] == 30 and st["max"]["id"] == 99
+    # values exact end-to-end
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == sorted(set(range(30, 100)) | set(range(105, 300)))
+    # idempotent policy: nothing left past the threshold -> no commit
+    out2 = t.optimize(min_dead_ratio=0.2, cluster_by=["id"])
+    assert out2 == {"version": None, "purged_files": 0}
+    assert t.version() == v_before + 1
+    # time travel across the purge still folds the old DV state
+    assert sorted(r["id"] for r in t.read(v_before).collect()) == got
+
+
+def test_optimize_bin_packs_small_files(spark, tmp_path):
+    """OPTIMIZE with ``small_file_bytes``: accumulated small files pack
+    into threshold-sized outputs in the same commit as the DV purge;
+    a lone small file with nothing to pack against is left alone
+    (rewriting 1 -> 1 is churn, not maintenance)."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    t.append(spark.range(0, 50_000).selectExpr(
+        "id", "repeat('x', 40) AS pad").coalesce(1))   # one healthy file
+    from transcription_lakehouse_spark.txlog import _live_adds
+    big = _live_adds(t._load_for_read(None))[0]
+    thr = int(big["size"])  # anything below the big file's size is small
+    # one lone small append: no pack partner, no DV debt -> no-op
+    t.append(spark.range(50_000, 50_100).selectExpr(
+        "id", "repeat('y', 40) AS pad").coalesce(1))
+    out = t.optimize(min_dead_ratio=0.2, small_file_bytes=thr)
+    assert out == {"version": None, "purged_files": 0}
+    # five more small appends -> six small files pack together
+    for i in range(5):
+        t.append(spark.range(50_100 + i * 100, 50_200 + i * 100)
+                 .selectExpr("id", "repeat('y', 40) AS pad").coalesce(1))
+    v = t.version()
+    out = t.optimize(min_dead_ratio=0.2, small_file_bytes=thr)
+    assert out["purged_files"] == 0 and out["packed_files"] == 6
+    assert t.version() == v + 1
+    after = _live_adds(t._load_for_read(None))
+    assert len(after) == 1 + out["files_written"]
+    assert out["files_written"] < 6                     # actually packed
+    # the healthy file was never rewritten
+    assert any(a["path"] == big["path"] for a in after)
+    assert t.read().count() == 50_600

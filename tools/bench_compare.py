@@ -36,16 +36,75 @@ MIN_RAW_RATIO = 1.1
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+_META_KEYS = {
+    "metric", "value", "sf", "calibration_sec", "calibration_post_sec",
+    "load_1min_start", "load_1min_end",
+}
+
+
+def _rescue_tail(tail: str) -> dict:
+    """Best-effort record from a TRUNCATED stdout tail (the r9 driver
+    artifact: capture starts mid-JSON, ``parsed`` is null). Per-query
+    walls are every ``"name": number`` pair that isn't a metadata key or
+    inside the ``reruns`` map; scalars take their LAST occurrence (the
+    compact final line bench.py now prints is complete and last)."""
+    out: dict = {}
+    for key in ("value", "calibration_sec", "calibration_post_sec"):
+        hits = re.findall(rf'"{key}":\s*([0-9.]+)', tail)
+        if hits:
+            out[key] = float(hits[-1])
+    body = re.sub(r'"reruns":\s*\{[^}]*\}?', "", tail)
+    q = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', body)
+        if m.group(1) not in _META_KEYS
+    }
+    if q:
+        out["queries"] = q
+    rr = re.search(r'"reruns":\s*\{([^}]*)\}', tail)
+    if rr:
+        out["reruns"] = {
+            m.group(1): int(m.group(2))
+            for m in re.finditer(r'"([a-z0-9_]+)":\s*(\d+)', rr.group(1))
+        }
+    return out
+
+
+_ART_CACHE: dict[str, dict] = {}
+
+
 def _artifact(path: str) -> dict:
+    hit = _ART_CACHE.get(path)
+    if hit is not None:
+        return hit
     with open(path) as f:
         d = json.load(f)
-    return d.get("parsed", d)
+    if not isinstance(d, dict):
+        _ART_CACHE[path] = {}
+        return {}
+    rec = d.get("parsed", d)
+    if isinstance(rec, dict) and rec.get("queries"):
+        _ART_CACHE[path] = rec
+        return rec
+    # parsed is null (truncated capture) or the compact summary line
+    # (no queries): rescue what the tail still holds instead of crashing
+    rescued = _rescue_tail(d.get("tail", "") or "")
+    if isinstance(rec, dict):
+        rescued = {**rescued, **{k: v for k, v in rec.items()
+                                 if k != "queries"}}
+    if rescued.get("queries"):
+        print(f"note: {os.path.basename(path)} parsed=null/compact; "
+              f"regex-rescued {len(rescued['queries'])} query walls "
+              "from the truncated tail")
+    _ART_CACHE[path] = rescued
+    return rescued
 
 
 def _queries(path: str) -> dict[str, float]:
     q = _artifact(path).get("queries")
     if q is None:
-        raise SystemExit(f"{path}: no queries section")
+        raise SystemExit(f"{path}: no queries section (even after "
+                         "tail rescue)")
     return q
 
 
@@ -102,6 +161,7 @@ def main() -> int:
         with open(causes_path) as f:
             causes = json.load(f)
 
+    cur_reruns = _artifact(cur_path).get("reruns") or {}
     shared = sorted(set(prev) & set(cur))
     bad = []
     print(f"{'query':34s} {'prev':>7s} {'cur':>7s} {'ratio':>6s} {'norm':>6s}")
@@ -112,6 +172,15 @@ def main() -> int:
         mark = ""
         # the absolute floor is host-normalized too: compare cur against
         # what prev would cost on the current host
+        if norm > THRESHOLD and ratio <= MIN_RAW_RATIO:
+            # auditable, not silent: a fast current host can push norm
+            # past the threshold while the query measured FASTER in raw
+            # seconds — surface the suppression so masked entries stay
+            # reviewable (r9 ADVICE)
+            mark = "  suppressed by raw-floor (host speed delta)"
+        elif (norm > THRESHOLD
+                and (c - p * cal_ratio) < MIN_ABS_DELTA_SEC):
+            mark = "  suppressed by abs-floor (sub-noise delta)"
         if (norm > THRESHOLD and ratio > MIN_RAW_RATIO
                 and (c - p * cal_ratio) >= MIN_ABS_DELTA_SEC):
             # a query may carry one entry per round (list) or a single
@@ -121,10 +190,12 @@ def main() -> int:
             hit = next(
                 (e for e in ents if e.get("round") == cur_round), None
             )
+            rr = (f" [survived {cur_reruns[name]} runs]"
+                  if name in cur_reruns else "")
             if hit:
-                mark = f"  EXPLAINED: {hit['cause']}"
+                mark = f"  EXPLAINED: {hit['cause']}{rr}"
             else:
-                mark = "  REGRESSION (no written cause)"
+                mark = f"  REGRESSION (no written cause){rr}"
                 bad.append((name, p, c, norm))
         if norm > THRESHOLD or norm < 1 / THRESHOLD:
             print(

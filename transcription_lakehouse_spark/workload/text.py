@@ -1992,6 +1992,102 @@ ORDER BY docs.doc_id
 )
 
 
+# Trigram-LM surprisal band for the v4 funnel (CCNet keeps a perplexity
+# band, not just a ceiling): mean nll/token must sit in [LO, HI] nats
+# under the COMMITTED held-out-trained `_ngram_lm.py`. HI=3.2 sits between
+# the natural sf0.01 median (~2.5) and the token-shuffled-gibberish
+# median (~3.5) measured under that artifact; LO=0.5 guards the
+# degenerate-repetition tail (inert on the testdata, min ~1.5). Both are
+# exactly-representable doubles so lit*count compares identically in
+# Spark and DuckDB; the compare is rounded-sum vs bound*n — no derived
+# average is ever hashed.
+_LM_BAND_LO = 0.5
+_LM_BAND_HI = 3.2
+
+
+def doc_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth-generation curation funnel — the composition CCNet
+    actually ships (r9 verdict #5): the v3 gates (near-dup cluster
+    keeper, dup-span cap, corpus-unigram surprisal) PLUS a trigram-LM
+    perplexity band under the committed held-out-trained artifact
+    (`_ngram_lm.py`). The trigram band is the gate that catches
+    in-vocabulary token-shuffled gibberish — every unigram statistic
+    ties on it by construction, so it survives v3 untouched.
+
+    Reference anchor: the reference has no LM filtering
+    (`src/lakehouse/quality/` scores structural metrics only); this is
+    the beyond-reference training-data stack. The DuckDB twin recomputes
+    the ENTIRE composition — recursive-CTE cluster closure AND the
+    hashed-bucket LM replay — so the wiring is hash-gated end to end."""
+    v3 = doc_curation_v3(spark, sf_dir)
+    ng = doc_ngram_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").alias("_ng_n"),
+        F.col("sum_nll").alias("_ng_sum"),
+    )
+    j = v3.join(ng, "doc_id", "left")
+    g_lm = F.coalesce(
+        (F.col("_ng_sum") <= F.lit(_LM_BAND_HI) * F.col("_ng_n"))
+        & (F.col("_ng_sum") >= F.lit(_LM_BAND_LO) * F.col("_ng_n")),
+        F.lit(True),
+    )
+    return j.select(
+        "doc_id", "g_cluster", "g_spans", "g_surprisal",
+        g_lm.alias("g_lm"),
+        (F.col("kept") & g_lm).alias("kept"),
+    ).orderBy("doc_id")
+
+
+def _curation_v4_sql() -> str:
+    """V3's full recursive composition + the ng_* LM chain (both share
+    the ``tk`` token CTE) + the band gate."""
+    v3_head = (
+        "WITH RECURSIVE "
+        + _MINHASH_CANDS_SQL.format(tok=_TOK)
+        + ", "
+        + _CLUSTER_CTES
+        + """
+, clusters AS (
+  SELECT n AS doc_id, n = min(r) AS is_keeper FROM reach GROUP BY n
+), """
+        + _DUP_SPAN_CTES
+        + """
+, span_doc AS (
+  SELECT doc_id, sum(e - s) AS dup_tokens FROM merged GROUP BY doc_id
+), """
+        + _UNIGRAM_LP_CTES
+    )
+    return (
+        v3_head
+        + ",\n"
+        + _ngram_lm_ctes()
+        + f"""
+SELECT docs.doc_id,
+       coalesce(c.is_keeper, TRUE) AS g_cluster,
+       2 * coalesce(sd.dup_tokens, 0) <= coalesce(len(tk.t), 0) AS g_spans,
+       coalesce(lp.lp_sum <= 3.5 * lp.lp_n, TRUE) AS g_surprisal,
+       coalesce(ng.ng_sum <= {_LM_BAND_HI} * ng.ng_n
+                AND ng.ng_sum >= {_LM_BAND_LO} * ng.ng_n, TRUE) AS g_lm,
+       coalesce(c.is_keeper, TRUE)
+         AND (2 * coalesce(sd.dup_tokens, 0) <= coalesce(len(tk.t), 0))
+         AND coalesce(lp.lp_sum <= 3.5 * lp.lp_n, TRUE)
+         AND coalesce(ng.ng_sum <= {_LM_BAND_HI} * ng.ng_n
+                      AND ng.ng_sum >= {_LM_BAND_LO} * ng.ng_n, TRUE)
+         AS kept
+FROM documents docs
+LEFT JOIN clusters c ON docs.doc_id = c.doc_id
+LEFT JOIN tk ON docs.doc_id = tk.doc_id
+LEFT JOIN span_doc sd ON docs.doc_id = sd.doc_id
+LEFT JOIN lp ON docs.doc_id = lp.doc_id
+LEFT JOIN ng ON docs.doc_id = ng.doc_id
+ORDER BY docs.doc_id
+"""
+    )
+
+
+# (assigned after _ngram_lm_ctes is defined, next to the standalone twin)
+
+
 def doc_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup REWRITE: each document with its cross-document
     duplicated 13-gram spans removed (the text a substring-level dedup
@@ -2224,11 +2320,15 @@ def doc_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_ngram_logprob(d, "doc_id", "text", model)
 
 
-def _ngram_lm_sql() -> str:
-    """The committed LM's oracle twin: nonzero (bucket, count) pairs
+def _ngram_lm_ctes() -> str:
+    """The committed LM's oracle twin as a COMPOSABLE CTE chain ending
+    in ``ng(doc_id, ng_n, ng_sum)``: nonzero (bucket, count) pairs
     inlined as parallel unnest lists (DuckDB zips same-select unnests
     positionally), the bucket hash and the backoff CASE mirroring
-    operators/ngram_lm.py term for term."""
+    operators/ngram_lm.py term for term. All CTEs are ``ng_``-prefixed
+    so the chain drops into the curation-funnel SQL (which already owns
+    ``tk``/``pos``/``g``) without name collisions; callers must provide
+    a ``tk(doc_id, t)`` token CTE."""
     from .. import _ngram_lm as LM  # top-level artifact module
 
     def pairs(counts):
@@ -2244,15 +2344,13 @@ def _ngram_lm_sql() -> str:
     def h(expr, m):
         return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT) % {m}"
 
-    return f"""
-WITH tk AS (SELECT doc_id, {_TOK} AS t FROM documents),
-pos AS (
+    return f"""ng_pos AS (
   SELECT doc_id, t[i] AS w,
          CASE WHEN i >= 2 THEN t[i-1] END AS p1,
          CASE WHEN i >= 3 THEN t[i-2] END AS p2
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tk)
 ),
-b AS (
+ng_b AS (
   SELECT doc_id,
     {h('w', LM.UNI_B)} AS bu,
     CASE WHEN p1 IS NOT NULL THEN {h('p1', LM.UNI_B)} END AS bp,
@@ -2262,23 +2360,23 @@ b AS (
          THEN {h("p2 || ' ' || p1", LM.BI_B)} END AS bc,
     CASE WHEN p2 IS NOT NULL
          THEN {h("p2 || ' ' || p1 || ' ' || w", LM.TRI_B)} END AS bt
-  FROM pos
+  FROM ng_pos
 ),
-uni AS (SELECT unnest([{ub}]) AS kb, unnest([{uc}]) AS kc),
-bi  AS (SELECT unnest([{bb}]) AS kb, unnest([{bc}]) AS kc),
-tri AS (SELECT unnest([{tb}]) AS kb, unnest([{tc}]) AS kc),
-j AS (
+ng_uni AS (SELECT unnest([{ub}]) AS kb, unnest([{uc}]) AS kc),
+ng_bi  AS (SELECT unnest([{bb}]) AS kb, unnest([{bc}]) AS kc),
+ng_tri AS (SELECT unnest([{tb}]) AS kb, unnest([{tc}]) AS kc),
+ng_j AS (
   SELECT b.doc_id, b.bu, b.bp, b.bb, b.bc, b.bt,
          u.kc AS c_uni, p.kc AS c_prv, bi2.kc AS c_bi,
          cx.kc AS c_ctx, t3.kc AS c_tri
-  FROM b
-  LEFT JOIN uni u   ON b.bu = u.kb
-  LEFT JOIN uni p   ON b.bp = p.kb
-  LEFT JOIN bi bi2  ON b.bb = bi2.kb
-  LEFT JOIN bi cx   ON b.bc = cx.kb
-  LEFT JOIN tri t3  ON b.bt = t3.kb
+  FROM ng_b b
+  LEFT JOIN ng_uni u   ON b.bu = u.kb
+  LEFT JOIN ng_uni p   ON b.bp = p.kb
+  LEFT JOIN ng_bi bi2  ON b.bb = bi2.kb
+  LEFT JOIN ng_bi cx   ON b.bc = cx.kb
+  LEFT JOIN ng_tri t3  ON b.bt = t3.kb
 ),
-sc AS (
+ng_sc AS (
   SELECT doc_id,
     CAST(round(-(
       CASE
@@ -2303,15 +2401,25 @@ sc AS (
              - ln({float(LM.TOTAL + LM.UNI_B)})
       END
     ), 12) AS DECIMAL(28,12)) AS term
-  FROM j
-)
-SELECT doc_id, count(*) AS n_tokens,
-       CAST(round(sum(term), 4) AS DOUBLE) AS sum_nll
-FROM sc GROUP BY doc_id ORDER BY doc_id
+  FROM ng_j
+),
+ng AS (
+  SELECT doc_id, count(*) AS ng_n,
+         CAST(round(sum(term), 4) AS DOUBLE) AS ng_sum
+  FROM ng_sc GROUP BY doc_id
+)"""
+
+
+DOC_NGRAM_LOGPROB_SQL = (
+    f"WITH tk AS (SELECT doc_id, {_TOK} AS t FROM documents),\n"
+    + _ngram_lm_ctes()
+    + """
+SELECT doc_id, ng_n AS n_tokens, ng_sum AS sum_nll
+FROM ng ORDER BY doc_id
 """
+)
 
-
-DOC_NGRAM_LOGPROB_SQL = _ngram_lm_sql()
+DOC_CURATION_V4_SQL = _curation_v4_sql()
 
 
 _BM25_K1 = 1.2
@@ -2634,6 +2742,7 @@ QUERIES = {
     "doc_rag_chunks": doc_rag_chunks,
     "doc_cut_dup_spans": doc_cut_dup_spans,
     "doc_curation_v3": doc_curation_v3,
+    "doc_curation_v4": doc_curation_v4,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_collocations": doc_collocations,
     "doc_mixture_plan": doc_mixture_plan,
@@ -2680,6 +2789,7 @@ ORACLES = {
     "doc_rag_chunks": DOC_RAG_CHUNKS_SQL,
     "doc_cut_dup_spans": DOC_CUT_DUP_SPANS_SQL,
     "doc_curation_v3": DOC_CURATION_V3_SQL,
+    "doc_curation_v4": DOC_CURATION_V4_SQL,
     "doc_tfidf_topk": DOC_TFIDF_SQL,
     "doc_collocations": DOC_COLLOCATIONS_SQL,
     "doc_mixture_plan": DOC_MIXTURE_PLAN_SQL,

@@ -2207,9 +2207,16 @@ ORDER BY cell
 VEC_CLUSTER_MIXTURE_SQL = _cluster_mixture_sql(_MIX_N_CELLS)
 
 
+# RETIRED from the driver registry (r9 verdict #8, registry = 0 mod 50):
+# - vec_knn_ivf: vec_knn_ivf_fixed is the maintained IVF oracle (same
+#   cell-partitioned search path, deterministic coarse quantizer so the
+#   DuckDB twin replays it exactly); the trained-centroid variant keeps
+#   its function + recall/plan pytests below.
+# - vec_knn_int8: vec_knn_int8_rerank's candidate stage IS the SQ8
+#   quantized scan (shared helpers), so the rerank oracle value-gates
+#   the same arithmetic; bench keeps sq8_build/sq8_search entries.
 QUERIES = {
     "vec_kcenter_coreset": vec_kcenter_coreset,
-    "vec_knn_int8": vec_knn_int8,
     "vec_knn_int8_rerank": vec_knn_int8_rerank,
     "vec_mmr_rerank": vec_mmr_rerank,
     "vec_cluster_mixture": vec_cluster_mixture,
@@ -2223,7 +2230,6 @@ QUERIES = {
     "vec_label_similarity_matrix": vec_label_similarity_matrix,
     "vec_norm_stats": vec_norm_stats,
     "vec_knn_bruteforce": vec_knn_bruteforce,
-    "vec_knn_ivf": vec_knn_ivf,
     "vec_knn_ivf_fixed": vec_knn_ivf_fixed,
     "vec_knn_pq": vec_knn_pq,
     "vec_knn_ivfpq": vec_knn_ivfpq,
@@ -2250,7 +2256,6 @@ ORACLES = {
     "vec_label_similarity_matrix": VEC_LABEL_SIM_MATRIX_SQL,
     "vec_norm_stats": VEC_NORM_STATS_SQL,
     "vec_kcenter_coreset": VEC_KCENTER_CORESET_SQL,
-    "vec_knn_int8": VEC_KNN_INT8_SQL,
     "vec_knn_int8_rerank": VEC_KNN_INT8_RERANK_SQL,
     "vec_mmr_rerank": VEC_MMR_RERANK_SQL,
     "vec_cluster_mixture": VEC_CLUSTER_MIXTURE_SQL,
@@ -2258,7 +2263,6 @@ ORACLES = {
     "vec_near_dup_pairs": VEC_NEAR_DUP_SQL,
     "vec_knn_lsh": VEC_KNN_LSH_SQL,
     "vec_knn_ivf_fixed": VEC_KNN_IVF_FIXED_SQL,
-    "vec_knn_ivf": VEC_KNN_IVF_SQL,
     "vec_knn_pq": VEC_KNN_PQ_SQL,
     "vec_knn_ivfpq": VEC_KNN_IVFPQ_SQL,
     "vec_pca_coords": VEC_PCA_COORDS_SQL,
