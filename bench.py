@@ -84,6 +84,7 @@ HEADLINE = [
     "trn_beat_semantic_catalog",
     "trn_section_semantic_catalog",
     "doc_curation_funnel",
+    "doc_curation_v4",
     "doc_dup_clusters",
     "doc_dup_spans",
     "doc_cut_dup_spans",

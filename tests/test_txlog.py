@@ -2047,3 +2047,131 @@ def test_optimize_bin_packs_small_files(spark, tmp_path):
     # the healthy file was never rewritten
     assert any(a["path"] == big["path"] for a in after)
     assert t.read().count() == 50_600
+
+
+def test_stream_merge_txlog_optimize_every_bounds_dv_debt(spark, tmp_path):
+    """The CDC sink's in-sink maintenance schedule (optimize_every):
+    with heavy per-batch deletes the unpoliced DV-mode table carries its
+    dead rows forever, while optimize_every=1 materializes past-threshold
+    files as part of the stream — same final CONTENT, bounded debt.
+    Replay with a fresh checkpoint stays exactly-once (the merge skips
+    on the txn watermark; optimize is content-neutral)."""
+    import json as _json
+
+    from transcription_lakehouse_spark.streaming.ingest import (
+        stream_merge_txlog,
+    )
+    from transcription_lakehouse_spark.txlog import _live_adds
+
+    schema = "id bigint, val string, seq bigint, _op string"
+    sch = spark.createDataFrame([], schema).schema
+
+    def run(tag, **kw):
+        d = tmp_path / f"cdc_{tag}"
+        d.mkdir()
+        tp = str(tmp_path / f"table_{tag}")
+        t = LogTable(spark, tp)
+        t.append(spark.createDataFrame(
+            [(i, f"base{i}", 0) for i in range(100)],
+            "id bigint, val string, seq bigint",
+        ).coalesce(1))
+        # three batches, each deleting a 30-key slice of the base file
+        for b in range(3):
+            (d / f"b{b}.jsonl").write_text("\n".join(
+                _json.dumps({"id": i, "val": None, "seq": b + 1,
+                             "_op": "D"})
+                for i in range(b * 30, b * 30 + 30)
+            ))
+        q = stream_merge_txlog(
+            spark, str(d), tp, str(tmp_path / f"ck_{tag}"), sch,
+            key="id", seq_col="seq", app_id=f"cdc_{tag}",
+            deletion_vectors=True, **kw,
+        )
+        q.awaitTermination(180)
+        t2 = LogTable(spark, tp)
+        adds = _live_adds(t2._load_for_read(None))
+        dead = sum(int(a["dv"]["n"]) for a in adds if a.get("dv"))
+        return tp, sorted(r["id"] for r in t2.read().collect()), dead
+
+    _, ids_plain, dead_plain = run("plain")
+    tp, ids_pol, dead_pol = run("policy", optimize_every=1,
+                                min_dead_ratio=0.2)
+    assert ids_plain == ids_pol == list(range(90, 100))
+    assert dead_plain >= 30            # unpoliced: debt carried
+    assert dead_pol == 0               # policy materialized it in-sink
+    # fresh-checkpoint replay: merges skip, optimize no-ops, version
+    # may advance only by content-neutral maintenance commits — content
+    # is what must hold
+    q = stream_merge_txlog(
+        spark, str(tmp_path / "cdc_policy"), tp,
+        str(tmp_path / "ck_policy2"), sch,
+        key="id", seq_col="seq", app_id="cdc_policy",
+        deletion_vectors=True, optimize_every=1, min_dead_ratio=0.2,
+    )
+    q.awaitTermination(180)
+    t3 = LogTable(spark, tp)
+    assert sorted(r["id"] for r in t3.read().collect()) == ids_pol
+
+
+def test_cli_table_optimize(spark, tmp_path, monkeypatch):
+    """`lakehouse table optimize` — the scheduled-maintenance entry
+    point: purges the past-threshold DV'd file, reports JSON, and a
+    second invocation is a clean no-op."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark import cli as cli_mod
+
+    monkeypatch.setattr(cli_mod, "_spark", lambda cmd: spark)
+    tp = str(tmp_path / "t")
+    t = LogTable(spark, tp, deletion_vectors=True)
+    t.append(spark.range(100).selectExpr("id", "id*2 AS v").coalesce(1))
+    t.delete("id < 30")
+    r = CliRunner().invoke(
+        cli_mod.cli,
+        ["table", "optimize", tp, "--min-dead-ratio", "0.2",
+         "--cluster-by", "id"],
+    )
+    assert r.exit_code == 0, r.output
+    out = _json.loads(r.output[r.output.index("{"):])
+    assert out["purged_files"] == 1
+    assert LogTable(spark, tp).read().count() == 70
+    r2 = CliRunner().invoke(cli_mod.cli, ["table", "optimize", tp])
+    assert r2.exit_code == 0, r2.output
+    out2 = _json.loads(r2.output[r2.output.index("{"):])
+    assert out2["purged_files"] == 0
+
+
+def test_optimize_racing_append_replans_keeping_both(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE vs append: an append stealing the version between
+    optimize's plan and publish forces a RE-PLAN (optimize never rebases
+    a stale rewrite — a concurrent commit may have changed DV state) —
+    both effects land, the purge still materializes only the
+    past-threshold file, and the appended rows survive untouched."""
+    root = str(tmp_path / "t")
+    t = LogTable(spark, root, deletion_vectors=True)
+    t.append(spark.range(100).selectExpr("id", "id*2 AS v").coalesce(1))
+    t.delete("id < 30")                     # 30% dead -> purge target
+    racer = LogTable(spark, root)
+    orig = LogTable._commit
+    fired = {"done": False}
+
+    def patched(self, record):
+        if record["operation"] == "purge" and not fired["done"]:
+            fired["done"] = True
+            racer.append(spark.range(500, 510).selectExpr(
+                "id", "id*2 AS v").coalesce(1))
+        return orig(self, record)
+
+    monkeypatch.setattr(LogTable, "_commit", patched)
+    out = t.optimize(min_dead_ratio=0.2, cluster_by=["id"])
+    monkeypatch.setattr(LogTable, "_commit", orig)
+    assert out["purged_files"] == 1
+    t2 = LogTable(spark, root)
+    got = sorted(r["id"] for r in t2.read().collect())
+    assert got == sorted(set(range(30, 100)) | set(range(500, 510)))
+    ops = [h["operation"] for h in t2.history()]
+    assert ops.count("purge") == 1 and ops.count("append") == 2

@@ -455,6 +455,39 @@ def table_compact(path, target_files, cluster_by, zorder_by):
     ))
 
 
+@table.command("optimize")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--min-dead-ratio", type=float, default=0.2,
+              show_default=True,
+              help="Materialize deletion vectors on files whose dead-row "
+                   "fraction reaches this threshold (REORG-PURGE)")
+@click.option("--small-file-bytes", type=int, default=None,
+              help="Also bin-pack live files below this size into "
+                   "~2x-threshold outputs (Delta OPTIMIZE bin-packing)")
+@click.option("--cluster-by", default=None,
+              help="Comma-separated columns: range-cluster the rewritten "
+                   "rows so their min/max stats come back sharp")
+@click.option("--zorder-by", default=None,
+              help="Comma-separated columns: Morton-order the rewritten "
+                   "rows instead")
+def table_optimize(path, min_dead_ratio, small_file_bytes, cluster_by,
+                   zorder_by):
+    """Scheduled merge-on-read maintenance: purge DV-heavy files, pack
+    small ones, re-cluster — one snapshot-atomic commit; a no-op when
+    nothing qualifies (safe on a timer)."""
+    from .txlog import LogTable
+
+    t = LogTable(_spark("table-optimize"), path)
+    _echo(t.optimize(
+        min_dead_ratio=min_dead_ratio,
+        small_file_bytes=small_file_bytes,
+        cluster_by=[c.strip() for c in cluster_by.split(",")]
+        if cluster_by else None,
+        zorder_by=[c.strip() for c in zorder_by.split(",")]
+        if zorder_by else None,
+    ))
+
+
 @table.command("vacuum")
 @click.argument("path", type=click.Path(exists=True))
 @click.option("--retain-last", type=int, default=2, show_default=True)

@@ -219,6 +219,10 @@ def stream_merge_txlog(
     app_id: str | None = None,
     trigger_once: bool = True,
     deletion_vectors: bool = False,
+    optimize_every: int | None = None,
+    min_dead_ratio: float = 0.2,
+    cluster_by: list[str] | None = None,
+    small_file_bytes: int | None = None,
 ) -> StreamingQuery:
     """Streaming CDC apply: a change feed of keyed records (op 'U'/'I'
     upsert, 'D' delete, ordered by ``seq_col``) merges into a LogTable —
@@ -237,6 +241,16 @@ def stream_merge_txlog(
     batch_id) is detected IN THE LOG and skipped, not double-applied.
     ``app_id`` defaults to the table path; keep it stable across
     restarts of the same logical stream.
+
+    ``optimize_every=N`` SCHEDULES the merge-on-read maintenance policy
+    inside the sink itself: every N batches the apply also calls
+    ``LogTable.optimize(min_dead_ratio, cluster_by, small_file_bytes)``,
+    so continuous CDC never needs an operator to remember ``purge_dvs``
+    — without it every read pays the DV bitmap tax on a forever-growing
+    file set (measured: ``tools/cdc_stream_scaling.py --lifecycle``,
+    SCALING.md r10). Replay-safe: a replayed batch's merge is skipped by
+    the txn watermark, and optimize is content-neutral and a strict
+    no-op when nothing crosses the threshold.
 
     Scale: the collapse is one window per batch (partitioned by key —
     batch-sized, not corpus-sized); file discovery inside merge_cdc is a
@@ -271,6 +285,10 @@ def stream_merge_txlog(
         t = LogTable(batch.sparkSession, table_path,
                      deletion_vectors=deletion_vectors)
         t.merge_cdc(latest, key, op_col=op_col, txn=(app, batch_id))
+        if optimize_every and batch_id % optimize_every == optimize_every - 1:
+            t.optimize(min_dead_ratio=min_dead_ratio,
+                       cluster_by=cluster_by,
+                       small_file_bytes=small_file_bytes)
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)
