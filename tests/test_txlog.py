@@ -2175,3 +2175,127 @@ def test_optimize_racing_append_replans_keeping_both(
     assert got == sorted(set(range(30, 100)) | set(range(500, 510)))
     ops = [h["operation"] for h in t2.history()]
     assert ops.count("purge") == 1 and ops.count("append") == 2
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Delta-style CHECK constraints: add_constraint validates existing
+    rows first; append/overwrite/merge/merge_cdc refuse violating
+    batches BEFORE any commit lands (staged files cleaned up); NULL
+    passes (SQL CHECK); drop lifts enforcement; the constraint set
+    survives checkpoint-seeded reads."""
+    import pytest as _pytest
+
+    from transcription_lakehouse_spark.txlog import (
+        ConstraintViolationError,
+    )
+
+    t = LogTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    t.append(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "id bigint, v double"
+    ))
+    # existing NULL passes; existing data satisfies v > 0
+    out = t.add_constraint("v_pos", "v > 0")
+    assert out["added"] is True
+    assert t.constraints() == {"v_pos": "v > 0"}
+    # idempotent re-add; different expr refused
+    assert t.add_constraint("v_pos", "v > 0")["added"] is False
+    with _pytest.raises(ValueError, match="different expression"):
+        t.add_constraint("v_pos", "v > 1")
+    # an add against already-violating data is refused with the count
+    # (v=10 is FALSE -> violates; v=NULL passes, SQL CHECK)
+    with _pytest.raises(ConstraintViolationError, match="1 existing"):
+        t.add_constraint("v_big", "v >= 20")
+    v_before = t.version()
+
+    # append: violating batch refused, nothing committed, staging swept
+    with _pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.append(spark.createDataFrame(
+            [(4, -1.0)], "id bigint, v double"))
+    assert t.version() == v_before
+    # NULL in the checked column passes
+    t.append(spark.createDataFrame([(5, None)], "id bigint, v double"))
+    # merge: violating upsert refused
+    with _pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.merge(spark.createDataFrame(
+            [(1, -5.0)], "id bigint, v double"), key="id")
+    # merge_cdc: the DELETE row cannot violate, the upsert can
+    with _pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.merge_cdc(spark.createDataFrame(
+            [(2, -1.0, "U"), (3, None, "D")],
+            "id bigint, v double, _op string"), key="id")
+    ok = t.merge_cdc(spark.createDataFrame(
+        [(2, 99.0, "U"), (3, None, "D")],
+        "id bigint, v double, _op string"), key="id")
+    assert ok["version"] is not None
+    # overwrite honors it too
+    with _pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.overwrite(spark.createDataFrame(
+            [(9, 0.0)], "id bigint, v double"))
+
+    # survives a checkpoint-seeded load (interval 3 -> checkpoint exists)
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(100 + i, 1.0)], "id bigint, v double"))
+    t2 = LogTable(spark, str(tmp_path / "t"))
+    assert t2.constraints() == {"v_pos": "v > 0"}
+    with _pytest.raises(ConstraintViolationError):
+        t2.append(spark.createDataFrame(
+            [(200, -1.0)], "id bigint, v double"))
+    # drop lifts enforcement; dropping again is a no-op
+    assert t2.drop_constraint("v_pos")["dropped"] is True
+    assert t2.drop_constraint("v_pos")["dropped"] is False
+    t2.append(spark.createDataFrame([(200, -1.0)], "id bigint, v double"))
+    assert t2.read().filter("v < 0").count() == 1
+
+
+def test_detail_reports_dv_debt_and_constraints(spark, tmp_path):
+    """DESCRIBE DETAIL: metadata-only snapshot summary — the inputs an
+    OPTIMIZE schedule reads. Counts live files/bytes, DV debt with the
+    dead ratio, live rows, and the active constraint set; optimize
+    clears the debt it reports."""
+    t = LogTable(spark, str(tmp_path / "t"), deletion_vectors=True)
+    assert t.detail()["version"] == -1
+    t.append(spark.range(100).selectExpr("id", "id*1.0 AS v").coalesce(1))
+    t.add_constraint("id_nonneg", "id >= 0")
+    d0 = t.detail()
+    assert (d0["files"], d0["dv_files"], d0["dead_rows"]) == (1, 0, 0)
+    assert d0["live_rows"] == 100 and d0["bytes"] > 0
+    assert d0["constraints"] == {"id_nonneg": "id >= 0"}
+    t.delete("id < 25")
+    d1 = t.detail()
+    assert (d1["dv_files"], d1["dead_rows"], d1["live_rows"]) == (1, 25, 75)
+    assert d1["dead_ratio"] == 0.25
+    t.optimize(min_dead_ratio=0.2)
+    d2 = t.detail()
+    assert (d2["dv_files"], d2["dead_rows"], d2["live_rows"]) == (0, 0, 75)
+
+
+def test_cli_table_detail_and_constraint(spark, tmp_path, monkeypatch):
+    """`table detail` and `table constraint --add/--drop/list`."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark import cli as cli_mod
+
+    monkeypatch.setattr(cli_mod, "_spark", lambda cmd: spark)
+    tp = str(tmp_path / "t")
+    t = LogTable(spark, tp, deletion_vectors=True)
+    t.append(spark.range(50).selectExpr("id", "id*2 AS v").coalesce(1))
+    t.delete("id < 10")
+    run = CliRunner()
+
+    def body(r):
+        assert r.exit_code == 0, r.output
+        return _json.loads(r.output[r.output.index("{"):])
+
+    d = body(run.invoke(cli_mod.cli, ["table", "detail", tp]))
+    assert d["dv_files"] == 1 and d["dead_rows"] == 10
+    out = body(run.invoke(cli_mod.cli, [
+        "table", "constraint", tp, "--add", "v_pos", "v >= 0"]))
+    assert out["added"] is True
+    lst = body(run.invoke(cli_mod.cli, ["table", "constraint", tp]))
+    assert lst == {"v_pos": "v >= 0"}
+    out = body(run.invoke(cli_mod.cli, [
+        "table", "constraint", tp, "--drop", "v_pos"]))
+    assert out["dropped"] is True

@@ -455,6 +455,41 @@ def table_compact(path, target_files, cluster_by, zorder_by):
     ))
 
 
+@table.command("detail")
+@click.argument("path", type=click.Path(exists=True))
+def table_detail(path):
+    """DESCRIBE DETAIL: files/bytes, deletion-vector debt (the inputs
+    an OPTIMIZE schedule decides on) and active CHECK constraints —
+    one metadata-only log read, no data files opened."""
+    from .txlog import LogTable
+
+    _echo(LogTable(_spark("table-detail"), path).detail())
+
+
+@table.command("constraint")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--add", "add_", nargs=2, default=None,
+              metavar="NAME EXPR",
+              help="ADD CONSTRAINT NAME CHECK (EXPR): validates existing "
+                   "rows first, then enforces on every future write")
+@click.option("--drop", default=None, metavar="NAME",
+              help="Remove a constraint (no-op if absent)")
+def table_constraint(path, add_, drop):
+    """List, add, or drop CHECK constraints (Delta ALTER TABLE ... ADD
+    CONSTRAINT semantics; NULL passes, violation = FALSE)."""
+    from .txlog import LogTable
+
+    t = LogTable(_spark("table-constraint"), path)
+    if add_ and drop:
+        raise click.UsageError("--add and --drop are mutually exclusive")
+    if add_:
+        _echo(t.add_constraint(add_[0], add_[1]))
+    elif drop:
+        _echo(t.drop_constraint(drop))
+    else:
+        _echo(t.constraints())
+
+
 @table.command("optimize")
 @click.argument("path", type=click.Path(exists=True))
 @click.option("--min-dead-ratio", type=float, default=0.2,

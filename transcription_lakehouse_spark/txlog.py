@@ -68,6 +68,7 @@ from pyspark.sql.types import StructField, StructType
 
 __all__ = [
     "ConcurrentCommitError",
+    "ConstraintViolationError",
     "LogTable",
     "StaleWatermarkError",
 ]
@@ -75,6 +76,12 @@ __all__ = [
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first (lost the rename race)."""
+
+
+class ConstraintViolationError(ValueError):
+    """A write's rows violate an active CHECK constraint (or
+    ``add_constraint`` found existing rows that do). Nothing was
+    committed; staged files are grace-gated orphans for vacuum."""
 
 
 class StaleWatermarkError(RuntimeError):
@@ -493,6 +500,24 @@ def _fold_txns(commits: list[dict]) -> dict[str, int]:
     return txns
 
 
+def _fold_constraints(commits: list[dict]) -> dict[str, str]:
+    """Active CHECK constraints folded over a loaded prefix (mirror of
+    ``_fold_txns``): the head may be a synthetic checkpoint commit
+    already carrying the folded map, later ``set_constraint`` commits
+    add or drop by name."""
+    cons: dict[str, str] = {}
+    for c in commits:
+        if c.get("operation") == "checkpoint":
+            cons.update(c.get("constraints") or {})
+        if c.get("operation") == "set_constraint":
+            p = c.get("params") or {}
+            if p.get("drop"):
+                cons.pop(p["name"], None)
+            elif "name" in p:
+                cons[p["name"]] = p["expr"]
+    return cons
+
+
 def _norm_schema(schema_json: str) -> list[tuple[str, str]]:
     """(name, type) pairs — the schema identity the format enforces
     (nullability is writer-dependent noise, see _check_schema)."""
@@ -635,6 +660,7 @@ class LogTable:
                 "version": ck["version"], "operation": "checkpoint",
                 "add": ck["add"], "remove": [], "schema": ck["schema"],
                 "txns": ck.get("txns", {}),
+                "constraints": ck.get("constraints", {}),
             }]
             floor = cv
         tail = [
@@ -672,6 +698,10 @@ class LogTable:
             # checkpoint or a deep replay (older than the newest
             # checkpoint) would silently re-apply
             "txns": _fold_txns(prefix),
+            # CHECK constraints fold into the checkpoint for the same
+            # reason txns do: a checkpoint-seeded prefix never replays
+            # the old set_constraint commits
+            "constraints": _fold_constraints(prefix),
         }
         try:
             out = fs.create(tmp, False)
@@ -1335,6 +1365,7 @@ class LogTable:
         ddl = self._check_schema(df, prefix, merge_schema=merge_schema)
         v = (prefix[-1]["version"] if prefix else -1) + 1
         adds = self._write_files(self._cluster(df, cluster_by), v)
+        self._enforce_written(adds, ddl, prefix, "append")
         last_exc: ConcurrentCommitError | None = None
         for _ in range(self.max_commit_retries + 1):
             try:
@@ -1367,6 +1398,7 @@ class LogTable:
         prefix = self._load_for_read(None, allow_empty=True)
         v = (prefix[-1]["version"] if prefix else -1) + 1
         adds = self._write_files(self._cluster(df, cluster_by), v)
+        self._enforce_written(adds, ddl, prefix, "overwrite")
         last_exc: ConcurrentCommitError | None = None
         for _ in range(self.max_commit_retries + 1):
             old = self._snapshot_of(prefix)[0] if prefix else []
@@ -1682,6 +1714,10 @@ class LogTable:
                         "advanced it; re-plan from the new watermark"
                     )
             ddl = self._check_schema(upserts, prefix)
+            # carried rows were validated at their own write time — only
+            # the incoming upserts need the CHECK pass (deletes cannot
+            # create violations)
+            self._enforce_constraints(upserts, prefix, op)
             v = (prefix[-1]["version"] if prefix else -1) + 1
             live = _live_adds(prefix) if prefix else []
             commit_params = dict(params, key=key)
@@ -1922,6 +1958,165 @@ class LogTable:
                 else:
                     need_plan = True
         raise last_exc
+
+    # ---- CHECK constraints + table detail ---------------------------------
+
+    def _constraint_violations(self, df: DataFrame,
+                               cons: dict[str, str]) -> dict[str, int]:
+        """Per-constraint violation counts over ``df`` in ONE aggregate
+        pass. SQL CHECK semantics: a row violates only when the
+        expression is FALSE — NULL passes (Delta/ANSI behavior)."""
+        names = sorted(cons)
+        aggs = [
+            F.count(F.when(
+                ~F.coalesce(F.expr(cons[n]).cast("boolean"), F.lit(True)),
+                F.lit(1),
+            )).alias(f"_c{i}")
+            for i, n in enumerate(names)
+        ]
+        row = df.agg(*aggs).head()
+        return {
+            n: int(row[f"_c{i}"])
+            for i, n in enumerate(names)
+            if row and row[f"_c{i}"]
+        }
+
+    def _enforce_constraints(self, df: DataFrame, commits: list[dict],
+                             op: str) -> None:
+        """Refuse ``op`` when any incoming row violates an active CHECK
+        constraint. One extra aggregate job, only when constraints
+        exist; nothing has been committed when this raises."""
+        cons = _fold_constraints(commits)
+        if not cons:
+            return
+        bad = self._constraint_violations(df, cons)
+        if bad:
+            raise ConstraintViolationError(
+                f"{op}: rows violate CHECK constraint(s) "
+                + ", ".join(f"{n!r} ({cons[n]}): {c} row(s)"
+                            for n, c in sorted(bad.items()))
+            )
+
+    def _enforce_written(self, adds: list[dict], ddl: str,
+                         commits: list[dict], op: str) -> None:
+        """Post-write CHECK validation for append/overwrite: scan the
+        JUST-WRITTEN files (cheap local parquet — never recomputes the
+        batch's upstream lineage, which may be an expensive pipeline)
+        and on violation delete the staged commit directory and raise —
+        the commit has not landed, so nothing is visible."""
+        cons = _fold_constraints(commits)
+        if not cons or not adds:
+            return
+        raw = self.spark.read.schema(
+            StructType.fromJson(json.loads(ddl))
+        ).parquet(*(f"{self.path}/{a['path']}" for a in adds))
+        bad = self._constraint_violations(raw, cons)
+        if bad:
+            fs, jvm = _fs(self.spark, self.path)
+            sub = adds[0]["path"].rsplit("/", 1)[0]  # shared commit dir
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{self.path}/{sub}"), True
+            )
+            raise ConstraintViolationError(
+                f"{op}: rows violate CHECK constraint(s) "
+                + ", ".join(f"{n!r} ({cons[n]}): {c} row(s)"
+                            for n, c in sorted(bad.items()))
+            )
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints (name -> SQL boolean expression)."""
+        return _fold_constraints(self._load_for_read(None, allow_empty=True))
+
+    def add_constraint(self, name: str, expr: str) -> dict:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (Delta semantics):
+        validates the EXISTING table first (one aggregate over a
+        DV-folded read — raises ``ConstraintViolationError`` with the
+        row count if current data already violates), then records the
+        constraint in a metadata-only commit. Every subsequent
+        ``append``/``merge``/``merge_cdc`` refuses batches whose rows
+        violate it (NULL passes, per SQL CHECK). Re-adding the identical
+        constraint is an idempotent no-op; a different expression under
+        the same name is refused (drop it first)."""
+        last_exc: ConcurrentCommitError | None = None
+        for _ in range(self.max_commit_retries + 1):
+            prefix = self._load_for_read(None)
+            cons = _fold_constraints(prefix)
+            if cons.get(name) == expr:
+                return {"version": None, "added": False}
+            if name in cons:
+                raise ValueError(
+                    f"add_constraint: {name!r} already exists with a "
+                    f"different expression ({cons[name]!r}); drop it first"
+                )
+            bad = self._constraint_violations(
+                self._read_of(prefix), {name: expr}
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"add_constraint: {bad[name]} existing row(s) "
+                    f"violate {name!r} ({expr})"
+                )
+            v = prefix[-1]["version"] + 1
+            try:
+                self._commit(self._record(
+                    v, "set_constraint", [], [], prefix[-1]["schema"],
+                    name=name, expr=expr,
+                ))
+                self._maybe_checkpoint(v)
+                return {"version": v, "added": True}
+            except ConcurrentCommitError as exc:
+                last_exc = exc
+        raise last_exc
+
+    def drop_constraint(self, name: str) -> dict:
+        """Remove a CHECK constraint (metadata-only commit); dropping an
+        absent name is a no-op."""
+        last_exc: ConcurrentCommitError | None = None
+        for _ in range(self.max_commit_retries + 1):
+            prefix = self._load_for_read(None)
+            if name not in _fold_constraints(prefix):
+                return {"version": None, "dropped": False}
+            v = prefix[-1]["version"] + 1
+            try:
+                self._commit(self._record(
+                    v, "set_constraint", [], [], prefix[-1]["schema"],
+                    name=name, drop=True,
+                ))
+                self._maybe_checkpoint(v)
+                return {"version": v, "dropped": True}
+            except ConcurrentCommitError as exc:
+                last_exc = exc
+        raise last_exc
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one metadata-only read of the current
+        snapshot — file/byte counts, deletion-vector debt (the inputs an
+        OPTIMIZE schedule decides on), and active constraints. No data
+        files are opened; everything folds from the log."""
+        prefix = self._load_for_read(None, allow_empty=True)
+        if not prefix:
+            return {"version": -1, "files": 0, "bytes": 0,
+                    "dv_files": 0, "dead_rows": 0, "live_rows": 0,
+                    "dead_ratio": 0.0, "constraints": {}}
+        adds = _live_adds(prefix)
+        dvd = [a for a in adds if a.get("dv")]
+        dead = sum(int(a["dv"]["n"]) for a in dvd)
+        rows = [
+            (a.get("stats") or {}).get("rows") for a in adds
+        ]
+        stored = sum(r for r in rows if r is not None)
+        live_rows = (stored - dead) if all(r is not None for r in rows) \
+            else None
+        return {
+            "version": prefix[-1]["version"],
+            "files": len(adds),
+            "bytes": sum(int(a.get("size") or 0) for a in adds),
+            "dv_files": len(dvd),
+            "dead_rows": dead,
+            "live_rows": live_rows,
+            "dead_ratio": round(dead / stored, 6) if stored else 0.0,
+            "constraints": _fold_constraints(prefix),
+        }
 
     @staticmethod
     def _dv_purge_targets(live: list[dict],
