@@ -2299,3 +2299,49 @@ def test_cli_table_detail_and_constraint(spark, tmp_path, monkeypatch):
     out = body(run.invoke(cli_mod.cli, [
         "table", "constraint", tp, "--drop", "v_pos"]))
     assert out["dropped"] is True
+
+
+def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
+    """TIMESTAMP AS OF time travel (version_at + read(timestamp=...))
+    resolves to the newest commit at-or-before the instant, refuses
+    pre-history instants, and refuses version+timestamp together;
+    vacuum(dry_run=True) reports exactly the files a real run then
+    deletes, while touching nothing."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 10).coalesce(1))
+    ts_v0 = _dt.datetime.now(_dt.timezone.utc)
+    import time as _time
+
+    _time.sleep(1.1)
+    t.append(spark.range(10, 20).coalesce(1))
+    _time.sleep(1.1)
+    t.overwrite(spark.range(100, 105).coalesce(1))
+
+    assert t.version_at(ts_v0) == 0
+    assert t.read(timestamp=ts_v0).count() == 10
+    # ISO string + naive (taken as UTC) both resolve
+    assert t.version_at(ts_v0.isoformat()) == 0
+    assert t.version_at(ts_v0.replace(tzinfo=None)) == 0
+    # "now" resolves to the tip; prehistory refuses
+    assert t.version_at(_dt.datetime.now(_dt.timezone.utc)) == t.version()
+    with _pytest.raises(ValueError, match="predates"):
+        t.version_at(ts_v0 - _dt.timedelta(days=1))
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        t.read(version=0, timestamp=ts_v0)
+
+    # dry run: overwrite at retain_last=1 strands versions 0-1's files
+    dry = t.vacuum(retain_last=1, dry_run=True)
+    assert dry["dry_run"] is True and dry["deleted"] == 2
+    assert len(dry["would_delete"]) == 2
+    # nothing was touched: the old snapshot still reads
+    assert t.read(0).count() == 10
+    real = t.vacuum(retain_last=1)
+    assert real["deleted"] == 2 and "would_delete" not in real
+    fs_paths = [str(tmp_path / "t" / rel) for rel in dry["would_delete"]]
+    import os as _os
+
+    assert all(not _os.path.exists(p) for p in fs_paths)

@@ -530,12 +530,16 @@ def table_optimize(path, min_dead_ratio, small_file_bytes, cluster_by,
               help="Also sweep data files no commit references (crashed "
                    "or lost-race writers). Off by default: an in-flight "
                    "writer's staged files look identical to orphans.")
-def table_vacuum(path, retain_last, remove_orphans):
+@click.option("--dry-run", is_flag=True,
+              help="Report what would be deleted (paths + counts), "
+                   "touch nothing")
+def table_vacuum(path, retain_last, remove_orphans, dry_run):
     """Delete files no retained snapshot references."""
     from .txlog import LogTable
 
     t = LogTable(_spark("table-vacuum"), path)
-    _echo(t.vacuum(retain_last=retain_last, remove_orphans=remove_orphans))
+    _echo(t.vacuum(retain_last=retain_last, remove_orphans=remove_orphans,
+                   dry_run=dry_run))
 
 
 @table.command("matview")

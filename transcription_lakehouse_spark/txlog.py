@@ -1246,11 +1246,44 @@ class LogTable:
 
     # ---- operations -----------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (time travel with ``version``). The file list is
-        pinned BEFORE the scan starts, so later commits/compactions never
-        tear a running query. Deletion vectors are folded (merge-on-read):
-        rows a DV marks deleted never surface, at any version."""
+    def version_at(self, timestamp) -> int:
+        """TIMESTAMP AS OF resolution (Delta semantics): the newest
+        version whose commit timestamp is <= ``timestamp`` (ISO-8601
+        string or datetime; naive values are taken as UTC, matching the
+        log's own stamps). Raises when the timestamp predates the first
+        commit. Commit timestamps are writer clocks — monotonic within
+        one writer, best-effort across racers, exactly Delta's
+        contract."""
+        if isinstance(timestamp, str):
+            ts = datetime.fromisoformat(timestamp)
+        else:
+            ts = timestamp
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        best = None
+        for c in self._commits():
+            cts = datetime.fromisoformat(c["timestamp"])
+            if cts <= ts:
+                best = c["version"]
+        if best is None:
+            raise ValueError(
+                f"version_at: {timestamp!r} predates the first commit"
+            )
+        return best
+
+    def read(self, version: int | None = None,
+             timestamp=None) -> DataFrame:
+        """Snapshot read (time travel with ``version``, or Delta's
+        TIMESTAMP AS OF via ``timestamp`` — mutually exclusive). The
+        file list is pinned BEFORE the scan starts, so later
+        commits/compactions never tear a running query. Deletion vectors
+        are folded (merge-on-read): rows a DV marks deleted never
+        surface, at any version."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("read: version and timestamp are "
+                                 "mutually exclusive")
+            version = self.version_at(timestamp)
         commits = self._load_for_read(version)
         schema = StructType.fromJson(json.loads(commits[-1]["schema"]))
         return self._read_adds(_live_adds(commits), schema)
@@ -2448,7 +2481,8 @@ class LogTable:
 
     def vacuum(self, retain_last: int = 2,
                remove_orphans: bool = False,
-               orphan_grace_seconds: float = 600.0) -> dict:
+               orphan_grace_seconds: float = 600.0,
+               dry_run: bool = False) -> dict:
         """Physically delete files no RETAINED snapshot references
         (time travel keeps working for the last ``retain_last``
         versions). ``remove_orphans`` additionally sweeps data files no
@@ -2461,7 +2495,12 @@ class LogTable:
         in-flight writer would otherwise delete files whose commit then
         lands, leaving dangling refs (r8 ADVICE #3). Pass 0 only when no
         writer can be in flight (tests, single-writer maintenance
-        windows)."""
+        windows).
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``) reports exactly
+        what a real run would delete — per-category counts plus the
+        relative paths under ``would_delete`` — and touches NOTHING
+        (checkpoints aren't pruned either)."""
         if retain_last < 1:
             # retain_last=0 would compute an empty referenced set and
             # delete the CURRENT snapshot's live files out from under
@@ -2503,25 +2542,33 @@ class LogTable:
                 ever_sidecars.update(_sidecar_refs(a))
         deletable = ever - referenced
         fs, jvm = _fs(self.spark, self.data_dir)
+        would: list[str] = []
         deleted = 0
         for rel in sorted(deletable):
             p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
             if fs.exists(p):
-                fs.delete(p, False)
+                if dry_run:
+                    would.append(rel)
+                else:
+                    fs.delete(p, False)
                 deleted += 1
         # committed sidecars no retained snapshot folds
         for ref in sorted(ever_sidecars - referenced_sidecars):
             bp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{ref}")
             if fs.exists(bp):
-                fs.delete(bp, False)
+                if dry_run:
+                    would.append(ref)
+                else:
+                    fs.delete(bp, False)
         # stale checkpoints: only the newest is ever consulted, and each
         # carries the FULL live add-set — left alone they grow the log
         # dir quadratically with commit count
         _, ckpts = self._list_log()
         ckpts_pruned = 0
-        for _v, cpath in ckpts[:-1]:
-            fs.delete(cpath, False)
-            ckpts_pruned += 1
+        if not dry_run:
+            for _v, cpath in ckpts[:-1]:
+                fs.delete(cpath, False)
+                ckpts_pruned += 1
         orphans = 0
         if remove_orphans:
             import time as _time
@@ -2562,7 +2609,10 @@ class LogTable:
                             continue
                         rel = f"data/{sub}/{name}"
                         if rel not in ever and _aged(f):
-                            fs.delete(f.getPath(), False)
+                            if dry_run:
+                                would.append(rel)
+                            else:
+                                fs.delete(f.getPath(), False)
                             orphans += 1
             # crashed stagers leave .tmp-* / .ckpt-* files in the log dir
             lroot = jvm.org.apache.hadoop.fs.Path(self.log_dir)
@@ -2570,7 +2620,10 @@ class LogTable:
                 for f in fs.listStatus(lroot):
                     name = f.getPath().getName()
                     if name.startswith((".tmp-", ".ckpt-")) and _aged(f):
-                        fs.delete(f.getPath(), False)
+                        if dry_run:
+                            would.append(f"_txlog/{name}")
+                        else:
+                            fs.delete(f.getPath(), False)
                         orphans += 1
             # bloom/DV sidecars written for a commit that lost its race
             # are referenced by NO commit — sweep them like data orphans
@@ -2584,8 +2637,15 @@ class LogTable:
                 for f in fs.listStatus(sroot):
                     rel = f"_txlog/{sub}/{f.getPath().getName()}"
                     if rel not in ever_sidecars and _aged(f):
-                        fs.delete(f.getPath(), False)
+                        if dry_run:
+                            would.append(rel)
+                        else:
+                            fs.delete(f.getPath(), False)
                         orphans += 1
-        return {"deleted": deleted, "orphans_deleted": orphans,
-                "checkpoints_pruned": ckpts_pruned,
-                "retained_from_version": keep_from}
+        out = {"deleted": deleted, "orphans_deleted": orphans,
+               "checkpoints_pruned": ckpts_pruned,
+               "retained_from_version": keep_from,
+               "dry_run": dry_run}
+        if dry_run:
+            out["would_delete"] = would
+        return out
