@@ -239,7 +239,7 @@ def test_random_op_walk_matches_in_memory_model(spark, tmp_path):
 
         for _ in range(7):
             op = rng.choice(["append", "delete", "merge", "overwrite",
-                             "compact"])
+                             "compact", "optimize"])
             if op == "append":
                 rows = _some_rows(rng.randint(1, 6))
                 t.append(_mk_kv(spark, rows))
@@ -258,6 +258,11 @@ def test_random_op_walk_matches_in_memory_model(spark, tmp_path):
                 model = dict(rows)
             elif op == "compact":
                 t.compact(target_files=1)
+            elif op == "optimize":
+                # content-neutral maintenance: purge every DV'd file and
+                # bin-pack everything small — the model must not move
+                t.optimize(min_dead_ratio=0.0,
+                           small_file_bytes=1 << 20)
             else:
                 continue
             history.append(dict(model))

@@ -139,6 +139,7 @@ def _counts_df(spark, counts: list[int], name: str) -> DataFrame:
 
 def score_ngram_logprob(
     df: DataFrame, id_col: str, text_col: str, model: dict,
+    ordered: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, sum_nll) per document under the stupid-backoff LM
     in ``model`` (a `train_ngram_counts` dict / the
@@ -224,11 +225,11 @@ def score_ngram_logprob(
         .otherwise(ln_base)
     )
     term = F.round(-ln_p, 12).cast("decimal(28,12)")
-    return (
-        j.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum(term), 4).cast("double").alias("sum_nll"),
-        )
-        .orderBy(id_col)
+    out = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum(term), 4).cast("double").alias("sum_nll"),
     )
+    # ordered=False for composition: a consumer that joins these scores
+    # (doc_curation_v4) would otherwise pay a range-partition exchange
+    # for a sort the join immediately destroys
+    return out.orderBy(id_col) if ordered else out

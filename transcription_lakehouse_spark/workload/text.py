@@ -1907,7 +1907,7 @@ ORDER BY doc_id, rank
 """
 
 
-def doc_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curation_v3_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third-generation curation funnel composing this round's gates, one
     row per document with each gate's verdict:
 
@@ -1956,7 +1956,14 @@ def doc_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         g_spans.alias("g_spans"),
         g_surprisal.alias("g_surprisal"),
         (g_cluster & g_spans & g_surprisal).alias("kept"),
-    ).orderBy("doc_id")
+    )
+
+
+def doc_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curation_v3_core(spark, sf_dir).orderBy("doc_id")
+
+
+doc_curation_v3.__doc__ = _curation_v3_core.__doc__
 
 
 DOC_CURATION_V3_SQL = (
@@ -2019,8 +2026,8 @@ def doc_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the beyond-reference training-data stack. The DuckDB twin recomputes
     the ENTIRE composition — recursive-CTE cluster closure AND the
     hashed-bucket LM replay — so the wiring is hash-gated end to end."""
-    v3 = doc_curation_v3(spark, sf_dir)
-    ng = doc_ngram_logprob(spark, sf_dir).select(
+    v3 = _curation_v3_core(spark, sf_dir)
+    ng = _ngram_scores(spark, sf_dir, ordered=False).select(
         "doc_id",
         F.col("n_tokens").alias("_ng_n"),
         F.col("sum_nll").alias("_ng_sum"),
@@ -2306,6 +2313,11 @@ def doc_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates through the Generate), five broadcast joins against
     <= 8 K-row committed count tables, ONE shuffle to the per-doc sum;
     the model is corpus-size-free by construction."""
+    return _ngram_scores(spark, sf_dir, ordered=True)
+
+
+def _ngram_scores(spark: SparkSession, sf_dir: str,
+                  ordered: bool) -> DataFrame:
     # the committed artifact lives at the PACKAGE TOP LEVEL (like
     # _quality_model/_sql_cos) so importing it doesn't edge the whole
     # workload package into text.py's --changed-since closure
@@ -2317,7 +2329,8 @@ def doc_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uni_b": UNI_B, "bi_b": BI_B, "tri_b": TRI_B, "total": TOTAL,
         "uni": UNI, "bi": BI, "tri": TRI,
     }
-    return score_ngram_logprob(d, "doc_id", "text", model)
+    return score_ngram_logprob(d, "doc_id", "text", model,
+                               ordered=ordered)
 
 
 def _ngram_lm_ctes() -> str:
