@@ -2350,3 +2350,38 @@ def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
     import os as _os
 
     assert all(not _os.path.exists(p) for p in fs_paths)
+
+
+def test_restore_rewinds_constraint_set_with_the_data(spark, tmp_path):
+    """Delta RESTORE rewinds metadata with the data: a CHECK constraint
+    added AFTER the restore target is deactivated by the restore (it
+    never validated the rewound rows), while restoring to a version
+    where it was already active keeps enforcing."""
+    import pytest as _pytest
+
+    from transcription_lakehouse_spark.txlog import (
+        ConstraintViolationError,
+    )
+
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 5.0)], "id bigint, v double"))
+    v_pre = t.version()
+    t.delete("v < 0 AND false")  # no-op data commit to move the version
+    t.add_constraint("v_pos", "v > 0")
+    v_with = t.version()
+    t.append(spark.createDataFrame([(2, 6.0)], "id bigint, v double"))
+    # rewind past the constraint: it deactivates with the metadata
+    t.restore(v_pre)
+    assert t.constraints() == {}
+    t.append(spark.createDataFrame([(3, -1.0)], "id bigint, v double"))
+    assert t.read().filter("v < 0").count() == 1
+    # rewind forward to the constrained version: enforcement returns
+    t.restore(v_with)
+    assert t.constraints() == {"v_pos": "v > 0"}
+    with _pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(4, -2.0)], "id bigint, v double"))
+    # and the set survives a checkpoint seeded AFTER the restores
+    t.checkpoint()
+    assert LogTable(spark, str(tmp_path / "t")).constraints() == {
+        "v_pos": "v > 0"
+    }

@@ -507,14 +507,20 @@ def _fold_constraints(commits: list[dict]) -> dict[str, str]:
     add or drop by name."""
     cons: dict[str, str] = {}
     for c in commits:
-        if c.get("operation") == "checkpoint":
+        op = c.get("operation")
+        p = c.get("params") or {}
+        if op == "checkpoint":
             cons.update(c.get("constraints") or {})
-        if c.get("operation") == "set_constraint":
-            p = c.get("params") or {}
+        elif op == "set_constraint":
             if p.get("drop"):
                 cons.pop(p["name"], None)
             elif "name" in p:
                 cons[p["name"]] = p["expr"]
+        elif op == "restore" and "constraints" in p:
+            # RESTORE rewinds metadata with the data: the recorded set
+            # REPLACES whatever was active (pre-r10 restore commits have
+            # no constraints key and leave the fold untouched)
+            cons = dict(p["constraints"])
     return cons
 
 
@@ -2340,6 +2346,12 @@ class LogTable:
         self._commit(self._record(
             v, "restore", adds, removes,
             target_prefix[-1]["schema"], restored_version=version,
+            # Delta RESTORE rewinds metadata with the data: the CHECK
+            # constraint set becomes exactly the target version's (a
+            # constraint added later must not stay active over rewound
+            # data it never validated). _fold_constraints treats this
+            # as a REPLACE.
+            constraints=_fold_constraints(target_prefix),
         ))
         self._maybe_checkpoint(v)
         return {"version": v, "restored_version": version,
