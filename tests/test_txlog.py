@@ -2385,3 +2385,41 @@ def test_restore_rewinds_constraint_set_with_the_data(spark, tmp_path):
     assert LogTable(spark, str(tmp_path / "t")).constraints() == {
         "v_pos": "v > 0"
     }
+
+
+def test_cli_table_restore(spark, tmp_path, monkeypatch):
+    """`table restore --version/--timestamp` — exactly one selector,
+    metadata-only rollback."""
+    import datetime as _dt
+    import json as _json
+    import time as _time
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark import cli as cli_mod
+
+    monkeypatch.setattr(cli_mod, "_spark", lambda cmd: spark)
+    tp = str(tmp_path / "t")
+    t = LogTable(spark, tp)
+    t.append(spark.range(5).coalesce(1))
+    ts0 = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    _time.sleep(1.1)
+    t.append(spark.range(5, 15).coalesce(1))
+    run = CliRunner()
+    r = run.invoke(cli_mod.cli, ["table", "restore", tp, "--version", "0"])
+    assert r.exit_code == 0, r.output
+    assert LogTable(spark, tp).read().count() == 5
+    # timestamp selector rolls to the same snapshot (newest <= ts0 is v0)
+    t.append(spark.range(100, 103).coalesce(1))
+    r = run.invoke(cli_mod.cli,
+                   ["table", "restore", tp, "--timestamp", ts0])
+    assert r.exit_code == 0, r.output
+    out = _json.loads(r.output[r.output.index("{"):])
+    assert out["restored_version"] == 0
+    assert LogTable(spark, tp).read().count() == 5
+    # exactly one selector required
+    assert run.invoke(cli_mod.cli,
+                      ["table", "restore", tp]).exit_code != 0
+    assert run.invoke(cli_mod.cli, [
+        "table", "restore", tp, "--version", "0", "--timestamp", ts0,
+    ]).exit_code != 0

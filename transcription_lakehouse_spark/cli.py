@@ -455,6 +455,26 @@ def table_compact(path, target_files, cluster_by, zorder_by):
     ))
 
 
+@table.command("restore")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--version", "version_", type=int, default=None,
+              help="RESTORE ... TO VERSION AS OF")
+@click.option("--timestamp", default=None,
+              help="RESTORE ... TO TIMESTAMP AS OF (ISO-8601; newest "
+                   "commit at or before the instant)")
+def table_restore(path, version_, timestamp):
+    """Roll the table back to a prior snapshot in one metadata-only
+    commit (history preserved; constraints rewind with the data)."""
+    from .txlog import LogTable
+
+    if (version_ is None) == (timestamp is None):
+        raise click.UsageError("pass exactly one of --version/--timestamp")
+    t = LogTable(_spark("table-restore"), path)
+    if timestamp is not None:
+        version_ = t.version_at(timestamp)
+    _echo(t.restore(version_))
+
+
 @table.command("detail")
 @click.argument("path", type=click.Path(exists=True))
 def table_detail(path):
