@@ -192,14 +192,89 @@ def test_bench_compare_raw_floor_suppression_is_audited(tmp_path, capsys):
 
 
 def test_bench_prior_round_queries_reads_parsed_and_tail():
-    """bench.py's rerun trigger reads the newest committed driver
-    artifact; it must survive both shapes — a healthy ``parsed`` record
-    and the truncated-tail one — against the REAL repo artifacts."""
+    """bench.py's rerun trigger reads the committed driver artifacts; it
+    must survive every shape in the REAL repo — healthy ``parsed``
+    records, the r9/r10 truncated tails, and the r10 compact final line
+    that carried no queries — by letting older artifacts fill entries
+    the newest one lost (r10 verdict #1)."""
     import bench
 
     prior = bench._prior_round_queries()
-    # the newest artifact (r9) is the truncated one: rescue must still
-    # surface its per-query walls
     assert prior, "no prior walls recovered from committed artifacts"
+    # q1 was one of the ~20 early-listed queries the r10 tail lost:
+    # older-artifact fill must recover it
     assert "q1_pricing_summary" in prior
     assert all(isinstance(v, float) for v in prior.values())
+    # the r10 artifact's reruns map (run COUNTS keyed by query name) must
+    # not overwrite real walls: every rescued wall for a >=3 s query must
+    # be a plausible seconds value, not the literal rerun count 3.0
+    # (knn_ivfpq_20x measured 12.97 s in r10 and carried reruns=3)
+    assert prior.get("knn_ivfpq_20x") != 3.0
+
+
+def test_bench_prior_walls_merge_and_strip_reruns(tmp_path, monkeypatch):
+    """Synthetic artifact set pinning both r10-verdict fixes: (a) a
+    truncated newest artifact's missing walls are filled from the next
+    older one, newest wins on overlap; (b) the reruns block is stripped
+    before the regex rescue so counts never masquerade as walls."""
+    import bench
+
+    old = {"parsed": {"queries": {
+        "q1_pricing_summary": 1.5, "evt_sessions": 2.0,
+        "doc_token_stats": 9.9,
+    }}}
+    # newest: parsed is the compact no-queries line; tail holds a
+    # truncated full record (late entries + a reruns map)
+    tail = ('"doc_token_stats":4.4,"vec_knn_lsh":2.2},'
+            '"reruns":{"doc_token_stats":3,"vec_knn_lsh":3}}\n'
+            '{"metric":"headline_suite_wall_sec","value":9.9}\n')
+    new = {"parsed": {"metric": "headline_suite_wall_sec", "value": 9.9},
+           "tail": tail}
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(old))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(new))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    prior = bench._prior_round_queries()
+    assert prior["doc_token_stats"] == 4.4      # newest wins, not 3.0/9.9
+    assert prior["vec_knn_lsh"] == 2.2          # reruns stripped
+    assert prior["q1_pricing_summary"] == 1.5   # older fills the gap
+    assert prior["evt_sessions"] == 2.0
+
+
+def test_bench_final_line_carries_queries_within_tail_budget():
+    """The compact final line must carry the per-query walls AND fit the
+    driver's observed ~2000-char tail capture, shedding the reruns map
+    (then precision) under pressure — so a truncated full record no
+    longer loses the suite's walls (r10 verdict #1 done-condition)."""
+    import bench
+
+    # realistic shape: the live suite is 66 entries with ~18-char names
+    # (its final line measures ~1820 chars at 2 dp)
+    queries = {f"a_query_name_{i:03d}": i + 0.123 for i in range(70)}
+    record = {
+        "metric": "headline_suite_wall_sec", "value": 1.0, "unit": "sec",
+        "sf": 0.1, "calibration_sec": 0.5, "calibration_post_sec": 0.5,
+        "load_1min_start": 1.0, "load_1min_end": 1.0,
+        "queries": queries,
+        "reruns": {k: 3 for k in list(queries)[:40]},
+    }
+    line = bench._final_line(record)
+    assert len(line) <= bench._TAIL_BUDGET
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(queries)
+    assert parsed["queries"]["a_query_name_001"] in (1.12, 1.1)
+    # a small record keeps full detail
+    small = dict(record)
+    small["queries"] = {"q1": 1.234}
+    small["reruns"] = {"q1": 3}
+    p2 = json.loads(bench._final_line(small))
+    assert p2["queries"] == {"q1": 1.23} and p2["reruns"] == {"q1": 3}
+    # bench_compare's artifact reader consumes the final line directly
+    bc = _load("bench_compare")
+    art = {"parsed": parsed, "tail": ""}
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(art, f)
+    try:
+        assert bc._queries(f.name) == parsed["queries"]
+    finally:
+        os.unlink(f.name)
