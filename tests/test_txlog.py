@@ -2048,7 +2048,11 @@ def test_optimize_bin_packs_small_files(spark, tmp_path):
     assert t.version() == v + 1
     after = _live_adds(t._load_for_read(None))
     assert len(after) == 1 + out["files_written"]
-    assert out["files_written"] < 6                     # actually packed
+    # the computed output count nf = max(1, total // (2*thr)) must be
+    # APPLIED, not just computed (r10 ADVICE): six tiny files summing
+    # well under 2*thr coalesce to exactly one output, by coalesce(nf),
+    # not by the scan's incidental bin-packing
+    assert out["files_written"] == 1
     # the healthy file was never rewritten
     assert any(a["path"] == big["path"] for a in after)
     assert t.read().count() == 50_600
@@ -2253,6 +2257,146 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     assert t2.read().filter("v < 0").count() == 1
 
 
+def test_constraint_stats_parser_and_prover_unit():
+    """The stats fast path's pure pieces: what parses, what proves.
+    One-sided by construction — a failed parse or proof only costs a
+    scan, never admits a violating row."""
+    from transcription_lakehouse_spark.txlog import (
+        _parse_stats_conjuncts,
+        _stats_prove_constraints,
+    )
+
+    assert _parse_stats_conjuncts("v > 0") == [("v", ">", 0.0)]
+    # literal-first comparisons flip around the column
+    assert _parse_stats_conjuncts("0 < v") == [("v", ">", 0.0)]
+    assert _parse_stats_conjuncts("(a >= 1) AND (3 != b)") == [
+        ("a", ">=", 1.0), ("b", "!=", 3.0)]
+    assert _parse_stats_conjuncts("v >= -1.5e2") == [("v", ">=", -150.0)]
+    # column-column, function calls, strings, OR: undecidable
+    assert _parse_stats_conjuncts("v > w") is None
+    assert _parse_stats_conjuncts("abs(v) > 0") is None
+    assert _parse_stats_conjuncts("name >= 'a'") is None
+    assert _parse_stats_conjuncts("v > 0 OR v < -1") is None
+
+    adds = [{"stats": {"min": {"v": 1.0}, "max": {"v": 9.0}, "rows": 5}}]
+    assert _stats_prove_constraints(adds, {"c": "v > 0"})
+    assert not _stats_prove_constraints(adds, {"c": "v > 1"})  # lo==1
+    assert _stats_prove_constraints(adds, {"c": "v >= 1 AND 9 >= v"})
+    assert _stats_prove_constraints(adds, {"c": "v != 10"})
+    assert not _stats_prove_constraints(adds, {"c": "v != 5"})
+    # equality proves only when min == max == literal
+    eq = [{"stats": {"min": {"v": 3.0}, "max": {"v": 3.0}, "rows": 2}}]
+    assert _stats_prove_constraints(eq, {"c": "v = 3"})
+    assert not _stats_prove_constraints(adds, {"c": "v = 3"})
+    # empty file passes trivially; stats-less file never proves
+    assert _stats_prove_constraints(
+        [{"stats": {"min": {}, "max": {}, "rows": 0}}], {"c": "v > 0"})
+    assert not _stats_prove_constraints([{}], {"c": "v > 0"})
+    # an all-NULL file has no bounds but every row passes SQL CHECK
+    assert _stats_prove_constraints(
+        [{"stats": {"min": {}, "max": {}, "nulls": {"v": 4},
+                    "rows": 4}}], {"c": "v > 0"})
+    # NaN and bool bounds prove nothing
+    assert not _stats_prove_constraints(
+        [{"stats": {"min": {"v": float("nan")}, "max": {"v": 2.0},
+                    "rows": 1}}], {"c": "v > 0"})
+    assert not _stats_prove_constraints(
+        [{"stats": {"min": {"v": True}, "max": {"v": True},
+                    "rows": 1}}], {"c": "v > 0"})
+    # every constraint must parse or the whole set scans
+    assert not _stats_prove_constraints(
+        adds, {"c": "v > 0", "d": "abs(v) < 100"})
+
+
+def test_constraint_stats_fast_path_skips_append_scan(
+    spark, tmp_path, monkeypatch
+):
+    """Range constraints decidable from the just-written footer stats
+    skip the append validation scan entirely (r10 VERDICT #3); a
+    violating batch still scans and is refused, and an undecidable
+    expression always scans."""
+    import pytest as _pytest
+
+    from transcription_lakehouse_spark.txlog import (
+        ConstraintViolationError,
+    )
+
+    calls = []
+    orig = LogTable._constraint_violations
+
+    def spy(self, df, cons):
+        calls.append(sorted(cons))
+        return orig(self, df, cons)
+
+    monkeypatch.setattr(LogTable, "_constraint_violations", spy)
+    t = LogTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 5.0)], "id bigint, v double"))
+    t.add_constraint("v_pos", "v > 0")       # validates existing: 1 scan
+    assert calls == [["v_pos"]]
+    # compliant batch, min stat 1.0 > 0: PROVEN, no scan (the NULL row
+    # is invisible to min/max and passes CHECK anyway)
+    t.append(spark.createDataFrame(
+        [(2, 1.0), (3, None)], "id bigint, v double"))
+    assert len(calls) == 1
+    # violating batch: proof fails (min == -1), scan runs, refused
+    with _pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.append(spark.createDataFrame(
+            [(4, -1.0)], "id bigint, v double"))
+    assert len(calls) == 2
+    assert t.read().count() == 3
+    # a second, undecidable constraint forces the scan back on
+    t.add_constraint("v_abs", "abs(v) < 100")          # +1 (existing)
+    t.append(spark.createDataFrame([(5, 2.0)], "id bigint, v double"))
+    assert len(calls) == 4                             # +1 (scan ran)
+    # dropping it restores the fast path, incl. multi-conjunct ranges
+    t.drop_constraint("v_abs")
+    t.add_constraint("v_rng", "(v >= 0) AND (100 >= v)")  # +1 (existing)
+    t.append(spark.createDataFrame([(6, 50.0)], "id bigint, v double"))
+    assert len(calls) == 5
+    assert t.read().count() == 5
+
+
+def test_append_retry_revalidates_racer_added_constraint(
+    spark, tmp_path, monkeypatch
+):
+    """An append losing the commit race to add_constraint must satisfy
+    the NEW tip's constraint set on retry: the pre-race validation saw
+    no constraints, so without re-enforcement the rebased commit lands
+    rows that violate the just-added constraint — defeating
+    add_constraint's whole-table guarantee (r10 ADVICE; _keyed_rewrite
+    already enforced inside its retry loop)."""
+    import pytest as _pytest
+
+    from transcription_lakehouse_spark.txlog import (
+        ConstraintViolationError,
+    )
+
+    root = str(tmp_path / "t")
+    t = LogTable(spark, root)
+    t.append(spark.createDataFrame([(1, 10.0)], "id bigint, v double"))
+    racer = LogTable(spark, root)
+    orig = LogTable._commit
+    fired = {"done": False}
+
+    def patched(self, record):
+        if record["operation"] == "append" and not fired["done"]:
+            fired["done"] = True
+            racer.add_constraint("v_pos", "v > 0")  # steals the version
+        return orig(self, record)
+
+    monkeypatch.setattr(LogTable, "_commit", patched)
+    with _pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.append(spark.createDataFrame([(2, -1.0)], "id bigint, v double"))
+    # nothing landed: the table holds only the pre-race row and the
+    # racer's constraint is active
+    assert t.read().count() == 1
+    assert t.constraints() == {"v_pos": "v > 0"}
+    # a compliant batch still appends through the same race
+    fired["done"] = False
+    t.append(spark.createDataFrame([(3, 5.0)], "id bigint, v double"))
+    assert t.read().count() == 2
+
+
 def test_detail_reports_dv_debt_and_constraints(spark, tmp_path):
     """DESCRIBE DETAIL: metadata-only snapshot summary — the inputs an
     OPTIMIZE schedule reads. Counts live files/bytes, DV debt with the
@@ -2338,12 +2482,27 @@ def test_timestamp_as_of_and_vacuum_dry_run(spark, tmp_path):
     with _pytest.raises(ValueError, match="mutually exclusive"):
         t.read(version=0, timestamp=ts_v0)
 
-    # dry run: overwrite at retain_last=1 strands versions 0-1's files
+    # dry run: overwrite at retain_last=1 strands versions 0-1's files.
+    # Counts stay 0 (a caller reading counts without checking the flag
+    # must never see deletions from a no-op run — r10 ADVICE); the
+    # would_* keys carry the report
     dry = t.vacuum(retain_last=1, dry_run=True)
-    assert dry["dry_run"] is True and dry["deleted"] == 2
+    assert dry["dry_run"] is True and dry["deleted"] == 0
+    assert dry["orphans_deleted"] == 0 and dry["would_orphans"] == 0
     assert len(dry["would_delete"]) == 2
     # nothing was touched: the old snapshot still reads
     assert t.read(0).count() == 10
+    # ...and a dry orphan sweep writes nothing either — not even the
+    # store-clock probe file (r10 ADVICE: the docstring's "touches
+    # NOTHING" contract was violated by the probe write)
+    calls = []
+    orig_wb = t._write_bytes
+    t._write_bytes = lambda *a, **k: (calls.append(a), orig_wb(*a, **k))[1]
+    try:
+        t.vacuum(retain_last=1, remove_orphans=True, dry_run=True)
+    finally:
+        t._write_bytes = orig_wb
+    assert calls == []
     real = t.vacuum(retain_last=1)
     assert real["deleted"] == 2 and "would_delete" not in real
     fs_paths = [str(tmp_path / "t" / rel) for rel in dry["would_delete"]]

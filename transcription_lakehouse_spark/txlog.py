@@ -56,7 +56,9 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import math
 import os
+import re
 import uuid
 from datetime import datetime, timezone
 from urllib.parse import unquote, urlparse
@@ -524,6 +526,103 @@ def _fold_constraints(commits: list[dict]) -> dict[str, str]:
     return cons
 
 
+# CHECK expressions a file's footer [min, max] can DECIDE without a
+# scan: a conjunction of `col <op> numeric-literal` (either order).
+# Anything else — function calls, column-column comparisons, ORs,
+# string literals (parquet truncates long string stats, so a recorded
+# max may be a prefix ABOVE the true max) — parses to None and the
+# validator falls back to the scan. Deciding is one-sided: stats only
+# ever prove SATISFIED, never refuse, so a wrong parse can only cost a
+# scan, never admit a violating row.
+_CONS_CONJUNCT_RE = re.compile(
+    r"^\s*(?:"
+    r"(?P<col1>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<op1><=|>=|<|>|==|=|!=)\s*"
+    r"(?P<lit1>-?\d+(?:\.\d+)?([eE][+-]?\d+)?)"
+    r"|"
+    r"(?P<lit2>-?\d+(?:\.\d+)?([eE][+-]?\d+)?)\s*"
+    r"(?P<op2><=|>=|<|>|==|=|!=)\s*"
+    r"(?P<col2>[A-Za-z_][A-Za-z0-9_]*)"
+    r")\s*$"
+)
+_CONS_OP_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _parse_stats_conjuncts(expr: str):
+    """``(col, op, literal)`` triples when every AND-conjunct of
+    ``expr`` is a simple numeric range predicate, else None. The naive
+    AND split is safe: literals are numeric-only, so an AND inside a
+    string could only make a conjunct UNPARSEABLE (=> scan), never
+    misread."""
+    out = []
+    for part in re.split(r"(?i)\s+and\s+", expr.strip()):
+        part = part.strip()
+        while part.startswith("(") and part.endswith(")"):
+            part = part[1:-1].strip()
+        m = _CONS_CONJUNCT_RE.match(part)
+        if not m:
+            return None
+        if m.group("col1"):
+            col, op, lit = m.group("col1"), m.group("op1"), m.group("lit1")
+        else:  # literal-first: flip the comparison around the column
+            col, lit = m.group("col2"), m.group("lit2")
+            op = _CONS_OP_FLIP.get(m.group("op2"), m.group("op2"))
+        out.append((col, op, float(lit)))
+    return out
+
+
+def _clean_stat(v) -> bool:
+    """A stats bound usable for proving: a real number (bool excluded —
+    its min/max carry no range meaning here) that is not NaN (NaN
+    poisons comparisons AND Spark orders it above +inf, so a NaN bound
+    proves nothing)."""
+    return (isinstance(v, (int, float)) and not isinstance(v, bool)
+            and not (isinstance(v, float) and math.isnan(v)))
+
+
+def _stats_prove_constraints(adds: list[dict],
+                             cons: dict[str, str]) -> bool:
+    """True iff footer min/max stats PROVE every active CHECK holds for
+    every non-null value in every just-written file (SQL CHECK passes
+    NULLs, and parquet min/max ignore nulls, so null counts are
+    irrelevant). Delta's CHECK + file-stats design: range constraints
+    are decided from metadata the commit already harvested, the
+    validation scan runs only for undecidable expressions or
+    stats-less files (``txlog.py`` never refuses from stats — a failed
+    proof just falls back to the scan, which produces the exact
+    verdict)."""
+    conjuncts: list[tuple[str, str, float]] = []
+    for expr in cons.values():
+        parsed = _parse_stats_conjuncts(expr)
+        if parsed is None:
+            return False
+        conjuncts.extend(parsed)
+    for a in adds:
+        st = a.get("stats")
+        if not st:
+            return False
+        if st.get("rows") == 0:
+            continue  # an empty file trivially satisfies any CHECK
+        for col, op, lit in conjuncts:
+            nulls = (st.get("nulls") or {}).get(col)
+            if nulls is not None and nulls == st.get("rows"):
+                continue  # all-NULL file: every row passes SQL CHECK
+            lo = (st.get("min") or {}).get(col)
+            hi = (st.get("max") or {}).get(col)
+            if not _clean_stat(lo) or not _clean_stat(hi):
+                return False
+            ok = (lo > lit if op == ">" else
+                  lo >= lit if op == ">=" else
+                  hi < lit if op == "<" else
+                  hi <= lit if op == "<=" else
+                  lo == lit == hi if op in ("=", "==") else
+                  (hi < lit or lo > lit) if op == "!=" else
+                  False)
+            if not ok:
+                return False
+    return True
+
+
 def _norm_schema(schema_json: str) -> list[tuple[str, str]]:
     """(name, type) pairs — the schema identity the format enforces
     (nullability is writer-dependent noise, see _check_schema)."""
@@ -792,13 +891,17 @@ class LogTable:
         prefix = self._load_for_read(None, allow_empty=True)
         return _fold_txns(prefix).get(app_id, -1)
 
-    def version_as_of(self, timestamp: str) -> int:
-        """TIMESTAMP AS OF: the newest version committed at or before
-        ISO-8601 ``timestamp`` (raises if the table didn't exist yet) —
-        pass the result to ``read(version=...)``."""
-        from datetime import datetime, timezone
-
-        cutoff = datetime.fromisoformat(timestamp)
+    def version_as_of(self, timestamp) -> int:
+        """TIMESTAMP AS OF (Delta semantics): the newest version whose
+        commit timestamp is <= ``timestamp`` (ISO-8601 string or
+        datetime; naive values are taken as UTC, matching the log's own
+        stamps) — pass the result to ``read(version=...)``. Raises when
+        the timestamp predates the first commit; legacy commits lacking
+        a timestamp are skipped. Commit timestamps are writer clocks —
+        monotonic within one writer, best-effort across racers, exactly
+        Delta's contract."""
+        cutoff = (datetime.fromisoformat(timestamp)
+                  if isinstance(timestamp, str) else timestamp)
         if cutoff.tzinfo is None:
             cutoff = cutoff.replace(tzinfo=timezone.utc)
         eligible = [
@@ -808,7 +911,7 @@ class LogTable:
         ]
         if not eligible:
             raise ValueError(
-                f"no commit at or before {timestamp} in {self.path}"
+                f"{timestamp!r} predates the first commit of {self.path}"
             )
         return eligible[-1]
 
@@ -991,16 +1094,17 @@ class LogTable:
 
     def _dv_broadcast(self, mask_map: dict[str, bytes]):
         """One Spark broadcast per distinct DV state. Keyed on
-        (file-tail, payload length, crc32) per entry — compressed
-        bitmaps are immutable once committed, so the signature is
-        exact. Evicted entries are unpersisted (blocking=False), so a
-        handle serving thousands of reads over a churning DV set holds
-        at most ``_DV_BC_CACHE_MAX`` broadcast blocks at a time instead
-        of leaking one per query (r9 ADVICE)."""
-        import zlib
-
+        (file-tail, sha1(payload)) per entry — a cryptographic digest,
+        not a 32-bit checksum: crc32 collides at birthday scale and a
+        colliding same-file, same-length payload would silently reuse
+        the WRONG bitmap, surfacing deleted rows (r10 ADVICE). sha1 of
+        a few-KB compressed bitmap is microseconds. Evicted entries are
+        unpersisted (blocking=False), so a handle serving thousands of
+        reads over a churning DV set holds at most ``_DV_BC_CACHE_MAX``
+        broadcast blocks at a time instead of leaking one per query
+        (r9 ADVICE)."""
         sig = tuple(sorted(
-            (t, len(p), zlib.crc32(p)) for t, p in mask_map.items()
+            (t, hashlib.sha1(p).digest()) for t, p in mask_map.items()
         ))
         hit = self._dv_bc_cache.get(sig)
         if hit is not None:
@@ -1253,29 +1357,11 @@ class LogTable:
     # ---- operations -----------------------------------------------------
 
     def version_at(self, timestamp) -> int:
-        """TIMESTAMP AS OF resolution (Delta semantics): the newest
-        version whose commit timestamp is <= ``timestamp`` (ISO-8601
-        string or datetime; naive values are taken as UTC, matching the
-        log's own stamps). Raises when the timestamp predates the first
-        commit. Commit timestamps are writer clocks — monotonic within
-        one writer, best-effort across racers, exactly Delta's
-        contract."""
-        if isinstance(timestamp, str):
-            ts = datetime.fromisoformat(timestamp)
-        else:
-            ts = timestamp
-        if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=timezone.utc)
-        best = None
-        for c in self._commits():
-            cts = datetime.fromisoformat(c["timestamp"])
-            if cts <= ts:
-                best = c["version"]
-        if best is None:
-            raise ValueError(
-                f"version_at: {timestamp!r} predates the first commit"
-            )
-        return best
+        """Alias of :meth:`version_as_of` — one resolver, two names
+        (the r10 duplicate indexed ``c["timestamp"]`` directly and
+        raised KeyError on legacy commits without stamps; delegating
+        keeps the two TIMESTAMP-AS-OF entry points from drifting)."""
+        return self.version_as_of(timestamp)
 
     def read(self, version: int | None = None,
              timestamp=None) -> DataFrame:
@@ -1405,6 +1491,7 @@ class LogTable:
         v = (prefix[-1]["version"] if prefix else -1) + 1
         adds = self._write_files(self._cluster(df, cluster_by), v)
         self._enforce_written(adds, ddl, prefix, "append")
+        validated_cons = _fold_constraints(prefix)
         last_exc: ConcurrentCommitError | None = None
         for _ in range(self.max_commit_retries + 1):
             try:
@@ -1420,6 +1507,15 @@ class LogTable:
                     return None  # the racer WAS this txn's earlier fire
                 ddl = self._check_schema(df, prefix,
                                          merge_schema=merge_schema)
+                # the racer may have been add_constraint: a retried
+                # commit must satisfy the NEW tip's constraint set, or
+                # add_constraint's "validates the whole table" guarantee
+                # is defeated by any append racing it (matches
+                # _keyed_rewrite, which enforces inside its retry loop)
+                cons = _fold_constraints(prefix)
+                if cons != validated_cons:
+                    self._enforce_written(adds, ddl, prefix, "append")
+                    validated_cons = cons
                 v = (prefix[-1]["version"] if prefix else -1) + 1
         raise last_exc
 
@@ -1438,6 +1534,7 @@ class LogTable:
         v = (prefix[-1]["version"] if prefix else -1) + 1
         adds = self._write_files(self._cluster(df, cluster_by), v)
         self._enforce_written(adds, ddl, prefix, "overwrite")
+        validated_cons = _fold_constraints(prefix)
         last_exc: ConcurrentCommitError | None = None
         for _ in range(self.max_commit_retries + 1):
             old = self._snapshot_of(prefix)[0] if prefix else []
@@ -1451,6 +1548,13 @@ class LogTable:
             except ConcurrentCommitError as exc:
                 last_exc = exc
                 prefix = self._load_for_read(None, allow_empty=True)
+                # re-validate when the racer changed the constraint set
+                # (see append: a racing add_constraint must not be
+                # bypassed by this retry's rebase)
+                cons = _fold_constraints(prefix)
+                if cons != validated_cons:
+                    self._enforce_written(adds, ddl, prefix, "overwrite")
+                    validated_cons = cons
                 v = (prefix[-1]["version"] if prefix else -1) + 1
         raise last_exc
 
@@ -2042,9 +2146,18 @@ class LogTable:
         JUST-WRITTEN files (cheap local parquet — never recomputes the
         batch's upstream lineage, which may be an expensive pipeline)
         and on violation delete the staged commit directory and raise —
-        the commit has not landed, so nothing is visible."""
+        the commit has not landed, so nothing is visible.
+
+        Stats fast path (Delta's CHECK + file-stats design): when every
+        active constraint is a numeric range predicate and the footer
+        min/max the commit already harvested PROVE every file satisfies
+        it, the scan is skipped entirely — range constraints then cost
+        ~zero per append. Undecidable expressions and stats-less files
+        still scan; stats never refuse, only prove satisfied."""
         cons = _fold_constraints(commits)
         if not cons or not adds:
+            return
+        if _stats_prove_constraints(adds, cons):
             return
         raw = self.spark.read.schema(
             StructType.fromJson(json.loads(ddl))
@@ -2282,7 +2395,15 @@ class LogTable:
                 df = df.repartitionByRange(
                     nf, *cluster_by
                 ).sortWithinPartitions(*cluster_by)
-            elif target_files is not None:
+            elif target_files is not None or small_file_bytes:
+                # the computed output count must actually be applied in
+                # the small-file packing branch too: without it the
+                # written file count is whatever the scan's partitioning
+                # produced, the "packed files come out ~2x-threshold"
+                # guarantee is unenforced, and sub-threshold outputs are
+                # repacked on every scheduled call (continuous write
+                # amplification in stream_merge_txlog's optimize_every
+                # path, which passes no cluster_by)
                 df = df.coalesce(nf)
             adds = self._write_files(df, v) if df.head(1) else []
             removes = [a["path"] for a in targets]
@@ -2510,9 +2631,12 @@ class LogTable:
         windows).
 
         ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``) reports exactly
-        what a real run would delete — per-category counts plus the
-        relative paths under ``would_delete`` — and touches NOTHING
-        (checkpoints aren't pruned either)."""
+        what a real run would delete — the relative paths under
+        ``would_delete`` plus ``would_orphans`` — and touches NOTHING
+        (checkpoints aren't pruned, the store-clock probe isn't written,
+        and the ``deleted``/``orphans_deleted`` counters stay 0 so a
+        caller reading counts without checking the flag never sees
+        deletions from a no-op run — r10 ADVICE)."""
         if retain_last < 1:
             # retain_last=0 would compute an empty referenced set and
             # delete the CURRENT snapshot's live files out from under
@@ -2563,7 +2687,7 @@ class LogTable:
                     would.append(rel)
                 else:
                     fs.delete(p, False)
-                deleted += 1
+                    deleted += 1
         # committed sidecars no retained snapshot folds
         for ref in sorted(ever_sidecars - referenced_sidecars):
             bp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{ref}")
@@ -2582,6 +2706,7 @@ class LogTable:
                 fs.delete(cpath, False)
                 ckpts_pruned += 1
         orphans = 0
+        would_orphans = 0
         if remove_orphans:
             import time as _time
 
@@ -2596,14 +2721,19 @@ class LogTable:
             # the probe fails (the probe name matches the .tmp- sweep,
             # so a leaked one is itself grace-gated garbage).
             now_ms = _time.time() * 1000
-            probe = f"_txlog/.tmp-vacuum-clock-{uuid.uuid4().hex[:8]}"
-            try:
-                self._write_bytes(probe, b"")
-                pp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{probe}")
-                now_ms = fs.getFileStatus(pp).getModificationTime()
-                fs.delete(pp, False)
-            except Exception:
-                pass
+            if not dry_run:
+                # dry_run's "touches NOTHING" contract beats clock
+                # precision: local time is close enough for a report
+                probe = f"_txlog/.tmp-vacuum-clock-{uuid.uuid4().hex[:8]}"
+                try:
+                    self._write_bytes(probe, b"")
+                    pp = jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/{probe}"
+                    )
+                    now_ms = fs.getFileStatus(pp).getModificationTime()
+                    fs.delete(pp, False)
+                except Exception:
+                    pass
             cutoff_ms = now_ms - max(0.0, orphan_grace_seconds) * 1000
 
             def _aged(fstatus) -> bool:
@@ -2623,9 +2753,10 @@ class LogTable:
                         if rel not in ever and _aged(f):
                             if dry_run:
                                 would.append(rel)
+                                would_orphans += 1
                             else:
                                 fs.delete(f.getPath(), False)
-                            orphans += 1
+                                orphans += 1
             # crashed stagers leave .tmp-* / .ckpt-* files in the log dir
             lroot = jvm.org.apache.hadoop.fs.Path(self.log_dir)
             if fs.exists(lroot):
@@ -2634,9 +2765,10 @@ class LogTable:
                     if name.startswith((".tmp-", ".ckpt-")) and _aged(f):
                         if dry_run:
                             would.append(f"_txlog/{name}")
+                            would_orphans += 1
                         else:
                             fs.delete(f.getPath(), False)
-                        orphans += 1
+                            orphans += 1
             # bloom/DV sidecars written for a commit that lost its race
             # are referenced by NO commit — sweep them like data orphans
             # (grace-gated too: sidecars stage before the commit JSON)
@@ -2651,13 +2783,15 @@ class LogTable:
                     if rel not in ever_sidecars and _aged(f):
                         if dry_run:
                             would.append(rel)
+                            would_orphans += 1
                         else:
                             fs.delete(f.getPath(), False)
-                        orphans += 1
+                            orphans += 1
         out = {"deleted": deleted, "orphans_deleted": orphans,
                "checkpoints_pruned": ckpts_pruned,
                "retained_from_version": keep_from,
                "dry_run": dry_run}
         if dry_run:
             out["would_delete"] = would
+            out["would_orphans"] = would_orphans
         return out
