@@ -2151,6 +2151,42 @@ def test_cli_table_optimize(spark, tmp_path, monkeypatch):
     out2 = _json.loads(r2.output[r2.output.index("{"):])
     assert out2["purged_files"] == 0
 
+    # --if-needed: below the table-level trigger nothing commits (and
+    # the report says why); above it the purge runs with the halved
+    # per-file threshold
+    t2 = LogTable(spark, tp, deletion_vectors=True)
+    t2.delete("id < 40")                       # 10/70 dead ~ 0.14
+    r3 = CliRunner().invoke(
+        cli_mod.cli,
+        ["table", "optimize", tp, "--if-needed", "--max-dead-ratio", "0.2"])
+    assert r3.exit_code == 0, r3.output
+    out3 = _json.loads(r3.output[r3.output.index("{"):])
+    assert out3["triggered"] is False and out3["purged_files"] == 0
+    r4 = CliRunner().invoke(
+        cli_mod.cli,
+        ["table", "optimize", tp, "--if-needed", "--max-dead-ratio", "0.1"])
+    out4 = _json.loads(r4.output[r4.output.index("{"):])
+    assert out4["triggered"] is True and out4["purged_files"] == 1
+    assert LogTable(spark, tp).detail()["dead_ratio"] == 0.0
+
+    # table merge --dv --optimize-after: the auto-policy rides the
+    # merge commit itself (r10 VERDICT #4's CLI wiring)
+    upd = str(tmp_path / "upd")
+    spark.range(40, 100).selectExpr(
+        "id", "id*3 AS v").write.parquet(upd)
+    r5 = CliRunner().invoke(
+        cli_mod.cli,
+        ["table", "merge", tp, upd, "--key", "id", "--dv",
+         "--optimize-after", "0.2"])
+    assert r5.exit_code == 0, r5.output
+    out5 = _json.loads(r5.output[r5.output.index("{"):])
+    assert "auto_optimize" in out5
+    # every pre-existing row (40..99) was replaced via DVs -> the old
+    # file went fully dead and the table reads the merged values
+    final = LogTable(spark, tp)
+    assert final.read().count() == 60
+    assert final.read().agg({"v": "min"}).head()[0] == 120
+
 
 def test_optimize_racing_append_replans_keeping_both(
     spark, tmp_path, monkeypatch
@@ -2255,6 +2291,59 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     assert t2.drop_constraint("v_pos")["dropped"] is False
     t2.append(spark.createDataFrame([(200, -1.0)], "id bigint, v double"))
     assert t2.read().filter("v < 0").count() == 1
+
+
+def test_auto_optimize_bounds_batch_merge_debt(spark, tmp_path):
+    """Repeated DV-mode batch merges on a handle with the opt-in
+    ``auto_optimize`` policy keep ``detail()`` dead_ratio bounded with
+    NO manual maintenance call (r10 VERDICT #4 — the CDC sink already
+    schedules via optimize_every; this is the batch twin). The
+    unpoliced table's debt grows monotonically past the trigger; the
+    policied one purges itself and reads identically. Replay-safe: an
+    idempotent merge_cdc skip under the policy commits nothing."""
+
+    def updates(i):
+        # round i touches residue class i (mod 10): each round marks
+        # 500 rows dead SCATTERED across every base file (~10% per file
+        # per round) — the partial-deadness pattern that accumulates
+        # merge-on-read debt (contiguous updates would fully kill files,
+        # which simply drop from the live set, debt-free)
+        return spark.range(500).selectExpr(
+            f"id * 10 + {i} as id", f"cast(id as double) + {i} as v")
+
+    def run(policy):
+        t = LogTable(
+            spark, str(tmp_path / ("pol" if policy else "raw")),
+            deletion_vectors=True,
+            auto_optimize={"max_dead_ratio": 0.2} if policy else None,
+        )
+        t.append(spark.range(5000).selectExpr(
+            "id", "cast(id as double) as v"))
+        ratios, fired = [], 0
+        for i in range(6):
+            out = t.merge(updates(i), key="id")
+            ao = out.get("auto_optimize")
+            assert (ao is not None) == policy
+            if ao and ao["triggered"]:
+                fired += 1
+            ratios.append(t.detail()["dead_ratio"])
+        return t, ratios, fired
+
+    t_pol, r_pol, fired = run(True)
+    t_raw, r_raw, _ = run(False)
+    assert fired >= 1                      # the policy actually ran
+    assert max(r_pol) < 0.25               # bounded at the trigger band
+    assert r_raw[-1] > 0.3                 # unpoliced debt ratchets
+    # same logical table either way
+    assert (t_pol.read().orderBy("id").collect()
+            == t_raw.read().orderBy("id").collect())
+    # replay-safety: a txn-idempotent CDC batch re-applied under the
+    # policy is a pure no-op (no new version from merge OR optimize)
+    ch = updates(99).selectExpr("id", "v", "'U' as _op").limit(10)
+    t_pol.merge_cdc(ch, key="id", txn=("app", 1))
+    v = t_pol.version()
+    t_pol.merge_cdc(ch, key="id", txn=("app", 1))  # replayed
+    assert t_pol.version() == v
 
 
 def test_constraint_stats_parser_and_prover_unit():

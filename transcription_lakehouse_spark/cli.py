@@ -399,13 +399,23 @@ def table_create(path, source_parquet):
 @click.argument("path", type=click.Path(exists=True))
 @click.argument("updates_parquet", type=click.Path(exists=True))
 @click.option("--key", required=True, help="Merge key column")
-def table_merge(path, updates_parquet, key):
+@click.option("--dv", is_flag=True,
+              help="Merge-on-read: mark replaced rows in deletion "
+                   "vectors instead of rewriting touched files")
+@click.option("--optimize-after", type=float, default=None,
+              help="Auto-OPTIMIZE trigger: after the merge, purge "
+                   "merge-on-read debt when the table's dead-row ratio "
+                   "reaches this value (one metadata-only check; "
+                   "nothing commits below it)")
+def table_merge(path, updates_parquet, key, dv, optimize_after):
     """Upsert (MERGE): update matched keys whole-row, insert new keys —
     rewrites only the files holding matched keys."""
     from .txlog import LogTable
 
     spark = _spark("table-merge")
-    t = LogTable(spark, path)
+    t = LogTable(spark, path, deletion_vectors=dv,
+                 auto_optimize={"max_dead_ratio": optimize_after}
+                 if optimize_after is not None else None)
     _echo(t.merge(spark.read.parquet(updates_parquet), key=key))
 
 
@@ -525,22 +535,36 @@ def table_constraint(path, add_, drop):
 @click.option("--zorder-by", default=None,
               help="Comma-separated columns: Morton-order the rewritten "
                    "rows instead")
+@click.option("--if-needed", is_flag=True,
+              help="Run only when the TABLE's detail() dead-row ratio "
+                   "reaches --max-dead-ratio (one metadata-only read "
+                   "decides; below it nothing commits) — the auto-policy "
+                   "entry for batch schedules")
+@click.option("--max-dead-ratio", type=float, default=0.2,
+              show_default=True,
+              help="Table-level trigger for --if-needed; the per-file "
+                   "purge threshold then defaults to half of it "
+                   "(hysteresis)")
 def table_optimize(path, min_dead_ratio, small_file_bytes, cluster_by,
-                   zorder_by):
+                   zorder_by, if_needed, max_dead_ratio):
     """Scheduled merge-on-read maintenance: purge DV-heavy files, pack
     small ones, re-cluster — one snapshot-atomic commit; a no-op when
     nothing qualifies (safe on a timer)."""
     from .txlog import LogTable
 
     t = LogTable(_spark("table-optimize"), path)
-    _echo(t.optimize(
-        min_dead_ratio=min_dead_ratio,
+    kwargs = dict(
         small_file_bytes=small_file_bytes,
         cluster_by=[c.strip() for c in cluster_by.split(",")]
         if cluster_by else None,
         zorder_by=[c.strip() for c in zorder_by.split(",")]
         if zorder_by else None,
-    ))
+    )
+    if if_needed:
+        _echo(t.optimize_if_needed(max_dead_ratio=max_dead_ratio,
+                                   **kwargs))
+    else:
+        _echo(t.optimize(min_dead_ratio=min_dead_ratio, **kwargs))
 
 
 @table.command("vacuum")

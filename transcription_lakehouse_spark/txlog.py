@@ -645,7 +645,8 @@ class LogTable:
                  checkpoint_interval: int = 10,
                  max_commit_retries: int = 5,
                  bloom_for: list[str] | None = None,
-                 deletion_vectors: bool = False):
+                 deletion_vectors: bool = False,
+                 auto_optimize: dict | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_dir = f"{self.path}/_txlog"
@@ -669,6 +670,14 @@ class LogTable:
         # decision only — every reader honors DVs present in the log
         # regardless of this flag.
         self.deletion_vectors = bool(deletion_vectors)
+        # opt-in auto-OPTIMIZE policy for BATCH writers: kwargs for
+        # optimize_if_needed (e.g. {"max_dead_ratio": 0.2}), run after
+        # every debt-creating commit (delete/merge/merge_cdc) so
+        # repeated batch merges keep the DV read tax bounded without
+        # anyone remembering a maintenance call. One metadata-only
+        # detail() read per commit below the trigger; replay-safe (a
+        # skipped idempotent merge still only costs the read).
+        self.auto_optimize = dict(auto_optimize) if auto_optimize else None
         # sidecar bitsets read at most once per handle (LRU, immutable
         # files keyed by ref) — a repeated CDC probe loop never re-reads
         from collections import OrderedDict
@@ -1725,6 +1734,17 @@ class LogTable:
             n_dv += 1
         return sorted(new_adds, key=lambda a: a["path"]), removes, n_dv
 
+    def _apply_auto_optimize(self, out: dict) -> dict:
+        """Run the handle's opt-in auto-OPTIMIZE policy after a
+        debt-creating commit and report what it did under
+        ``out["auto_optimize"]`` (below the trigger: one metadata-only
+        detail() read, no commit)."""
+        if self.auto_optimize:
+            out["auto_optimize"] = self.optimize_if_needed(
+                **self.auto_optimize
+            )
+        return out
+
     def delete(self, condition: str) -> dict:
         """Delete matching rows. With ``deletion_vectors=True`` this is
         MERGE-ON-READ: matched rows are marked in per-file DV bitmaps
@@ -1770,9 +1790,10 @@ class LogTable:
                         condition=condition, mode="dv",
                     ))
                     self._maybe_checkpoint(v)
-                    return {"version": v, "rewritten_files": 0,
-                            "dv_files": n_dv,
-                            "removed_files": len(removes)}
+                    return self._apply_auto_optimize(
+                        {"version": v, "rewritten_files": 0,
+                         "dv_files": n_dv,
+                         "removed_files": len(removes)})
                 except ConcurrentCommitError as exc:
                     last_exc = exc
                     continue
@@ -1792,7 +1813,8 @@ class LogTable:
                     v, "delete", adds, removes, ddl, condition=condition,
                 ))
                 self._maybe_checkpoint(v)
-                return {"version": v, "rewritten_files": len(touched)}
+                return self._apply_auto_optimize(
+                    {"version": v, "rewritten_files": len(touched)})
             except ConcurrentCommitError as exc:
                 last_exc = exc
         raise last_exc
@@ -1953,8 +1975,9 @@ class LogTable:
         rows per merge key). Lost commit races re-plan from the new tip,
         like ``delete``."""
         self._refuse_dup_keys(updates, key, "merge")
-        return self._keyed_rewrite(updates.select(key), updates, key,
-                                   "merge")
+        return self._apply_auto_optimize(
+            self._keyed_rewrite(updates.select(key), updates, key,
+                                "merge"))
 
     def merge_cdc(self, changes: DataFrame, key: str,
                   op_col: str = "_op",
@@ -1987,8 +2010,9 @@ class LogTable:
         upserts = changes.filter(
             F.coalesce(F.col(op_col), F.lit("")) != "D"
         ).drop(op_col)
-        return self._keyed_rewrite(keys, upserts, key, "merge_cdc",
-                                   txn=txn, require_txn=require_txn)
+        return self._apply_auto_optimize(
+            self._keyed_rewrite(keys, upserts, key, "merge_cdc",
+                                txn=txn, require_txn=require_txn))
 
     def compact(self, target_files: int = 1,
                 cluster_by: list[str] | None = None,
@@ -2421,6 +2445,45 @@ class LogTable:
             except ConcurrentCommitError as exc:
                 last_exc = exc
         raise last_exc
+
+    def optimize_if_needed(self, max_dead_ratio: float = 0.2,
+                           min_dead_ratio: float | None = None,
+                           max_dv_files: int | None = None,
+                           **optimize_kwargs) -> dict:
+        """Auto-OPTIMIZE policy for BATCH writers (the CDC sink already
+        schedules via ``optimize_every=``; batch ``merge``/pipeline
+        paths shouldn't have to *remember* — r10 verdict #4): ONE
+        metadata-only ``detail()`` read decides, and ``optimize()`` runs
+        only when the TABLE's dead-row fraction reaches
+        ``max_dead_ratio`` (or the DV'd-file count reaches
+        ``max_dv_files``, when given). Below the trigger it costs one
+        log fold and commits nothing — safe and replay-safe to call
+        after every batch merge.
+
+        The inner per-file purge threshold defaults to HALF the trigger
+        (hysteresis): purging only files at the trigger line could leave
+        the table hovering just under it and re-triggering every call;
+        sweeping to half pushes the debt well below the line so repeated
+        merges oscillate in a bounded band instead of ratcheting.
+        ``optimize_kwargs`` pass through (``small_file_bytes``,
+        ``cluster_by``, ``zorder_by``, ``target_files``)."""
+        d = self.detail()
+        fire = d["dead_ratio"] >= max_dead_ratio or (
+            max_dv_files is not None and d["dv_files"] >= max_dv_files
+        )
+        if not fire:
+            return {"version": None, "purged_files": 0,
+                    "triggered": False, "dead_ratio": d["dead_ratio"],
+                    "dv_files": d["dv_files"]}
+        out = self.optimize(
+            min_dead_ratio=(min_dead_ratio if min_dead_ratio is not None
+                            else max_dead_ratio / 2),
+            **optimize_kwargs,
+        )
+        out["triggered"] = True
+        out["dead_ratio"] = d["dead_ratio"]
+        out["dv_files"] = d["dv_files"]
+        return out
 
     def restore(self, version: int) -> dict:
         """RESTORE TABLE ... TO VERSION AS OF (Delta semantics): ONE new
