@@ -224,6 +224,61 @@ def test_ivf_index_store_and_pruned_search(spark, tmp_path):
     assert "PartitionFilters: [cell" in plan or "cell#" in plan, plan
 
 
+def test_ivf_drift_report_recommends_retrain(spark, tmp_path):
+    """Quantizer-drift observability (r10 VERDICT #5): the IVF sidecar
+    records training-time cell occupancy; ivf_drift_report computes the
+    occupancy PSI of the corpus-as-assigned-now vs then and recommends a
+    retrain past the threshold. A synthetically drifted corpus (new mass
+    flooding one region) fires the recommendation; the undrifted corpus
+    does not."""
+    import random
+
+    from tests.test_operators import _clustered_vectors
+    from transcription_lakehouse_spark.indexing import (
+        build_ivf_index,
+        ivf_drift_report,
+        occupancy_psi,
+        read_index_meta,
+    )
+
+    rows = [(f"v{i}", v) for i, v in _clustered_vectors(n_per_cluster=15)]
+    df = spark.createDataFrame(
+        rows, "artifact_id string, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(df, idx, n_cells=4)
+    meta = read_index_meta(idx)
+    assert set(meta["occupancy"]) == {"0", "1", "2", "3"}
+    assert abs(sum(meta["occupancy"].values()) - 1.0) < 1e-9
+
+    # undrifted: stored corpus == training corpus -> PSI ~ 0, no fire
+    rep = ivf_drift_report(spark, idx)
+    assert rep["baseline"] == "train"
+    assert rep["psi"] < 0.01 and rep["recommend_retrain"] is False
+    # explicit `current` routes through trained-centroid assignment and
+    # must agree with the stored cells
+    rep2 = ivf_drift_report(spark, idx, current=df)
+    assert rep2["psi"] < 0.01
+
+    # drift: a new topic floods one region — occupancy collapses into
+    # that cell, PSI crosses the bar, the recommendation fires
+    random.seed(7)
+    center = rows[0][1]
+    flood = [(f"d{i}", [x + random.gauss(0, 0.5) for x in center])
+             for i in range(180)]
+    drifted = df.unionByName(spark.createDataFrame(
+        flood, "artifact_id string, embedding array<float>"))
+    rep3 = ivf_drift_report(spark, idx, current=drifted)
+    assert rep3["psi"] >= 0.25 and rep3["recommend_retrain"] is True
+    # the dominant cell holds the flooded mass: 180 flood + 15 original
+    # of 240 rows
+    assert max(rep3["occupancy_current"].values()) > 0.7
+
+    # the PSI helper itself: identical distributions score 0; an empty
+    # cell contributes a large finite term, never inf
+    assert occupancy_psi({0: 0.5, 1: 0.5}, {0: 0.5, 1: 0.5}, 2) == 0.0
+    assert 0 < occupancy_psi({0: 0.5, 1: 0.5}, {0: 1.0}, 2) < float("inf")
+
+
 def test_snapshot_immutable_and_verifiable(spark, tmp_path):
     lake = str(tmp_path / "lake")
     _write_jsonl(tmp_path, "ep.jsonl")

@@ -36,15 +36,19 @@ def main() -> None:
     names = args
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench_subset")
+    load_start = os.getloadavg()[0]
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
-    cal_walls = []
-    for _ in range(3):
-        t0 = time.time()
-        QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
-        cal_walls.append(time.time() - t0)
-    calibration = round(sorted(cal_walls)[1], 3)
+    def _cal() -> float:
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+            walls.append(time.time() - t0)
+        return round(sorted(walls)[1], 3)
+
+    calibration = _cal()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -58,11 +62,19 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # post-run calibration + before/after load: a subset verdict is only
+    # admissible when the window stayed quiet END TO END (the r9 burst
+    # instrumentation — a wave arriving mid-suite shows up as cal_post >>
+    # cal or load_1min >> load_1min_start, and the run self-reports as
+    # contaminated instead of minting a phantom regression)
+    cal_post = _cal()
     print(json.dumps({
         "queries": timings,
         "calibration_sec": calibration,
+        "calibration_post_sec": cal_post,
         "calibration_query": "q1_pricing_summary_median3",
         "runs": runs,
+        "load_1min_start": load_start,
         "load_1min": os.getloadavg()[0],
         "sf_dir": sf_dir,
     }))
