@@ -2168,3 +2168,70 @@ def test_curation_v4_lm_band_catches_gibberish_that_survives_v3(
     # v4 never resurrects a v3 reject and only ever cuts via g_lm
     for d in v4:
         assert v4[d]["kept"] == (v3[d]["kept"] and v4[d]["g_lm"])
+
+
+def test_pq_and_pca_drift_reports(spark):
+    """Quantizer-drift observability beyond IVF (r10 VERDICT #5): PQ
+    codeword-usage PSI and PCA captured-energy both sit ~0 on the
+    training corpus and fire on a synthetically drifted one — the
+    retrain signal for trained state that otherwise goes stale
+    silently."""
+    import random
+
+    from transcription_lakehouse_spark.operators.drift import (
+        pca_drift_report,
+        pq_code_usage,
+        pq_drift_report,
+    )
+    from transcription_lakehouse_spark.operators.pca import train_pca
+    from transcription_lakehouse_spark.operators.pq import (
+        train_pq_codebooks,
+    )
+
+    rows = _clustered_vectors(n_per_cluster=20)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(df, "vec_id", "embedding", m=4, k=8)
+    use_train = pq_code_usage(df, "vec_id", "embedding", books)
+    assert set(use_train) == {0, 1, 2, 3}          # m subspaces
+    for d in use_train.values():                   # fractions normalize
+        assert abs(sum(d.values()) - 1.0) < 1e-9
+    same = pq_drift_report(use_train, use_train, k=8)
+    assert same["psi_max"] == 0.0
+    assert same["recommend_retrain"] is False
+
+    # drift: one cluster floods the corpus — the cluster-bearing
+    # subspace's usage collapses onto that cluster's codewords
+    random.seed(13)
+    center = rows[0][1]
+    flood = [
+        (10_000 + i, [x + random.gauss(0, 0.5) for x in center])
+        for i in range(300)
+    ]
+    drifted = df.unionByName(spark.createDataFrame(
+        flood, "vec_id long, embedding array<float>"))
+    use_now = pq_code_usage(drifted, "vec_id", "embedding", books)
+    rep = pq_drift_report(use_train, use_now, k=8)
+    assert rep["psi_max"] >= 0.25
+    assert rep["recommend_retrain"] is True
+
+    # PCA: on the training corpus the live captured-energy ratio
+    # matches the training explained-variance ratio
+    mean, comps, eig = train_pca(df, "vec_id", "embedding",
+                                 n_components=4)
+    rep0 = pca_drift_report(df, "embedding", mean, comps, eig)
+    assert abs(rep0["captured_now"] - rep0["captured_train"]) < 0.05
+    assert rep0["recommend_retrain"] is False
+    # drift: new mass varies in directions the basis never retained
+    # (dims 8..15 were constant at train time) -> captured drops, fires
+    ortho = [
+        (20_000 + i,
+         [-10.0 + random.gauss(0, 0.2)] * 8
+         + [random.gauss(0, 10.0) for _ in range(8)])
+        for i in range(200)
+    ]
+    drifted2 = df.unionByName(spark.createDataFrame(
+        ortho, "vec_id long, embedding array<float>"))
+    rep1 = pca_drift_report(drifted2, "embedding", mean, comps, eig)
+    assert rep1["captured_now"] < rep1["captured_train"]
+    assert rep1["rel_drop"] >= 0.1
+    assert rep1["recommend_retrain"] is True

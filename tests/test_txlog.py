@@ -2346,6 +2346,49 @@ def test_auto_optimize_bounds_batch_merge_debt(spark, tmp_path):
     assert t_pol.version() == v
 
 
+def test_optimize_lake_sweeps_only_debted_tables(spark, tmp_path):
+    """Lake-wide auto-OPTIMIZE (pipeline `maintain`): one metadata-only
+    decision per txlog table under the lake root — the table past the
+    dead-ratio trigger purges, the clean one (and nested ones) commit
+    nothing; a dirs-format lake is refused."""
+    import pytest as _pytest
+
+    from transcription_lakehouse_spark.ingestion import set_lake_format
+    from transcription_lakehouse_spark.maintenance import optimize_lake
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    set_lake_format(str(lake), "txlog")
+
+    debted = LogTable(spark, str(lake / "normalized"),
+                      deletion_vectors=True)
+    debted.append(spark.range(1000).selectExpr(
+        "id", "cast(id as double) as v").coalesce(2))
+    debted.delete("id % 2 = 0")           # 50% dead, DV mode
+    clean = LogTable(spark, str(lake / "catalogs" / "episodes"))
+    clean.append(spark.range(100).selectExpr("id"))
+    v_clean = clean.version()
+
+    out = optimize_lake(spark, str(lake), max_dead_ratio=0.2)
+    assert set(out) == {"normalized", os.path.join("catalogs", "episodes")}
+    assert out["normalized"]["triggered"] is True
+    assert out["normalized"]["purged_files"] >= 1
+    assert out[os.path.join("catalogs", "episodes")]["triggered"] is False
+    assert LogTable(spark, str(lake / "normalized")).detail()[
+        "dead_ratio"] == 0.0
+    assert LogTable(
+        spark, str(lake / "catalogs" / "episodes")).version() == v_clean
+    assert debted.read().count() == 500
+    # a second sweep is a lake-wide no-op
+    out2 = optimize_lake(spark, str(lake), max_dead_ratio=0.2)
+    assert all(not r["triggered"] for r in out2.values())
+
+    dirs_lake = tmp_path / "dirs_lake"
+    dirs_lake.mkdir()
+    with _pytest.raises(ValueError, match="not a txlog-format lake"):
+        optimize_lake(spark, str(dirs_lake))
+
+
 def test_constraint_stats_parser_and_prover_unit():
     """The stats fast path's pure pieces: what parses, what proves.
     One-sided by construction — a failed parse or proof only costs a
@@ -2395,6 +2438,23 @@ def test_constraint_stats_parser_and_prover_unit():
     # every constraint must parse or the whole set scans
     assert not _stats_prove_constraints(
         adds, {"c": "v > 0", "d": "abs(v) < 100"})
+    # IS NOT NULL: a null TEST, not a comparison — proven only by an
+    # exact zero null count, and the all-NULL shortcut must NOT apply
+    # (IS NOT NULL is FALSE on NULL, it does not pass CHECK)
+    assert _parse_stats_conjuncts("v IS NOT NULL") == [
+        ("v", "notnull", None)]
+    assert _parse_stats_conjuncts("v is not null AND v >= 0") == [
+        ("v", "notnull", None), ("v", ">=", 0.0)]
+    nn = {"min": {"v": 1.0}, "max": {"v": 9.0}, "rows": 5}
+    assert _stats_prove_constraints(
+        [{"stats": {**nn, "nulls": {"v": 0}}}], {"c": "v IS NOT NULL"})
+    assert not _stats_prove_constraints(
+        [{"stats": {**nn, "nulls": {"v": 2}}}], {"c": "v IS NOT NULL"})
+    assert not _stats_prove_constraints(
+        [{"stats": nn}], {"c": "v IS NOT NULL"})  # unknown null count
+    assert not _stats_prove_constraints(
+        [{"stats": {"min": {}, "max": {}, "nulls": {"v": 4},
+                    "rows": 4}}], {"c": "v IS NOT NULL"})  # all-NULL
 
 
 def test_constraint_stats_fast_path_skips_append_scan(
@@ -2442,7 +2502,11 @@ def test_constraint_stats_fast_path_skips_append_scan(
     t.add_constraint("v_rng", "(v >= 0) AND (100 >= v)")  # +1 (existing)
     t.append(spark.createDataFrame([(6, 50.0)], "id bigint, v double"))
     assert len(calls) == 5
-    assert t.read().count() == 5
+    # NOT NULL rides the fast path too (harvested null counts prove it)
+    t.add_constraint("id_nn", "id IS NOT NULL")           # +1 (existing)
+    t.append(spark.createDataFrame([(7, 3.0)], "id bigint, v double"))
+    assert len(calls) == 6                                # no scan
+    assert t.read().count() == 6
 
 
 def test_append_retry_revalidates_racer_added_constraint(

@@ -27,6 +27,7 @@ __all__ = [
     "compact_zorder",
     "zorder_value",
     "merge_upsert",
+    "optimize_lake",
     "version_diff",
     "vacuum",
 ]
@@ -51,6 +52,46 @@ def file_stats(path: str) -> dict:
         "avg_file_bytes": (sum(sizes) // n) if n else 0,
         "max_file_bytes": max(sizes) if sizes else 0,
     }
+
+
+def optimize_lake(
+    spark: SparkSession,
+    base_dir: str,
+    max_dead_ratio: float = 0.2,
+    small_file_bytes: int | None = None,
+) -> dict:
+    """Lake-wide auto-OPTIMIZE sweep for a ``txlog``-format lake: every
+    transaction-log table under ``base_dir`` gets ONE metadata-only
+    ``optimize_if_needed`` decision — tables below the dead-ratio
+    trigger cost a log fold and commit nothing, tables past it purge
+    their merge-on-read debt (per-file threshold = half the trigger,
+    see ``LogTable.optimize_if_needed``). The batch counterpart of the
+    CDC sink's ``optimize_every=`` schedule: run it after a pipeline
+    stage (``python -m ...pipeline maintain <lake>``) and nobody has to
+    remember per-table maintenance. Returns {artifact: report}.
+
+    Discovery walks the LOCAL directory tree for ``_txlog`` markers
+    (artifacts nest, e.g. ``catalogs/episodes``); on an object store,
+    list table roots from your catalog instead and call
+    ``optimize_if_needed`` per table."""
+    from .ingestion import lake_format
+    from .txlog import LogTable
+
+    if lake_format(base_dir) != "txlog":
+        raise ValueError(
+            f"optimize_lake: {base_dir} is not a txlog-format lake"
+        )
+    out: dict = {}
+    for root, dirs, _files in os.walk(base_dir):
+        if "_txlog" in dirs:
+            dirs.remove("_txlog")       # never descend into the log
+            rel = os.path.relpath(root, base_dir)
+            t = LogTable(spark, root)
+            out[rel] = t.optimize_if_needed(
+                max_dead_ratio=max_dead_ratio,
+                small_file_bytes=small_file_bytes,
+            )
+    return out
 
 
 def compact(

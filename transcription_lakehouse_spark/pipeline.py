@@ -255,6 +255,7 @@ def main(argv: list[str]) -> int:
         "quality": 2,
         "snapshot": 2,
         "verify": 2,
+        "maintain": 2,
     }
     if not argv or argv[0] not in n_args or len(argv) < n_args[argv[0]]:
         print(__doc__)
@@ -275,6 +276,15 @@ def main(argv: list[str]) -> int:
         print(materialize(spark, argv[1]))
     elif cmd == "catalog":
         print(catalog(spark, argv[1]))
+    elif cmd == "maintain":
+        # lake-wide auto-OPTIMIZE: optional 3rd arg = table-level
+        # dead-ratio trigger (default 0.2)
+        from .maintenance import optimize_lake
+
+        print(optimize_lake(
+            spark, argv[1],
+            max_dead_ratio=float(argv[2]) if len(argv) > 2 else 0.2,
+        ))
     elif cmd == "validate":
         out = validate(spark, argv[1])
         print(out)

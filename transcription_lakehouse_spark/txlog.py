@@ -559,6 +559,15 @@ def _parse_stats_conjuncts(expr: str):
         part = part.strip()
         while part.startswith("(") and part.endswith(")"):
             part = part[1:-1].strip()
+        nn = re.match(
+            r"(?i)^([A-Za-z_][A-Za-z0-9_]*)\s+is\s+not\s+null$", part
+        )
+        if nn:
+            # NOT-NULL is a null test, not a comparison: decided from
+            # the harvested null COUNTS, and FALSE (not NULL-passes) on
+            # a NULL value — the prover treats it specially
+            out.append((nn.group(1), "notnull", None))
+            continue
         m = _CONS_CONJUNCT_RE.match(part)
         if not m:
             return None
@@ -605,6 +614,12 @@ def _stats_prove_constraints(adds: list[dict],
             continue  # an empty file trivially satisfies any CHECK
         for col, op, lit in conjuncts:
             nulls = (st.get("nulls") or {}).get(col)
+            if op == "notnull":
+                # proven only by an exact zero null count; unknown or
+                # nonzero falls to the scan (which refuses exactly)
+                if nulls != 0:
+                    return False
+                continue
             if nulls is not None and nulls == st.get("rows"):
                 continue  # all-NULL file: every row passes SQL CHECK
             lo = (st.get("min") or {}).get(col)
