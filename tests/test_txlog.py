@@ -2346,6 +2346,51 @@ def test_auto_optimize_bounds_batch_merge_debt(spark, tmp_path):
     assert t_pol.version() == v
 
 
+def test_clustering_health_overlap_depth(spark, tmp_path):
+    """Metadata-only clustering degradation: disjoint clustered files
+    score mean_overlap 1.0; fully interleaved appends score n_files and
+    fire the re-cluster recommendation; compact(cluster_by) restores
+    health. Unknown columns degrade to files_with_stats=0, no crash."""
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark import cli as cli_mod
+
+    good = LogTable(spark, str(tmp_path / "good"))
+    for i in range(4):
+        good.append(spark.range(i * 1000, (i + 1) * 1000).coalesce(1))
+    h = good.clustering_health(["id"])
+    assert h["files"] == 4
+    assert h["columns"]["id"]["files_with_stats"] == 4
+    assert h["columns"]["id"]["mean_overlap"] == 1.0
+    assert h["columns"]["id"]["max_overlap_depth"] == 1
+    assert h["recommend_recluster"] is False
+
+    bad = LogTable(spark, str(tmp_path / "bad"))
+    for _ in range(4):
+        bad.append(spark.range(1000).coalesce(1))  # identical full range
+    h2 = bad.clustering_health(["id"])
+    assert h2["columns"]["id"]["mean_overlap"] == 4.0
+    assert h2["columns"]["id"]["max_overlap_depth"] == 4
+    assert h2["recommend_recluster"] is True
+    # remedy: one clustered compaction -> disjoint ranges again
+    bad.compact(target_files=4, cluster_by=["id"])
+    h3 = bad.clustering_health(["id"])
+    assert h3["columns"]["id"]["mean_overlap"] == 1.0
+    assert h3["recommend_recluster"] is False
+    # column with no stats: reported, never fires
+    h4 = bad.clustering_health(["nope"])
+    assert h4["columns"]["nope"]["files_with_stats"] == 0
+    assert h4["recommend_recluster"] is False
+
+    import unittest.mock as _mock
+    with _mock.patch.object(cli_mod, "_spark", lambda cmd: spark):
+        r = CliRunner().invoke(cli_mod.cli, [
+            "table", "clustering", str(tmp_path / "bad"),
+            "--columns", "id"])
+    assert r.exit_code == 0, r.output
+    assert '"mean_overlap": 1.0' in r.output
+
+
 def test_optimize_lake_sweeps_only_debted_tables(spark, tmp_path):
     """Lake-wide auto-OPTIMIZE (pipeline `maintain`): one metadata-only
     decision per txlog table under the lake root — the table past the

@@ -30,8 +30,12 @@ from transcription_lakehouse_spark.workload import QUERIES  # noqa: E402
 def main() -> None:
     args = sys.argv[1:]
     runs = 3
-    if args and args[0] == "--runs":
-        runs = int(args[1])
+    max_cal = None
+    while args and args[0] in ("--runs", "--max-cal"):
+        if args[0] == "--runs":
+            runs = int(args[1])
+        else:
+            max_cal = float(args[1])
         args = args[2:]
     names = args
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,6 +53,16 @@ def main() -> None:
         return round(sorted(walls)[1], 3)
 
     calibration = _cal()
+    if max_cal is not None and calibration > max_cal:
+        # the box is already contended before any query ran: abort NOW
+        # (2 s) instead of minting a contaminated 3-minute measurement
+        print(json.dumps({
+            "aborted": "calibration above --max-cal",
+            "calibration_sec": calibration, "max_cal": max_cal,
+            "load_1min_start": load_start,
+            "load_1min": os.getloadavg()[0],
+        }))
+        return
 
     timings: dict[str, float] = {}
     for name in names:

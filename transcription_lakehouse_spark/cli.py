@@ -567,6 +567,24 @@ def table_optimize(path, min_dead_ratio, small_file_bytes, cluster_by,
         _echo(t.optimize(min_dead_ratio=min_dead_ratio, **kwargs))
 
 
+@table.command("clustering")
+@click.argument("path", type=click.Path(exists=True))
+@click.option("--columns", required=True,
+              help="Comma-separated columns to audit")
+@click.option("--max-overlap", type=float, default=4.0, show_default=True,
+              help="Mean files-overlapping-a-file past which a "
+                   "re-cluster is recommended")
+def table_clustering(path, columns, max_overlap):
+    """Metadata-only clustering health: per-column overlap depth of the
+    live files' min/max ranges (the data-skipping sharpness signal);
+    remedy is `table compact --cluster-by` / `optimize --zorder-by`."""
+    from .txlog import LogTable
+
+    t = LogTable(_spark("table-clustering"), path)
+    _echo(t.clustering_health(
+        [c.strip() for c in columns.split(",")], max_overlap=max_overlap))
+
+
 @table.command("vacuum")
 @click.argument("path", type=click.Path(exists=True))
 @click.option("--retain-last", type=int, default=2, show_default=True)

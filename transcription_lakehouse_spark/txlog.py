@@ -2309,6 +2309,69 @@ class LogTable:
             "constraints": _fold_constraints(prefix),
         }
 
+    def clustering_health(self, columns: list[str],
+                          max_overlap: float = 4.0) -> dict:
+        """Metadata-only clustering degradation report — the re-cluster
+        trigger that complements ``detail()``'s dead-ratio (data
+        skipping is only as sharp as the files' min/max ranges are
+        DISJOINT; churn from appends/merges interleaves them until
+        every point predicate opens every file). Per column: the mean
+        and max number of live files whose [min, max] range overlaps
+        each file's range (sweep over the log's harvested stats —
+        O(F log F) driver arithmetic, no file opened).
+
+        ``mean_overlap`` ≈ 1 means a point lookup prunes to ~one file
+        (perfectly clustered); ≈ ``files`` means no pruning at all.
+        ``recommend_recluster`` fires past ``max_overlap`` — the remedy
+        is ``compact(cluster_by=...)`` / ``optimize(zorder_by=...)``,
+        which this report deliberately does NOT run (re-clustering
+        rewrites the table; the decision needs an operator or an
+        explicit schedule, unlike the self-bounding DV purge)."""
+        import bisect
+
+        live = _live_adds(self._load_for_read(None, allow_empty=True))
+        out: dict = {"files": len(live), "columns": {},
+                     "max_overlap": max_overlap}
+        fire = False
+        for col in columns:
+            ivs = []
+            for a in live:
+                st = a.get("stats") or {}
+                lo = (st.get("min") or {}).get(col)
+                hi = (st.get("max") or {}).get(col)
+                if lo is not None and hi is not None:
+                    ivs.append((lo, hi))
+            n = len(ivs)
+            if n == 0:
+                out["columns"][col] = {
+                    "files_with_stats": 0, "mean_overlap": None,
+                    "max_overlap_depth": None}
+                continue
+            # intersecting pairs via sweep: sort by lo; for each
+            # interval, count prior intervals still open at its lo
+            # (hi >= lo_i) with a sorted hi-list
+            ivs.sort()
+            his: list = []
+            pairs = 0
+            max_depth = 1
+            for lo, hi in ivs:
+                cut = bisect.bisect_left(his, lo)
+                open_now = len(his) - cut
+                pairs += open_now
+                max_depth = max(max_depth, open_now + 1)
+                bisect.insort(his, hi)
+            mean = 1.0 + (2.0 * pairs / n)
+            rec = mean >= max_overlap and n > 1
+            fire = fire or rec
+            out["columns"][col] = {
+                "files_with_stats": n,
+                "mean_overlap": round(mean, 3),
+                "max_overlap_depth": max_depth,
+                "recommend_recluster": rec,
+            }
+        out["recommend_recluster"] = fire
+        return out
+
     @staticmethod
     def _dv_purge_targets(live: list[dict],
                           min_dead_ratio: float) -> list[dict]:
