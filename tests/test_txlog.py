@@ -141,6 +141,36 @@ def test_changes_reports_inserts_and_deletes(spark, tmp_path):
     assert [(r["id"], r["_change_type"]) for r in ch] == [(1, "delete")]
 
 
+def test_changes_keyed_update_images(spark, tmp_path):
+    """Delta-style CDF update images: a merge window's delete+insert
+    pairs sharing the key re-tag as update_preimage/update_postimage;
+    pure inserts and pure deletes keep their tags — in both writer
+    modes (copy-on-write and deletion vectors)."""
+    for dv in (False, True):
+        t = LogTable(spark, str(tmp_path / f"t_{dv}"),
+                     deletion_vectors=dv)
+        t.append(_mk(spark, range(5)))                       # v0
+        # one update (id=2), one insert (id=9), one delete (id=4)
+        t.merge(_mk(spark, [2, 9], tag="B"), key="id")       # v1
+        t.delete("id = 4")                                   # v2
+        got = sorted(
+            (r["id"], r["val"], r["_change_type"])
+            for r in t.changes_keyed(0, 2, key="id").collect()
+        )
+        assert got == [
+            (2, "B2", "update_postimage"),
+            (2, "a2", "update_preimage"),
+            (4, "a4", "delete"),
+            (9, "B9", "insert"),
+        ], (dv, got)
+        # a window with no updates degrades to plain changes()
+        plain = sorted(
+            (r["id"], r["_change_type"])
+            for r in t.changes_keyed(1, 2, key="id").collect()
+        )
+        assert plain == [(4, "delete")]
+
+
 def test_concurrent_commit_raises_and_loser_leaves_no_state(spark, tmp_path):
     t = LogTable(spark, str(tmp_path / "t"))
     t.append(_mk(spark, range(3)))

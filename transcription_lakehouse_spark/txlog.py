@@ -2753,6 +2753,42 @@ class LogTable:
             out = out.unionByName(piece)
         return out
 
+    def changes_keyed(self, from_version: int, to_version: int,
+                      key: str) -> DataFrame:
+        """Delta-style CDF with UPDATE images: the raw ``changes()``
+        diff reports an update as delete+insert; given the table's
+        merge ``key``, a key present on BOTH sides of the window is
+        re-tagged ``update_preimage`` (the old row) /
+        ``update_postimage`` (the new one) — what downstream
+        replicators (MERGE INTO a mirror, incremental aggregates over
+        updates) consume. Keys appearing only once keep insert/delete.
+
+        Cost shape: ONE window over the CHANGE volume only (the diff
+        never materializes carried rows), partitioned by key — no scan
+        of the table itself. Assumes the key is unique per side within
+        the window, the same contract ``merge``/``merge_cdc`` enforce on
+        their input; a multi-row key would pair ambiguously (exactly
+        Delta's CDF behavior for non-unique keys)."""
+        from pyspark.sql import Window
+
+        raw = self.changes(from_version, to_version)
+        w = Window.partitionBy(key)
+        has_del = F.max(
+            (F.col("_change_type") == "delete").cast("int")
+        ).over(w)
+        has_ins = F.max(
+            (F.col("_change_type") == "insert").cast("int")
+        ).over(w)
+        both = (has_del == 1) & (has_ins == 1)
+        return raw.withColumn(
+            "_change_type",
+            F.when(both & (F.col("_change_type") == "delete"),
+                   F.lit("update_preimage"))
+            .when(both & (F.col("_change_type") == "insert"),
+                  F.lit("update_postimage"))
+            .otherwise(F.col("_change_type")),
+        )
+
     def vacuum(self, retain_last: int = 2,
                remove_orphans: bool = False,
                orphan_grace_seconds: float = 600.0,
