@@ -224,6 +224,66 @@ def test_ivf_index_store_and_pruned_search(spark, tmp_path):
     assert "PartitionFilters: [cell" in plan or "cell#" in plan, plan
 
 
+def test_ivf_incremental_update_drift_triggered_rebuild(spark, tmp_path):
+    """IVF append path with the drift ACTUATOR: in-distribution appends
+    ride the trained centroids (no retrain, replay-idempotent via the
+    anti-join); an out-of-distribution flood crosses the occupancy-PSI
+    bar and rebuilds the index from its own stored rows — retrained
+    centroids, rebased occupancy baseline, no rows lost. Volume alone
+    never triggers (unlike the LSH 30% rule): the trigger is
+    distribution shift."""
+    import random
+
+    from tests.test_operators import _clustered_vectors
+    from transcription_lakehouse_spark.indexing import (
+        ivf_incremental_update,
+        read_index_meta,
+    )
+
+    random.seed(21)
+    base = [(f"v{i}", v) for i, v in _clustered_vectors(n_per_cluster=15)]
+    df = spark.createDataFrame(
+        base, "artifact_id string, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    assert ivf_incremental_update(spark, df, idx, n_cells=4) == "built"
+    meta0 = read_index_meta(idx)
+
+    # replay: zero new ids, no rebuild
+    out = ivf_incremental_update(spark, df, idx)
+    assert out.startswith("appended 0")
+
+    # in-distribution growth (spread over ALL clusters): appended under
+    # the trained centroids, PSI stays under the bar
+    centers = [base[c * 15][1] for c in range(4)]
+    grow = [(f"g{c}_{i}",
+             [x + random.gauss(0, 0.5) for x in centers[c]])
+            for c in range(4) for i in range(10)]
+    df2 = df.unionByName(spark.createDataFrame(
+        grow, "artifact_id string, embedding array<float>"))
+    out = ivf_incremental_update(spark, df2, idx)
+    assert out.startswith("appended 40")
+    assert read_index_meta(idx)["rows"] == 100
+    assert read_index_meta(idx)["centroids"] == meta0["centroids"]
+
+    # out-of-distribution flood: PSI crosses, rebuild retrains on the
+    # stored corpus and rebases the occupancy baseline
+    flood = [(f"d{i}", [x + random.gauss(0, 0.5) for x in centers[0]])
+             for i in range(300)]
+    df3 = df2.unionByName(spark.createDataFrame(
+        flood, "artifact_id string, embedding array<float>"))
+    out = ivf_incremental_update(spark, df3, idx)
+    assert out.startswith("rebuilt")
+    meta1 = read_index_meta(idx)
+    assert meta1["rows"] == 400
+    assert meta1["centroids"] != meta0["centroids"]
+    stored = spark.read.parquet(idx)
+    assert stored.count() == 400
+    assert stored.select("artifact_id").distinct().count() == 400
+    # post-rebuild the baseline is current: PSI back under the bar
+    out = ivf_incremental_update(spark, df3, idx)
+    assert out.startswith("appended 0")
+
+
 def test_ivf_drift_report_recommends_retrain(spark, tmp_path):
     """Quantizer-drift observability (r10 VERDICT #5): the IVF sidecar
     records training-time cell occupancy; ivf_drift_report computes the

@@ -26,6 +26,7 @@ __all__ = [
     "read_index_meta",
     "build_ivf_index",
     "search_ivf",
+    "ivf_incremental_update",
     "ivf_drift_report",
     "occupancy_psi",
 ]
@@ -227,6 +228,86 @@ def ivf_drift_report(
         "occupancy_current": {c: round(cur_occ.get(c, 0.0), 6)
                               for c in range(n_cells)},
     }
+
+
+def ivf_incremental_update(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    index_path: str,
+    id_col: str = "artifact_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    psi_rebuild_threshold: float | None = 0.25,
+) -> str:
+    """M3 for the IVF family — append-only maintenance with a
+    DRIFT-TRIGGERED retrain (the actuator for ``ivf_drift_report``,
+    closing r10 verdict #5): new ids (anti-join, deterministic replays
+    are no-ops) are assigned with the TRAINED centroids and appended to
+    their cell partitions; then ONE occupancy-PSI check against the
+    training baseline decides whether the quantizer is stale. Past
+    ``psi_rebuild_threshold`` the index is rebuilt from its own stored
+    rows — retraining centroids on the drifted corpus and restoring the
+    recall the stale cell layout was silently losing (measured in
+    SCALING.md: 0.842 → 1.000 recall@10 at nprobe=1 on a flooded-region
+    drift). ``None`` disables the rebuild (observability only — the
+    report is still computed and returned in the status string).
+
+    Unlike the LSH ``incremental_update``'s new-row-fraction threshold,
+    the trigger here is DISTRIBUTION shift, not volume: a million
+    in-distribution appends never force a pointless retrain, while a
+    small flood of out-of-distribution mass fires it."""
+    try:
+        meta = read_index_meta(index_path)
+        if meta.get("kind") != "ivf":
+            raise ValueError(
+                f"ivf_incremental_update: {index_path} is not an IVF "
+                "index"
+            )
+    except (OSError, json.JSONDecodeError):
+        build_ivf_index(embeddings, index_path, n_cells=n_cells,
+                        id_col=id_col, vec_col=vec_col)
+        return "built"
+    from .functions.vector import as_double_array
+    from .operators.similarity import _nearest_cells_udf
+
+    existing = spark.read.parquet(index_path)
+    new = embeddings.join(existing.select(id_col), id_col, "left_anti")
+    n_new = new.count()
+    if n_new:
+        assign1 = _nearest_cells_udf(meta["centroids"], 1)
+        tagged = new.withColumn(
+            "cell", F.element_at(assign1(as_double_array(vec_col)), 1)
+        )
+        tagged.write.mode("append").partitionBy("cell").parquet(index_path)
+    rep = ivf_drift_report(spark, index_path)
+    if (psi_rebuild_threshold is not None
+            and rep["psi"] >= psi_rebuild_threshold):
+        corpus = spark.read.parquet(index_path).drop("cell")
+        # rebuild staging-first: train + write beside, then swap — the
+        # sidecar and partitions stay consistent for concurrent readers
+        # of the OLD index until the atomic directory rename
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(
+            dir=os.path.dirname(os.path.abspath(index_path)),
+            prefix="._ivf_rebuild_",
+        )
+        stage = os.path.join(tmp, "index")
+        build_ivf_index(corpus, stage, n_cells=len(meta["centroids"]),
+                        id_col=id_col, vec_col=vec_col)
+        old = index_path.rstrip("/") + ".old"
+        os.rename(index_path, old)
+        os.rename(stage, index_path)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rmdir(tmp)
+        return f"rebuilt (psi {rep['psi']})"
+    # baseline occupancy stays the TRAINING distribution; only the row
+    # count advances
+    meta["rows"] = int(meta.get("rows", 0)) + n_new
+    with open(os.path.join(index_path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return f"appended {n_new} (psi {rep['psi']})"
 
 
 def search_ivf(
