@@ -338,6 +338,20 @@ def test_ivf_drift_report_recommends_retrain(spark, tmp_path):
     assert occupancy_psi({0: 0.5, 1: 0.5}, {0: 0.5, 1: 0.5}, 2) == 0.0
     assert 0 < occupancy_psi({0: 0.5, 1: 0.5}, {0: 1.0}, 2) < float("inf")
 
+    # CLI twin: same report over the stored index
+    import json as _json
+    import unittest.mock as _mock
+
+    from click.testing import CliRunner
+
+    from transcription_lakehouse_spark import cli as cli_mod
+
+    with _mock.patch.object(cli_mod, "_spark", lambda cmd: spark):
+        r = CliRunner().invoke(cli_mod.cli, ["index-drift", idx])
+    assert r.exit_code == 0, r.output
+    out = _json.loads(r.output[r.output.index("{"):])
+    assert out["recommend_retrain"] is False and out["psi"] < 0.01
+
 
 def test_snapshot_immutable_and_verifiable(spark, tmp_path):
     lake = str(tmp_path / "lake")

@@ -355,6 +355,29 @@ def snapshot_verify(snapshot_dir):
     raise SystemExit(0 if not problems else 1)
 
 
+@cli.command("index-drift")
+@click.argument("index_path", type=click.Path(exists=True))
+@click.option("--current-parquet", type=click.Path(exists=True),
+              default=None,
+              help="Score THIS corpus (parquet of id + embedding) "
+                   "against the trained quantizer instead of the "
+                   "index's stored rows — e.g. a candidate batch "
+                   "before appending it")
+@click.option("--psi-threshold", type=float, default=0.25,
+              show_default=True)
+def index_drift(index_path, current_parquet, psi_threshold):
+    """Quantizer-drift report for a stored IVF index: occupancy PSI vs
+    the training baseline + retrain recommendation (see also
+    `ivf_incremental_update`, which acts on it automatically)."""
+    from .indexing import ivf_drift_report
+
+    spark = _spark("index-drift")
+    cur = (spark.read.parquet(current_parquet)
+           if current_parquet else None)
+    _echo(ivf_drift_report(spark, index_path, current=cur,
+                           psi_threshold=psi_threshold))
+
+
 @cli.command()
 @click.argument("artifact")
 @_LAKE_OPT
