@@ -762,6 +762,56 @@ def test_stream_index_update_builds_then_appends(spark, tmp_path):
     assert back.select("artifact_id").distinct().count() == 12
 
 
+def test_stream_ivf_update_appends_and_drift_rebuilds(spark, tmp_path):
+    """Streaming IVF maintenance with the quantizer lifecycle: batch 1
+    builds the index; a flood batch of one repeated text (one point
+    mass -> occupancy collapses into one cell) crosses the PSI bar and
+    retrains the centroids in-sink; replaying the same files appends
+    nothing and cannot rebuild twice (rebased baseline)."""
+    import json as _json
+
+    from transcription_lakehouse_spark.indexing import read_index_meta
+    from transcription_lakehouse_spark.streaming.ingest import (
+        stream_ivf_update,
+    )
+
+    d = tmp_path / "ivf_in"
+    d.mkdir()
+    idx = str(tmp_path / "stream_ivf")
+    ck = str(tmp_path / "ck_ivf")
+
+    (d / "a.jsonl").write_text("\n".join(
+        _json.dumps({"artifact_id": f"a{i}",
+                     "text": f"distinct topic number {i} with words {i}"})
+        for i in range(8)
+    ))
+    q = stream_ivf_update(spark, str(d), idx, ck, n_cells=4)
+    q.awaitTermination(120)
+    meta0 = read_index_meta(idx)
+    assert meta0["kind"] == "ivf" and meta0["rows"] == 8
+
+    # flood: 60 ids, ONE text -> one point mass in embedding space
+    (d / "b.jsonl").write_text("\n".join(
+        _json.dumps({"artifact_id": f"b{i}", "text": "flood flood flood"})
+        for i in range(60)
+    ))
+    q = stream_ivf_update(spark, str(d), idx, ck, n_cells=4)
+    q.awaitTermination(120)
+    meta1 = read_index_meta(idx)
+    assert meta1["rows"] == 68
+    assert meta1["centroids"] != meta0["centroids"]   # retrained in-sink
+    assert spark.read.parquet(idx).count() == 68
+
+    # full replay from a fresh checkpoint: anti-join skips every id,
+    # nothing appends, the rebased baseline keeps PSI ~0 -> no rebuild
+    q = stream_ivf_update(spark, str(d), idx, str(tmp_path / "ck2"),
+                          n_cells=4)
+    q.awaitTermination(120)
+    meta2 = read_index_meta(idx)
+    assert meta2["rows"] == 68
+    assert meta2["centroids"] == meta1["centroids"]
+
+
 def test_stream_cluster_update_maintains_dup_clusters(spark, tmp_path):
     """Streaming dup-cluster maintenance (batch dedup pipeline's streaming
     twin): batch 1 forms a 2-doc cluster; replaying the same docs causes

@@ -32,6 +32,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_quality_stats",
     "stream_index_update",
+    "stream_ivf_update",
     "stream_cluster_update",
     "stream_hll_update",
     "stream_graph_update",
@@ -342,6 +343,77 @@ def stream_index_update(
         incremental_update(
             batch.sparkSession, emb, index_path,
             rebuild_threshold=float("inf"),
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ivf_update(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "artifact_id",
+    text_col: str = "text",
+    n_cells: int = 16,
+    psi_rebuild_threshold: float | None = 0.25,
+    drift_check_every: int = 1,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """IVF sibling of ``stream_index_update`` WITH the quantizer
+    lifecycle wired in: stream text → embed → assign under the TRAINED
+    centroids → append to cell partitions; every
+    ``drift_check_every``-th micro-batch also runs the occupancy-PSI
+    drift check and — past ``psi_rebuild_threshold`` — retrains the
+    coarse quantizer from the index's own stored rows (atomic staged
+    swap; see ``ivf_incremental_update``). Off-schedule batches pass
+    ``None`` and stay pure appends.
+
+    Replay-safe end to end: the anti-join skips already-indexed ids, a
+    replayed batch appends nothing, and a rebuild rebases the occupancy
+    baseline so the replay's drift check reads ~0 and cannot rebuild
+    twice. At 100 TB the schedule bounds retrain cost exactly like the
+    CDC sink's ``optimize_every`` bounds DV debt: maintenance rides the
+    stream instead of depending on anyone remembering an offline job."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..embeddings import generate_embeddings
+    from ..indexing import ivf_incremental_update
+
+    schema = StructType(
+        [
+            StructField(id_col, StringType(), False),
+            StructField(text_col, StringType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(input_dir)
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        emb = generate_embeddings(batch, id_col, text_col, "stream").select(
+            F.col("artifact_id").alias(id_col), "embedding"
+        )
+        on_schedule = (
+            drift_check_every > 0
+            and batch_id % drift_check_every == drift_check_every - 1
+        )
+        ivf_incremental_update(
+            batch.sparkSession, emb, index_path,
+            id_col=id_col, n_cells=n_cells,
+            psi_rebuild_threshold=(
+                psi_rebuild_threshold if on_schedule else None
+            ),
         )
 
     writer = (
