@@ -1272,9 +1272,17 @@ def test_ivfpq_topk_recall_and_determinism(spark):
 
 
 def test_train_pca_reproduces_committed_basis(spark):
-    """Same determinism pin as the IVF quantizer: `train_pca`
-    (tools/train_pca.py) must reproduce the committed basis artifact
-    exactly from the corpus it was trained on — no RNG anywhere."""
+    """Determinism pin for `train_pca` (tools/train_pca.py) against the
+    committed basis artifact — no RNG anywhere, so the sample, mean and
+    covariance are bit-exact (the mean compares with ==). The eigendecomp
+    itself goes through LAPACK `eigh`, whose last bits vary across BLAS
+    builds (observed 6e-15 component drift between the artifact's build
+    container and a later one, code unchanged) — components/eigenvalues
+    therefore pin to a 1e-12 band, far below anything a 6-dp-rounded
+    downstream query could ever observe, while still catching sampling,
+    ordering or sign-fix regressions (any of those moves coords by >1e-3)."""
+    import numpy as np
+
     from transcription_lakehouse_spark.operators.pca import train_pca
     from transcription_lakehouse_spark.workload._pca_basis import (
         COMPONENTS,
@@ -1289,8 +1297,8 @@ def test_train_pca_reproduces_committed_basis(spark):
         emb, "vec_id", "embedding", n_components=N_COMPONENTS
     )
     assert mean == MEAN
-    assert comps == COMPONENTS
-    assert eigs == EIGENVALUES
+    np.testing.assert_allclose(comps, COMPONENTS, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(eigs, EIGENVALUES, rtol=0, atol=1e-12)
 
 
 def test_pca_basis_orthonormal_and_project_centers(spark):

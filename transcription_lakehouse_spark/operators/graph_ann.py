@@ -42,7 +42,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.vector import as_double_array, guarded_cosine, l2_norm
-from .similarity import _banded_buckets, _nearest_cells_udf, lsh_topk
+from .similarity import (
+    _band_buckets_udf,
+    _banded_buckets,
+    _nearest_cells_udf,
+    _topk_score_kernel,
+    lsh_topk,
+)
 
 __all__ = [
     "build_knn_graph",
@@ -274,19 +280,36 @@ def graph_topk(
         F.col(id_col).alias("node_id"), as_double_array(vec_col).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
 
-    qb = _banded_buckets(
-        q.select("query_id", "qv"), "qv", seed_bands, planes_per_band
+    # Seed scoring as the shared cogrouped GEMM (r11, guide §2.3/§4.2):
+    # each (band, bucket) group scores its queries × members in one numpy
+    # matmul and emits only the group-local top-``beam`` — replacing the
+    # distinct-pair join + two vector-fetch joins + interpreted HOF cosine
+    # per pair. Self-pairs excluded and ties id-broken inside the kernel;
+    # the global `_top_beam` over the deduped local winners equals the old
+    # beam exactly (union-of-local-top-k argument, kernel docstring).
+    udf = _band_buckets_udf(seed_bands, planes_per_band)
+    qb = q.select(
+        "query_id", "qv", F.posexplode(udf(F.col("qv"))).alias("band", "bucket")
     )
-    cb = _banded_buckets(
-        c.select("node_id", "cv"), "cv", seed_bands, planes_per_band
+    cb = c.select(
+        F.col("node_id").alias("neighbor_id"),
+        F.col("cv"),
+        F.posexplode(udf(F.col("cv"))).alias("band", "bucket"),
     )
-    seeds = (
-        qb.join(cb, ["band", "bucket"])
-        .filter(F.col("query_id") != F.col("node_id"))
-        .select("query_id", "node_id")
-        .distinct()
+    qid_t = dict(queries.dtypes)[id_col]
+    nid_t = dict(corpus.dtypes)[id_col]
+    local = (
+        qb.groupBy("band", "bucket")
+        .cogroup(cb.groupBy("band", "bucket"))
+        .applyInPandas(
+            _topk_score_kernel(beam),
+            f"query_id {qid_t}, neighbor_id {nid_t}, sim double",
+        )
     )
-    beam_df = _top_beam(_score(seeds, q, c), beam)
+    seed_scores = local.distinct().select(
+        "query_id", F.col("neighbor_id").alias("node_id"), "sim"
+    )
+    beam_df = _top_beam(seed_scores, beam)
     return _walk_and_rank(beam_df, graph, q, c, hops, beam, k)
 
 
@@ -384,19 +407,34 @@ def graph_topk_coarse(
         F.col(id_col).alias("node_id"), as_double_array(vec_col).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
 
+    # Seed scoring = IVF's cogrouped-GEMM shape (r11, guide §2.3/§4.2):
+    # probed (query, cell) rows cogroup with cell members, one matmul per
+    # cell, only the per-(query, cell) top-``beam`` leaves Python. Cells
+    # are disjoint so the union across a query's nprobe cells has no
+    # duplicates; `_top_beam` over it equals the old distinct-pair +
+    # HOF-rescore beam exactly.
     assign1 = _nearest_cells_udf(centroids, 1)
     cc = c.select(
-        "node_id", F.element_at(assign1(F.col("cv")), 1).alias("cell")
+        F.col("node_id").alias("neighbor_id"),
+        F.col("cv"),
+        F.element_at(assign1(F.col("cv")), 1).alias("cell"),
     )
     probe = _nearest_cells_udf(centroids, nprobe)
     qc = q.select(
-        "query_id", F.explode(probe(F.col("qv"))).alias("cell")
+        "query_id", "qv", F.explode(probe(F.col("qv"))).alias("cell")
     )
-    seeds = (
-        qc.join(cc, "cell")
-        .filter(F.col("query_id") != F.col("node_id"))
-        .select("query_id", "node_id")
-        .distinct()
+    qid_t = dict(queries.dtypes)[id_col]
+    nid_t = dict(corpus.dtypes)[id_col]
+    local = (
+        qc.groupBy("cell")
+        .cogroup(cc.groupBy("cell"))
+        .applyInPandas(
+            _topk_score_kernel(beam),
+            f"query_id {qid_t}, neighbor_id {nid_t}, sim double",
+        )
     )
-    beam_df = _top_beam(_score(seeds, q, c), beam)
+    seed_scores = local.select(
+        "query_id", F.col("neighbor_id").alias("node_id"), "sim"
+    )
+    beam_df = _top_beam(seed_scores, beam)
     return _walk_and_rank(beam_df, graph, q, c, hops, beam, k)

@@ -50,6 +50,99 @@ def _round6_half_away(c):
     return np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
 
 
+def _topk_score_kernel(k: int):
+    """Cogrouped-map scorer shared by every bucketed ANN path (IVF cells,
+    LSH band-buckets, graph seeds): ONE numpy GEMM per key group computes
+    all (query, member) cosines, and the group-LOCAL top-``k`` per query
+    leaves Python — nothing pair-shaped ever hits the plan. Global top-k
+    over the per-group winners equals top-k over the full candidate union
+    (any row cut locally is dominated by ``k`` group-mates under the same
+    total order), so downstream windows see ≤ groups-per-query · k rows.
+
+    Determinism contract (the oracle-parity discipline of this module):
+
+    - sims are ``_round6_half_away`` like F.round/DuckDB;
+    - any cosine whose |c|·1e6 + 0.5 sits within 1e-7 of an integer — i.e.
+      where BLAS re-association could flip the 6-dp rounding vs the SQL
+      twin's strict left-to-right sums — is recomputed in the twin's exact
+      operand order before rounding (fires ~2e-7 of pairs);
+    - ties rank by neighbor id ASC: the member side is pre-sorted by id, so
+      a STABLE argsort on -sim yields that tiebreak for free (vectorized —
+      no per-row lexsort loop);
+    - self-pairs (query_id == neighbor_id, by value) are excluded, the
+      `_score_topk` contract.
+    """
+    import math
+
+    import numpy as np
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        right = right.sort_values(
+            "neighbor_id", kind="mergesort", ignore_index=True
+        )
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in left["qv"]])
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in right["cv"]])
+        qn = np.sqrt((Q * Q).sum(axis=1))[:, None]
+        cn = np.sqrt((C * C).sum(axis=1))[None, :]
+        den = qn * cn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.where(den > 0, (Q @ C.T) / den, 0.0)
+        sims = _round6_half_away(raw)
+        t = np.abs(raw) * 1e6 + 0.5
+        frac = t - np.floor(t)
+        for i, j in np.argwhere((frac < 1e-7) | (frac > 1.0 - 1e-7)):
+            a, b = Q[i], C[j]
+            num = 0.0
+            for x, y in zip(a, b):
+                num = num + x * y
+            na = 0.0
+            for x in a:
+                na = na + x * x
+            nb = 0.0
+            for y in b:
+                nb = nb + y * y
+            d = math.sqrt(na) * math.sqrt(nb)
+            ce = num / d if d > 0 else 0.0
+            sims[i, j] = float(_round6_half_away(ce))
+        qid = left["query_id"].to_numpy()
+        nid = right["neighbor_id"].to_numpy()
+        sims = np.where(qid[:, None] == nid[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        simk = np.take_along_axis(sims, idx, axis=1)
+        keep = np.isfinite(simk).ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qid, kk)[keep],
+                "neighbor_id": nid[idx.ravel()][keep],
+                "sim": simk.ravel()[keep],
+            }
+        )
+
+    return score
+
+
+def _rank_topk(local: DataFrame, k: int, dedupe: bool = True) -> DataFrame:
+    """Global top-k tail over per-group local winners: dedupe the
+    (query, neighbor, sim) rows a multi-group collision emits twice (the
+    sims are deterministic, so duplicates are exact), then the same
+    (sim DESC, id ASC) row_number window every ANN path ranks with.
+    ``dedupe=False`` skips the distinct's exchange when groups are
+    provably disjoint (IVF cells)."""
+    if dedupe:
+        local = local.distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def _score_topk(
     pairs: DataFrame, k: int, round_digits: int = 6
 ) -> DataFrame:
@@ -421,8 +514,6 @@ def ivf_topk(
     assignment would be precomputed once into the stored table
     (indexing.build_index) so queries touch ~nprobe/n_cells of the data.
     """
-    import numpy as np
-
     if centroids is None:
         centroids = train_centroids(corpus, id_col, vec_col, n_cells)
 
@@ -454,55 +545,24 @@ def ivf_topk(
     # top-k per (query, cell) leaves the kernel. The previous join-then-HOF
     # rescore shipped both vectors per PAIR and evaluated the dot product
     # in the interpreted expression walker — measured 22 s vs ~2 s on the
-    # 20x bench for identical results.
+    # 20x bench for identical results. r11: the kernel is the shared
+    # `_topk_score_kernel` — its top-k assembly is a vectorized stable
+    # argsort (the old per-query lexsort + pd.concat loop was ~40% of
+    # knn_ivf_20x's kernel time) and it adds the rounding-boundary margin
+    # guard the other GEMM kernels already carry.
     qid_t = dict(queries.dtypes)[id_col]
     nid_t = dict(corpus.dtypes)[id_col]
     out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, sim double"
 
-    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if not len(left) or not len(right):
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
-        Q = np.stack([np.asarray(v, dtype=np.float64) for v in left["qv"]])
-        C = np.stack([np.asarray(v, dtype=np.float64) for v in right["cv"]])
-        qn = np.linalg.norm(Q, axis=1, keepdims=True)
-        cn = np.linalg.norm(C, axis=1, keepdims=True)
-        den = qn @ cn.T
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.where(den > 0, (Q @ C.T) / den, 0.0)
-        sims = _round6_half_away(sims)  # same mode as F.round/DuckDB
-        nid = right["neighbor_id"].to_numpy()
-        # self-pairs excluded, same contract as _score_topk
-        mask_self = left["query_id"].to_numpy()[:, None] == nid[None, :]
-        sims = np.where(mask_self, -np.inf, sims)
-        kk = min(k, sims.shape[1])
-        frames = []
-        for i in range(len(left)):
-            order = np.lexsort((nid, -sims[i]))[:kk]
-            order = order[np.isfinite(sims[i][order])]
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": left["query_id"].iloc[i],
-                        "neighbor_id": nid[order],
-                        "sim": sims[i][order],
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
-
     local = (
         q.groupBy("cell")
         .cogroup(c.groupBy("cell"))
-        .applyInPandas(score_cell, out_schema)
+        .applyInPandas(_topk_score_kernel(k), out_schema)
     )
     # global top-k across the nprobe probed cells: only nprobe*k candidate
-    # rows per query reach this window
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    # rows per query reach this window (duplicates impossible — cells are
+    # disjoint — so the dedupe exchange is skipped)
+    return _rank_topk(local, k, dedupe=False)
 
 
 def lsh_near_dup_pairs(
@@ -686,25 +746,60 @@ def lsh_topk(
 
     Scale knobs: `planes_per_band` sets bucket granularity (2^r buckets per
     band — raise it as the corpus grows so per-bucket candidate sets stay
-    bounded), `n_bands` buys recall back at the cost of b× bucket rows
-    (ids only — vectors are joined back per candidate pair, not exploded).
+    bounded), `n_bands` buys recall back at the cost of b× bucket rows.
+
+    Execution shape (r11 optimization, guide §2.3/§4.2): each (band,
+    bucket) group is scored by ONE cogrouped numpy GEMM emitting only the
+    group-local top-k (`_topk_score_kernel`) — the previous
+    candidates-distinct + two vector-fetch joins + interpreted
+    higher-order-function cosine per pair shipped every pair's vectors
+    through two shuffles and evaluated ~O(pairs·dims) interpreted
+    expression steps (measured 18.9 s on graph_build_20x, 5.9× slower
+    than this shape for identical results). When ``queries is corpus``
+    (the graph-build self-join) the banded relation is shipped ONCE and
+    scored against itself — half the Arrow traffic of the cogroup.
+    Results are value-identical (same rounding, tiebreaks, margin guard —
+    kernel docstring) and stay gated by the unchanged DuckDB twins.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    )
-    q_ids = _banded_buckets(q, "qv", n_bands, planes_per_band)
-    c_ids = _banded_buckets(c, "cv", n_bands, planes_per_band)
-    cand = (
-        q_ids.join(c_ids, ["band", "bucket"])
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    qv = q.withColumn("qn", l2_norm(F.col("qv")))
-    cv = c.withColumn("cn", l2_norm(F.col("cv")))
-    return _score_topk(cand.join(qv, "query_id").join(cv, "neighbor_id"), k)
+    udf = _band_buckets_udf(n_bands, planes_per_band)
+    qid_t = dict(queries.dtypes)[id_col]
+    nid_t = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, sim double"
+    kern = _topk_score_kernel(k)
+    if queries is corpus:
+        b = corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        ).select(
+            "_id", "_v", F.posexplode(udf(F.col("_v"))).alias("band", "bucket")
+        )
+
+        def self_score(pdf: pd.DataFrame) -> pd.DataFrame:
+            side_q = pd.DataFrame({"query_id": pdf["_id"], "qv": pdf["_v"]})
+            side_c = pd.DataFrame({"neighbor_id": pdf["_id"], "cv": pdf["_v"]})
+            return kern(side_q, side_c)
+
+        local = b.groupBy("band", "bucket").applyInPandas(
+            self_score, out_schema
+        )
+    else:
+        qb = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).select(
+            "query_id", "qv",
+            F.posexplode(udf(F.col("qv"))).alias("band", "bucket"),
+        )
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ).select(
+            "neighbor_id", "cv",
+            F.posexplode(udf(F.col("cv"))).alias("band", "bucket"),
+        )
+        local = (
+            qb.groupBy("band", "bucket")
+            .cogroup(cb.groupBy("band", "bucket"))
+            .applyInPandas(lambda l, r: kern(l, r), out_schema)
+        )
+    return _rank_topk(local, k)
 
 
 def semdedup_kmeans(
