@@ -1372,6 +1372,41 @@ def test_semdedup_kmeans_keeper_rule(spark):
     assert keepers == [2]
 
 
+def test_semdedup_kmeans_in_cell_transitive_closure(spark):
+    """The r11 kernel computes the component closure INSIDE the per-cell
+    kernel (pairs never span cells). Pin the union-find against a
+    transitive chain A~B~C where A~C is NOT itself a pair (A and C sit
+    just outside the threshold of each other) plus an independent second
+    component in the same cell: one component must still merge the chain
+    with component_id = min id, and the second must stay separate."""
+    from transcription_lakehouse_spark.operators.similarity import (
+        semdedup_kmeans,
+    )
+
+    cents = [[1.0, 0.0, 0.0]]
+    # chain: 10~11 and 11~12 pass cos >= 0.9995; 10~12 does not
+    rows = [
+        (10, [1.0, 0.000, 0.0]),
+        (11, [1.0, 0.025, 0.0]),
+        (12, [1.0, 0.050, 0.0]),
+        # separate pair, same cell, orthogonal-ish to the chain axis but
+        # still nearest to centroid 0 (the only cell)
+        (20, [1.0, 3.000, 0.0]),
+        (21, [1.0, 3.010, 0.0]),
+        # true singleton
+        (30, [1.0, -9.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = semdedup_kmeans(df, "vec_id", "embedding", cents, threshold=0.9995)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert set(got) == {10, 11, 12, 20, 21}
+    assert [got[v]["component_id"] for v in (10, 11, 12)] == [10, 10, 10]
+    assert [got[v]["component_id"] for v in (20, 21)] == [20, 20]
+    # exactly one keeper per component
+    assert sum(got[v]["is_keeper"] for v in (10, 11, 12)) == 1
+    assert sum(got[v]["is_keeper"] for v in (20, 21)) == 1
+
+
 def test_pca_topk_recall_and_exact_degenerate(spark):
     """PCA coarse-rank ANN: recall@5 vs brute force on the real sf0.01
     embeddings with the committed basis; shortlist >= corpus degenerates

@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame, Window
 
 from ..functions.vector import as_double_array, guarded_cosine, l2_norm
 from .similarity import (
-    _band_buckets_udf,
     _banded_buckets,
     _nearest_cells_udf,
     _topk_score_kernel,
@@ -280,36 +279,27 @@ def graph_topk(
         F.col(id_col).alias("node_id"), as_double_array(vec_col).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
 
-    # Seed scoring as the shared cogrouped GEMM (r11, guide §2.3/§4.2):
-    # each (band, bucket) group scores its queries × members in one numpy
-    # matmul and emits only the group-local top-``beam`` — replacing the
-    # distinct-pair join + two vector-fetch joins + interpreted HOF cosine
-    # per pair. Self-pairs excluded and ties id-broken inside the kernel;
-    # the global `_top_beam` over the deduped local winners equals the old
-    # beam exactly (union-of-local-top-k argument, kernel docstring).
-    udf = _band_buckets_udf(seed_bands, planes_per_band)
-    qb = q.select(
-        "query_id", "qv", F.posexplode(udf(F.col("qv"))).alias("band", "bucket")
+    # Seed scoring stays the candidate-pair join + JVM HOF rescore: the
+    # search-side query set is sparse (≪ bucket space), so the pair
+    # relation is tiny and id-only bucket rows shuffle, while a cogrouped
+    # GEMM would ship seed_bands copies of every corpus vector through the
+    # exchange + Arrow boundary regardless of |Q| — measured 4.7 s (this
+    # shape) vs 5.4-6.0 s (three GEMM variants) on graph_search_20x. The
+    # GEMM shape wins only for corpus-scale pair relations (the graph
+    # BUILD's lsh_topk self-join).
+    qb = _banded_buckets(
+        q.select("query_id", "qv"), "qv", seed_bands, planes_per_band
     )
-    cb = c.select(
-        F.col("node_id").alias("neighbor_id"),
-        F.col("cv"),
-        F.posexplode(udf(F.col("cv"))).alias("band", "bucket"),
+    cb = _banded_buckets(
+        c.select("node_id", "cv"), "cv", seed_bands, planes_per_band
     )
-    qid_t = dict(queries.dtypes)[id_col]
-    nid_t = dict(corpus.dtypes)[id_col]
-    local = (
-        qb.groupBy("band", "bucket")
-        .cogroup(cb.groupBy("band", "bucket"))
-        .applyInPandas(
-            _topk_score_kernel(beam),
-            f"query_id {qid_t}, neighbor_id {nid_t}, sim double",
-        )
+    seeds = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("node_id"))
+        .select("query_id", "node_id")
+        .distinct()
     )
-    seed_scores = local.distinct().select(
-        "query_id", F.col("neighbor_id").alias("node_id"), "sim"
-    )
-    beam_df = _top_beam(seed_scores, beam)
+    beam_df = _top_beam(_score(seeds, q, c), beam)
     return _walk_and_rank(beam_df, graph, q, c, hops, beam, k)
 
 

@@ -124,6 +124,50 @@ def _topk_score_kernel(k: int):
     return score
 
 
+def _topk_score_kernel_bucketed(k: int):
+    """`_topk_score_kernel` over SUPERGROUPS: both sides carry the full
+    ``bucket`` id and arrive grouped by (band, bucket % nsub), so one
+    Python invocation scores every bucket that folds into the supergroup —
+    segment both sides by bucket, GEMM each matched segment, concat.
+
+    Why (guide §4.1 — control how often the boundary is crossed, not just
+    how much crosses it): at production bucket granularity (2^10 buckets ×
+    8 bands) the one-group-per-bucket cogroup pays ~8k Arrow/pandas group
+    invocations whose fixed cost dominates the tiny per-bucket GEMMs —
+    measured 3.5 s → 5.1 s regression on knn_lsh_20x vs the pair-join it
+    replaced. Folding ~32 buckets per supergroup keeps the same shuffle
+    bytes and the same per-bucket math (results identical row-for-row:
+    each bucket still scores exactly its own members) while cutting group
+    invocations ~32×."""
+    base = _topk_score_kernel(k)
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        rgroups = {b: grp for b, grp in right.groupby("bucket", sort=False)}
+        out = []
+        for b, lgrp in left.groupby("bucket", sort=False):
+            rgrp = rgroups.get(b)
+            if rgrp is not None:
+                out.append(base(lgrp, rgrp))
+        if not out:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        return pd.concat(out, ignore_index=True)
+
+    return score
+
+
+def _lsh_supergroups(spark, n_bands: int, planes_per_band: int) -> int:
+    """Buckets folded per (band, bucket % nsub) supergroup: target ~8
+    groups per core for scheduling balance, floor 64 total, capped at the
+    bucket-space size (then every bucket is its own group again).
+    Scale-adaptive (guide §2): derives from the session's parallelism,
+    not a constant tuned to either local mode or one cluster size."""
+    target_groups = max(8 * spark.sparkContext.defaultParallelism, 64)
+    per_band = max(1, target_groups // max(n_bands, 1))
+    return min(2 ** planes_per_band, per_band)
+
+
 def _rank_topk(local: DataFrame, k: int, dedupe: bool = True) -> DataFrame:
     """Global top-k tail over per-group local winners: dedupe the
     (query, neighbor, sim) rows a multi-group collision emits twice (the
@@ -748,58 +792,77 @@ def lsh_topk(
     band — raise it as the corpus grows so per-bucket candidate sets stay
     bounded), `n_bands` buys recall back at the cost of b× bucket rows.
 
-    Execution shape (r11 optimization, guide §2.3/§4.2): each (band,
-    bucket) group is scored by ONE cogrouped numpy GEMM emitting only the
-    group-local top-k (`_topk_score_kernel`) — the previous
+    Execution shape (r11 optimization, guide §2.3/§4.1/§4.2 — both
+    branches measured, see comments): the SELF-join case (graph build)
+    scores each (band, bucket) group with one numpy GEMM emitting only
+    the group-local top-k, buckets folded ~32 per Python group so the
+    Arrow group-invocation cost amortizes — the previous
     candidates-distinct + two vector-fetch joins + interpreted
-    higher-order-function cosine per pair shipped every pair's vectors
-    through two shuffles and evaluated ~O(pairs·dims) interpreted
-    expression steps (measured 18.9 s on graph_build_20x, 5.9× slower
-    than this shape for identical results). When ``queries is corpus``
-    (the graph-build self-join) the banded relation is shipped ONCE and
-    scored against itself — half the Arrow traffic of the cogroup.
-    Results are value-identical (same rounding, tiebreaks, margin guard —
-    kernel docstring) and stay gated by the unchanged DuckDB twins.
+    higher-order-function cosine per pair evaluated ~O(pairs·dims)
+    interpreted expression steps (measured 18.9 s → 5.4 s on
+    graph_build_20x for identical results; the pair relation is
+    corpus-scale there, |pairs| ≈ N·bands·bucket_pop). The ASYMMETRIC
+    case keeps the pair join — with few queries the pair relation is
+    small and the GEMM's fixed cost (n_bands corpus-vector copies through
+    the exchange + Arrow boundary) loses; see the branch comment for the
+    measurements. Results are value-identical either way (same rounding,
+    tiebreaks, margin guard — kernel docstring) and stay gated by the
+    unchanged DuckDB twins.
     """
-    udf = _band_buckets_udf(n_bands, planes_per_band)
-    qid_t = dict(queries.dtypes)[id_col]
-    nid_t = dict(corpus.dtypes)[id_col]
-    out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, sim double"
-    kern = _topk_score_kernel(k)
     if queries is corpus:
+        udf = _band_buckets_udf(n_bands, planes_per_band)
+        qid_t = dict(queries.dtypes)[id_col]
+        out_schema = f"query_id {qid_t}, neighbor_id {qid_t}, sim double"
+        kern = _topk_score_kernel_bucketed(k)
+        nsub = _lsh_supergroups(corpus.sparkSession, n_bands, planes_per_band)
+        sub = F.pmod(F.col("bucket"), F.lit(nsub)).alias("sub")
         b = corpus.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
         ).select(
             "_id", "_v", F.posexplode(udf(F.col("_v"))).alias("band", "bucket")
-        )
+        ).withColumn("sub", sub)
 
         def self_score(pdf: pd.DataFrame) -> pd.DataFrame:
-            side_q = pd.DataFrame({"query_id": pdf["_id"], "qv": pdf["_v"]})
-            side_c = pd.DataFrame({"neighbor_id": pdf["_id"], "cv": pdf["_v"]})
+            side_q = pd.DataFrame({
+                "query_id": pdf["_id"], "qv": pdf["_v"], "bucket": pdf["bucket"],
+            })
+            side_c = pd.DataFrame({
+                "neighbor_id": pdf["_id"], "cv": pdf["_v"], "bucket": pdf["bucket"],
+            })
             return kern(side_q, side_c)
 
-        local = b.groupBy("band", "bucket").applyInPandas(
+        local = b.groupBy("band", "sub").applyInPandas(
             self_score, out_schema
         )
+        return _rank_topk(local, k)
     else:
-        qb = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        ).select(
-            "query_id", "qv",
-            F.posexplode(udf(F.col("qv"))).alias("band", "bucket"),
+        # Asymmetric (queries ≢ corpus): the candidate-pair join + JVM HOF
+        # rescore BEATS the cogrouped GEMM here — measured 3.5 s vs 5.1-6.2 s
+        # on knn_lsh_20x across three GEMM variants (per-bucket groups,
+        # folded supergroups, bucket semi-join). Mechanism: the cogroup must
+        # ship n_bands copies of every corpus vector through the exchange +
+        # Arrow boundary no matter how few queries there are, while the pair
+        # path shuffles id-only bucket rows and fetches vectors once per
+        # surviving candidate, all JVM-side. The GEMM shape wins only when
+        # the pair relation itself is corpus-scale — the self-join branch
+        # above (and IVF's nprobe-bounded cogroup, where Arrow traffic is
+        # O(corpus), not O(corpus × bands)).
+        q = queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
         )
-        cb = corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        ).select(
-            "neighbor_id", "cv",
-            F.posexplode(udf(F.col("cv"))).alias("band", "bucket"),
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
         )
-        local = (
-            qb.groupBy("band", "bucket")
-            .cogroup(cb.groupBy("band", "bucket"))
-            .applyInPandas(lambda l, r: kern(l, r), out_schema)
+        q_ids = _banded_buckets(q, "qv", n_bands, planes_per_band)
+        c_ids = _banded_buckets(c, "cv", n_bands, planes_per_band)
+        cand = (
+            q_ids.join(c_ids, ["band", "bucket"])
+            .select("query_id", "neighbor_id")
+            .distinct()
         )
-    return _rank_topk(local, k)
+        qv = q.withColumn("qn", l2_norm(F.col("qv")))
+        cv = c.withColumn("cn", l2_norm(F.col("cv")))
+        return _score_topk(cand.join(qv, "query_id").join(cv, "neighbor_id"), k)
 
 
 def semdedup_kmeans(
@@ -828,14 +891,26 @@ def semdedup_kmeans(
 
     Returns (vec_id, cell, component_id, is_keeper) for clustered vectors;
     absent vectors are singletons and always kept.
-    """
-    from .graph import dup_clusters
 
+    Execution shape (r11, guide §2.4 — remove shuffles outright): pairs
+    are generated WITHIN cells only, so the duplicate graph is a disjoint
+    union of per-cell graphs and no component can ever span cells. The
+    transitive closure and the keeper ranking therefore run INSIDE the
+    same per-cell kernel (a bounded union-find over that cell's pairs +
+    the centroid-cosine argmin), replacing the iterative distributed
+    connected-components (3 shuffles + a checkpoint + a fixpoint count
+    per round) and the join-back/window tail — the whole operator is one
+    assignment scan + ONE cell-keyed exchange. Per-cell work stays
+    bounded by the same argument as the pairwise GEMM (n_cells grows
+    ~sqrt(N)). Results are identical: component_id is still the min
+    member id (union-find by value), keeper still the
+    (round6(cent_cos) ASC, vec_id ASC) argmin with the margin-guarded
+    exact-order recompute at 6-dp rounding boundaries.
+    """
     import math
 
     import numpy as np
 
-    spark = df.sparkSession
     assign1 = _nearest_cells_udf(centroids, 1)
     base = (
         df.select(
@@ -860,12 +935,21 @@ def semdedup_kmeans(
     # exact operand order before deciding.
     cut = threshold - 5e-7  # round(x, 6) >= t  <=>  x >= t - 0.5e-6
     thr = float(threshold)
+    cent_arr = [np.asarray(c, dtype=np.float64) for c in centroids]
 
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _cell_components(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         empty = pdf["vec_id"].iloc[:0]
+        out_empty = pd.DataFrame(
+            {
+                "vec_id": empty,
+                "cell": pd.Series([], dtype="int32"),
+                "component_id": empty,
+                "is_keeper": pd.Series([], dtype=bool),
+            }
+        )
         if n < 2:
-            return pd.DataFrame({"id_1": empty, "id_2": empty})
+            return out_empty
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         ids = pdf["vec_id"].to_numpy()
         norms = np.sqrt((V * V).sum(axis=1))
@@ -890,42 +974,87 @@ def semdedup_kmeans(
             den_e = math.sqrt(na) * math.sqrt(nb)
             ce = num_e / den_e if den_e > 0 else 0.0
             keep[t_idx] = float(_round6_half_away(ce)) >= thr
-        # vectorized canonical ordering that still preserves the id dtype
-        # (Series.where keeps string/object ids intact — no numpy
-        # min/max dtype coercion, no per-pair Python loop)
-        ka = pd.Series(ids[iu[keep]], dtype=empty.dtype)
-        kb = pd.Series(ids[ju[keep]], dtype=empty.dtype)
-        swap = kb < ka
-        return pd.DataFrame({
-            "id_1": ka.where(~swap, kb),
-            "id_2": kb.where(~swap, ka),
-        })
+        if not keep.any():
+            return out_empty
 
-    # pair schema follows the input id column's type (string doc ids work,
-    # not just the embeddings table's longs — ADVICE r5)
+        # union-find over the surviving pairs (local indices) — the whole
+        # component closure for this cell, since pairs never span cells
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for t_idx in np.flatnonzero(keep):
+            ra, rb = find(int(iu[t_idx])), find(int(ju[t_idx]))
+            if ra != rb:
+                parent[rb] = ra
+        # clustered nodes = exactly the endpoints of kept pairs (an
+        # untouched node keeps its own root and can never join a component)
+        clustered = np.unique(np.concatenate([iu[keep], ju[keep]]))
+        roots = np.fromiter((find(int(i)) for i in clustered), np.int64, len(clustered))
+        # component_id = min member id BY VALUE (dup_clusters' contract)
+        comp_members: dict[int, list[int]] = {}
+        for i, r in zip(clustered, roots):
+            comp_members.setdefault(int(r), []).append(int(i))
+
+        cell_id = int(pdf["cell"].iloc[0])
+        cv = cent_arr[cell_id]
+        cn2 = float((cv * cv).sum())
+        # centroid cosine for clustered members only: GEMM + the 6-dp
+        # rounding-boundary margin guard (the keeper ranking sorts on the
+        # ROUNDED value, so only boundary cases can flip vs the twin's
+        # left-to-right fold — recompute those in exact operand order)
+        mi = np.fromiter(
+            (i for ms in comp_members.values() for i in ms), np.int64
+        )
+        Vm = V[mi]
+        num = Vm @ cv
+        den = np.sqrt((Vm * Vm).sum(axis=1)) * math.sqrt(cn2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cc_raw = np.where(den > 0, num / den, 0.0)
+        cc = _round6_half_away(cc_raw)
+        tt = np.abs(cc_raw) * 1e6 + 0.5
+        fr = tt - np.floor(tt)
+        for pos in np.flatnonzero((fr < 1e-7) | (fr > 1.0 - 1e-7)):
+            row = Vm[pos]
+            num_e = 0.0
+            for x, y in zip(row, cv):
+                num_e = num_e + x * y
+            na = 0.0
+            for x in row:
+                na = na + x * x
+            nb = 0.0
+            for y in cv:
+                nb = nb + y * y
+            den_e = math.sqrt(na) * math.sqrt(nb)
+            ce = num_e / den_e if den_e > 0 else 0.0
+            cc[pos] = float(_round6_half_away(ce))
+        cc_by_idx = dict(zip((int(x) for x in mi), (float(x) for x in cc)))
+
+        out_vid, out_comp, out_keep = [], [], []
+        for ms in comp_members.values():
+            comp_id = min(ids[i] for i in ms)
+            keeper = min(ms, key=lambda i: (cc_by_idx[i], ids[i]))
+            for i in ms:
+                out_vid.append(ids[i])
+                out_comp.append(comp_id)
+                out_keep.append(i == keeper)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_vid, dtype=empty.dtype),
+                "cell": np.full(len(out_vid), cell_id, dtype="int32"),
+                "component_id": pd.Series(out_comp, dtype=empty.dtype),
+                "is_keeper": out_keep,
+            }
+        )
+
+    # output schema follows the input id column's type (string doc ids
+    # work, not just the embeddings table's longs — ADVICE r5)
     id_ddl = df.schema[id_col].dataType.simpleString()
-    pairs = base.groupBy("cell").applyInPandas(
-        _cell_pairs, f"id_1 {id_ddl}, id_2 {id_ddl}"
-    )
-    comps = dup_clusters(pairs, "id_1", "id_2").select(
-        F.col("doc_id").alias("vec_id"), "component_id"
-    )
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell INT, cv ARRAY<DOUBLE>",
-    )
-    cnum = dot(F.col("v"), F.col("cv"))
-    cden = l2_norm(F.col("v")) * l2_norm(F.col("cv"))
-    ccos = F.when(cden > 0, cnum / cden).otherwise(F.lit(0.0))
-    scored = (
-        comps.join(base, "vec_id")
-        .join(F.broadcast(cents), "cell")
-        .withColumn("cent_cos", F.round(ccos, 6))
-    )
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("cent_cos").asc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("is_keeper", F.row_number().over(w) == 1)
-        .select("vec_id", "cell", "component_id", "is_keeper")
+    return base.groupBy("cell").applyInPandas(
+        _cell_components,
+        f"vec_id {id_ddl}, cell int, component_id {id_ddl}, is_keeper boolean",
     )
