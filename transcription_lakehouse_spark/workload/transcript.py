@@ -48,16 +48,43 @@ _TIME_SCALE = 1e11  # µs → compressed seconds (1e5× time compression)
 
 
 def _utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    rel = F.col("ts_us") - F.min("ts_us").over(Window.partitionBy("user_id"))
-    start = rel / F.lit(_TIME_SCALE)
-    return ev.select(
+    # project episode_id FIRST and key the min(ts_us) window on that same
+    # attribute (injective long→string cast, so groups — and min(ts_us) —
+    # are identical): every downstream sessionization/assembly window and
+    # groupBy partitions by episode_id, and hashpartitioning(episode_id)
+    # established here satisfies all of them, so the full text-bearing
+    # utterance relation shuffles ONCE instead of twice (guide §2.4).
+    # Windowing on a cast *expression* of user_id would not merge: the
+    # exchange keys on a fresh attribute the planner cannot equate with
+    # episode_id.
+    ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("episode_id"),
         F.col("event_id").cast("string").alias("utterance_id"),
         F.col("event_type").alias("speaker"),
+        F.col("ts_us"),
+        F.col("value"),
+        F.concat(F.col("event_type"), F.lit(" "), F.col("event_id")).alias("text"),
+    )
+    # The chain ends in applyInPandas kernels (beats/sections) whose cost is
+    # Python-seconds, not bytes: AQE's byte-targeted coalescing shrinks this
+    # small-byte shuffle to 2-5 partitions and starves them (measured: beats
+    # stage 4.9 s at 5 tasks → 2.9 s at defaultParallelism; sections 9.7 →
+    # 5.6 s). Pin the episode exchange at defaultParallelism — but only when
+    # the scan itself is thin; a big input's scan partitioning already
+    # exceeds it and AQE's byte sizing stays right (same guard as
+    # operators/dedup._merged_dup_spans).
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par, "episode_id")
+    rel = F.col("ts_us") - F.min("ts_us").over(Window.partitionBy("episode_id"))
+    start = rel / F.lit(_TIME_SCALE)
+    return ev.select(
+        "episode_id",
+        "utterance_id",
+        "speaker",
         start.alias("start"),
         (start + F.lit(2.0) + F.col("value") / F.lit(50.0)).alias("end"),
-        F.concat(F.col("event_type"), F.lit(" "), F.col("event_id")).alias("text"),
+        "text",
     )
 
 
@@ -760,8 +787,19 @@ _SEM_TOPIC_EVERY = 7  # utterances per topic block
 
 
 def _sem_utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    wep = Window.partitionBy("user_id")
+    # same projected-attribute windowing as _utterances: the episode_id
+    # exchange established here feeds the whole downstream episode-keyed
+    # chain (guide §2.4)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("episode_id"),
+        F.col("event_id").cast("string").alias("utterance_id"),
+        F.col("event_type").alias("speaker"),
+        F.col("ts_us"),
+        F.col("value"),
+        F.col("event_type"),
+        F.col("event_id"),
+    )
+    wep = Window.partitionBy("episode_id")
     word = wep.orderBy("ts_us", "event_id")
     rel = F.col("ts_us") - F.min("ts_us").over(wep)
     s0 = rel / F.lit(_SEM_TIME_SCALE)
@@ -775,9 +813,9 @@ def _sem_utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((rn - F.lit(1)) / F.lit(_SEM_TOPIC_EVERY)).cast("string"),
     )
     return ev.select(
-        F.col("user_id").cast("string").alias("episode_id"),
-        F.col("event_id").cast("string").alias("utterance_id"),
-        F.col("event_type").alias("speaker"),
+        "episode_id",
+        "utterance_id",
+        "speaker",
         start.alias("start"),
         (start + F.lit(40.0) + F.col("value") / F.lit(5.0)).alias("end"),
         F.concat(
