@@ -239,3 +239,68 @@ def test_sections_coverage_guard_passes_above_threshold(spark):
     beats, emb = _beats_with_sparse_embeddings(spark, keep_every=1)  # 100%
     sections = generate_sections(beats, emb)
     assert sections.count() >= 1
+
+
+def test_inline_embedding_col_matches_join_path(spark):
+    """r11 optimization: a derived embedding attached via ``embedding_col``
+    (no 1:1 join-back) must produce row-identical beats AND sections to the
+    (artifact_id, embedding) DataFrame path."""
+    import pytest
+
+    beats, _ = _beats_with_sparse_embeddings(spark, keep_every=1)
+    # derive a deterministic per-beat embedding from the row itself, with a
+    # 1-in-4 NULL stripe to exercise the missing-embedding branch both ways
+    present = F.abs(F.hash("beat_id")) % 4 != 0
+    col = F.when(
+        present,
+        F.array(
+            (F.abs(F.hash("beat_id")) % 100).cast("double") / 100.0,
+            F.lit(1.0),
+        ),
+    )
+    emb_df = beats.select(
+        F.col("beat_id").alias("artifact_id"), col.alias("embedding")
+    ).filter(F.col("embedding").isNotNull())
+
+    sec_join = generate_sections(beats, emb_df, require_embeddings=False)
+    sec_inline = generate_sections(
+        beats, beat_embedding_col=col, require_embeddings=False
+    )
+    rows_j = [tuple(r) for r in sec_join.orderBy("section_id").collect()]
+    rows_i = [tuple(r) for r in sec_inline.orderBy("section_id").collect()]
+    assert rows_j == rows_i and rows_j
+
+    # beats from embeddings: rebuild spans-level inputs
+    rows = []
+    t = 0.0
+    for i in range(60):
+        speaker = "A" if i % 2 == 0 else "B"
+        rows.append(("EP - #9 - 2024-05-01 - Long", t, t + 5.0, speaker, f"utt {i}"))
+        t += 6.0
+    utts = spark.createDataFrame(
+        rows, "episode_id string, start double, end double, speaker string, text string"
+    )
+    spans = generate_spans(normalize(utts))
+    s_present = F.abs(F.hash("span_id")) % 5 != 0
+    s_col = F.when(
+        s_present,
+        F.array(
+            (F.abs(F.hash("span_id")) % 100).cast("double") / 100.0,
+            F.lit(1.0),
+        ),
+    )
+    s_emb = spans.select(
+        F.col("span_id").alias("artifact_id"), s_col.alias("embedding")
+    ).filter(F.col("embedding").isNotNull())
+    b_join = generate_beats_embedding(spans, s_emb)
+    b_inline = generate_beats_embedding(spans, embedding_col=s_col)
+    bj = [tuple(r) for r in b_join.orderBy("beat_id").collect()]
+    bi = [tuple(r) for r in b_inline.orderBy("beat_id").collect()]
+    assert bj == bi and bj
+
+    with pytest.raises(ValueError):
+        generate_beats_embedding(spans)
+    with pytest.raises(ValueError):
+        generate_beats_embedding(spans, s_emb, embedding_col=s_col)
+    with pytest.raises(ValueError):
+        generate_sections(beats, emb_df, beat_embedding_col=col)

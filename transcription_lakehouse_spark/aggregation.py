@@ -23,7 +23,7 @@ import math
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 from .functions.vector import as_double_array, cosine_clipped
 from .ids import child_agg_id
@@ -126,21 +126,37 @@ def generate_spans(utterances: DataFrame) -> DataFrame:
 
 
 def generate_beats_embedding(
-    spans: DataFrame, embeddings: DataFrame, threshold: float = BEAT_SIM_THRESHOLD
+    spans: DataFrame,
+    embeddings: DataFrame | None = None,
+    threshold: float = BEAT_SIM_THRESHOLD,
+    embedding_col: Column | None = None,
 ) -> DataFrame:
     """W7: boundary where cosine(prev span embedding, curr) < threshold.
 
     embeddings: (artifact_id, embedding array<float>). The cosine runs
     JVM-side (higher-order functions) over lag(embedding) — no Python.
+
+    ``embedding_col`` (exclusive with ``embeddings``): a Column expression
+    over the spans relation yielding the embedding array (NULL = no
+    embedding). When the embedding is a pure derivation of span columns —
+    not a stored sink — attaching it as a column skips the 1:1 self-join
+    (two exchanges + a sort-merge join for rows that are already
+    co-resident, guide §2.4) and preserves the spans relation's upstream
+    partitioning for every downstream episode-keyed stage.
     """
-    sp = spans.join(
-        embeddings.select(
-            F.col("artifact_id").alias("span_id"),
-            as_double_array("embedding").alias("_emb"),
-        ),
-        "span_id",
-        "left",
-    )
+    if (embeddings is None) == (embedding_col is None):
+        raise ValueError("pass exactly one of embeddings / embedding_col")
+    if embedding_col is not None:
+        sp = spans.withColumn("_emb", as_double_array(embedding_col))
+    else:
+        sp = spans.join(
+            embeddings.select(
+                F.col("artifact_id").alias("span_id"),
+                as_double_array("embedding").alias("_emb"),
+            ),
+            "span_id",
+            "left",
+        )
     w = Window.partitionBy("episode_id").orderBy("start_time", "span_id")
     prev_emb = F.lag("_emb").over(w)
     sim = cosine_clipped(prev_emb, F.col("_emb"))
@@ -222,6 +238,7 @@ def generate_sections(
     beat_embeddings: DataFrame | None = None,
     require_embeddings: bool = True,
     allow_semantic_overflow: bool = True,
+    beat_embedding_col: Column | None = None,
 ) -> DataFrame:
     """W9 greedy section packing (`sections.py:121-272,542-573`), faithful to
     the reference's `_should_break_section` decision tree:
@@ -246,17 +263,36 @@ def generate_sections(
     first execution of the returned plan, not at build time.
 
     Inherently sequential per episode → applyInPandas grouped-map kernel
-    (per-episode beat counts are bounded by the duration guardrails)."""
+    (per-episode beat counts are bounded by the duration guardrails).
+
+    ``beat_embedding_col`` (exclusive with ``beat_embeddings``): a Column
+    over the beats relation yielding the embedding array (NULL = none).
+    Same rationale as generate_beats_embedding's ``embedding_col`` — a
+    derived embedding attached as a column skips the 1:1 self-join and
+    keeps the beats relation's partitioning (guide §2.4)."""
+    if beat_embeddings is not None and beat_embedding_col is not None:
+        raise ValueError("pass at most one of beat_embeddings / beat_embedding_col")
     src = beats.select("beat_id", "episode_id", "start_time", "end_time", "text")
-    semantic_mode = beat_embeddings is not None
+    semantic_mode = beat_embeddings is not None or beat_embedding_col is not None
     if semantic_mode:
-        src = src.join(
-            beat_embeddings.select(
-                F.col("artifact_id").alias("beat_id"), F.col("embedding").alias("_emb")
-            ),
-            "beat_id",
-            "left",
-        )
+        if beat_embedding_col is not None:
+            src = beats.select(
+                "beat_id",
+                "episode_id",
+                "start_time",
+                "end_time",
+                "text",
+                beat_embedding_col.alias("_emb"),
+            )
+        else:
+            src = src.join(
+                beat_embeddings.select(
+                    F.col("artifact_id").alias("beat_id"),
+                    F.col("embedding").alias("_emb"),
+                ),
+                "beat_id",
+                "left",
+            )
         if require_embeddings:
             # In-plan guard (zero extra jobs): a 1-row aggregate joined back
             # on a condition that READS the guarded value — the join predicate

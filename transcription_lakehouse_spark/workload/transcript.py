@@ -799,6 +799,13 @@ def _sem_utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.col("event_id"),
     )
+    # same guarded defaultParallelism pin as _utterances: the semantic
+    # chain's md5-embedding derivations and its sections applyInPandas
+    # kernel are compute-bound on tiny bytes, which AQE would coalesce to
+    # a handful of tasks
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par, "episode_id")
     wep = Window.partitionBy("episode_id")
     word = wep.orderBy("ts_us", "event_id")
     rel = F.col("ts_us") - F.min("ts_us").over(wep)
@@ -861,19 +868,32 @@ def _md5_unit_sql(expr: str, j: int) -> str:
     )
 
 
-def _span_sem_embeddings(spans: DataFrame) -> DataFrame:
-    """Topic-dominated span vectors: the span text's leading topic token
-    anchors the direction, the full text adds 0.25-scaled noise — adjacent
-    same-topic spans land at cosine ≈ 0.9 (merge), topic changes at ~random
-    cosine (break)."""
+def _span_sem_embedding_col() -> Column:
+    """Topic-dominated span vectors as a COLUMN over the spans relation
+    (NULL for the 1/16 no-embedding spans): the span text's leading topic
+    token anchors the direction, the full text adds 0.25-scaled noise —
+    adjacent same-topic spans land at cosine ≈ 0.9 (merge), topic changes
+    at ~random cosine (break). Attached inline via
+    `generate_beats_embedding(embedding_col=...)` — the embedding is a pure
+    derivation of the span row, so the former filter + 1:1 join-back
+    (two exchanges + SMJ of co-resident rows) is a plain projection."""
     topic = F.regexp_extract(F.col("text"), r"^\S+", 0)
     comps = [
         _md5_unit(topic, j) + F.lit(0.25) * _md5_unit(F.col("text"), j)
         for j in range(_SEM_DIM)
     ]
-    return spans.filter(
-        F.substring(F.md5("text"), 1, 1) != _SEM_SPAN_NULL_HEX
-    ).select(F.col("span_id").alias("artifact_id"), F.array(*comps).alias("embedding"))
+    return F.when(
+        F.substring(F.md5("text"), 1, 1) != _SEM_SPAN_NULL_HEX, F.array(*comps)
+    )
+
+
+def _span_sem_embeddings(spans: DataFrame) -> DataFrame:
+    """DataFrame form of :func:`_span_sem_embedding_col` (artifact_id,
+    embedding), for sink-shaped consumers."""
+    return spans.select(
+        F.col("span_id").alias("artifact_id"),
+        _span_sem_embedding_col().alias("embedding"),
+    ).filter(F.col("embedding").isNotNull())
 
 
 def _span_emb_list_sql() -> str:
@@ -885,11 +905,21 @@ def _span_emb_list_sql() -> str:
     return f"[{comps}]"
 
 
-def _beat_sem_embeddings(beats: DataFrame) -> DataFrame:
+def _beat_sem_embedding_col() -> Column:
+    """Beat vectors as a COLUMN over the beats relation (NULL for the 1/16
+    no-embedding beats) — see :func:`_span_sem_embedding_col`."""
     comps = [_md5_unit(F.col("text"), j) for j in range(_SEM_DIM)]
-    return beats.filter(
-        F.substring(F.md5("text"), 1, 1) != _SEM_BEAT_NULL_HEX
-    ).select(F.col("beat_id").alias("artifact_id"), F.array(*comps).alias("embedding"))
+    return F.when(
+        F.substring(F.md5("text"), 1, 1) != _SEM_BEAT_NULL_HEX, F.array(*comps)
+    )
+
+
+def _beat_sem_embeddings(beats: DataFrame) -> DataFrame:
+    """DataFrame form of :func:`_beat_sem_embedding_col`."""
+    return beats.select(
+        F.col("beat_id").alias("artifact_id"),
+        _beat_sem_embedding_col().alias("embedding"),
+    ).filter(F.col("embedding").isNotNull())
 
 
 def _beat_emb_list_sql() -> str:
@@ -977,13 +1007,13 @@ def trn_beat_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     `aggregation/beats.py:126-217`), over md5-derived engine-portable span
     embeddings (topic-dominated so both merge and break branches fire;
     1/16 of spans embedding-less so the null-boundary path fires too)."""
-    # spans feed the beat walk AND the span-embedding derivation — lazy
-    # checkpoint pins one evaluation (same rationale/measurement as
-    # trn_section_semantic_catalog below)
-    spans = generate_spans(
-        _sem_utterances(spark, sf_dir)
-    ).localCheckpoint(eager=False)
-    beats = generate_beats_embedding(spans, _span_sem_embeddings(spans))
+    # the span embedding is a pure derivation of the span row — attach it
+    # as a column (no filter + 1:1 join-back, no checkpoint needed: spans
+    # now has exactly one consumer and the head exchange flows through)
+    spans = generate_spans(_sem_utterances(spark, sf_dir))
+    beats = generate_beats_embedding(
+        spans, embedding_col=_span_sem_embedding_col()
+    )
     return beats.select(
         "episode_id",
         "beat_id",
@@ -1019,18 +1049,24 @@ def trn_section_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 min — carried state recomputed by the DuckDB twin as a recursive CTE
     over the same md5-derived beat embeddings. Also exercises the in-plan
     ≥80% coverage guard on its green path (93.75% of beats embedded)."""
-    # lazy checkpoints on the two shared subtrees: spans feeds the beat
-    # walk AND the span-embedding derivation; beats feeds the packing
-    # kernel AND the derived beat embeddings AND the coverage guard —
-    # without the pin each consumer re-runs the sequential applyInPandas
-    # chain (measured ~1 s warm at sf0.1, values identical)
-    spans = generate_spans(
-        _sem_utterances(spark, sf_dir)
-    ).localCheckpoint(eager=False)
-    beats = generate_beats_embedding(
-        spans, _span_sem_embeddings(spans)
-    ).localCheckpoint(eager=False)
-    sections = generate_sections(beats, beat_embeddings=_beat_sem_embeddings(beats))
+    # both embeddings attach inline (see _span_sem_embedding_col) — spans
+    # has a single consumer again, so its checkpoint is gone. beats still
+    # feeds the packing kernel AND the coverage guard branch: the lazy
+    # checkpoint pins one evaluation of the beat walk, and the explicit
+    # episode repartition below it replaces the AQE-coalesced exchange the
+    # sections groupBy would otherwise insert (the kernel is
+    # Python-seconds-bound on tiny bytes — same starvation as the
+    # heuristic chain, fixed at the _utterances head there; the checkpoint
+    # severs that lineage here, so re-pin)
+    spans = generate_spans(_sem_utterances(spark, sf_dir))
+    beats = (
+        generate_beats_embedding(spans, embedding_col=_span_sem_embedding_col())
+        .localCheckpoint(eager=False)
+        .repartition(spark.sparkContext.defaultParallelism, "episode_id")
+    )
+    sections = generate_sections(
+        beats, beat_embedding_col=_beat_sem_embedding_col()
+    )
     return sections.select(
         "episode_id",
         "section_id",
