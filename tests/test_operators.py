@@ -2278,3 +2278,58 @@ def test_pq_and_pca_drift_reports(spark):
     assert rep1["captured_now"] < rep1["captured_train"]
     assert rep1["rel_drop"] >= 0.1
     assert rep1["recommend_retrain"] is True
+
+
+def test_cc_driver_fast_path_matches_distributed(spark):
+    """r11: the bounded driver union-find (small symmetrized edge sets)
+    must be row-identical to the distributed hash-to-min loop, for long
+    AND string node ids; driver_max_edges=0 forces the loop."""
+    from transcription_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (3, 1)],
+        "a long, b long",
+    )
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    slow = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, "a", "b", driver_max_edges=0
+        ).collect()
+    }
+    assert fast == slow and fast
+    sedges = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("q", "p")], "a string, b string"
+    )
+    f2 = {
+        (r["node"], r["component"])
+        for r in connected_components(sedges, "a", "b").collect()
+    }
+    s2 = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            sedges, "a", "b", driver_max_edges=0
+        ).collect()
+    }
+    assert f2 == s2 == {
+        ("x", "x"), ("y", "x"), ("z", "x"), ("q", "p"), ("p", "p")
+    }
+
+
+def test_kcenter_driver_fast_path_matches_distributed(spark, monkeypatch):
+    """r11: the bounded driver k-center loop must be ROW-IDENTICAL
+    (ids AND 6-dp rounded distances) to the distributed per-pick loop —
+    the arithmetic replication contract (fold order + F.round
+    semantics)."""
+    import transcription_lakehouse_spark.workload.vectors as wv
+
+    fast = wv.vec_kcenter_coreset(spark, "/root/testdata/sf0.001").collect()
+    monkeypatch.setattr(wv, "_KCENTER_DRIVER_MAX_ROWS", 0)
+    slow = wv.vec_kcenter_coreset(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert len(fast) == wv._KCENTER_K

@@ -89,7 +89,12 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, extra_cols: list[str]
 ) -> DataFrame:
-    # materialize tokens before shingling (see shingles_from_tokens)
+    # materialize tokens before shingling (see shingles_from_tokens).
+    # (r11 A/B: a _merged_dup_spans-style thin-input repartition here
+    # measured WORSE — sigs 1.09 → 1.43 s, rescored pairs 1.74 → 2.17 s:
+    # 3-gram distinct shingling is light enough that the round-robin
+    # exchange costs more than the serial map stage it widens, unlike the
+    # 13-gram positional explode which keeps its guard.)
     toked = df.select(id_col, *extra_cols, tokens(text_col).alias("_toks"))
     return toked.select(
         id_col,
@@ -214,6 +219,10 @@ def minhash_signature(
     # b = next 8, h_i = (a + i*b) mod 2^32. The k mins ride a single
     # map-side-combined groupBy (shuffle ~#docs rows) — hashing k md5s per
     # shingle, or exploding k rows per shingle, costs k× for nothing.
+    # (r11 measured: an array_min(transform(...)) projection variant with
+    # no explode/groupBy ran 4-6x SLOWER — the per-element lambda chain is
+    # interpreted and gets re-inlined per consumer, while this explode is
+    # whole-stage-codegen'd and the post-partial-agg shuffle is tiny.)
     sh = _exploded_shingles(df, id_col, text_col, n, [])
     md5 = F.md5("shingle")
     a = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
@@ -391,12 +400,24 @@ def _merged_dup_spans(
         id_col,
         F.explode(positional_grams(F.col("_toks"), n)).alias("_pg"),
     ).select(id_col, F.col("_pg.p").alias("_p"), F.col("_pg.gram").alias("_g"))
-    gram_df = (
-        ex.groupBy("_g")
-        .agg(F.countDistinct(id_col).alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("_g")
-    )
+    if min_df == 2:
+        # "in >= 2 distinct docs" ⟺ min(id) != max(id): a plain
+        # map-side-combinable min/max instead of countDistinct's two-phase
+        # distinct aggregate (guide §2.3 — aggregate before you shuffle);
+        # exactly equivalent for the min_df every declared query uses
+        gram_df = (
+            ex.groupBy("_g")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("_g")
+        )
+    else:
+        gram_df = (
+            ex.groupBy("_g")
+            .agg(F.countDistinct(id_col).alias("_df"))
+            .filter(F.col("_df") >= min_df)
+            .select("_g")
+        )
     dup_pos = ex.join(gram_df, "_g").select(
         id_col,
         F.col("_p").cast("long").alias("_s"),

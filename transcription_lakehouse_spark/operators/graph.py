@@ -33,6 +33,61 @@ from pyspark.sql import DataFrame
 
 __all__ = ["connected_components", "dup_clusters"]
 
+# Edge cap for the driver union-find fast path (symmetrized rows; ~2x the
+# undirected pair count). Dedup pair graphs at any one maintenance window
+# are usually far below this; past it the distributed loop runs as before.
+# 2^18 symmetrized edges collect to a few MB — bounded by construction.
+CC_DRIVER_MAX_EDGES = 1 << 18
+
+
+def _driver_components(sym: DataFrame) -> DataFrame:
+    """Union-find over a COLLECTED symmetrized edge list — the fast path
+    for small pair graphs (guide §1.2: at 256 pairs the iterative loop's
+    ~6 jobs/round of scheduling overhead IS the cost; a driver fold is
+    milliseconds). Gated by CC_DRIVER_MAX_EDGES on the already-checkpointed
+    relation, so the collect is bounded and the distributed loop remains
+    the scale path. Output is row-identical to the iterative fixpoint:
+    component = min reachable node id."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    pdf = sym.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(pdf["s"], pdf["d"]):
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    nodes = list(parent.keys())
+    out = pd.DataFrame(
+        {"node": nodes, "component": [comp_min[find(n)] for n in nodes]}
+    )
+    dt = sym.schema["s"].dataType
+    return sym.sparkSession.createDataFrame(
+        out,
+        StructType(
+            [StructField("node", dt), StructField("component", dt)]
+        ),
+    )
+
 
 def _two_phase_components(sym: DataFrame, max_iter: int) -> DataFrame:
     """Large-star/small-star alternation (Kiveris et al. 2014, "Connected
@@ -112,6 +167,7 @@ def connected_components(
     dst: str,
     max_iter: int = 25,
     algorithm: str = "hash-to-min",
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     min node id reachable (undirected). Nodes with no edges are not emitted
@@ -122,6 +178,13 @@ def connected_components(
     (large-star/small-star; edge-relation shuffles but provably O(log n)
     rounds — prefer it for chain-heavy graphs whose diameter approaches the
     node count).
+
+    ``driver_max_edges`` (default CC_DRIVER_MAX_EDGES; 0 disables): when
+    the symmetrized edge relation — already materialized for the loop —
+    has at most this many rows, a bounded driver union-find replaces the
+    iterative job rounds (identical output, milliseconds instead of
+    seconds of scheduling overhead). The count probe runs on the
+    checkpointed relation, not the upstream lineage.
 
     Raises if ``max_iter`` rounds don't reach the fixpoint — with pointer
     jumping that needs a component diameter around 2^25, i.e. pathological
@@ -141,6 +204,10 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if driver_max_edges is None:
+        driver_max_edges = CC_DRIVER_MAX_EDGES
+    if driver_max_edges > 0 and sym.count() <= driver_max_edges:
+        return _driver_components(sym)
     if algorithm == "two-phase":
         return _two_phase_components(sym, max_iter)
     labels = (
