@@ -156,13 +156,33 @@ def score_ngram_logprob(
     # tokenizer re-evaluates O(len^2) times per document
     base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
     toks = F.col("_toks")
-    b_uni, b_prev, b_bi, b_ctx, b_tri = _gram_arrays(
+    b_uni, _, b_bi, _, b_tri = _gram_arrays(
         toks, uni_b, bi_b, tri_b
     )
-    arrs = base.select(
+    # bp/bc are SHIFTS of bu/bb — the prev-unigram bucket at position i IS
+    # the unigram bucket at i-1, and the (prev2, prev) context-bigram
+    # bucket IS the bigram bucket at i-1 (same md5 of the same string).
+    # Deriving them as element_at shifts over the materialized arrays
+    # removes two of the five md5 transforms per token (guide §2.3 —
+    # cheaper per-row work before the explode); values are identical by
+    # construction, incl. the NULL stripe (bu is never null so bp[i>=1]
+    # stays non-null; bb[i-1] for i>=2 has i-1>=1 so bc keeps its nulls
+    # exactly at positions 0 and 1).
+    arrs0 = base.select(
         F.col(id_col),
-        b_uni.alias("bu"), b_prev.alias("bp"),
-        b_bi.alias("bb"), b_ctx.alias("bc"), b_tri.alias("bt"),
+        b_uni.alias("bu"), b_bi.alias("bb"), b_tri.alias("bt"),
+    )
+    arrs = arrs0.select(
+        F.col(id_col),
+        "bu",
+        F.transform(
+            "bu", lambda _, i: F.when(i >= 1, F.element_at(F.col("bu"), i))
+        ).alias("bp"),
+        "bb",
+        F.transform(
+            "bb", lambda _, i: F.when(i >= 2, F.element_at(F.col("bb"), i))
+        ).alias("bc"),
+        "bt",
     )
     pos = (
         arrs.select(

@@ -1719,6 +1719,64 @@ FROM (
 _KCENTER_K = 12
 
 
+_KCENTER_DRIVER_MAX_ROWS = 200_000  # ~13 MB of float64 at dim 8; bounded
+
+
+def _kcenter_driver(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Driver twin of the distributed k-center loop below — used only
+    under `_KCENTER_DRIVER_MAX_ROWS`. Arithmetic is replicated exactly:
+    norms come from the SAME JVM-computed `_n` column, dots accumulate in
+    strict left-to-right float64 order (the F.aggregate fold), and
+    rounding uses Decimal(repr(x)) ROUND_HALF_UP — bit-for-bit
+    F.round(x, 6) (BigDecimal.valueOf == repr shortest form)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q6 = Decimal("0.000001")
+
+    def jround6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP)
+        )
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    V = np.array([list(e) for e in pdf["e"]], dtype=np.float64)
+    N = pdf["_n"].to_numpy(dtype=np.float64)
+    n_rows, dim = V.shape
+
+    def fold_dot(w: list[float]) -> np.ndarray:
+        acc = np.zeros(n_rows)
+        for j in range(dim):
+            acc = acc + V[:, j] * w[j]
+        return acc
+
+    sel = np.zeros(n_rows, dtype=bool)
+    sel[0] = True  # seed = min vec_id (pdf is vec_id-sorted)
+    out_rows = [(1, int(ids[0]), None)]
+    new_vec = [float(x) for x in V[0]]
+    mind = None
+    for step in range(2, _KCENTER_K + 1):
+        new_norm = math.sqrt(sum(x * x for x in new_vec))
+        den = N * new_norm
+        raw = np.where(den > 0, fold_dot(new_vec) / np.where(den > 0, den, 1.0), 0.0)
+        cos6 = np.array([jround6(x) for x in raw])
+        d_new = 1.0 - cos6
+        mind = d_new if mind is None else np.minimum(mind, d_new)
+        key = np.array([jround6(x) for x in mind])
+        key_m = np.where(sel, -np.inf, key)
+        best = key_m.max()
+        pick = int(np.flatnonzero(key_m == best)[0])  # ids ASC tiebreak
+        sel[pick] = True
+        new_vec = [float(x) for x in V[pick]]
+        out_rows.append((step, int(ids[pick]), float(key[pick])))
+    return spark.createDataFrame(
+        out_rows, "step int, vec_id bigint, min_dist double"
+    ).orderBy("step")
+
+
 def vec_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-center greedy coreset (farthest-point traversal) — DIVERSITY
     selection for training data: pick k examples that maximally spread
@@ -1750,6 +1808,16 @@ def vec_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared-subtree pin as the semantic catalogs)
         .localCheckpoint(eager=False)
     )
+    # bounded driver fast path (guide §1.2 — the k sequential rounds are
+    # pure job-scheduling overhead at bench scale): below the cap, run the
+    # same greedy loop over a collected numpy matrix with BIT-IDENTICAL
+    # arithmetic — dot/norm as strict left-to-right float64 folds (the
+    # F.aggregate order) and F.round's exact semantics via
+    # Decimal(repr(x)) ROUND_HALF_UP (repr == Double.toString shortest
+    # form). Past the cap the distributed loop below runs unchanged — the
+    # corpus never collects at scale.
+    if emb.count() <= _KCENTER_DRIVER_MAX_ROWS:
+        return _kcenter_driver(spark, emb)
     seed = emb.orderBy("vec_id").head(1)[0]
     selected_ids = [int(seed["vec_id"])]
     new_vec = list(seed["e"])
