@@ -2155,6 +2155,45 @@ def test_ngram_lm_separates_gibberish_from_fluent(spark):
     assert all(m > 0.1 for m in margins), margins
 
 
+def test_ngram_arrow_kernel_matches_join_path(spark):
+    """The r11 Arrow backoff kernel must be ROW-IDENTICAL (ids, counts,
+    and every sum_nll bit) to the five-broadcast-join plan it replaced —
+    on the committed artifact AND a freshly trained model, including the
+    empty/NULL/1-token/2-token edge stripe the join path drops or
+    backoff-guards."""
+    from transcription_lakehouse_spark import _ngram_lm as LM
+    from transcription_lakehouse_spark.operators.ngram_lm import (
+        score_ngram_logprob,
+        train_ngram_counts,
+    )
+
+    rows = [
+        (1, "hello"),
+        (2, "hello world"),
+        (3, ""),
+        (4, None),
+        (5, "the cat sat on the mat and the dog slept by the door"),
+        (6, "zzz qqq xxx unseen tokens everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    committed = {
+        "uni_b": LM.UNI_B, "bi_b": LM.BI_B, "tri_b": LM.TRI_B,
+        "total": LM.TOTAL, "uni": LM.UNI, "bi": LM.BI, "tri": LM.TRI,
+    }
+    trained = train_ngram_counts(
+        df.filter("doc_id = 5"), "text", uni_b=64, bi_b=128, tri_b=128
+    )
+    for model in (committed, trained):
+        a = score_ngram_logprob(
+            df, "doc_id", "text", model, arrow=True
+        ).collect()
+        b = score_ngram_logprob(
+            df, "doc_id", "text", model, arrow=False
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert {r["doc_id"] for r in a} == {1, 2, 5, 6}
+
+
 def test_curation_v4_lm_band_catches_gibberish_that_survives_v3(
     spark, tmp_path
 ):

@@ -28,10 +28,18 @@ accumulator so the sum is order-independent (the repo-wide libm
 discipline).
 
 Scale: training is three map-side-combined bucket aggregates (<= B
-groups each); scoring is row-local gram/bucket assembly on the token
-ARRAY (no array duplication through the explode — only the zipped
-bucket structs explode), five broadcast joins against <= 8 K-row count
-tables, and one shuffle to the per-doc sum. No Python rows anywhere.
+groups each). Scoring assembles the per-position bucket arrays row-
+locally in codegen (three md5 transforms per token) and hands them to
+ONE Arrow batch kernel (`mapInArrow`, guide §4.2/§4.5) that folds the
+backoff per document with numpy table lookups — zero joins, zero
+shuffles, output is already per-document. Every ln the kernel reads is
+harvested ONCE from java.lang.StrictMath.log (bit-identical to the
+Log expression Spark's join-path plan evaluated; np.log measurably
+differs by a last ulp on this domain) and the 12-decimal HALF_UP term
+rounding replicates F.round exactly (vectorized scaled-int fast path
++ Decimal(repr) on the ~2% of terms within 1e-2 of a rounding
+boundary). The pre-r11 five-broadcast-join plan is kept as
+``arrow=False`` and pinned row-identical by pytest.
 """
 
 from __future__ import annotations
@@ -137,15 +145,187 @@ def _counts_df(spark, counts: list[int], name: str) -> DataFrame:
     }))
 
 
+# JVM-harvested ln tables per model digest. A pure function of the
+# committed model constants (no query data enters the key or the
+# values), so the memo is broadcast-LUT-style reuse, not result caching.
+_LN_CACHE: dict[str, dict] = {}
+
+
+def _ln_tables(spark, model: dict) -> dict:
+    """Per-bucket natural-log tables for every count the backoff can
+    read, each value computed by ``java.lang.StrictMath.log`` through
+    the py4j gateway — the exact function Spark's ``Log`` expression
+    evaluates, so the Arrow kernel's arithmetic is IEEE-identical to
+    the join-path plan (measured: np.log differs from the JVM by one
+    ulp on 19/78 of the committed model's distinct counts, and a last
+    ulp can flip the 12-decimal term rounding). O(distinct counts)
+    scalar calls (~78 for the committed artifact), cached per model
+    digest."""
+    import hashlib
+
+    import numpy as np
+
+    uni = np.asarray(model["uni"], dtype=np.int64)
+    bi = np.asarray(model["bi"], dtype=np.int64)
+    tri = np.asarray(model["tri"], dtype=np.int64)
+    key = hashlib.md5(
+        b"%d|%d|%d|%d|"
+        % (model["uni_b"], model["bi_b"], model["tri_b"], model["total"])
+        + uni.tobytes() + bi.tobytes() + tri.tobytes()
+    ).hexdigest()
+    hit = _LN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    need = np.unique(np.concatenate([
+        uni + 1, uni[uni > 0], bi[bi > 0], tri[tri > 0],
+        np.asarray([model["total"] + model["uni_b"]], dtype=np.int64),
+    ])).astype(np.float64)
+    jlog = spark.sparkContext._jvm.java.lang.StrictMath.log
+    lns = np.asarray([jlog(float(v)) for v in need])
+
+    def ln_of(vals: "np.ndarray") -> "np.ndarray":
+        return lns[np.searchsorted(need, vals.astype(np.float64))]
+
+    def table(counts: "np.ndarray") -> "np.ndarray":
+        t = np.zeros(counts.shape[0])
+        pos = counts > 0
+        t[pos] = ln_of(counts[pos])
+        return t
+
+    out = {
+        "c_uni": uni, "c_bi": bi, "c_tri": tri,
+        "t_uni_p1": ln_of(uni + 1),
+        "t_uni": table(uni), "t_bi": table(bi), "t_tri": table(tri),
+        "ln_tot": float(
+            ln_of(np.asarray([model["total"] + model["uni_b"]]))[0]
+        ),
+        "ln_a": float(jlog(ALPHA)),
+    }
+    _LN_CACHE[key] = out
+    return out
+
+
+def _make_backoff_kernel(t: dict, id_name: str):
+    """Arrow batch scorer over (id, bu, bb, bt) list columns: per-doc
+    stupid-backoff fold, bit-identical to the join-path plan (same
+    harvested lns, same IEEE op order, same HALF_UP roundings — see
+    module doc). Requires unique ids per input row (every in-repo
+    caller scores one row per document)."""
+    import numpy as np
+
+    C_UNI, C_BI, C_TRI = t["c_uni"], t["c_bi"], t["c_tri"]
+    T_UNI_P1, T_UNI = t["t_uni_p1"], t["t_uni"]
+    T_BI, T_TRI = t["t_bi"], t["t_tri"]
+    LN_TOT, LN_A = t["ln_tot"], t["ln_a"]
+    LN_A2 = LN_A + LN_A  # (ln_a + ln_a) exactly as the when-chain adds it
+
+    def score(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pyarrow as pa
+
+        for b in batches:
+            ids, bu, bb, bt = (b.column(i) for i in range(4))
+            o = np.asarray(bu.offsets, dtype=np.int64)
+            lens = o[1:] - o[:-1]
+            keep = lens > 0
+            if not keep.any():
+                continue  # empty/NULL token arrays never explode a row
+            vu = np.asarray(bu.values.fill_null(0), dtype=np.int64)
+            vb = np.asarray(bb.values.fill_null(0), dtype=np.int64)
+            vt = np.asarray(bt.values.fill_null(0), dtype=np.int64)
+            tot = int(lens.sum())
+            # absolute child indices per token; np.repeat keeps this
+            # correct even for non-contiguous list layouts
+            rel = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+            flat = np.repeat(o[:-1], lens) + rel
+            m1, m2 = rel >= 1, rel >= 2
+            prev = np.where(m1, flat - 1, flat)
+            BU = vu[flat]
+            BUp = vu[prev]
+            BBm = vb[np.where(m1, flat, 0)]
+            BBp = vb[np.where(m2, prev, 0)]
+            BTm = vt[np.where(m2, flat, 0)]
+            base = T_UNI_P1[BU] - LN_TOT
+            c_prv, c_bi = C_UNI[BUp], C_BI[BBm]
+            c_ctx, c_tri = C_BI[BBp], C_TRI[BTm]
+            bi_hit = m1 & (c_bi > 0) & (c_prv > 0)
+            tri_hit = m2 & (c_tri > 0) & (c_ctx > 0)
+            ln_p = np.where(
+                tri_hit, T_TRI[BTm] - T_BI[BBp],
+                np.where(
+                    m2 & bi_hit, (LN_A + T_BI[BBm]) - T_UNI[BUp],
+                    np.where(
+                        m2, LN_A2 + base,
+                        np.where(
+                            bi_hit, T_BI[BBm] - T_UNI[BUp],
+                            np.where(m1, LN_A + base, base),
+                        ),
+                    ),
+                ),
+            )
+            x = -ln_p
+            # F.round(x, 12) == HALF_UP on Decimal(repr(x)); the scaled
+            # fast path is unambiguous except within ~1e-2 of a .5
+            # boundary (float64 carries y=x*1e12 to ~1e-3 absolute),
+            # where the exact Decimal replay decides (validated
+            # mismatch-free on 300k adversarial samples incl. exact
+            # halves)
+            y = x * 1e12
+            n = np.where(
+                y >= 0, np.floor(y + 0.5), -np.floor(0.5 - y)
+            ).astype(np.int64)
+            ay = np.abs(y)
+            for i in np.nonzero(np.abs(ay - np.floor(ay) - 0.5) < 1e-2)[0]:
+                n[i] = int(
+                    Decimal(repr(float(x[i])))
+                    .scaleb(12)
+                    .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+                )
+            seg = (np.cumsum(lens) - lens)[keep]
+            if tot and int(np.abs(n).max()) > (1 << 62) // max(
+                int(lens.max()), 1
+            ):
+                sums = [  # exact big-int fold; unreachable at sane nll
+                    sum(int(v) for v in n[s:s + ln])
+                    for s, ln in zip(seg, lens[keep])
+                ]
+            else:
+                sums = np.add.reduceat(n, seg)
+            q = np.asarray(
+                [
+                    (s + 50_000_000) // 100_000_000
+                    if s >= 0
+                    else -((-s + 50_000_000) // 100_000_000)
+                    for s in (int(v) for v in sums)
+                ],
+                dtype=np.int64,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.nonzero(keep)[0])),
+                    pa.array(lens[keep], type=pa.int64()),
+                    pa.array(q.astype(np.float64) / 1e4, type=pa.float64()),
+                ],
+                names=[id_name, "n_tokens", "sum_nll"],
+            )
+
+    return score
+
+
 def score_ngram_logprob(
     df: DataFrame, id_col: str, text_col: str, model: dict,
-    ordered: bool = True,
+    ordered: bool = True, arrow: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, sum_nll) per document under the stupid-backoff LM
     in ``model`` (a `train_ngram_counts` dict / the
     committed `_ngram_lm.py` artifact). High per-token nll = the filter
     candidate. ln terms use ln(num) - ln(den) over integer counts so the
-    DuckDB twin reproduces them exactly at the 12-decimal quantum."""
+    DuckDB twin reproduces them exactly at the 12-decimal quantum.
+
+    ``arrow=True`` (default) scores through the batch kernel (module
+    doc); ``arrow=False`` keeps the five-broadcast-join plan — the two
+    are pinned row-identical by pytest."""
     spark = df.sparkSession
     uni_b, bi_b, tri_b = model["uni_b"], model["bi_b"], model["tri_b"]
     total = model["total"]
@@ -154,7 +334,17 @@ def score_ngram_logprob(
     # inside their lambdas) then read a resolved attribute instead of
     # re-running the split per lambda element — without the fence the
     # tokenizer re-evaluates O(len^2) times per document
-    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    src = df.select(id_col, text_col)
+    if arrow:
+        # tokenize + the three md5 transforms + the kernel all inherit
+        # the scan's partitioning; a corpus read from one small parquet
+        # file would run the whole scorer serially (same thin-input
+        # guard as dedup._merged_dup_spans — a genuinely large scan
+        # keeps its own partitioning)
+        par = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par)
+    base = src.select(F.col(id_col), tokens(text_col).alias("_toks"))
     toks = F.col("_toks")
     b_uni, _, b_bi, _, b_tri = _gram_arrays(
         toks, uni_b, bi_b, tri_b
@@ -172,6 +362,14 @@ def score_ngram_logprob(
         F.col(id_col),
         b_uni.alias("bu"), b_bi.alias("bb"), b_tri.alias("bt"),
     )
+    if arrow:
+        kernel = _make_backoff_kernel(_ln_tables(spark, model), id_col)
+        id_type = arrs0.schema[id_col].dataType.simpleString()
+        out = arrs0.mapInArrow(
+            kernel,
+            f"{id_col} {id_type}, n_tokens long, sum_nll double",
+        )
+        return out.orderBy(id_col) if ordered else out
     arrs = arrs0.select(
         F.col(id_col),
         "bu",

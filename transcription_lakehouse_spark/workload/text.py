@@ -2308,11 +2308,13 @@ def doc_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed LMs and deterministic across engines (shared md5 idiom).
     Emits sum_nll + n_tokens like the unigram twin.
 
-    Scale: gram/bucket assembly is row-local on the token array (only
-    the zipped bucket structs explode — the array itself never
-    duplicates through the Generate), five broadcast joins against
-    <= 8 K-row committed count tables, ONE shuffle to the per-doc sum;
-    the model is corpus-size-free by construction."""
+    Scale: gram/bucket assembly is row-local on the token array (three
+    md5 transforms in codegen), then ONE Arrow batch kernel folds the
+    backoff per document against the committed count tables (numpy
+    lookups; lns harvested from the JVM so arithmetic is bit-identical
+    to the former five-broadcast-join plan, which `arrow=False` keeps
+    and pytest pins row-identical). Zero joins, zero shuffles before
+    the output sort; the model is corpus-size-free by construction."""
     return _ngram_scores(spark, sf_dir, ordered=True)
 
 
