@@ -311,16 +311,19 @@ def _walk_and_rank(
     """Shared beam-walk + final ranking for both seed strategies.
 
     Plan-compile guard: every hop UNROLLS into the logical plan (~1,900
-    physical-plan lines / ~90 exchanges per hop at sf0.1 — bounded and
-    fine at the committed hops=2, but super-linear analyzer cost beyond).
-    ``checkpoint_hops`` (default: on for hops > 2) severs the lineage
-    after each hop with a localCheckpoint, so the compiled plan stays
-    one-hop-sized regardless of walk depth; values are unchanged (the
-    beam is materialized, not recomputed). The hops<=2 default keeps the
-    fully-declarative plan the DuckDB twin replays and the plan-size pin
-    (tests/test_plans.py) enforces."""
+    physical-plan lines / ~90 exchanges per hop at sf0.1, and each hop
+    references the beam twice, so the analyzer cost is super-linear in
+    depth — the stored-graph search at hops=2 compiled to a 4,631-line
+    plan with 288 exchanges, ~2 s of planning per bench run).
+    ``checkpoint_hops`` (default: always on) severs the lineage after
+    each hop with a LAZY localCheckpoint, so every compiled plan stays
+    one-hop-sized and the beam materializes exactly once per hop during
+    the one real action; values are unchanged (the checkpoint
+    materializes, never recomputes, the beam — parity pinned at hops=2
+    by tests/test_plans.py). ``checkpoint_hops=False`` keeps the fully
+    unrolled declarative lineage for plan inspection."""
     if checkpoint_hops is None:
-        checkpoint_hops = hops > 2
+        checkpoint_hops = True
     for _ in range(hops):
         # rescore only the NEW frontier — the beam's sims are already exact
         # (pure functions of the pair), so re-fetching those vectors every
@@ -342,7 +345,9 @@ def _walk_and_rank(
             _score(frontier, q, c).unionByName(beam_df), beam
         )
         if checkpoint_hops:
-            beam_df = beam_df.localCheckpoint()
+            # lazy: nothing executes at build time; the beam materializes
+            # on first use inside the query's one real action
+            beam_df = beam_df.localCheckpoint(eager=False)
 
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node_id"))
     return (
