@@ -282,6 +282,16 @@ def trn_section_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-min min) — `generate_sections`' carried state recomputed by the
     oracle with the same recursive-walk idiom over beats."""
     beats = generate_beats_heuristic(generate_spans(_utterances(spark, sf_dir)))
+    # the beats kernel's FlatMapGroupsInPandas output reports no
+    # partitioning, so the sections groupBy re-exchanges behind an
+    # ENSURE_REQUIREMENTS shuffle AQE coalesces down to 2-5 tasks on
+    # these tiny bytes — starving the packing kernel exactly like the
+    # semantic chain before its pin. An explicit episode repartition is
+    # exempt from AQE coalescing and replaces (not adds to) that
+    # exchange; scale-adaptive via defaultParallelism.
+    beats = beats.repartition(
+        spark.sparkContext.defaultParallelism, "episode_id"
+    )
     sections = generate_sections(beats, beat_embeddings=None)
     return sections.select(
         "episode_id",
