@@ -41,13 +41,14 @@ CC_DRIVER_MAX_EDGES = 1 << 18
 
 
 def _driver_components(sym: DataFrame) -> DataFrame:
-    """Union-find over a COLLECTED symmetrized edge list — the fast path
-    for small pair graphs (guide §1.2: at 256 pairs the iterative loop's
-    ~6 jobs/round of scheduling overhead IS the cost; a driver fold is
-    milliseconds). Gated by CC_DRIVER_MAX_EDGES on the already-checkpointed
-    relation, so the collect is bounded and the distributed loop remains
-    the scale path. Output is row-identical to the iterative fixpoint:
-    component = min reachable node id."""
+    """Union-find over a COLLECTED edge list (either direction, self-loops
+    pre-filtered, duplicates harmless) — the fast path for small pair
+    graphs (guide §1.2: at 256 pairs the iterative loop's ~6 jobs/round of
+    scheduling overhead IS the cost; a driver fold is milliseconds). Gated
+    by CC_DRIVER_MAX_EDGES on the already-checkpointed relation, so the
+    collect is bounded and the distributed loop remains the scale path.
+    Output is row-identical to the iterative fixpoint: component = min
+    reachable node id."""
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
@@ -198,16 +199,22 @@ def connected_components(
     # otherwise evaluate the (often expensive — e.g. an LSH rescore)
     # upstream plan once per branch
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    if driver_max_edges is None:
+        driver_max_edges = CC_DRIVER_MAX_EDGES
+    if driver_max_edges > 0 and e.count() <= driver_max_edges:
+        # union-find is direction-agnostic, so the RAW checkpointed edges
+        # feed it directly — the symmetrize+distinct checkpoint (a second
+        # plan compile + job) exists only for the distributed loops. The
+        # self-loop filter preserves the sym semantics exactly: a node
+        # with only self-edges was never emitted. Raw rows ≤ symmetrized
+        # rows, so the cap still bounds the collect.
+        return _driver_components(e.filter(F.col("s") != F.col("d")))
     sym = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .filter(F.col("s") != F.col("d"))
         .distinct()
         .localCheckpoint()
     )
-    if driver_max_edges is None:
-        driver_max_edges = CC_DRIVER_MAX_EDGES
-    if driver_max_edges > 0 and sym.count() <= driver_max_edges:
-        return _driver_components(sym)
     if algorithm == "two-phase":
         return _two_phase_components(sym, max_iter)
     labels = (
