@@ -135,20 +135,22 @@ def semantic_decontam(
     e = evalset.select(
         F.col(id_col).alias("eval_id"), as_double_array(vec_col).alias("ev")
     ).withColumn("en", l2_norm(F.col("ev")))
-    cb = _banded_buckets(
-        c.select("corpus_id", "cv"), "cv", n_bands, planes_per_band
-    )
-    eb = _banded_buckets(
-        e.select("eval_id", "ev"), "ev", n_bands, planes_per_band
-    )
-    cand = (
-        cb.join(F.broadcast(eb), ["band", "bucket"])
-        .select("corpus_id", "eval_id")
-        .distinct()
-    )
+    # Score AT the collision row (r11, guide §2.3/§2.4): bucket rows carry
+    # their vectors, the eval side broadcasts WITH vectors, and the rounded
+    # cosine + threshold filter run in the same stage as the bucket join —
+    # the corpus never shuffles and the distinct dedupes only the few
+    # surviving hits. The previous shape deduped the FULL candidate pair
+    # relation first (measured sf0.1×20: 2.04 M collisions → 1.6 M distinct
+    # pairs → 7,980 hits — a 1.6 M-row distinct exchange plus a corpus-wide
+    # vector re-fetch SortMergeJoin, all to feed a 0.5 %-selective filter).
+    # A multi-band collision recomputes the SAME deterministic expression on
+    # the same operands, so duplicates are bit-identical and
+    # distinct-after-filter equals the old score-once-per-distinct-pair
+    # rows exactly.
+    cb = _banded_buckets(c, "cv", n_bands, planes_per_band, keep_vec=True)
+    eb = _banded_buckets(e, "ev", n_bands, planes_per_band, keep_vec=True)
     scored = (
-        cand.join(c, "corpus_id")
-        .join(F.broadcast(e), "eval_id")
+        cb.join(F.broadcast(eb), ["band", "bucket"])
         .select(
             "corpus_id",
             "eval_id",
@@ -157,6 +159,7 @@ def semantic_decontam(
             ).alias("sim"),
         )
         .filter(F.col("sim") >= F.lit(threshold))
+        .distinct()
     )
     w = Window.partitionBy("corpus_id").orderBy(F.desc("sim"), F.asc("eval_id"))
     hits = F.count(F.lit(1)).over(Window.partitionBy("corpus_id"))

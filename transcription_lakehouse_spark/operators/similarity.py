@@ -757,11 +757,16 @@ def _band_buckets_udf(n_bands: int, planes_per_band: int, max_dims: int = 256):
     return buckets
 
 
-def _banded_buckets(df: DataFrame, vec: str, n_bands: int, planes: int) -> DataFrame:
+def _banded_buckets(
+    df: DataFrame, vec: str, n_bands: int, planes: int, keep_vec: bool = False
+) -> DataFrame:
     """Explode a vector table into one row per (band, bucket); band b hashes
-    with the disjoint plane slice [b*planes, (b+1)*planes)."""
+    with the disjoint plane slice [b*planes, (b+1)*planes). ``keep_vec``
+    retains the vector column on the bucket rows — the score-at-collision
+    shape (decontam / asymmetric top-k) rescans it straight off the bucket
+    join instead of re-fetching vectors through a second join."""
     udf = _band_buckets_udf(n_bands, planes)
-    keep = [c for c in df.columns if c != vec]
+    keep = [c for c in df.columns if c != vec or keep_vec]
     return (
         df.select(*keep, F.posexplode(udf(F.col(vec))).alias("band", "bucket"))
     )
