@@ -841,33 +841,42 @@ def lsh_topk(
         )
         return _rank_topk(local, k)
     else:
-        # Asymmetric (queries ≢ corpus): the candidate-pair join + JVM HOF
-        # rescore BEATS the cogrouped GEMM here — measured 3.5 s vs 5.1-6.2 s
-        # on knn_lsh_20x across three GEMM variants (per-bucket groups,
-        # folded supergroups, bucket semi-join). Mechanism: the cogroup must
-        # ship n_bands copies of every corpus vector through the exchange +
-        # Arrow boundary no matter how few queries there are, while the pair
-        # path shuffles id-only bucket rows and fetches vectors once per
-        # surviving candidate, all JVM-side. The GEMM shape wins only when
-        # the pair relation itself is corpus-scale — the self-join branch
-        # above (and IVF's nprobe-bounded cogroup, where Arrow traffic is
-        # O(corpus), not O(corpus × bands)).
+        # Asymmetric (queries ≢ corpus): score AT the bucket-collision row
+        # with the JVM HOF cosine — NOT the cogrouped GEMM, which must ship
+        # n_bands copies of every corpus vector through an exchange + the
+        # Arrow boundary no matter how few queries there are (measured
+        # 3.5 s vs 5.1-6.2 s on knn_lsh_20x across three GEMM variants).
+        # The query bucket rows broadcast WITH their vectors (the branch
+        # contract is a small query side — the corpus-scale case is the
+        # self-join branch above), so the corpus bucket rows stream
+        # straight from the scan into the join + cosine + thin projection:
+        # zero corpus-vector shuffles and no candidate-pair distinct
+        # before scoring. The pre-r11 pair shape deduped the full
+        # collision relation, then re-fetched BOTH vector sides through
+        # SortMergeJoins — three shuffles (pairs, queries, the whole
+        # corpus by id) to avoid rescoring the ~1.3x multi-band collision
+        # duplicates, whose recomputed sims are bit-identical anyway and
+        # collapse in `_rank_topk`'s distinct.
         q = queries.select(
             F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-        )
+        ).withColumn("qn", l2_norm(F.col("qv")))
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+        ).withColumn("cn", l2_norm(F.col("cv")))
+        q_ids = _banded_buckets(q, "qv", n_bands, planes_per_band, keep_vec=True)
+        c_ids = _banded_buckets(c, "cv", n_bands, planes_per_band, keep_vec=True)
+        scored = (
+            c_ids.join(F.broadcast(q_ids), ["band", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                guarded_cosine(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ).alias("sim"),
+            )
         )
-        q_ids = _banded_buckets(q, "qv", n_bands, planes_per_band)
-        c_ids = _banded_buckets(c, "cv", n_bands, planes_per_band)
-        cand = (
-            q_ids.join(c_ids, ["band", "bucket"])
-            .select("query_id", "neighbor_id")
-            .distinct()
-        )
-        qv = q.withColumn("qn", l2_norm(F.col("qv")))
-        cv = c.withColumn("cn", l2_norm(F.col("cv")))
-        return _score_topk(cand.join(qv, "query_id").join(cv, "neighbor_id"), k)
+        return _rank_topk(scored, k)
 
 
 def semdedup_kmeans(
