@@ -161,35 +161,30 @@ def _batch_candidate_scores(
     collision — the only existing-src edges an append can change. Srcs
     absent from this relation are untouched by construction (bucket
     membership is corpus-independent)."""
+    # Score AT the bucket-collision row (r11, the asymmetric `lsh_topk`
+    # shape): the small BATCH side broadcasts its bucket rows with vectors,
+    # the old corpus streams its own straight from the scan — no candidate
+    # distinct before scoring and no corpus-vector re-fetch join. Duplicate
+    # multi-band collisions recompute the same deterministic expression and
+    # collapse in the distinct over the thin scored rows.
     o = old_corpus.select(
         F.col(id_col).alias("src"), as_double_array(vec_col).alias("qv")
     ).withColumn("qn", l2_norm(F.col("qv")))
     b = batch.select(
         F.col(id_col).alias("dst"), as_double_array(vec_col).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
-    ob = _banded_buckets(
-        o.select(F.col("src").alias("query_id"), F.col("qv")),
-        "qv", n_bands, planes_per_band,
-    ).select(F.col("query_id").alias("src"), "band", "bucket")
-    nb = _banded_buckets(
-        b.select(F.col("dst").alias("node_id"), F.col("cv")),
-        "cv", n_bands, planes_per_band,
-    ).select(F.col("node_id").alias("dst"), "band", "bucket")
-    cand = (
-        ob.join(nb, ["band", "bucket"])
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    ob = _banded_buckets(o, "qv", n_bands, planes_per_band, keep_vec=True)
+    nb = _banded_buckets(b, "cv", n_bands, planes_per_band, keep_vec=True)
     return (
-        cand.join(o, "src")
-        .join(b, "dst")
+        ob.join(F.broadcast(nb), ["band", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
         .select(
             "src", "dst",
             guarded_cosine(
                 F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
             ).alias("sim"),
         )
+        .distinct()
     )
 
 
@@ -202,7 +197,11 @@ def _fold_edges(
     domination argument in :func:`append_knn_graph` — ``graph`` may be
     the full edge list or any slice that CONTAINS every touched src's
     rows (e.g. only the state buckets being rewritten)."""
-    touched = scored_new.select("src").distinct()
+    # `touched` is bounded by the batch's bucket collisions — broadcast it
+    # so the stored edge list streams through both the anti-join and the
+    # re-rank semi-join instead of shuffling by src (guide §3.1; at 100 TB
+    # the stored edge list is the table you must never re-shuffle).
+    touched = F.broadcast(scored_new.select("src").distinct())
     untouched = graph.join(touched, "src", "left_anti")
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     re_ranked = (
@@ -219,10 +218,19 @@ def _fold_edges(
 def _score(cand: DataFrame, q: DataFrame, c: DataFrame) -> DataFrame:
     """Exact cosine for (query_id, node_id) candidate pairs — the SHARED
     `guarded_cosine` expression (functions/vector.py), so graph ranks can
-    never diverge from the other ANN paths' ranks."""
+    never diverge from the other ANN paths' ranks.
+
+    Join shape (r11, guide §3.1): ``cand`` (O(|Q|·beam·k_graph) thin rows)
+    and ``q`` (the query vectors) are the broadcast sides; the CORPUS
+    streams and never shuffles. The hints are load-bearing: ``cand``
+    usually descends from a localCheckpointed beam whose LogicalRDD
+    carries no size statistics, so without them the planner assumes a
+    huge build side and SortMergeJoins — re-shuffling the whole corpus
+    vector relation once per hop (measured: the hop fragments carried 2
+    corpus exchanges each at the 20x scale)."""
     return (
-        cand.join(q, "query_id")
-        .join(c, "node_id")
+        c.join(F.broadcast(cand), "node_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "node_id",
@@ -279,27 +287,40 @@ def graph_topk(
         F.col(id_col).alias("node_id"), as_double_array(vec_col).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
 
-    # Seed scoring stays the candidate-pair join + JVM HOF rescore: the
-    # search-side query set is sparse (≪ bucket space), so the pair
-    # relation is tiny and id-only bucket rows shuffle, while a cogrouped
-    # GEMM would ship seed_bands copies of every corpus vector through the
-    # exchange + Arrow boundary regardless of |Q| — measured 4.7 s (this
-    # shape) vs 5.4-6.0 s (three GEMM variants) on graph_search_20x. The
-    # GEMM shape wins only for corpus-scale pair relations (the graph
-    # BUILD's lsh_topk self-join).
+    # Seed scoring: JVM HOF cosine AT the bucket-collision row (r11, the
+    # asymmetric `lsh_topk` shape) — the search-side query set is sparse
+    # (≪ bucket space), so its bucket rows broadcast WITH their vectors
+    # and the corpus bucket rows stream from the scan into the join +
+    # rounded cosine + thin projection; multi-band collision duplicates
+    # recompute the same deterministic expression and collapse in the
+    # distinct over the thin scored rows (equal to the old
+    # distinct-pairs-then-rescore by construction). A cogrouped GEMM
+    # would ship seed_bands copies of every corpus vector through the
+    # exchange + Arrow boundary regardless of |Q| — measured 4.7 s (pair
+    # shape) vs 5.4-6.0 s (three GEMM variants) on graph_search_20x; the
+    # GEMM wins only for corpus-scale pair relations (the graph BUILD's
+    # lsh_topk self-join).
     qb = _banded_buckets(
-        q.select("query_id", "qv"), "qv", seed_bands, planes_per_band
+        q.select("query_id", "qv", "qn"), "qv", seed_bands, planes_per_band,
+        keep_vec=True,
     )
     cb = _banded_buckets(
-        c.select("node_id", "cv"), "cv", seed_bands, planes_per_band
+        c.select("node_id", "cv", "cn"), "cv", seed_bands, planes_per_band,
+        keep_vec=True,
     )
-    seeds = (
-        qb.join(cb, ["band", "bucket"])
+    seed_scored = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("node_id"))
-        .select("query_id", "node_id")
+        .select(
+            "query_id",
+            "node_id",
+            guarded_cosine(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("sim"),
+        )
         .distinct()
     )
-    beam_df = _top_beam(_score(seeds, q, c), beam)
+    beam_df = _top_beam(seed_scored, beam)
     return _walk_and_rank(beam_df, graph, q, c, hops, beam, k)
 
 
@@ -329,14 +350,18 @@ def _walk_and_rank(
         # (pure functions of the pair), so re-fetching those vectors every
         # hop would be wasted corpus reads; anti-join keeps a node from
         # occupying two beam slots
+        # the beam is O(|Q|·beam) thin rows — ALWAYS the broadcast side
+        # (module docstring's scale anatomy). Explicit hints because the
+        # checkpointed beam's LogicalRDD has no size stats, so the planner
+        # would otherwise sort-merge and shuffle the EDGE LIST per hop.
         frontier = (
-            beam_df.select("query_id", F.col("node_id").alias("src"))
+            F.broadcast(beam_df.select("query_id", F.col("node_id").alias("src")))
             .join(graph.select("src", "dst"), "src")
             .filter(F.col("query_id") != F.col("dst"))
             .select("query_id", F.col("dst").alias("node_id"))
             .distinct()
             .join(
-                beam_df.select("query_id", "node_id"),
+                F.broadcast(beam_df.select("query_id", "node_id")),
                 ["query_id", "node_id"],
                 "left_anti",
             )
