@@ -159,6 +159,11 @@ def semantic_decontam(
             ).alias("sim"),
         )
         .filter(F.col("sim") >= F.lit(threshold))
+        # hash the few surviving hits by corpus_id BEFORE the distinct:
+        # HashPartitioning(corpus_id) satisfies the dedupe aggregate's
+        # clustering (subset rule) AND both downstream windows' required
+        # distribution, so dedupe + hit-count + argmax share ONE exchange
+        .repartition("corpus_id")
         .distinct()
     )
     w = Window.partitionBy("corpus_id").orderBy(F.desc("sim"), F.asc("eval_id"))

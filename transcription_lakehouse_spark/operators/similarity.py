@@ -176,7 +176,14 @@ def _rank_topk(local: DataFrame, k: int, dedupe: bool = True) -> DataFrame:
     ``dedupe=False`` skips the distinct's exchange when groups are
     provably disjoint (IVF cells)."""
     if dedupe:
-        local = local.distinct()
+        # one exchange for dedupe + window (guide §2.4 — share the
+        # partitioning): hash by query_id FIRST; HashPartitioning(query_id)
+        # satisfies the distinct aggregate's ClusteredDistribution(query_id,
+        # neighbor_id, sim) by the subset rule and is exactly the window's
+        # required distribution, so neither plans its own exchange. A plain
+        # .distinct() would exchange on all three columns and the window
+        # would re-exchange on query_id.
+        local = local.repartition("query_id").distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
