@@ -631,19 +631,29 @@ def lsh_near_dup_pairs(
 
     Band b hashes each vector with planes [b*r, (b+1)*r); two vectors are
     candidates iff they collide in >= 1 band (classic AND-of-r / OR-of-b:
-    P(candidate) = 1-(1-(1-θ/π)^r)^b, steep around high cosine). Candidates
-    are DISTINCT id pairs; only those are exactly rescored. Everything is
-    equi-joins on (band, bucket) then on ids — no cross product, never an
-    O(n²) materialization. Deterministic: the plane family is md5-derived.
+    P(candidate) = 1-(1-(1-θ/π)^r)^b, steep around high cosine). Scoring
+    happens AT the bucket-collision row (r11, guide §2.3 — the same shape
+    `semantic_decontam` measured 1.6 M-row-distinct-exchange + re-fetch-SMJ
+    savings from): bucket rows carry their vector + norm, the rounded
+    cosine and threshold filter run in the collision join's own stage, and
+    only the few SURVIVING pairs are deduped. A multi-band collision
+    recomputes the same deterministic expression on the same operands, so
+    distinct-after-filter equals the old score-once-per-distinct-pair rows
+    exactly. Everything is equi-joins on (band, bucket) — no cross
+    product, never an O(n²) materialization, the fat rows never shuffle
+    (the only post-collision exchange carries surviving id pairs).
+    Deterministic: the plane family is md5-derived.
     """
     v = df.select(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("v")
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     if n_bands * planes_per_band > 32:
         # wide banding: literal-array codegen would dominate (see
         # _band_buckets_udf); one GEMM, posexplode the per-band buckets
         ids = v.select(
             "vid",
+            "v",
+            "nrm",
             F.posexplode(
                 _band_buckets_udf(n_bands, planes_per_band)(F.col("v"))
             ).alias("band", "bucket"),
@@ -651,6 +661,8 @@ def lsh_near_dup_pairs(
     else:
         ids = v.select(
             "vid",
+            "v",
+            "nrm",
             F.explode(
                 F.array(
                     *[
@@ -667,41 +679,38 @@ def lsh_near_dup_pairs(
                 )
             ).alias("bb"),
         ).select(
-            "vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+            "vid",
+            "v",
+            "nrm",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
     left = ids.select(
-        F.col("vid").alias("id_1"), "band", "bucket"
+        F.col("vid").alias("id_1"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "band",
+        "bucket",
     )
     right = ids.select(
-        F.col("vid").alias("id_2"), "band", "bucket"
+        F.col("vid").alias("id_2"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "band",
+        "bucket",
     )
-    cand = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
-        .distinct()
-    )
-    x = v.select(F.col("vid").alias("id_1"), F.col("v").alias("va")).withColumn(
-        "na", l2_norm(F.col("va"))
-    )
-    y = v.select(F.col("vid").alias("id_2"), F.col("v").alias("vb")).withColumn(
-        "nb", l2_norm(F.col("vb"))
-    )
-    den = F.col("na") * F.col("nb")
-    return (
-        cand.join(x, "id_1")
-        .join(y, "id_2")
         .select(
             "id_1",
             "id_2",
-            F.round(
-                F.when(den > 0, dot(F.col("va"), F.col("vb")) / den).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
+            guarded_cosine(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+        .distinct()
         .orderBy(F.desc("sim"), F.asc("id_1"), F.asc("id_2"))
     )
 
