@@ -31,6 +31,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..ckpt import cut_lineage
+
 __all__ = ["connected_components", "dup_clusters"]
 
 # Edge cap for the driver union-find fast path (symmetrized rows; ~2x the
@@ -102,11 +104,10 @@ def _two_phase_components(sym: DataFrame, max_iter: int) -> DataFrame:
     min(N(u) ∪ {u}); small-star: every node connects its smaller neighbors
     (and itself) to that min. Fixpoint = the edge set stops changing, at
     which point edges ARE the (component-min → node) label pairs."""
-    edges = (
+    edges = cut_lineage(
         sym.filter(F.col("s") < F.col("d"))
         .select(F.col("s").alias("a"), F.col("d").alias("b"))
         .distinct()
-        .localCheckpoint()
     )
     if edges.limit(1).count() == 0:
         return edges.select(
@@ -136,7 +137,7 @@ def _two_phase_components(sym: DataFrame, max_iter: int) -> DataFrame:
             .filter(F.col("a") != F.col("b"))
         )
         small_self = mins2.select(F.col("mn").alias("a"), F.col("u").alias("b"))
-        new_edges = small_nbrs.union(small_self).distinct().localCheckpoint()
+        new_edges = cut_lineage(small_nbrs.union(small_self).distinct())
         # fixpoint: both sides are distinct canonical sets, so equal counts
         # + empty one-direction difference ⇒ identical
         if (
@@ -198,7 +199,7 @@ def connected_components(
     # materialize the edge list BEFORE symmetrizing: the union would
     # otherwise evaluate the (often expensive — e.g. an LSH rescore)
     # upstream plan once per branch
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    e = cut_lineage(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
     if driver_max_edges is None:
         driver_max_edges = CC_DRIVER_MAX_EDGES
     if driver_max_edges > 0 and e.count() <= driver_max_edges:
@@ -209,19 +210,17 @@ def connected_components(
         # with only self-edges was never emitted. Raw rows ≤ symmetrized
         # rows, so the cap still bounds the collect.
         return _driver_components(e.filter(F.col("s") != F.col("d")))
-    sym = (
+    sym = cut_lineage(
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .filter(F.col("s") != F.col("d"))
         .distinct()
-        .localCheckpoint()
     )
     if algorithm == "two-phase":
         return _two_phase_components(sym, max_iter)
-    labels = (
+    labels = cut_lineage(
         sym.select(F.col("s").alias("n"))
         .distinct()
         .withColumn("l", F.col("n"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -244,7 +243,7 @@ def connected_components(
         # ONE materialization per round: the checkpoint backs both the
         # fixpoint probe and the next round's labels (a lazy select over
         # checkpointed rows adds no lineage and costs no second job)
-        jumped = jumped.localCheckpoint()
+        jumped = cut_lineage(jumped)
         labels = jumped.select("n", F.col("_l2").alias("l"))
         if jumped.filter(F.col("_l2") != F.col("l")).limit(1).count() == 0:
             break

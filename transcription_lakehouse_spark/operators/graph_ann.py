@@ -41,6 +41,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..ckpt import cut_lineage
 from ..functions.vector import as_double_array, guarded_cosine, l2_norm
 from .similarity import (
     _banded_buckets,
@@ -372,7 +373,7 @@ def _walk_and_rank(
         if checkpoint_hops:
             # lazy: nothing executes at build time; the beam materializes
             # on first use inside the query's one real action
-            beam_df = beam_df.localCheckpoint(eager=False)
+            beam_df = cut_lineage(beam_df, eager=False)
 
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node_id"))
     return (

@@ -40,6 +40,7 @@ from ..aggregation import (
     generate_sections,
     generate_spans,
 )
+from ..ckpt import cut_lineage
 from ..sources.tables import load_table
 
 # --- shared utterance derivation ------------------------------------------
@@ -1069,11 +1070,10 @@ def trn_section_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heuristic chain, fixed at the _utterances head there; the checkpoint
     # severs that lineage here, so re-pin)
     spans = generate_spans(_sem_utterances(spark, sf_dir))
-    beats = (
-        generate_beats_embedding(spans, embedding_col=_span_sem_embedding_col())
-        .localCheckpoint(eager=False)
-        .repartition(spark.sparkContext.defaultParallelism, "episode_id")
-    )
+    beats = cut_lineage(
+        generate_beats_embedding(spans, embedding_col=_span_sem_embedding_col()),
+        eager=False,
+    ).repartition(spark.sparkContext.defaultParallelism, "episode_id")
     sections = generate_sections(
         beats, beat_embedding_col=_beat_sem_embedding_col()
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..ckpt import cut_lineage
 from ..functions.vector import as_double_array, cosine, l2_norm
 from ..operators.similarity import (
     brute_force_topk,
@@ -1390,7 +1391,8 @@ def vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_graph=_GRAPH_KG,
         n_bands=_GRAPH_BANDS,
         planes_per_band=_GRAPH_PPB,
-    ).localCheckpoint(eager=False)
+    )
+    graph = cut_lineage(graph, eager=False)
     # ^ materialize the inline-built edge list ONCE (guide §2.4 / §3.3 —
     # truncate repeated subtrees): every beam hop references `graph`, so
     # without the pin the whole LSH-GEMM build subtree is compiled and
@@ -1538,7 +1540,8 @@ def vec_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = build_knn_graph(
         old, "vec_id", "embedding",
         k_graph=_GRAPH_KG, n_bands=_GRAPH_BANDS, planes_per_band=_GRAPH_PPB,
-    ).localCheckpoint(eager=False)
+    )
+    g0 = cut_lineage(g0, eager=False)
     # `_fold_edges` reads the stored edge list twice (untouched pass-through
     # anti-join + touched re-rank join); the pin makes the inline build
     # compute once, exactly like a stored index would read
@@ -1600,7 +1603,8 @@ def vec_knn_graph_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_graph=_GRAPH_KG,
         n_bands=_GRAPH_BANDS,
         planes_per_band=_GRAPH_PPB,
-    ).localCheckpoint(eager=False)
+    )
+    graph = cut_lineage(graph, eager=False)
     # same repeated-subtree pin as vec_knn_graph: the walk references the
     # inline-built edge list once per hop
     queries = e.filter(F.col("vec_id") % 25 == 0)
@@ -1820,8 +1824,8 @@ def vec_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the parquet scan + norm run ONCE, not k times (lazy: materialized
         # by the first action, reused by the remaining k-1 — the same
         # shared-subtree pin as the semantic catalogs)
-        .localCheckpoint(eager=False)
     )
+    emb = cut_lineage(emb, eager=False)
     # bounded driver fast path (guide §1.2 — the k sequential rounds are
     # pure job-scheduling overhead at bench scale): below the cap, run the
     # same greedy loop over a collected numpy matrix with BIT-IDENTICAL
@@ -1853,7 +1857,7 @@ def vec_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("_mind"), d_new)
             if "_mind" in state.columns else d_new
         )
-        state = state.withColumn("_mind", nd).localCheckpoint(eager=False)
+        state = cut_lineage(state.withColumn("_mind", nd), eager=False)
         pick = (
             state.filter(~F.col("vec_id").isin(selected_ids))
             .select("vec_id", F.round("_mind", 6).alias("min_dist"), "e")
@@ -2081,7 +2085,8 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_CANDS)
-    ).localCheckpoint(eager=False)
+    )
+    cands = cut_lineage(cands, eager=False)
     a = cands.select(
         F.col("vec_id").alias("i"), F.col("e").alias("ei"),
         F.col("_n").alias("ni"),
