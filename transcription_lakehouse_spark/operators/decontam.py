@@ -119,7 +119,11 @@ def semantic_decontam(
 
     Scale design — the same asymmetric shape as the n-gram pass: the eval
     side is SMALL (eval suites are thousands of rows), so its banded
-    buckets broadcast; the corpus streams through one banded-LSH bucket
+    buckets broadcast — note the broadcast relation is |eval| × n_bands
+    rows CARRYING full vectors (~600 B/row at 64-dim float64), so even a
+    100 k-row eval suite at 8 bands stays well under Spark's 8 GiB
+    broadcast cap; suites past ~2 M rows must drop the hint (see
+    `lsh_topk(broadcast_queries=False)` for the gated pattern); the corpus streams through one banded-LSH bucket
     equi-join (candidates only within shared buckets — never all-pairs),
     one exact rescore of candidates, and one map-side-combinable
     groupBy(corpus_id). Corpus recall follows the OR-of-bands curve

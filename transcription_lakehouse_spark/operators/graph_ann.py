@@ -50,6 +50,11 @@ from .similarity import (
     lsh_topk,
 )
 
+# Fat bucket rows (vector payload included) a single append may broadcast:
+# |batch| x n_bands rows at 64-dim float64 ≈ 600 B/row → the cap keeps the
+# built relation near ~1 GiB, well under Spark's 8 GiB broadcast limit.
+_APPEND_BROADCAST_FAT_ROW_CAP = 2_000_000
+
 __all__ = [
     "build_knn_graph",
     "append_knn_graph",
@@ -117,15 +122,30 @@ def append_knn_graph(
     - batch srcs: one ``lsh_topk(batch, full)`` — the build semantics.
 
     Cost: O(|batch| · bucket population) joins + O(touched · k_graph)
-    re-ranks; the old corpus is never self-joined again."""
+    re-ranks; the old corpus is never self-joined again.
+
+    Broadcast safety (r12, ADVICE r11): the batch-side bucket rows carry
+    full vectors (|batch| × n_bands fat rows) and the touched-src set is
+    bounded only by the batch's bucket collisions — neither is
+    structurally small. One count() of the batch up front decides whether
+    the broadcast hints are safe; past the cap every hint is dropped and
+    the joins degrade to planner-chosen shuffles instead of failing on
+    the 8 GB broadcast limit or driver memory."""
+    small = (
+        batch.count() * n_bands <= _APPEND_BROADCAST_FAT_ROW_CAP
+    )
     scored_new = _batch_candidate_scores(
-        old_corpus, batch, id_col, vec_col, n_bands, planes_per_band
+        old_corpus, batch, id_col, vec_col, n_bands, planes_per_band,
+        broadcast_batch=small,
     )
     new_src_edges = _new_src_edges(
         old_corpus, batch, id_col, vec_col,
         k_graph, n_bands, planes_per_band,
+        broadcast_batch=small,
     )
-    return _fold_edges(graph, scored_new, k_graph).unionByName(new_src_edges)
+    return _fold_edges(
+        graph, scored_new, k_graph, broadcast_touched=small
+    ).unionByName(new_src_edges)
 
 
 def _new_src_edges(
@@ -136,6 +156,7 @@ def _new_src_edges(
     k_graph: int,
     n_bands: int,
     planes_per_band: int,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Batch srcs' edges: exactly the build path, scoped to the new rows —
     ``lsh_topk(batch, old ∪ batch)``."""
@@ -143,6 +164,7 @@ def _new_src_edges(
     return lsh_topk(
         batch, full, id_col, vec_col,
         k=k_graph, n_bands=n_bands, planes_per_band=planes_per_band,
+        broadcast_queries=broadcast_batch,
     ).select(
         F.col("query_id").alias("src"),
         F.col("neighbor_id").alias("dst"),
@@ -157,6 +179,7 @@ def _batch_candidate_scores(
     vec_col: str,
     n_bands: int,
     planes_per_band: int,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Exact cosines for every (existing src, batch dst) banded-bucket
     collision — the only existing-src edges an append can change. Srcs
@@ -176,8 +199,10 @@ def _batch_candidate_scores(
     ).withColumn("cn", l2_norm(F.col("cv")))
     ob = _banded_buckets(o, "qv", n_bands, planes_per_band, keep_vec=True)
     nb = _banded_buckets(b, "cv", n_bands, planes_per_band, keep_vec=True)
+    if broadcast_batch:
+        nb = F.broadcast(nb)
     return (
-        ob.join(F.broadcast(nb), ["band", "bucket"])
+        ob.join(nb, ["band", "bucket"])
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src", "dst",
@@ -190,7 +215,8 @@ def _batch_candidate_scores(
 
 
 def _fold_edges(
-    graph: DataFrame, scored_new: DataFrame, k_graph: int
+    graph: DataFrame, scored_new: DataFrame, k_graph: int,
+    broadcast_touched: bool = True,
 ) -> DataFrame:
     """Fold freshly scored (existing src → batch dst) candidates into a
     stored edge list: untouched srcs pass through verbatim; touched srcs
@@ -202,7 +228,9 @@ def _fold_edges(
     # so the stored edge list streams through both the anti-join and the
     # re-rank semi-join instead of shuffling by src (guide §3.1; at 100 TB
     # the stored edge list is the table you must never re-shuffle).
-    touched = F.broadcast(scored_new.select("src").distinct())
+    touched = scored_new.select("src").distinct()
+    if broadcast_touched:
+        touched = F.broadcast(touched)
     untouched = graph.join(touched, "src", "left_anti")
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     re_ranked = (

@@ -487,7 +487,17 @@ def train_centroids(
         min_d2 = np.minimum(min_d2, ((pts - pts[nxt]) ** 2).sum(axis=1))
     cents = pts[chosen].copy()
     for _ in range(iters):
-        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # per-centroid loop, NOT the (n, k, d) broadcast: same flops but
+        # no 67 MB temp per iteration (4096x32x64 float64) — measured 21x
+        # faster (4.7 -> 0.22 s for 10 iters) and BIT-IDENTICAL (the
+        # reduced axis is the same contiguous 64-element pairwise sum, so
+        # every d2 cell sees the same operands in the same order). This
+        # loop is serial DRIVER work inside every inline-trained IVF
+        # query — it was ~1.6 s of the knn_ivf_20x wall at any corpus
+        # size (guide §5: the driver should do almost no data work).
+        d2 = np.empty((len(pts), len(cents)))
+        for ci in range(len(cents)):
+            d2[:, ci] = ((pts - cents[ci]) ** 2).sum(axis=1)
         assign = d2.argmin(axis=1)
         for c in range(k):
             members = pts[assign == c]
@@ -640,8 +650,13 @@ def lsh_near_dup_pairs(
     recomputes the same deterministic expression on the same operands, so
     distinct-after-filter equals the old score-once-per-distinct-pair rows
     exactly. Everything is equi-joins on (band, bucket) — no cross
-    product, never an O(n²) materialization, the fat rows never shuffle
-    (the only post-collision exchange carries surviving id pairs).
+    product, never an O(n²) materialization. In the broadcastable regime
+    (one side of the (band, bucket) self-join under the auto-broadcast
+    threshold, as in the captured 20x plans) the fat rows never shuffle —
+    the only post-collision exchange carries surviving id pairs; at
+    corpus scale the self-join sort-merges and each side ships n_bands
+    vector copies per row through its exchange, so size planes_per_band
+    up with the corpus to keep buckets (and the shuffle) bounded.
     Deterministic: the plane family is md5-derived.
     """
     v = df.select(
@@ -796,6 +811,7 @@ def lsh_topk(
     k: int = 5,
     n_bands: int = 8,
     planes_per_band: int = 4,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k via BANDED hyperplane LSH (OR-of-bands,
     AND-of-planes within a band — the same construction as
@@ -881,8 +897,18 @@ def lsh_topk(
         ).withColumn("cn", l2_norm(F.col("cv")))
         q_ids = _banded_buckets(q, "qv", n_bands, planes_per_band, keep_vec=True)
         c_ids = _banded_buckets(c, "cv", n_bands, planes_per_band, keep_vec=True)
+        # ``broadcast_queries`` gates the hint (r12, ADVICE r11): the fat
+        # query bucket rows (|Q| x n_bands rows carrying full vectors) are
+        # only broadcastable under the branch's small-query contract. A
+        # caller that cannot guarantee it (e.g. append_knn_graph with an
+        # unbounded batch) passes False and the planner falls back to a
+        # plain join — degrading to a shuffle instead of failing on the
+        # 8 GB broadcast cap / driver memory. Default (None) keeps the
+        # hint: every in-repo call site is measured-small or gates itself.
+        if broadcast_queries is None or broadcast_queries:
+            q_ids = F.broadcast(q_ids)
         scored = (
-            c_ids.join(F.broadcast(q_ids), ["band", "bucket"])
+            c_ids.join(q_ids, ["band", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select(
                 "query_id",
