@@ -112,8 +112,13 @@ def run_knn_ivf(spark):
     f = FACTOR["knn_ivf"]
     big = _replicated_embeddings(spark, f)
     queries = big.filter(F.col("vec_id") % (25 * f // 20) == 0)
+    # n_cells scales with the corpus (the sqrt-N sizing the semdedup
+    # docstring records): 32 cells at 200k rows caps the cogroup at 32
+    # groups and balls-into-bins leaves a third of the cores idle at 32
+    # tasks — 128 cells keep per-cell populations bounded AND hand the
+    # kernel stage enough groups to fill any local core count.
     return ivf_topk(
-        queries, big, "vec_id", "embedding", k=5, n_cells=32, nprobe=4
+        queries, big, "vec_id", "embedding", k=5, n_cells=128, nprobe=16
     )
 
 
@@ -139,9 +144,19 @@ def run_knn_ivfpq(spark):
     f = FACTOR["knn_ivfpq"]
     big = _replicated_embeddings(spark, f)
     queries = big.filter(F.col("vec_id") % (100 * f // 20) == 0)
+    # same sqrt-N coarse-layer sizing as run_knn_ivf: train a 128-cell
+    # quantizer inline (train_centroids is a bounded-sample driver fold)
+    # so the ADC stage has enough cell groups to fill the cores; the
+    # committed residual codebooks stay the codebooks (they are global
+    # per-subspace tables, valid for any coarse layer).
+    from transcription_lakehouse_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    cents = train_centroids(big, "vec_id", "embedding", n_cells=128)
     return ivfpq_topk(
-        queries, big, "vec_id", "embedding", CENTROIDS, RESIDUAL_BOOKS,
-        k=5, nprobe=4, shortlist=64,
+        queries, big, "vec_id", "embedding", cents, RESIDUAL_BOOKS,
+        k=5, nprobe=16, shortlist=64,
     )
 
 
@@ -253,7 +268,9 @@ def main() -> None:
     big_dir = _scaled_dir(spark) if needs_dir else None
 
     timings: dict[str, float] = {}
+    entry_load: dict[str, float] = {}
     for name in names:
+        entry_load[name] = _load1()
         spark.sparkContext.setJobDescription(f"core_scaling:{name}")
         t0 = time.time()
         if name in inline:
@@ -262,7 +279,8 @@ def main() -> None:
             QUERIES[name](spark, big_dir).collect()
         timings[name] = round(time.time() - t0, 2)
         spark.sparkContext.setJobDescription(None)
-        print(f"# {name}: {timings[name]} s", file=sys.stderr)
+        print(f"# {name}: {timings[name]} s (load {entry_load[name]})",
+              file=sys.stderr)
 
     print(json.dumps({
         "tool": "core_scaling",
@@ -273,6 +291,7 @@ def main() -> None:
         "calibration_sec": cal,
         "load_1min_start": load_start,
         "load_1min_end": _load1(),
+        "entry_load": entry_load,
     }))
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..ckpt import cut_lineage
 from ..functions.text import (
     content_tokens,
     duckdb_stopword_list,
@@ -1251,7 +1252,9 @@ DOC_CURATED_IDS_SQL = _curation_stage_ctes() + "\nSELECT doc_id, lang FROM s4"
 # composed AFTER its per-stage SQL constants exist (module order)
 DOC_CURATION_V2_SQL = _curation_v2_sql()
 
-def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_dup_clusters(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Transitive duplicate CLUSTERS: MinHash-LSH candidates → exact-Jaccard
     rescore (>= 0.5) → connected components (iterative hash-to-min with
     pointer jumping) → one canonical keeper per cluster (min doc_id).
@@ -1268,7 +1271,9 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.graph import dup_clusters
 
-    d = _docs(spark, sf_dir).filter(token_count("text") >= 3)
+    d = (_docs(spark, sf_dir) if docs is None else docs).filter(
+        token_count("text") >= 3
+    )
     cands = lsh_candidate_pairs(minhash_signature(d, "doc_id", "text", n=3), "doc_id")
     pairs = jaccard_rescore(cands, d, "doc_id", "text", n=3).filter(
         F.col("jaccard") >= 0.5
@@ -1314,7 +1319,9 @@ ORDER BY component_id, doc_id
 )
 
 
-def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_unigram_logprob(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Unigram-LM surprisal per document — the in-engine stand-in for the
     KenLM-perplexity quality filter (CCNet recipe): documents whose tokens
     are globally rare score high and are filter candidates.
@@ -1329,7 +1336,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: vocabulary groupBy (one map-side-combined shuffle), equi-join of
     the exploded corpus to the vocab on token (shuffle or broadcast per
     AQE), one-row total broadcast — no per-row Python anywhere."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir) if docs is None else docs
     toked = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     counts = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = counts.agg(F.sum("cnt").alias("_total"))
@@ -1907,7 +1914,9 @@ ORDER BY doc_id, rank
 """
 
 
-def _curation_v3_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curation_v3_core(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Third-generation curation funnel composing this round's gates, one
     row per document with each gate's verdict:
 
@@ -1926,12 +1935,14 @@ def _curation_v3_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated. Each stage is the already-green standalone operator."""
     from ..operators.dedup import dup_span_stats
 
-    d = _docs(spark, sf_dir)
-    clusters = doc_dup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
+    d = _docs(spark, sf_dir) if docs is None else docs
+    clusters = doc_dup_clusters(spark, sf_dir, docs=docs).select(
+        "doc_id", "is_keeper"
+    )
     spans = dup_span_stats(d, "doc_id", "text", n=13, min_df=2).select(
         "doc_id", "n_tokens", "dup_tokens"
     )
-    lp = doc_unigram_logprob(spark, sf_dir).select(
+    lp = doc_unigram_logprob(spark, sf_dir, docs=docs).select(
         "doc_id",
         F.col("n_tokens").alias("_lp_n"),
         F.col("sum_nll").alias("_lp_sum"),
@@ -2026,8 +2037,17 @@ def doc_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the beyond-reference training-data stack. The DuckDB twin recomputes
     the ENTIRE composition — recursive-CTE cluster closure AND the
     hashed-bucket LM replay — so the wiring is hash-gated end to end."""
-    v3 = _curation_v3_core(spark, sf_dir)
-    ng = _ngram_scores(spark, sf_dir, ordered=False).select(
+    # Shared-input pin (r12, r11 verdict #5): all five gate legs scan the
+    # SAME documents projection; a lazy lineage cut materializes it once
+    # inside the query's own first action and the other four legs read the
+    # pinned rows instead of re-scanning (guide §2.4 / §5 — a within-query
+    # shared subtree, not a cross-run cache; reliable checkpoint mode
+    # spills it durably at cluster scale).
+    docs = cut_lineage(
+        _docs(spark, sf_dir).select("doc_id", "text"), eager=False
+    )
+    v3 = _curation_v3_core(spark, sf_dir, docs=docs)
+    ng = _ngram_scores(spark, sf_dir, ordered=False, docs=docs).select(
         "doc_id",
         F.col("n_tokens").alias("_ng_n"),
         F.col("sum_nll").alias("_ng_sum"),
@@ -2319,14 +2339,14 @@ def doc_ngram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_scores(spark: SparkSession, sf_dir: str,
-                  ordered: bool) -> DataFrame:
+                  ordered: bool, docs: DataFrame | None = None) -> DataFrame:
     # the committed artifact lives at the PACKAGE TOP LEVEL (like
     # _quality_model/_sql_cos) so importing it doesn't edge the whole
     # workload package into text.py's --changed-since closure
     from ..operators.ngram_lm import score_ngram_logprob
     from .._ngram_lm import BI, BI_B, TOTAL, TRI, TRI_B, UNI, UNI_B
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir) if docs is None else docs
     model = {
         "uni_b": UNI_B, "bi_b": BI_B, "tri_b": TRI_B, "total": TOTAL,
         "uni": UNI, "bi": BI, "tri": TRI,
